@@ -1,0 +1,73 @@
+"""URL canonicalization, fingerprinting and hashing.
+
+Reference semantics:
+- EquivalentDomains netloc rewrite (RISJbot/spmiddlewares/equivalentdomains.py:36-52)
+- per-site URL normalizers (spiders/uk/dailymail.py:16-20 query strip,
+  spiders/base/businessinsiderspider.py:13-29 IR=C)
+- sha1 request fingerprint (spmiddlewares/refetchcontrol.py:329-336; Scrapy's
+  request_fingerprint is sha1 over method+canonical-url+body — here requests
+  are always bodyless GETs, so the key reduces to sha1 of the canonical URL)
+
+url_hash (uint64) is the partitioning key for the seen-set shards and the
+fetch join: the first 8 bytes of the sha1 fingerprint, so shard routing and
+the ledger key always agree.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from urllib.parse import parse_qsl, urlencode, urlparse, urlunparse
+
+# settings.py:176 — the one shipped mapping; callers may extend.
+DEFAULT_EQUIVALENT_DOMAINS = {"www.cnn.com": "edition.cnn.com"}
+
+
+def apply_equivalent_domains(url: str, mappings: dict[str, str]) -> str:
+    """Rewrite netloc per the equivalence map, preserving everything else
+    (equivalentdomains.py:40-50)."""
+    u = urlparse(url)
+    if u.netloc in mappings:
+        return urlunparse(
+            (u.scheme, mappings[u.netloc], u.path, u.params, u.query, u.fragment)
+        )
+    return url
+
+
+def canonicalize_url(url: str) -> str:
+    """Scrapy-style canonicalization (w3lib.url.canonicalize_url semantics,
+    simplified): sort query params, drop fragment, normalize empty path to
+    '/'. Used to build the request fingerprint."""
+    u = urlparse(url.strip())
+    query = urlencode(sorted(parse_qsl(u.query, keep_blank_values=True)))
+    path = u.path or "/"
+    return urlunparse((u.scheme, u.netloc.lower(), path, u.params, query, ""))
+
+
+def url_fingerprint(url: str) -> bytes:
+    """sha1 digest of the canonicalized URL — the seen-ledger key
+    (refetchcontrol.py:329-336)."""
+    return hashlib.sha1(canonicalize_url(url).encode("utf-8")).digest()
+
+
+def url_hash64(url: str) -> int:
+    """uint64 from the first 8 fingerprint bytes — shard/partition key."""
+    return int.from_bytes(url_fingerprint(url)[:8], "big", signed=False)
+
+
+def host_of(url: str) -> str:
+    return urlparse(url).netloc.lower()
+
+
+def strip_query(url: str) -> str:
+    """DailyMail normalizer: drop '?...' tracking junk
+    (spiders/uk/dailymail.py:16-20)."""
+    return url.split("?")[0]
+
+
+def force_query_param(url: str, key: str, value: str) -> str:
+    """BusinessInsider normalizer: force a query param (e.g. IR=C)
+    (spiders/base/businessinsiderspider.py:13-29)."""
+    u = urlparse(url)
+    q = dict(parse_qsl(u.query, keep_blank_values=True))
+    q[key] = value
+    return urlunparse((u.scheme, u.netloc, u.path, u.params, urlencode(q), u.fragment))

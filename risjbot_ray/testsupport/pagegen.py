@@ -1,0 +1,351 @@
+"""Deterministic synthetic pages + golden expected values (FIXTURES.md).
+
+Generates the Common-Crawl-style ``pages`` table (BASELINE.json input_hint
+shape) whose rows exercise every extraction channel of the reference
+(SURVEY.md 2.3 M8), plus the matching ``expected`` table of golden NewsItem
+fields. Goldens are computed HERE from the plant values and the reference's
+*documented* semantics (loaders.py transforms), not by running the engine —
+the engine must independently reproduce them byte-for-byte.
+
+Everything derives from (seed, row-index); no wall clock, no global RNG.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import json
+import random
+from datetime import datetime, timedelta, timezone
+
+import pyarrow as pa
+
+BASE_TS = datetime(2017, 3, 1, 0, 0, 0, tzinfo=timezone.utc)
+
+# FIXTURES.md section 5 — Zipf-ish host skew: 2 hot, 8 warm, 50 cold.
+HOT_HOSTS = ("bbc.example", "nytimes.example")
+WARM_HOSTS = ("guardian.example", "cnn.example", "dailymail.example",
+              "foxnews.example", "washingtonpost.example", "usatoday.example",
+              "sun.example", "bild.example")
+COLD_HOSTS = tuple(f"site{i:02d}.example" for i in range(50))
+
+_WORDS = ("market regulation economy policy minister council committee "
+          "report growth deficit industry housing election debate border "
+          "science climate research hospital school transport energy trade "
+          "union court justice media technology network culture").split()
+
+_SENT_TAILS = (
+    "officials said on Tuesday",
+    "according to people familiar with the matter",
+    "the committee concluded after a lengthy review",
+    "despite objections from opposition members",
+    "in a move welcomed by industry groups",
+)
+
+FAMILIES = ("jsonld", "jsonld_broken", "microdata", "opengraph", "dublincore",
+            "htmlmeta", "bodyxpath", "readability_fallback",
+            "ensemble_priority", "unwanted", "fake404", "nulbytes",
+            "entities_escapes", "dates_dirty", "bylines_fluff")
+
+# Site container markup for the bodyxpath family: host -> (before, after)
+# wrapping the paragraph run so the site's own selector (siterules.py) finds
+# it. Written with no inter-tag whitespace so text nodes == paragraphs.
+_SITE_BODY = {
+    "guardian.example": (
+        '<article><div class="content__main-column"><div>{paras}</div>'
+        "</div></article>"),
+    "bbc.example": '<div class="story-body">{paras}</div>',
+    "nytimes.example": '<div class="story-body">{paras}</div>',
+    "cnn.example": '<div itemprop="articleBody">{paras}</div>',
+    "dailymail.example": '<div itemprop="articleBody">{paras}</div>',
+    "foxnews.example": '<div class="article-body">{paras}</div>',
+    "washingtonpost.example": (
+        '<article itemprop="articleBody">{paras}</article>'),
+    "usatoday.example": '<div class="article-wrapper">{paras}</div>',
+    "sun.example": '<div class="article__content">{paras}</div>',
+    "bild.example": '<div itemprop="articleBody">{paras}</div>',
+}
+
+_SITE_SOURCE = {
+    "guardian.example": "The Guardian",
+    "bbc.example": "BBC News",
+    "nytimes.example": "New York Times",
+    "foxnews.example": "Fox News",
+    "washingtonpost.example": "Washington Post",
+    "usatoday.example": "USA Today",
+    "sun.example": "The Sun",
+    "bild.example": "Bild",
+}
+
+
+def _rng(seed: int, i: int, salt: str = "") -> random.Random:
+    return random.Random(f"{seed}:{salt}:{i}")
+
+
+def _pick_host(r: random.Random) -> str:
+    roll = r.random()
+    if roll < 0.4:
+        return HOT_HOSTS[r.randrange(len(HOT_HOSTS))]
+    if roll < 0.8:
+        return WARM_HOSTS[r.randrange(len(WARM_HOSTS))]
+    return COLD_HOSTS[r.randrange(len(COLD_HOSTS))]
+
+
+def _sentence(r: random.Random) -> str:
+    words = [r.choice(_WORDS) for _ in range(r.randint(6, 12))]
+    return (" ".join(words)).capitalize() + ", " + r.choice(_SENT_TAILS) + "."
+
+
+def _paragraphs(r: random.Random, n: int) -> list[str]:
+    return [" ".join(_sentence(r) for _ in range(r.randint(2, 4)))
+            for _ in range(n)]
+
+
+def _clean(s: str) -> str:
+    """The documented headline/summary/bodytext normalization: escape chars
+    -> ' ', entities decoded (loaders.py:84-102)."""
+    for ch in ("\n", "\t", "\r"):
+        s = s.replace(ch, " ")
+    return _html.unescape(s)
+
+
+def make_page(seed: int, i: int) -> tuple[dict, dict]:
+    """Build one synthetic article page. Returns (page_row, expected_row)."""
+    r = _rng(seed, i)
+    family = FAMILIES[i % len(FAMILIES)]
+    host = _pick_host(r)
+    if family == "fake404":
+        host = "foxnews.example"
+    elif family == "ensemble_priority":
+        host = "bbc.example"
+    elif family == "bylines_fluff":
+        host = "dailymail.example"
+    elif family == "dates_dirty":
+        host = "washingtonpost.example"
+    elif family == "bodyxpath":
+        host = list(_SITE_BODY)[i % len(_SITE_BODY)]
+    elif family in ("jsonld", "jsonld_broken", "microdata", "opengraph",
+                    "dublincore", "htmlmeta", "readability_fallback",
+                    "nulbytes", "entities_escapes"):
+        host = COLD_HOSTS[r.randrange(len(COLD_HOSTS))]
+
+    section = r.choice(("politics", "business", "science", "sport", "world"))
+    yyyy, mm, dd = 2017, 3, 1 + (i % 28)
+    slug = "-".join(r.choice(_WORDS) for _ in range(3))
+    url = f"https://{host}/{section}/{yyyy}/{mm:02d}/{dd:02d}/{slug}-{i}"
+    warc_ts = BASE_TS + timedelta(seconds=137 * i)
+    pub = BASE_TS + timedelta(seconds=100 * i)
+    mod = pub + timedelta(hours=2)
+    headline = f"Headline {i}: {r.choice(_WORDS).capitalize()} {r.choice(_WORDS)}"
+    summary = f"Summary {i}: {_sentence(r)}"
+    author = f"{r.choice(('Alex', 'Sam', 'Jo', 'Chris', 'Pat'))} {r.choice(('Smith', 'Jones', 'Brown', 'Taylor', 'Wilson'))}"
+    keywords = [r.choice(_WORDS) for _ in range(3)]
+    paras = _paragraphs(r, r.randint(2, 4))
+    body_expected = _clean(" ".join(paras))
+    lang = "de" if host == "bild.example" else "en"
+
+    exp: dict = {
+        "url": url, "family": family, "dropped": False,
+        "headline": headline, "bodytext": body_expected,
+        "summary": None, "source": None, "section": None,
+        "bylines": None, "keywords": None,
+        "firstpubtime": None, "modtime": None, "language": None,
+    }
+
+    ptags = "".join(f"<p>{p}</p>" for p in paras)
+    head_extra = ""
+    body_html = f'<div class="article-content">{ptags}</div>'
+    title = headline
+
+    if family == "jsonld":
+        ld = {
+            "@context": "https://schema.org",
+            "@type": "NewsArticle",
+            "headline": headline,
+            "articleBody": " ".join(paras),
+            "articleSection": section,
+            "datePublished": pub.isoformat(),
+            "dateModified": mod.isoformat(),
+            "keywords": ",".join(keywords),
+            "author": {"@type": "Person", "name": author},
+            "publisher": {"@type": "Organization", "name": "Example Org"},
+        }
+        head_extra = ('<script type="application/ld+json">'
+                      + json.dumps(ld) + "</script>")
+        body_html = f"<div>{ptags}</div>"
+        exp.update(source="Example Org", section=section,
+                   bylines=[author], keywords=keywords,
+                   firstpubtime=pub.isoformat(), modtime=mod.isoformat(),
+                   language=lang)
+    elif family == "jsonld_broken":
+        head_extra = ('<script type="application/ld+json">{broken'
+                      "</script>"
+                      f'<meta property="og:title" content="{headline}">'
+                      f'<meta property="og:description" content="{summary}">')
+        exp.update(summary=summary, language=lang)
+    elif family == "microdata":
+        head_extra = (
+            f'<meta itemprop="datePublished" content="{pub.isoformat()}">'
+            f'<meta itemprop="dateModified" content="{mod.isoformat()}">'
+            f'<meta itemprop="keywords" content="{",".join(keywords)}">'
+            f'<meta itemprop="articleSection" content="{section}">')
+        body_html = (f'<h1 itemprop="headline">{headline}</h1>'
+                     f'<div itemprop="articleBody">{ptags}</div>')
+        exp.update(section=section, keywords=keywords,
+                   firstpubtime=pub.isoformat(), modtime=mod.isoformat(),
+                   language=lang)
+    elif family == "opengraph":
+        head_extra = (
+            f'<meta property="og:site_name" content="Example Site">'
+            f'<meta property="og:title" content="{headline}">'
+            f'<meta property="og:description" content="{summary}">'
+            f'<meta property="article:published_time" content="{pub.isoformat()}">'
+            f'<meta property="article:modified_time" content="{mod.isoformat()}">'
+            f'<meta property="article:section" content="{section}">'
+            f'<meta property="article:author" content="{author}">'
+            f'<meta property="article:tag" content="{keywords[0]}">')
+        exp.update(source="Example Site", summary=summary, section=section,
+                   bylines=[author], keywords=[keywords[0]],
+                   firstpubtime=pub.isoformat(), modtime=mod.isoformat(),
+                   language=lang)
+    elif family == "dublincore":
+        head_extra = (
+            f'<meta name="dc.title" content="{headline}">'
+            f'<meta name="dcterms.abstract" content="{summary}">'
+            f'<meta name="dcterms.modified" content="{mod.isoformat()}">'
+            f'<meta name="dcterms.created" content="{pub.isoformat()}">'
+            f'<meta name="dc.publisher" content="Example Pub">')
+        exp.update(source="Example Pub", summary=summary,
+                   firstpubtime=pub.isoformat(), modtime=mod.isoformat(),
+                   language=lang)
+    elif family == "htmlmeta":
+        head_extra = (
+            f'<meta name="author" content="{author}">'
+            f'<meta name="news_keywords" content="{",".join(keywords)}">')
+        exp.update(bylines=[author], keywords=keywords, language=lang)
+    elif family == "bodyxpath":
+        og_name = _SITE_SOURCE.get(host) or "Site Name"
+        head_extra = (f'<meta property="og:title" content="{headline}">'
+                      f'<meta property="og:site_name" content="{og_name}">')
+        body_html = _SITE_BODY[host].format(paras=ptags)
+        exp.update(source=_SITE_SOURCE.get(host, og_name), language=lang)
+        if host == "usatoday.example":
+            # usatoday wraps paragraphs: selector is //p//text()
+            pass
+    elif family == "readability_fallback":
+        body_html = (f'<div class="sidebar"><p>Related links and promo '
+                     f"items live here, {i}.</p></div>"
+                     f'<div class="article-content">{ptags}</div>')
+        exp.update(language=lang)
+    elif family == "ensemble_priority":
+        # pre-add (title strip) beats og:title; schema.org articleBody
+        # (std block) beats the site's story-body post-add.
+        title = f"{headline} - BBC News"
+        alt_body = "WRONG body from late fallback."
+        head_extra = (f'<meta property="og:title" content="OG {headline}">'
+                      f'<meta property="og:site_name" content="BBC og">')
+        body_html = (f'<div itemprop="articleBody">{ptags}</div>'
+                     f'<div class="story-body"><p>{alt_body}</p></div>')
+        exp.update(source="BBC News", language=lang)
+    elif family == "unwanted":
+        junk = ('<figure>caption junk</figure><script>var x=1;</script>'
+                '<style>.a{color:red}</style><form>input junk</form>'
+                "<aside>aside junk</aside>")
+        head_extra = f'<meta property="og:title" content="{headline}">'
+        body_html = ('<article><div class="content__main-column">'
+                     f"<div>{junk}{ptags}</div>"
+                     '<div class="submeta"><p>submeta junk</p></div>'
+                     "</div></article>")
+        # guardian body selector; pruned nodes must not appear
+        exp.update(source="The Guardian", language=lang)
+        if host != "guardian.example":
+            url = url.replace(host, "guardian.example")
+            exp["url"] = url
+            host = "guardian.example"
+    elif family == "fake404":
+        body_html = "<h1>Something has gone wrong</h1>"
+        exp = {"url": url, "family": family, "dropped": True,
+               "headline": None, "bodytext": None, "summary": None,
+               "source": None, "section": None, "bylines": None,
+               "keywords": None, "firstpubtime": None, "modtime": None,
+               "language": None}
+        body_expected = ""
+    elif family == "nulbytes":
+        nul_paras = [p[: len(p) // 2] + "\x00" + p[len(p) // 2:]
+                     for p in paras]
+        ptags = "".join(f"<p>{p}</p>" for p in nul_paras)
+        body_html = f'<div class="article-content">{ptags}</div>'
+        exp.update(language=lang)  # NULs stripped -> same expected body
+    elif family == "entities_escapes":
+        dirty = [p.replace(", ", ",\n\t").replace(" and ", " &amp; ", 1)
+                 + " It&#8217;s fine." for p in paras]
+        ptags = "".join(f"<p>{p}</p>" for p in dirty)
+        body_html = f'<div itemprop="articleBody">{ptags}</div>'
+        body_expected = _clean(" ".join(
+            p.replace(", ", ",\n\t").replace(" and ", " & ", 1)
+            + " It’s fine." for p in paras))
+        exp.update(bodytext=body_expected, language=lang)
+    elif family == "dates_dirty":
+        # WaPo: compact tz repaired by the site rule; millis variant parsed
+        compact = pub.strftime("%Y-%m-%dT%H:%M:%S") + "-500"
+        millis = mod.strftime("%Y-%m-%dT%H:%M:%S") + ".787Z"
+        head_extra = (
+            f'<meta itemprop="datePublished" content="{compact}">'
+            f'<meta itemprop="dateModified" content="{millis}">'
+            f'<meta property="og:title" content="{headline}">')
+        body_html = f'<article itemprop="articleBody">{ptags}</article>'
+        fixed_pub = pub.replace(tzinfo=timezone(timedelta(hours=-5)))
+        exp.update(source="Washington Post",
+                   firstpubtime=fixed_pub.isoformat(),
+                   modtime=mod.isoformat(), language=lang)
+    elif family == "bylines_fluff":
+        fluffy = f"{author} and Jane Doe, Chief Reporter for MailOnline"
+        head_extra = (
+            f'<meta property="article:author" content="{fluffy}">'
+            f'<meta property="og:title" content="{headline}">'
+            f'<meta property="og:site_name" content="Daily Mail">')
+        body_html = f'<div itemprop="articleBody">{ptags}</div>'
+        # split_multiple_byline_string keeps 'Jane Doe' and drops only the
+        # ', Chief Reporter ...' token (reference utils.py:43-49)
+        exp.update(source="Daily Mail", bylines=[author, "Jane Doe"],
+                   language=lang)
+
+    html_doc = (f'<html lang="{lang}"><head><title>{title}</title>'
+                f"{head_extra}</head><body>{body_html}</body></html>")
+
+    page = {"url": url, "warc_ts": warc_ts,
+            "html": html_doc.encode("utf-8"),
+            "text": "" if exp.get("dropped") else body_expected,
+            "lang": lang}
+    return page, exp
+
+
+PAGE_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us", tz="UTC")),
+    ("html", pa.binary()),
+    ("text", pa.string()),
+    ("lang", pa.string()),
+])
+
+EXPECTED_SCHEMA = pa.schema([
+    ("url", pa.string()), ("family", pa.string()), ("dropped", pa.bool_()),
+    ("headline", pa.string()), ("bodytext", pa.string()),
+    ("summary", pa.string()), ("source", pa.string()),
+    ("section", pa.string()),
+    ("bylines", pa.list_(pa.string())), ("keywords", pa.list_(pa.string())),
+    ("firstpubtime", pa.string()), ("modtime", pa.string()),
+    ("language", pa.string()),
+])
+
+
+def gen_pages(n: int, seed: int = 42,
+              start: int = 0) -> tuple[pa.Table, pa.Table]:
+    """Generate ``n`` article pages (indices start..start+n) and their
+    goldens as Arrow tables."""
+    pages, exps = [], []
+    for i in range(start, start + n):
+        p, e = make_page(seed, i)
+        pages.append(p)
+        exps.append(e)
+    return (pa.Table.from_pylist(pages, schema=PAGE_SCHEMA),
+            pa.Table.from_pylist(exps, schema=EXPECTED_SCHEMA))
