@@ -33,13 +33,17 @@ def _ts_to_datetime(v) -> datetime:
 
 
 def extract_batch(batch: pa.Table, *, include_rawpage: bool = False,
-                  stats: ExtractStats | None = None) -> pa.Table:
+                  stats: ExtractStats | None = None,
+                  passthrough: tuple[str, ...] = ()) -> pa.Table:
     """Extract every page row in the batch.
 
     Input columns: url, warc_ts, html (binary); optional ``meta`` (JSON
     string from the frontier join). Dropped pages (fake 404) produce no
     output row. ``include_rawpage=False`` is the StripRawPage default
-    (pipelines/striprawpage.py:26-31, settings.py:228).
+    (pipelines/striprawpage.py:26-31, settings.py:228). ``passthrough``
+    columns are copied verbatim onto each emitted row (the crawl pipeline
+    uses this to carry the ledger key to the commit stage — ≙ Scrapy's
+    ``meta['refetchcontrol_key']`` ride-along, refetchcontrol.py:240).
     """
     stats = stats if stats is not None else ExtractStats()
     n = batch.num_rows
@@ -54,6 +58,7 @@ def extract_batch(batch: pa.Table, *, include_rawpage: bool = False,
         cols[f] = []
     cols["previousfetches"] = []
     cols["rawpagegzipb64"] = []
+    emitted_idx: list[int] = []
 
     for i in range(n):
         meta = json.loads(metas[i]) if metas[i] else {}
@@ -61,6 +66,7 @@ def extract_batch(batch: pa.Table, *, include_rawpage: bool = False,
                             _ts_to_datetime(tss[i]), meta, stats=stats)
         if item is None:
             continue
+        emitted_idx.append(i)
         for f in _STR_FIELDS:
             v = item.get(f)
             cols[f].append(v if isinstance(v, str) else None)
@@ -82,4 +88,11 @@ def extract_batch(batch: pa.Table, *, include_rawpage: bool = False,
         else:
             arrays.append(pa.array(cols[name], type=field.type))
         fields.append(field)
-    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+    out = pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+    if passthrough:
+        take = pa.array(emitted_idx, type=pa.int64())
+        for name in passthrough:
+            col = batch.column(name).take(take)
+            out = out.append_column(
+                pa.field(name, col.type), col)
+    return out

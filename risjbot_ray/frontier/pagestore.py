@@ -1,0 +1,103 @@
+"""PageStore: the offline "web" — hash-bucketed pages for the fetch join.
+
+The reference fetches over the network; the offline analogue is a hash
+join ``frontier ⋈ pages ON url`` (SURVEY.md 2.5 J4). Joining a bounded
+scheduled wave against a 100 TB pages table must NOT scan the pages table
+per wave, so the store is laid out once as hash-bucketed Parquet
+(``bucket = url_hash64(url) % B``); each wave then reads only the buckets
+its URLs fall in, with a row-level ``url IN (...)`` filter pushed into the
+Parquet read. This is the partitioned-hash-join pattern from the Ray Data
+join guidance, with the partitioning key reused across all stages
+(url_hash drives seen-shards, fetch buckets, and output layout).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from ..functions.urlnorm import url_hash64
+
+
+def _hash_column(urls: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    return np.fromiter((url_hash64(u) for u in urls.to_pylist()),
+                       dtype=np.uint64, count=len(urls))
+
+
+def build_page_store(pages_path: str | list[str], store_dir: str,
+                     num_buckets: int = 32,
+                     columns: list[str] | None = None) -> "PageStore":
+    """One-time layout: read pages parquet, write one file per url-hash
+    bucket. (At production scale this is itself a Ray Data job —
+    ``read_parquet → add bucket column → write_parquet(partition_cols)``;
+    done driver-side here because test inputs are small.)"""
+    os.makedirs(store_dir, exist_ok=True)
+    dataset = pads.dataset(pages_path, format="parquet")
+    writers: dict[int, pq.ParquetWriter] = {}
+    try:
+        for batch in dataset.to_batches(columns=columns):
+            table = pa.Table.from_batches([batch])
+            if table.num_rows == 0:
+                continue
+            buckets = _hash_column(table.column("url")) % num_buckets
+            for b in np.unique(buckets):
+                part = table.filter(pa.array(buckets == b))
+                if b not in writers:
+                    writers[b] = pq.ParquetWriter(
+                        os.path.join(store_dir, f"bucket-{b:05d}.parquet"),
+                        part.schema)
+                writers[b].write_table(part)
+    finally:
+        for w in writers.values():
+            w.close()
+    return PageStore(store_dir, num_buckets)
+
+
+class PageStore:
+    def __init__(self, store_dir: str, num_buckets: int):
+        self.store_dir = store_dir
+        self.num_buckets = num_buckets
+
+    def bucket_path(self, bucket: int) -> str:
+        return os.path.join(self.store_dir, f"bucket-{bucket:05d}.parquet")
+
+    def bucket_of(self, url_hashes: np.ndarray) -> np.ndarray:
+        return (url_hashes % np.uint64(self.num_buckets)).astype(np.int64)
+
+    def fetch_bucket(self, bucket: int, urls: list[str],
+                     columns: list[str] = ("url", "warc_ts", "html")
+                     ) -> pa.Table:
+        """Read one bucket with a pushed-down ``url IN urls`` filter."""
+        path = self.bucket_path(bucket)
+        if not os.path.exists(path) or not urls:
+            return None
+        return pq.read_table(
+            path, columns=list(columns),
+            filters=pc.field("url").isin(urls))
+
+    def fetch_group(self, frontier_group: pa.Table,
+                    columns: list[str] = ("url", "warc_ts", "html")
+                    ) -> pa.Table:
+        """Join one bucket-aligned frontier group against its bucket file.
+        Shaped for ``groupby('fetch_bucket').map_groups`` — the Ray-native
+        realization of the wave's fetch join. Joins on ``canon_url`` (the
+        stored page URL is the canonical one). Unmatched frontier rows are
+        fetch failures and produce nothing (they were never committed to
+        the ledger, so they age out exactly like the reference's failed
+        fetches, refetchcontrol.py:54-57)."""
+        if frontier_group.num_rows == 0:
+            return None
+        bucket = int(frontier_group.column("fetch_bucket")[0].as_py())
+        urls = frontier_group.column("canon_url").to_pylist()
+        pages = self.fetch_bucket(bucket, urls, columns=columns)
+        if pages is None or pages.num_rows == 0:
+            return None
+        pages = pages.rename_columns(
+            ["canon_url" if c == "url" else c for c in pages.column_names])
+        return frontier_group.join(pages, keys=["canon_url"],
+                                   join_type="inner")

@@ -1,0 +1,113 @@
+"""Per-host politeness budgets, robots.txt gate, and the salted grouped
+top-k scheduler.
+
+Reference semantics being modeled (SURVEY.md 2.4 T6/T7, 2.7 O1):
+- ``ROBOTSTXT_OBEY = True`` (settings.py:45) with per-request opt-out
+  (``dont_obey_robotstxt``, spiders/uk/liverpoolecho.py:38-39)
+- per-domain concurrency caps / download delays (settings.py:88-94) —
+  realized batch-style as a per-host budget of fetches per wave
+- priority queues (Request(priority=...), liverpoolecho.py:37,108,134,171)
+  — realized as a deterministic per-host top-k by (priority desc,
+  canon_url asc)
+
+Scale design (north rule): hot hosts (bbc.co.uk/nytimes.com-style skew) are
+SALTED into sub-groups before the groupby so no single partition holds a
+whole hot host; a cheap second per-host pass over the ≤ (budget + salt)
+survivors reconciles the exact budget. Wave-deferred rows are re-queued,
+preserving politeness across waves.
+"""
+
+from __future__ import annotations
+
+import urllib.robotparser
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class RobotsIndex:
+    """Per-host robots.txt rules parsed once (stdlib urllib.robotparser on
+    robots bodies from the pages table) and broadcast to scheduler tasks."""
+
+    def __init__(self, robots_bodies: dict[str, str],
+                 user_agent: str = "RISJbot"):
+        self.user_agent = user_agent
+        self.parsers: dict[str, urllib.robotparser.RobotFileParser] = {}
+        for host, body in robots_bodies.items():
+            rp = urllib.robotparser.RobotFileParser()
+            rp.parse(body.splitlines())
+            self.parsers[host] = rp
+
+    def allowed(self, host: str, url: str) -> bool:
+        rp = self.parsers.get(host)
+        if rp is None:
+            return True  # no robots.txt → allowed
+        return rp.can_fetch(self.user_agent, url)
+
+    def allowed_mask(self, hosts: list[str], urls: list[str]) -> np.ndarray:
+        return np.fromiter(
+            (self.allowed(h, u) for h, u in zip(hosts, urls)),
+            dtype=bool, count=len(urls))
+
+
+def add_salted_group(table: pa.Table, per_host_budget: int,
+                     salt_threshold: int = 10_000) -> pa.Table:
+    """Append a ``sched_group`` column: ``host`` for normal hosts,
+    ``host#k`` (k = url_hash % S) for hosts whose wave volume exceeds
+    ``salt_threshold`` — the explicit hot-host salting the north rule
+    requires. S grows with the host's row count so each sub-group stays
+    under the threshold."""
+    hosts = table.column("host")
+    counts = pc.value_counts(hosts)
+    hot = {r["values"]: int(np.ceil(r["counts"] / salt_threshold))
+           for r in counts.to_pylist() if r["counts"] > salt_threshold}
+    if not hot:
+        return table.append_column("sched_group", hosts.cast(pa.string()))
+    host_np = np.asarray(hosts.to_pylist(), dtype=object)
+    hash_np = np.asarray(table.column("url_hash").to_pylist(),
+                         dtype=np.uint64)
+    groups = host_np.copy()
+    for h, s in hot.items():
+        idx = np.nonzero(host_np == h)[0]
+        salts = (hash_np[idx] % np.uint64(s)).astype(np.int64)
+        groups[idx] = np.array([f"{h}#{k}" for k in salts], dtype=object)
+    return table.append_column("sched_group",
+                               pa.array(groups.tolist(), type=pa.string()))
+
+
+def schedule_wave(frontier: pa.Table, per_host_budget: int,
+                  salt_threshold: int = 10_000
+                  ) -> tuple[pa.Table, pa.Table]:
+    """Split a gated frontier wave into (scheduled, deferred).
+
+    Phase 1: salted grouped top-k (each sub-group takes the full budget —
+    a superset). Phase 2: exact per-host top-k over the ≤ budget x S
+    survivors. Deferred rows = everything not scheduled, re-queued for the
+    next wave (per-domain queue semantics).
+
+    Implemented with pandas inside the driver for wave-sized tables; the
+    identical two-phase structure maps to ``groupby(sched_group)
+    .map_groups`` on a Dataset when a single wave exceeds driver memory
+    (the crawl pipeline uses that path for large waves).
+    """
+    if frontier.num_rows == 0:
+        empty = frontier.slice(0, 0)
+        return empty, empty
+    salted = add_salted_group(frontier, per_host_budget, salt_threshold)
+    df = salted.to_pandas()
+    # one global stable sort; groupby().head() then preserves it, so each
+    # phase is a vectorized grouped top-k with no per-group Python
+    df = df.sort_values(["priority", "canon_url"], ascending=[False, True],
+                        kind="mergesort")
+    phase1 = df.groupby("sched_group", sort=False).head(per_host_budget)
+    phase2 = phase1.groupby("host", sort=False).head(per_host_budget)
+    mask = df.index.isin(phase2.index)
+    scheduled = df[mask].drop(columns=["sched_group"])
+    deferred = df[~mask].drop(columns=["sched_group"])
+    schema = frontier.schema
+    return (pa.Table.from_pandas(scheduled, schema=schema,
+                                 preserve_index=False),
+            pa.Table.from_pandas(deferred, schema=schema,
+                                 preserve_index=False))

@@ -1,0 +1,307 @@
+"""The sharded URL-seen set / fetch ledger — RefetchControl as an actor pool.
+
+Reference semantics (spmiddlewares/refetchcontrol.py, sqlite
+``records(key, url, fetches, time)``):
+
+- gate (``_process_request``, lines 227-279): allow iff never fetched, or
+  ``fetches < maxfetches AND refetchsecs <= age <= agelimit``; a
+  ``refetchcontrol_pass`` flag bypasses the gate and the ledger entirely.
+- commit (``_process_item``, lines 281-316): on successful item, upsert
+  ``fetches+1, now`` keyed by the *request* fingerprint. Pass-flagged
+  responses are not stored.
+- trawl (``spider_idle``, lines 132-195): end-of-wave sweep scheduling
+  under-fetched entries (``time<=now-refetchsecs AND time>now-agelimit AND
+  fetches<maxfetches``) and trimming entries older than agelimit that were
+  not requested this run.
+
+Scaled out: N shard actors keyed by ``url_hash % N`` (url_hash is derived
+from the same sha1 fingerprint as the ledger key, so routing and identity
+agree). Each shard holds bloom pre-filter + cuckoo filter + an exact dict
+ledger; the bloom/cuckoo tiers answer "definitely new" / "probably seen"
+without touching the exact map and are the piece that stays in RAM at
+10^10-key scale while the exact ledger pages to Parquet snapshots.
+
+Idempotence under task retries: ``commit`` carries the wave id; a key
+already committed in the same wave is not double-counted
+(reserve-then-commit, SURVEY.md section 7.4 item 3).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from ..state.filters import BloomFilter, CuckooFilter, keys_to_array
+
+DEFAULT_MAXFETCHES = 8       # settings.py:131
+DEFAULT_REFETCHSECS = 10800  # settings.py:132
+# agelimit default = refetchsecs * maxfetches (refetchcontrol.py:56-57)
+
+
+def _now_us() -> int:
+    return int(datetime.now(timezone.utc).timestamp() * 1_000_000)
+
+
+class SeenShardLogic:
+    """Pure (non-actor) shard logic, unit-testable without Ray."""
+
+    def __init__(self, shard_id: int = 0,
+                 maxfetches: int = DEFAULT_MAXFETCHES,
+                 refetchsecs: int = DEFAULT_REFETCHSECS,
+                 agelimit: int | None = None,
+                 bloom_bits: int = 1 << 22,
+                 cuckoo_buckets: int = 1 << 16):
+        self.shard_id = shard_id
+        self.maxfetches = maxfetches
+        self.refetchsecs = refetchsecs
+        self.agelimit = (agelimit if agelimit is not None
+                         else refetchsecs * maxfetches)
+        # key(bytes sha1) -> [url, fetches, time_us]
+        self.ledger: dict[bytes, list] = {}
+        self.bloom = BloomFilter(n_bits=bloom_bits)
+        self.cuckoo = CuckooFilter(n_buckets=cuckoo_buckets)
+        self.keysrqd: set[bytes] = set()     # refetchcontrol.py:62,231-232
+        self._wave_committed: dict[bytes, int] = {}
+        self.counters = {
+            "firstfetch": 0, "refetched": 0, "skipped": 0, "passed": 0,
+            "stored": 0, "trawled": 0, "dbkeystrimmed": 0,
+            "bloom_negative": 0,
+        }
+
+    # -- gate -------------------------------------------------------------
+    def check(self, keys: list[bytes], now_us: int,
+              pass_flags: list[bool] | None = None
+              ) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (allowed bool mask, previousfetches int32).
+
+        Truth table per refetchcontrol.py:246-271.
+        """
+        n = len(keys)
+        allowed = np.zeros(n, dtype=bool)
+        prev = np.zeros(n, dtype=np.int32)
+        if n == 0:
+            return allowed, prev
+        arr = keys_to_array(keys)
+        maybe_seen = self.bloom.contains(arr)
+        for i, key in enumerate(keys):
+            self.keysrqd.add(key)
+            if pass_flags is not None and pass_flags[i]:
+                self.counters["passed"] += 1
+                allowed[i] = True
+                continue
+            if not maybe_seen[i]:
+                # bloom-certified new — no ledger lookup needed
+                self.counters["bloom_negative"] += 1
+                self.counters["firstfetch"] += 1
+                allowed[i] = True
+                continue
+            rec = self.ledger.get(key)
+            if rec is None:
+                self.counters["firstfetch"] += 1
+                allowed[i] = True
+                continue
+            _, nf, t_us = rec
+            age = (now_us - t_us) / 1e6
+            if (nf >= self.maxfetches or age < self.refetchsecs
+                    or age > self.agelimit):
+                self.counters["skipped"] += 1
+                continue
+            prev[i] = nf
+            self.counters["refetched"] += 1
+            allowed[i] = True
+        return allowed, prev
+
+    # -- commit -----------------------------------------------------------
+    def commit(self, keys: list[bytes], urls: list[str], now_us: int,
+               wave: int = -1) -> int:
+        """Upsert fetches+1/time for each key (refetchcontrol.py:290-310);
+        wave-scoped idempotence for retried tasks."""
+        stored = 0
+        fresh = []
+        for key, url in zip(keys, urls):
+            if wave >= 0 and self._wave_committed.get(key) == wave:
+                continue  # retried task — already counted this wave
+            self._wave_committed[key] = wave
+            rec = self.ledger.get(key)
+            if rec is None:
+                self.ledger[key] = [url, 1, now_us]
+                fresh.append(key)
+            else:
+                rec[0] = url
+                rec[1] += 1
+                rec[2] = now_us
+            stored += 1
+        if fresh:
+            arr = keys_to_array(fresh)
+            self.bloom.add(arr)
+            self.cuckoo.insert(arr)
+        self.counters["stored"] += stored
+        return stored
+
+    # -- trawl + trim (spider_idle) ---------------------------------------
+    def trawl(self, now_us: int, trim: bool = True
+              ) -> tuple[list[tuple[bytes, str, int]], int]:
+        """Returns (eligible refetch entries [(key, url, fetches)], trimmed
+        count). Eligibility/trim per refetchcontrol.py:161-193."""
+        cutoff_t = now_us - self.refetchsecs * 1_000_000
+        cutoff_old = now_us - self.agelimit * 1_000_000
+        eligible = []
+        to_delete = []
+        for key, (url, nf, t_us) in self.ledger.items():
+            if t_us <= cutoff_t and t_us > cutoff_old and nf < self.maxfetches:
+                eligible.append((key, url, nf))
+                self.counters["trawled"] += 1
+            elif t_us <= cutoff_old and trim and key not in self.keysrqd:
+                to_delete.append(key)
+        if trim and to_delete:
+            for key in to_delete:
+                del self.ledger[key]
+            self.cuckoo.delete(keys_to_array(to_delete))
+            # bloom is add-only; it is rebuilt from the ledger at snapshot
+            self.counters["dbkeystrimmed"] += len(to_delete)
+        return eligible, len(to_delete)
+
+    def new_wave(self) -> None:
+        self._wave_committed.clear()
+
+    # -- checkpoint -------------------------------------------------------
+    def to_table(self) -> pa.Table:
+        keys, urls, fetches, times = [], [], [], []
+        for key, (url, nf, t_us) in self.ledger.items():
+            keys.append(key)
+            urls.append(url)
+            fetches.append(nf)
+            times.append(t_us)
+        return pa.table({
+            "key": pa.array(keys, type=pa.binary()),
+            "url": pa.array(urls, type=pa.string()),
+            "fetches": pa.array(fetches, type=pa.int32()),
+            "time_us": pa.array(times, type=pa.int64()),
+        })
+
+    def restore_table(self, table: pa.Table) -> None:
+        self.ledger = {}
+        for row in table.to_pylist():
+            self.ledger[row["key"]] = [row["url"], row["fetches"],
+                                       row["time_us"]]
+        if self.ledger:
+            arr = keys_to_array(list(self.ledger))
+            self.bloom = BloomFilter(n_bits=self.bloom.n_bits)
+            self.bloom.add(arr)
+            self.cuckoo = CuckooFilter(n_buckets=self.cuckoo.n_buckets)
+            self.cuckoo.insert(arr)
+
+    def snapshot(self, directory: str) -> str:
+        os.makedirs(directory, exist_ok=True)
+        path = os.path.join(directory, f"seen-shard-{self.shard_id:04d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(self.to_table(), tmp)
+        os.replace(tmp, path)  # atomic publish
+        return path
+
+    def restore(self, directory: str) -> bool:
+        path = os.path.join(directory, f"seen-shard-{self.shard_id:04d}.parquet")
+        if not os.path.exists(path):
+            return False
+        self.restore_table(pq.read_table(path))
+        return True
+
+    def size(self) -> int:
+        return len(self.ledger)
+
+    def get_counters(self) -> dict[str, int]:
+        return dict(self.counters)
+
+
+# One actor per shard; num_cpus=0 so shards don't starve the data plane —
+# probe calls are short dictionary lookups, not compute.
+SeenShard = ray.remote(num_cpus=0)(SeenShardLogic)
+
+
+class SeenSet:
+    """Driver-side handle to the shard pool. Routes batched probes/commits
+    by ``url_hash % num_shards`` (url_hash = first 8 bytes of the sha1 key,
+    urlnorm.url_hash64 — routing and ledger identity always agree)."""
+
+    def __init__(self, num_shards: int = 8, **shard_kwargs):
+        self.num_shards = num_shards
+        self.shards = [
+            SeenShard.options(name=f"seen-shard-{i}", get_if_exists=True)
+            .remote(shard_id=i, **shard_kwargs)
+            for i in range(num_shards)
+        ]
+
+    def _route(self, hashes: np.ndarray) -> np.ndarray:
+        return (hashes % np.uint64(self.num_shards)).astype(np.int64)
+
+    def check(self, keys: list[bytes], hashes: np.ndarray, now_us: int,
+              pass_flags: np.ndarray | None = None
+              ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched gate across shards; preserves input order."""
+        n = len(keys)
+        allowed = np.zeros(n, dtype=bool)
+        prev = np.zeros(n, dtype=np.int32)
+        if n == 0:
+            return allowed, prev
+        shard_of = self._route(hashes)
+        futures, idx_of = [], []
+        for s in range(self.num_shards):
+            idx = np.nonzero(shard_of == s)[0]
+            if len(idx) == 0:
+                continue
+            pf = (list(map(bool, pass_flags[idx]))
+                  if pass_flags is not None else None)
+            futures.append(self.shards[s].check.remote(
+                [keys[i] for i in idx], now_us, pf))
+            idx_of.append(idx)
+        for idx, (a, p) in zip(idx_of, ray.get(futures)):
+            allowed[idx] = a
+            prev[idx] = p
+        return allowed, prev
+
+    def commit(self, keys: list[bytes], urls: list[str],
+               hashes: np.ndarray, now_us: int, wave: int = -1) -> int:
+        shard_of = self._route(hashes)
+        futures = []
+        for s in range(self.num_shards):
+            idx = np.nonzero(shard_of == s)[0]
+            if len(idx) == 0:
+                continue
+            futures.append(self.shards[s].commit.remote(
+                [keys[i] for i in idx], [urls[i] for i in idx], now_us, wave))
+        return sum(ray.get(futures)) if futures else 0
+
+    def trawl(self, now_us: int, trim: bool = True) -> list[tuple[bytes, str, int]]:
+        results = ray.get([s.trawl.remote(now_us, trim) for s in self.shards])
+        out: list[tuple[bytes, str, int]] = []
+        for eligible, _ in results:
+            out.extend(eligible)
+        return out
+
+    def new_wave(self) -> None:
+        ray.get([s.new_wave.remote() for s in self.shards])
+
+    def snapshot(self, directory: str) -> list[str]:
+        return ray.get([s.snapshot.remote(directory) for s in self.shards])
+
+    def restore(self, directory: str) -> int:
+        return sum(ray.get([s.restore.remote(directory) for s in self.shards]))
+
+    def counters(self) -> dict[str, int]:
+        totals: dict[str, int] = {}
+        for c in ray.get([s.get_counters.remote() for s in self.shards]):
+            for k, v in c.items():
+                totals[k] = totals.get(k, 0) + v
+        return totals
+
+    def size(self) -> int:
+        return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)

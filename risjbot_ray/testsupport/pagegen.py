@@ -349,3 +349,133 @@ def gen_pages(n: int, seed: int = 42,
         exps.append(e)
     return (pa.Table.from_pylist(pages, schema=PAGE_SCHEMA),
             pa.Table.from_pylist(exps, schema=EXPECTED_SCHEMA))
+
+
+# ---------------------------------------------------------------------------
+# Discovery fixtures (FIXTURES.md section 3): robots / sitemaps / feeds
+# ---------------------------------------------------------------------------
+
+# Hosts whose discovery channel is a feed rather than a sitemap, mirroring
+# the reference's spider types (bbc = RSS, dailymail = RSS w/ tracking junk)
+RSS_HOSTS = ("bbc.example", "dailymail.example")
+ATOM_HOSTS = ("sun.example",)
+
+# EquivalentDomains fixture: discovery lists article URLs under an alias
+# netloc that must be canonicalized back to the page host
+# (spmiddlewares/equivalentdomains.py:36-52, settings.py:176).
+EQUIVALENT_DOMAINS = {"www.cnn.example": "cnn.example"}
+_ALIASED_HOSTS = {"cnn.example": "www.cnn.example"}
+
+
+def _alias(url: str, host: str) -> str:
+    alias = _ALIASED_HOSTS.get(host)
+    return url.replace(f"https://{host}/", f"https://{alias}/") if alias else url
+
+
+def gen_discovery_pages(article_urls_by_host: dict[str, list[str]],
+                        seed: int = 42) -> list[dict]:
+    """Discovery pages (robots.txt + sitemapindex + urlset shards, or
+    RSS/Atom feeds) whose entries point at the given article URLs."""
+    rows: list[dict] = []
+    ts = BASE_TS
+
+    def page(url: str, body: str) -> None:
+        rows.append({"url": url, "warc_ts": ts,
+                     "html": body.encode("utf-8"), "text": "", "lang": "en"})
+
+    for host in sorted(article_urls_by_host):
+        urls = article_urls_by_host[host]
+        r = _rng(seed, 0, salt=host)
+        if host in RSS_HOSTS:
+            items = []
+            for j, u in enumerate(urls):
+                link = _alias(u, host)
+                if host == "dailymail.example":
+                    link += "?ITO=1490"  # tracking junk -> strip_query
+                pub = (BASE_TS + timedelta(seconds=60 * j)).strftime(
+                    "%a, %d %b %Y %H:%M:%S GMT")
+                items.append(
+                    f"<item><title>Feed title {j}</title><link>{link}</link>"
+                    f"<description>Feed desc {j}</description>"
+                    f"<category>feedcat</category>"
+                    f"<pubDate>{pub}</pubDate></item>")
+            page(f"https://{host}/feed.rss",
+                 '<?xml version="1.0"?><rss version="2.0"><channel>'
+                 f"<title>{host}</title>{''.join(items)}</channel></rss>")
+        elif host in ATOM_HOSTS:
+            entries = "".join(
+                f'<entry><link href="{_alias(u, host)}"/></entry>'
+                for u in urls)
+            page(f"https://{host}/feed.atom",
+                 '<?xml version="1.0"?>'
+                 '<feed xmlns="http://www.w3.org/2005/Atom">'
+                 f"{entries}</feed>")
+        else:
+            page(f"https://{host}/robots.txt",
+                 "User-agent: *\nDisallow: /private/\n"
+                 f"Sitemap: https://{host}/sitemap.xml\n")
+            half = max(1, (len(urls) + 1) // 2)
+            shards = [urls[:half], urls[half:]]
+            shard_urls = []
+            for k, shard in enumerate(shards):
+                if not shard:
+                    continue
+                su = f"https://{host}/sitemap-{k}.xml"
+                shard_urls.append(su)
+                entries = []
+                for j, u in enumerate(shard):
+                    lastmod = (BASE_TS + timedelta(seconds=90 * j)).isoformat()
+                    entries.append(
+                        f"<url><loc>{_alias(u, host)}</loc>"
+                        f"<lastmod>{lastmod}</lastmod>"
+                        f"<news:news><news:keywords>newskw</news:keywords>"
+                        f"<news:publication_date>{lastmod}"
+                        f"</news:publication_date>"
+                        f"<news:title>News title {j}</news:title>"
+                        f"</news:news></url>")
+                page(su,
+                     '<?xml version="1.0"?>'
+                     '<urlset xmlns="http://www.sitemaps.org/schemas/'
+                     'sitemap/0.9" xmlns:news="http://www.google.com/'
+                     'schemas/sitemap-news/0.9">'
+                     f"{''.join(entries)}</urlset>")
+            index = "".join(f"<sitemap><loc>{su}</loc></sitemap>"
+                            for su in shard_urls)
+            page(f"https://{host}/sitemap.xml",
+                 '<?xml version="1.0"?>'
+                 '<sitemapindex xmlns="http://www.sitemaps.org/schemas/'
+                 f'sitemap/0.9">{index}</sitemapindex>')
+    return rows
+
+
+def gen_corpus(n_articles: int, seed: int = 42
+               ) -> tuple[pa.Table, pa.Table, list[dict], dict[str, str]]:
+    """Full crawl corpus: article pages + discovery pages + seed list.
+
+    Returns (pages, expected, seeds, robots_bodies). Seeds are robots.txt
+    URLs for sitemap hosts and feed URLs for RSS/Atom hosts — EP1/EP2 of
+    SURVEY.md section 3.1.
+    """
+    art_pages, expected = gen_pages(n_articles, seed=seed)
+    by_host: dict[str, list[str]] = {}
+    for row in art_pages.select(["url"]).to_pylist():
+        url = row["url"]
+        host = url.split("/", 3)[2]
+        by_host.setdefault(host, []).append(url)
+    disc_rows = gen_discovery_pages(by_host, seed=seed)
+    pages = pa.concat_tables(
+        [art_pages, pa.Table.from_pylist(disc_rows, schema=PAGE_SCHEMA)])
+
+    seeds: list[dict] = []
+    robots_bodies: dict[str, str] = {}
+    for host in sorted(by_host):
+        if host in RSS_HOSTS:
+            seeds.append({"url": f"https://{host}/feed.rss", "kind": "rss"})
+        elif host in ATOM_HOSTS:
+            seeds.append({"url": f"https://{host}/feed.atom", "kind": "atom"})
+        else:
+            seeds.append({"url": f"https://{host}/robots.txt",
+                          "kind": "robots"})
+            robots_bodies[host] = ("User-agent: *\nDisallow: /private/\n"
+                                   f"Sitemap: https://{host}/sitemap.xml\n")
+    return pages, expected, seeds, robots_bodies
