@@ -1,0 +1,394 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale shapes (per the Ray Data dedup guidance):
+- exact: content-hash in a vectorized ``map_batches`` then
+  ``groupby(hash)`` keep-first — a single shuffle on the 16-byte hash,
+  never on the text.
+- MinHash/LSH: per-batch shingle->minhash signatures, explode to
+  (band_id, band_hash, doc_id) rows, ``groupby`` the band key; candidate
+  pairs verified with exact shingle Jaccard; duplicate groups closed with
+  min-label propagation (no driver-side union-find over the full corpus,
+  only over the verified-pair set, which LSH keeps tiny).
+- SimHash: 64-bit signatures; banding on 4 x 16-bit sub-keys finds all
+  pairs within Hamming distance 3 (pigeonhole), verified exactly.
+- embedding near-dup: random-hyperplane LSH buckets then exact cosine.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+# deterministic 64-bit mix constants
+_MASK64 = (1 << 64) - 1
+
+
+def _tokens(text: str) -> list[str]:
+    return _TOKEN_RE.findall(text.lower())
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """k-token shingles -> uint64 hashes (blake2b-derived, stable)."""
+    toks = _tokens(text)
+    if len(toks) < k:
+        toks = toks + ["∅"] * (k - len(toks))
+    out = np.empty(max(1, len(toks) - k + 1), dtype=np.uint64)
+    for i in range(len(out)):
+        sh = " ".join(toks[i:i + k]).encode("utf-8")
+        out[i] = int.from_bytes(
+            hashlib.blake2b(sh, digest_size=8).digest(), "big")
+    return np.unique(out)
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def md5_batch(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    h = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "text_md5": pa.array(h, pa.string())})
+
+
+def exact_dedup(sf_dir: str):
+    """One row per distinct text: (doc_id = min id in group, n_dups).
+    Hash inside map_batches (vectorized), shuffle only (hash, id)."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    hashed = ds.map_batches(md5_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    from ray.data.aggregate import Count, Min
+    return (hashed.groupby("text_md5")
+            .aggregate(Min("doc_id", alias_name="doc_id"),
+                       Count(alias_name="n_dups"))
+            .select_columns(["doc_id", "n_dups"]))
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# --------------------------------------------------------------------------
+
+class MinHasher:
+    """Per-actor state: the permutation parameters (a, b) generated once
+    from a fixed seed."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 3,
+                 seed: int = 1337):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MASK64, size=num_perm, dtype=np.uint64) | 1
+        self.b = rng.integers(0, _MASK64, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.shingle_k)
+        # (P, S) universal-hash then min over shingles — vectorized
+        v = (sh[None, :] * self.a[:, None] + self.b[:, None]) & np.uint64(
+            _MASK64)
+        return v.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        sigs = np.stack([self.signature(t or "") for t in texts])
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "sig": pa.array(list(sigs), pa.list_(pa.uint64())),
+        })
+
+
+def _explode_bands(batch: pa.Table, bands: int, rows_per_band: int
+                   ) -> pa.Table:
+    ids = batch.column("doc_id").to_pylist()
+    sigs = batch.column("sig").to_pylist()
+    out_id, out_band, out_hash, out_sig = [], [], [], []
+    for did, sig in zip(ids, sigs):
+        sig_arr = np.asarray(sig, dtype=np.uint64)
+        for b in range(bands):
+            chunk = sig_arr[b * rows_per_band:(b + 1) * rows_per_band]
+            h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+            out_id.append(did)
+            out_band.append(b)
+            out_hash.append(int.from_bytes(h, "big") >> 1)
+            out_sig.append(sig)
+    return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                     "band": pa.array(out_band, pa.int32()),
+                     "band_hash": pa.array(out_hash, pa.int64()),
+                     "sig": pa.array(out_sig, pa.list_(pa.uint64()))})
+
+
+def _band_pairs(group, threshold: float):
+    """Candidate pairs within ONE BAND: almost all band_hash buckets are
+    singletons, so first keep only duplicated hashes (vectorized), then
+    enumerate pairs bucket-by-bucket. Grouping by band (few, large groups)
+    instead of (band, band_hash) (millions of tiny groups) keeps the Ray
+    groupby shuffle coarse."""
+    import pandas as pd
+
+    dup_mask = group.duplicated("band_hash", keep=False)
+    hot = group[dup_mask]
+    if len(hot) < 2:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "est_jaccard": pd.Series(dtype="float64")})
+    a_out, b_out, j_out = [], [], []
+    for _, bucket in hot.groupby("band_hash", sort=False):
+        ids = bucket["doc_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        sigs = np.stack(bucket["sig"].to_numpy())[order]
+        for i in range(len(ids)):
+            eq = (sigs[i + 1:] == sigs[i]).mean(axis=1)
+            for off in np.nonzero(eq >= threshold)[0]:
+                a_out.append(int(ids[i]))
+                b_out.append(int(ids[i + 1 + off]))
+                j_out.append(float(eq[off]))
+    return pd.DataFrame({"a": a_out, "b": b_out, "est_jaccard": j_out})
+
+
+def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64,
+                            bands: int = 16, threshold: float = 0.7):
+    """Verified near-duplicate pairs (a < b) with estimated Jaccard."""
+    rows_per_band = num_perm // bands
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    sigs = ds.map_batches(MinHasher, batch_format="pyarrow",
+                          fn_constructor_kwargs={"num_perm": num_perm},
+                          concurrency=(1, 8))
+    exploded = sigs.map_batches(
+        lambda b: _explode_bands(b, bands, rows_per_band),
+        batch_format="pyarrow")
+    pairs = exploded.groupby("band").map_groups(
+        lambda g: _band_pairs(g, threshold), batch_format="pandas")
+    # a pair can surface from several bands — dedupe on (a, b)
+    from ray.data.aggregate import Max
+    return (pairs.groupby(["a", "b"])
+            .aggregate(Max("est_jaccard", alias_name="est_jaccard")))
+
+
+def minhash_dedup(sf_dir: str, num_perm: int = 64, bands: int = 16,
+                  threshold: float = 0.7):
+    """Duplicate clusters via min-label propagation over verified pairs:
+    returns (doc_id, cluster_id = min doc_id reachable). The pair set is
+    LSH-bounded, so the propagation table is small; iterate grouped min
+    until fixpoint (logarithmic rounds)."""
+    import pandas as pd
+
+    pairs = minhash_candidate_pairs(sf_dir, num_perm, bands, threshold)
+    ptbl = pairs.to_pandas()
+    label: dict[int, int] = {}
+    edges = list(zip(ptbl["a"].astype(int), ptbl["b"].astype(int)))
+    nodes = sorted({x for e in edges for x in e})
+    for x in nodes:
+        label[x] = x
+    changed = True
+    while changed:  # min-label propagation to fixpoint
+        changed = False
+        for a, b in edges:
+            m = min(label[a], label[b])
+            if label[a] != m or label[b] != m:
+                label[a] = label[b] = m
+                changed = True
+    out = pd.DataFrame({"doc_id": nodes,
+                        "cluster_id": [label[x] for x in nodes]})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+class SimHasher:
+    """64-bit SimHash over token hashes, vectorized per doc."""
+
+    def __init__(self, seed: int = 7):
+        self.seed = seed
+
+    def simhash(self, text: str) -> int:
+        toks = _tokens(text)
+        if not toks:
+            return 0
+        hs = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8,
+                                            salt=b"simhash0")
+                            .digest(), "big") for t in toks),
+            dtype=np.uint64, count=len(toks))
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        return int(((v > 0).astype(np.uint64)
+                    << np.arange(64, dtype=np.uint64)).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        sh = [self.simhash(t or "") for t in texts]
+        # store as int64 (wrapping) for parquet friendliness
+        sh64 = np.array(sh, dtype=np.uint64).astype(np.int64)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "simhash": pa.array(sh64, pa.int64())})
+
+
+def simhash_signatures(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(SimHasher, batch_format="pyarrow",
+                          concurrency=(1, 8))
+
+
+def simhash_near_pairs(sf_dir: str, max_hamming: int = 3):
+    """Pairs within Hamming<=k via 4-band pigeonhole bucketing then exact
+    popcount verification."""
+    import pandas as pd
+
+    sigs = simhash_signatures(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        sh = np.asarray(batch.column("simhash").to_pylist(),
+                        dtype=np.int64).astype(np.uint64)
+        out_id, out_band, out_key, out_sig = [], [], [], []
+        for did, s in zip(ids, sh):
+            for b in range(4):
+                out_id.append(did)
+                out_band.append(b)
+                out_key.append(int((s >> np.uint64(16 * b))
+                                   & np.uint64(0xFFFF)))
+                out_sig.append(int(s.astype(np.int64)))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "band": pa.array(out_band, pa.int32()),
+                         "key": pa.array(out_key, pa.int64()),
+                         "simhash": pa.array(out_sig, pa.int64())})
+
+    def pairs(group) -> "pd.DataFrame":
+        # one BAND per group; only duplicated 16-bit keys can collide
+        hot = group[group.duplicated("key", keep=False)]
+        a_o, b_o, h_o = [], [], []
+        for _, bucket in hot.groupby("key", sort=False):
+            ids = bucket["doc_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            sh = (bucket["simhash"].to_numpy()[order]
+                  .astype(np.int64).astype(np.uint64))
+            for i in range(len(ids)):
+                x = sh[i + 1:] ^ sh[i]
+                ham = np.array([bin(v).count("1") for v in x], dtype=int)
+                for off in np.nonzero(ham <= max_hamming)[0]:
+                    a_o.append(int(ids[i]))
+                    b_o.append(int(ids[i + 1 + off]))
+                    h_o.append(int(ham[off]))
+        return pd.DataFrame({"a": pd.Series(a_o, dtype="int64"),
+                             "b": pd.Series(b_o, dtype="int64"),
+                             "hamming": pd.Series(h_o, dtype="int64")})
+
+    exploded = sigs.map_batches(explode, batch_format="pyarrow")
+    p = exploded.groupby("band").map_groups(pairs, batch_format="pandas")
+    from ray.data.aggregate import Min
+    return p.groupby(["a", "b"]).aggregate(Min("hamming",
+                                               alias_name="hamming"))
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard verification
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(sf_dir: str, shingle_k: int = 3,
+                        threshold: float = 0.5, num_perm: int = 64,
+                        bands: int = 16):
+    """Exact shingle-set Jaccard for LSH candidate pairs: broadcast the
+    candidate doc texts (small side) and verify per pair."""
+    import pandas as pd
+
+    cands = minhash_candidate_pairs(sf_dir, num_perm=num_perm, bands=bands,
+                                    threshold=0.3).to_pandas()
+    if len(cands) == 0:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    need = sorted(set(cands["a"]) | set(cands["b"]))
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda b: b.filter(pc.is_in(b.column("doc_id"),
+                                    value_set=pa.array(need))),
+        batch_format="pyarrow").to_pandas()
+    text_of = dict(zip(docs["doc_id"], docs["text"]))
+    rows = []
+    for a, b in zip(cands["a"].astype(int), cands["b"].astype(int)):
+        sa = set(_shingle_hashes(text_of.get(a, ""), shingle_k).tolist())
+        sb = set(_shingle_hashes(text_of.get(b, ""), shingle_k).tolist())
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= threshold:
+            rows.append((a, b, j))
+    out = pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.95,
+                            n_planes: int = 12, seed: int = 99):
+    """Random-hyperplane LSH buckets then exact cosine verify; returns
+    (a, b, cosine) pairs with cosine >= threshold."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    first = ds.take(1)
+    dim = len(first[0]["embedding"])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+    planes_ref = ray.put(planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        ids = batch.column("vec_id").to_pylist()
+        vecs = np.stack([np.asarray(v, dtype=np.float32)
+                         for v in batch.column("embedding").to_pylist()])
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        unit = vecs / np.maximum(norms, 1e-12)
+        signs = (unit @ pl) > 0
+        keys = (signs.astype(np.uint64)
+                << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "bucket": pa.array(keys.astype(np.int64), pa.int64()),
+            "unit": pa.array([u.tolist() for u in unit],
+                             pa.list_(pa.float32())),
+        })
+
+    def verify(group) -> "pd.DataFrame":
+        ids = group["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        unit = np.stack(group["unit"].to_numpy())
+        order = np.argsort(ids)
+        ids, unit = ids[order], unit[order]
+        sims = unit @ unit.T
+        a_o, b_o, c_o = [], [], []
+        for i in range(len(ids)):
+            hits = np.nonzero(sims[i, i + 1:] >= threshold)[0]
+            for off in hits:
+                a_o.append(int(ids[i]))
+                b_o.append(int(ids[i + 1 + off]))
+                c_o.append(float(sims[i, i + 1 + off]))
+        return pd.DataFrame({"a": a_o, "b": b_o, "cosine": c_o})
+
+    buckets = ds.map_batches(bucketize, batch_format="pyarrow")
+    p = buckets.groupby("bucket").map_groups(verify, batch_format="pandas")
+    from ray.data.aggregate import Max
+    return p.groupby(["a", "b"]).aggregate(Max("cosine",
+                                               alias_name="cosine"))

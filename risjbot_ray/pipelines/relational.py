@@ -1,0 +1,157 @@
+"""Relational demonstrations of the engine's wide operators over the
+TPC-H-ish tables: grouped aggregation with partial pre-aggregation,
+broadcast hash join, grouped top-k, and event-time windowed aggregates.
+
+These are the SQL-checkable operators (every one has an oracle_sql entry);
+the crawl-specific operators are exercised by the hermetic fixtures
+instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filter -> computed columns -> grouped aggregate.
+    Per-batch vectorized arithmetic; sums rounded to 2dp to be stable
+    across summation orders."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"])
+
+    cutoff = pa.scalar(np.datetime64("1998-09-01", "us"))
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b.column("l_shipdate"), cutoff))
+        disc = pc.multiply(b.column("l_extendedprice"),
+                           pc.subtract(pa.scalar(1.0),
+                                       b.column("l_discount")))
+        return (b.append_column("disc_price", disc)
+                .drop_columns(["l_shipdate", "l_extendedprice",
+                               "l_discount"]))
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("disc_price", alias_name="sum_disc_price"),
+                      Count(alias_name="count_order")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return (b.set_column(
+                    b.column_names.index("sum_disc_price"),
+                    "sum_disc_price",
+                    pc.round(b.column("sum_disc_price"), 2))
+                 .set_column(
+                    b.column_names.index("sum_qty"), "sum_qty",
+                    pc.round(b.column("sum_qty"), 2)))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def top_customers_by_nation(sf_dir: str, k: int = 5):
+    """Join orders⋈customer⋈nation with BROADCAST small sides (customer +
+    nation fit in memory at any sane scale relative to orders), partial
+    per-batch pre-aggregation by customer, then grouped top-k per nation.
+    """
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    cdf = cust.to_pandas().merge(
+        nation.to_pandas(), left_on="c_nationkey", right_on="n_nationkey")
+    lookup_ref = ray.put(cdf.set_index("c_custkey")[["c_name", "n_name"]])
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        g = df.groupby("o_custkey", sort=False)["o_totalprice"].agg(
+            ["sum", "count"]).reset_index()
+        return pa.Table.from_pandas(
+            g.rename(columns={"sum": "total", "count": "n"}),
+            preserve_index=False)
+
+    partials = orders.map_batches(partial, batch_format="pyarrow")
+    total = (partials.groupby("o_custkey")
+             .aggregate(Sum("total", alias_name="total_spent"),
+                        Sum("n", alias_name="n_orders")))
+
+    def attach_and_topk(df: pd.DataFrame) -> pd.DataFrame:
+        lk = ray.get(lookup_ref)
+        df = df.join(lk, on="o_custkey", how="inner")
+        df["total_spent"] = df["total_spent"].round(2)
+        df = df.sort_values(["n_name", "total_spent", "o_custkey"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        return df.groupby("n_name", sort=False).head(k)
+
+    out = total.to_pandas()
+    out = attach_and_topk(out)
+    out = out.rename(columns={"o_custkey": "custkey",
+                              "n_name": "nation_name"})
+    return pa.Table.from_pandas(
+        out[["nation_name", "custkey", "c_name", "total_spent",
+             "n_orders"]], preserve_index=False)
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling event-time window: (hour, event_type) -> count, sum/min/max
+    of value. Window assignment is a vectorized truncation inside
+    map_batches; the groupby keys are (window start, type)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def window(b: pa.Table) -> pa.Table:
+        hours = pc.floor_temporal(b.column("ts"), unit="hour")
+        return b.append_column("hour", hours).drop_columns(["ts"])
+
+    agg = (ds.map_batches(window, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["hour", "event_type"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value", alias_name="sum_value"),
+                      Min("value", alias_name="min_value"),
+                      Max("value", alias_name="max_value")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        for c in ("sum_value", "min_value", "max_value"):
+            b = b.set_column(b.column_names.index(c), c,
+                             pc.round(b.column(c), 2))
+        return b
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sessionize_events(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user: sort within user, split on ts gaps >
+    ``gap_minutes`` (stream-shaped groupby(key).map_groups pattern).
+    Returns per-session (user_id, session_start, n_events, total_value).
+    """
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("ts", kind="mergesort")
+        new_sess = df["ts"].diff().gt(gap).cumsum()
+        g = df.groupby(new_sess)
+        out = pd.DataFrame({
+            "user_id": g["user_id"].first(),
+            "session_start": g["ts"].min(),
+            "n_events": g["ts"].size(),
+            "total_value": g["value"].sum().round(2),
+        })
+        return out.reset_index(drop=True)
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")

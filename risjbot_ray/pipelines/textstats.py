@@ -1,0 +1,245 @@
+"""Text-analysis operators over a documents table: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+Large-scale-training-data additions beyond the reference's operator set
+(per the build brief); each is a vectorized ``map_batches`` stage over
+``documents(doc_id, text, lang, source, n_chars)``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+# --------------------------------------------------------------------------
+# wordcount / token counting
+# --------------------------------------------------------------------------
+
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
+# (the GPT-2-style pretoken split, simplified to pure regex)
+_BPEISH_RE = re.compile(r"[A-Za-z]+(?:'[A-Za-z]+)?|\d+|[^\w\s]")
+
+
+def wordcount_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, wordcount = len(text.split()) — whitespace token count with
+    the same semantics as the reference WordCount pipeline
+    (pipelines/wordcount.py:13-18)."""
+    texts = batch.column("text").to_pylist()
+    wc = [len(t.split()) if t is not None else 0 for t in texts]
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "wordcount": pa.array(wc, pa.int64())})
+
+
+def tokencount_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_ws_tokens (whitespace), n_bpeish_tokens (regex
+    pre-tokenizer) — the two token-budget estimators."""
+    texts = batch.column("text").to_pylist()
+    ws = [len(t.split()) if t else 0 for t in texts]
+    bp = [len(_BPEISH_RE.findall(t)) if t else 0 for t in texts]
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "n_ws_tokens": pa.array(ws, pa.int64()),
+                     "n_bpeish_tokens": pa.array(bp, pa.int64())})
+
+
+# --------------------------------------------------------------------------
+# language identification (character n-gram heuristic)
+# --------------------------------------------------------------------------
+
+# tiny per-language trigram profiles (highest-frequency trigrams with
+# weights) — enough to separate en/de/fr/es on real text
+_LANG_PROFILES: dict[str, dict[str, float]] = {
+    "en": {" th": 3, "the": 3, "he ": 2, "ing": 2, "and": 2, " an": 1,
+           "nd ": 1, " of": 2, "of ": 1, "ion": 1, " to": 1, "ed ": 1,
+           " in": 1, "tio": 1, " wa": 1, "is ": 1},
+    "de": {"en ": 3, "er ": 3, " de": 3, "der": 2, "ie ": 2, "die": 2,
+           "ein": 2, "ich": 2, "und": 2, " un": 1, "ch ": 2, "sch": 2,
+           "ung": 2, " ge": 1, "ten": 1, "ber": 1},
+    "fr": {" de": 3, "de ": 3, " le": 3, "es ": 2, "le ": 2, "ent": 2,
+           "la ": 2, " la": 2, "ion": 1, "re ": 1, "que": 2, " qu": 1,
+           "les": 1, "ur ": 1, " pa": 1, "ais": 1},
+    "es": {" de": 3, "de ": 3, "os ": 2, " la": 2, "la ": 2, "ión": 2,
+           "es ": 2, " es": 1, "ent": 1, "el ": 2, " el": 1, "que": 2,
+           " qu": 1, "ar ": 1, "aci": 1, "ado": 1},
+}
+
+
+class LangId:
+    """Actor-pool language-ID: profiles built once per actor; per doc the
+    language with the highest trigram-weight density wins ('und' when no
+    evidence)."""
+
+    def __init__(self) -> None:
+        self.profiles = {lang: dict(p) for lang, p in _LANG_PROFILES.items()}
+
+    def classify(self, text: str) -> tuple[str, float]:
+        t = " " + re.sub(r"\s+", " ", text.lower()) + " "
+        n = len(t) - 2
+        if n <= 0:
+            return "und", 0.0
+        scores = {}
+        for lang, prof in self.profiles.items():
+            s = 0.0
+            for tri, w in prof.items():
+                c = t.count(tri)
+                if c:
+                    s += w * c
+            scores[lang] = s / n
+        best = max(scores, key=lambda k: (scores[k], k))
+        if scores[best] <= 0:
+            return "und", 0.0
+        return best, scores[best]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        langs, conf = [], []
+        for t in texts:
+            l, c = self.classify(t or "")
+            langs.append(l)
+            conf.append(c)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "pred_lang": pa.array(langs, pa.string()),
+                         "lang_score": pa.array(conf, pa.float64())})
+
+
+# --------------------------------------------------------------------------
+# quality scoring
+# --------------------------------------------------------------------------
+
+_STOPWORDS = frozenset(
+    "the a an and or of to in is was for on with as by at it this that "
+    "be are from he she they we you his her its not have had but".split())
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc quality signals (C4/Gopher-style rule features):
+    n_chars, n_words, mean_word_len, alpha_ratio, digit_ratio,
+    punct_ratio, stopword_ratio, ends_with_punct. Ratios are exact
+    int/int doubles (bit-identical to any engine computing the same
+    counts)."""
+    texts = batch.column("text").to_pylist()
+    rows = {k: [] for k in ("n_chars", "n_words", "mean_word_len",
+                            "alpha_ratio", "digit_ratio", "punct_ratio",
+                            "stopword_ratio", "ends_with_punct")}
+    for t in texts:
+        t = t or ""
+        n = len(t)
+        words = t.split()
+        nw = len(words)
+        # ASCII classes (not str.isalpha) so an ANSI-SQL oracle using
+        # [A-Za-z]/[0-9] computes the identical counts on unicode text
+        alpha = sum("A" <= ch <= "Z" or "a" <= ch <= "z" for ch in t)
+        digit = sum("0" <= ch <= "9" for ch in t)
+        punct = sum(ch in ".,;:!?'\"()-" for ch in t)
+        stop = sum(w.lower().strip(".,;:!?'\"()") in _STOPWORDS
+                   for w in words)
+        rows["n_chars"].append(n)
+        rows["n_words"].append(nw)
+        rows["mean_word_len"].append(
+            (sum(len(w) for w in words) / nw) if nw else 0.0)
+        rows["alpha_ratio"].append(alpha / n if n else 0.0)
+        rows["digit_ratio"].append(digit / n if n else 0.0)
+        rows["punct_ratio"].append(punct / n if n else 0.0)
+        rows["stopword_ratio"].append(stop / nw if nw else 0.0)
+        rows["ends_with_punct"].append(
+            bool(t) and t.rstrip()[-1:] in ".!?\"'")
+    out = {"doc_id": batch.column("doc_id")}
+    for k, v in rows.items():
+        typ = (pa.int64() if k in ("n_chars", "n_words")
+               else pa.bool_() if k == "ends_with_punct" else pa.float64())
+        out[k] = pa.array(v, typ)
+    return pa.table(out)
+
+
+# --------------------------------------------------------------------------
+# document fingerprinting (rolling hash)
+# --------------------------------------------------------------------------
+
+_B = 1_000_003
+_MOD = (1 << 61) - 1
+
+
+def rolling_fingerprint(text: str, window: int = 16) -> tuple[int, int]:
+    """Rolling Rabin-Karp fingerprints over all ``window``-byte windows:
+    (fp_min, fp_xor). fp_min is the winnowing-style minimum (robust to
+    local edits — two docs sharing any window can match); fp_xor folds
+    every window hash, so ANY byte change flips it (content identity)."""
+    data = text.encode("utf-8")
+    n = len(data)
+    if n == 0:
+        return 0, 0
+    if n <= window:
+        h = 0
+        for b in data:
+            h = (h * _B + b) % _MOD
+        return h, h
+    h = 0
+    pow_w = pow(_B, window - 1, _MOD)
+    best = _MOD
+    acc = 0
+    for i, b in enumerate(data):
+        if i >= window:
+            h = (h - data[i - window] * pow_w) % _MOD
+        h = (h * _B + b) % _MOD
+        if i >= window - 1:
+            if h < best:
+                best = h
+            acc ^= h
+    return best, acc
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, fp_min (winnow min), fp_xor (all-window fold), fp_md5."""
+    texts = batch.column("text").to_pylist()
+    fps = [rolling_fingerprint(t or "") for t in texts]
+    md5s = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in texts]
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "fp_min": pa.array([f[0] for f in fps], pa.int64()),
+                     "fp_xor": pa.array([f[1] for f in fps], pa.int64()),
+                     "fp_md5": pa.array(md5s, pa.string())})
+
+
+# --------------------------------------------------------------------------
+# dataset-level wrappers
+# --------------------------------------------------------------------------
+
+def documents_ds(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+
+def q_wordcount(sf_dir: str):
+    return documents_ds(sf_dir).map_batches(
+        wordcount_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_tokencount(sf_dir: str):
+    return documents_ds(sf_dir).map_batches(
+        tokencount_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_quality(sf_dir: str):
+    return documents_ds(sf_dir).map_batches(
+        quality_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_langid(sf_dir: str):
+    return documents_ds(sf_dir).map_batches(
+        LangId, batch_format="pyarrow", concurrency=2)
+
+
+def q_fingerprint(sf_dir: str):
+    return documents_ds(sf_dir).map_batches(
+        fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_lang_counts(sf_dir: str):
+    """Grouped count by the table's own lang column (SQL-checkable)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang"])
+    from ray.data.aggregate import Count
+    return ds.groupby("lang").aggregate(Count(alias_name="n"))
