@@ -29,21 +29,29 @@ def _n_articles_for(sf_dir: str) -> int:
     return _SF_DOCS_CACHE[sf_dir]
 
 
-def _corpus_paths(sf_dir: str) -> tuple[str, str]:
-    """Synthesize (once per sf_dir, cached on disk) the pages corpus +
-    goldens; returns (pages_parquet, cache_root)."""
+def _corpus_paths(sf_dir: str, n: int | None = None) -> tuple[str, str]:
+    """Synthesize (once per sf_dir+size, cached on disk) the pages corpus
+    + goldens; returns (pages_parquet, cache_root)."""
     import pyarrow.parquet as pq
 
     from risjbot_ray.testsupport.pagegen import gen_corpus
 
-    n = _n_articles_for(sf_dir)
-    tag = hashlib.md5(f"{sf_dir}:{n}:v1".encode()).hexdigest()[:12]
+    if n is None:
+        n = _n_articles_for(sf_dir)
+    tag = hashlib.md5(f"{sf_dir}:{n}:v2".encode()).hexdigest()[:12]
     root = f"/tmp/risjbot_corpus/{tag}"
-    pages_path = f"{root}/pages.parquet"
+    pages_path = f"{root}/pages"
     if not os.path.exists(f"{root}/DONE"):
         os.makedirs(root, exist_ok=True)
-        pages, expected, seeds, robots = gen_corpus(n, seed=42)
-        pq.write_table(pages, pages_path)
+        pages, expected, seeds, robots = _gen_corpus_maybe_parallel(n)
+        # shard the pages table so reads parallelize (one file = one
+        # serial read task otherwise)
+        os.makedirs(pages_path, exist_ok=True)
+        n_shards = max(1, min(64, pages.num_rows // 2000))
+        per = -(-pages.num_rows // n_shards)
+        for s in range(n_shards):
+            pq.write_table(pages.slice(s * per, per),
+                           f"{pages_path}/shard-{s:04d}.parquet")
         pq.write_table(expected, f"{root}/expected.parquet")
         import json
         with open(f"{root}/seeds.json", "w") as f:
@@ -51,6 +59,57 @@ def _corpus_paths(sf_dir: str) -> tuple[str, str]:
         with open(f"{root}/DONE", "w") as f:
             f.write("ok")
     return pages_path, root
+
+
+def _gen_corpus_maybe_parallel(n: int, seed: int = 42):
+    """gen_corpus, with the per-article page rendering fanned out over Ray
+    tasks for large corpora (deterministic: each task renders an index
+    range with the same seed)."""
+    import ray
+
+    from risjbot_ray.testsupport import pagegen as PG
+
+    if n < 50_000 or not ray.is_initialized():
+        return PG.gen_corpus(n, seed=seed)
+
+    import pyarrow as pa
+
+    @ray.remote
+    def _shard(start: int, count: int):
+        return PG.gen_pages(count, seed=seed, start=start)
+
+    chunk = 10_000
+    futs = [_shard.remote(s, min(chunk, n - s))
+            for s in range(0, n, chunk)]
+    results = ray.get(futs)
+    art_pages = pa.concat_tables([r[0] for r in results])
+    expected = pa.concat_tables([r[1] for r in results])
+
+    by_host: dict[str, list[str]] = {}
+    for row in art_pages.select(["url"]).to_pylist():
+        url = row["url"]
+        by_host.setdefault(url.split("/", 3)[2], []).append(url)
+    disc_rows = PG.gen_discovery_pages(by_host, seed=seed)
+    pages = pa.concat_tables(
+        [art_pages,
+         pa.Table.from_pylist(disc_rows, schema=PG.PAGE_SCHEMA)])
+
+    seeds_list: list[dict] = []
+    robots: dict[str, str] = {}
+    for host in sorted(by_host):
+        feed_host = host in PG.RSS_HOSTS or host in PG.ATOM_HOSTS
+        if host in PG.RSS_HOSTS:
+            seeds_list.append({"url": f"https://{host}/feed.rss",
+                               "kind": "rss"})
+        elif host in PG.ATOM_HOSTS:
+            seeds_list.append({"url": f"https://{host}/feed.atom",
+                               "kind": "atom"})
+        if not feed_host or len(by_host[host]) > 2000:
+            seeds_list.append({"url": f"https://{host}/robots.txt",
+                               "kind": "robots"})
+            robots[host] = ("User-agent: *\nDisallow: /private/\n"
+                            f"Sitemap: https://{host}/sitemap.xml\n")
+    return pages, expected, seeds_list, robots
 
 
 def _run_crawl(sf_dir: str, tag: str = "q", **cfg_overrides) -> Any:

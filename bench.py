@@ -1,0 +1,189 @@
+"""Benchmark harness: headline crawl pipeline + operator suite.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "throughput": {...}}
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
+(default 32). ``--scaling`` runs the headline pipeline in two fresh
+processes (8 and 32 CPUs) on the same input and reports both throughputs
+plus scaling efficiency (BASELINE.md protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    try:
+        import shutil
+
+        from __ray_entry__ import _corpus_paths
+        from risjbot_ray.extract.stage import extract_batch
+        from risjbot_ray.pipelines.crawl import CrawlConfig, CrawlPipeline
+        from risjbot_ray.testsupport.pagegen import EQUIVALENT_DOMAINS
+
+        # ---- untimed setup: corpus synth (cached) + OS page-cache warm.
+        # Bench corpus scales with the sf tier's lineitem rows (sf0.1 ->
+        # 100k pages, the BASELINE.md bench-tier target), independent of
+        # the small documents table.
+        import pyarrow.parquet as pq
+        n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+        bench_n = int(os.environ.get("GRAFT_BENCH_N",
+                                     max(10_000, n_li // 6)))
+        pages_path, root = _corpus_paths(sf_dir, n=bench_n)
+        with open(f"{root}/seeds.json") as f:
+            sj = json.load(f)
+        import glob as _glob
+        for p in (_glob.glob(f"{pages_path}/*.parquet")
+                  if os.path.isdir(pages_path) else [pages_path]):
+            with open(p, "rb") as f:
+                while f.read(1 << 24):
+                    pass
+
+        queries: dict[str, float] = {}
+        throughput: dict[str, float] = {}
+
+        # ---- headline: full crawl (frontier + politeness + fetch join +
+        # extraction + ledger + checkpoint)
+        run_dir = f"{root}/bench-{num_cpus}"
+        shutil.rmtree(run_dir, ignore_errors=True)
+        cfg = CrawlConfig(out_dir=f"{run_dir}/out",
+                          checkpoint_dir=f"{run_dir}/ckpt",
+                          per_host_budget=1_000_000,
+                          equivalent_domains=EQUIVALENT_DOMAINS,
+                          num_seen_shards=8,
+                          num_fetch_buckets=64,
+                          max_waves=12)
+        # store layout is corpus-keyed and shared across CPU levels —
+        # built once, reused (same input at both parallelism levels)
+        pipe = CrawlPipeline(cfg, pages_path, f"{root}/store64",
+                             robots_bodies=sj["robots"])
+        t0 = time.time()
+        res = pipe.run(seeds=sj["seeds"])
+        crawl_sec = time.time() - t0
+        pipe.shutdown()
+        queries["crawl_full"] = round(crawl_sec, 3)
+        throughput["frontier_scheduled_urls_per_sec"] = round(
+            res["scheduled_urls"] / crawl_sec, 1)
+        throughput["extracted_pages_per_sec"] = round(
+            res["extracted_pages"] / crawl_sec, 1)
+        throughput["scheduled_urls"] = res["scheduled_urls"]
+        throughput["extracted_pages"] = res["extracted_pages"]
+
+        # ---- extract-only: the pure map_batches throughput path over
+        # ARTICLE pages (the corpus also holds multi-MB feed/sitemap
+        # bodies — those go through discovery in the crawl, not the
+        # article extractor, so excluding them mirrors the real pipeline)
+        import pyarrow.compute as _pc
+
+        def _articles_only(b):
+            mask = _pc.invert(_pc.match_substring_regex(
+                b.column("url"), r"(robots\.txt|sitemap[^/]*\.xml|feed\.)"))
+            return b.filter(mask)
+
+        t0 = time.time()
+        ds = ray.data.read_parquet(pages_path)
+        out_dir = f"{run_dir}/extract_only"
+        (ds.map_batches(_articles_only, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .map_batches(extract_batch, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .write_parquet(out_dir))
+        queries["extract_only"] = round(time.time() - t0, 3)
+
+        # ---- operator suite over driver testdata tables
+        from risjbot_ray.pipelines import dedup, relational, similarity
+
+        def timed(name, fn):
+            t = time.time()
+            r = fn()
+            if hasattr(r, "materialize"):
+                r = r.materialize()
+            queries[name] = round(time.time() - t, 3)
+
+        timed("exact_dedup", lambda: dedup.exact_dedup(sf_dir))
+        timed("ann_topk", lambda: similarity.ann_topk(
+            sf_dir, query_ids=[0, 1, 2], k=10))
+        timed("pricing_summary", lambda: relational.q1_pricing_summary(
+            sf_dir))
+        timed("events_hourly", lambda: relational.events_hourly(sf_dir))
+
+        return {
+            "metric": "crawl_pipeline_wall_sec",
+            "value": queries["crawl_full"],
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf_dir,
+            "num_cpus": num_cpus,
+            "throughput": throughput,
+        }
+    finally:
+        ray.shutdown()
+
+
+def run_subprocess(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+               PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)], env=env,
+        capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def run_level_steady(ncpu: int) -> dict:
+    """Two runs per level: the first warms caches / absorbs write-back
+    from earlier runs, the second is recorded. os.sync + settle between
+    runs keeps one level's dirty-page flush out of the other's timing."""
+    os.sync()
+    run_subprocess(ncpu)          # warm-up, discarded
+    os.sync()
+    time.sleep(3)
+    return run_subprocess(ncpu)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        # the scaling criterion uses a larger corpus so parallel work
+        # dominates fixed per-wave costs (same input at both levels);
+        # override with GRAFT_BENCH_N
+        if "GRAFT_BENCH_N" not in os.environ:
+            import pyarrow.parquet as pq
+            n_li = pq.read_metadata(
+                f"{sf_dir}/lineitem.parquet").num_rows
+            os.environ["GRAFT_BENCH_N"] = str(max(100_000, n_li))
+        lo, hi = 8, 32
+        r_lo = run_level_steady(lo)
+        r_hi = run_level_steady(hi)
+        t_lo, t_hi = r_lo["value"], r_hi["value"]
+        eff = (t_lo / t_hi) / (hi / lo)
+        print(json.dumps({
+            "metric": "scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "sec_8": t_lo, "sec_32": t_hi,
+            "throughput_8": r_lo["throughput"],
+            "throughput_32": r_hi["throughput"],
+            "sf": sf_dir,
+        }))
+        return
+
+    print(json.dumps(run_bench(sf_dir, ncpu)))
+
+
+if __name__ == "__main__":
+    main()

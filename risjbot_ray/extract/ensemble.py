@@ -159,18 +159,23 @@ def newsarticle_from_jsonld(blocks: list) -> dict:
 
 class PageContext:
     """Offline stand-in for (Response, meta): the parsed page + the frontier
-    metadata that rode along with the request."""
+    metadata that rode along with the request. ``index`` is the one-pass
+    DocIndex over the (pruned) tree answering the fixed standard-channel
+    selectors without repeated tree scans."""
 
-    __slots__ = ("url", "body", "fetchtime", "root", "jsonld", "meta")
+    __slots__ = ("url", "body", "fetchtime", "root", "jsonld", "meta",
+                 "index")
 
     def __init__(self, url: str, body: bytes, fetchtime: datetime,
-                 root: Node, jsonld: list, meta: dict):
+                 root: Node, jsonld: list, meta: dict, index=None):
+        from .docindex import DocIndex
         self.url = url
         self.body = body
         self.fetchtime = fetchtime
         self.root = root
         self.jsonld = jsonld
         self.meta = meta
+        self.index = index if index is not None else DocIndex(root)
 
 
 def add_fromresponse(b: ItemBuilder, ctx: PageContext) -> None:
@@ -183,12 +188,11 @@ def add_fromresponse(b: ItemBuilder, ctx: PageContext) -> None:
 
 def add_htmlmeta(b: ItemBuilder, ctx: PageContext) -> None:
     """Standard HTML meta tags (loaders.py:154-166)."""
-    r = ctx.root
-    b.add_xpath("bylines", r,
-                'head/meta[@name="author" or @property="author"]/@content')
-    b.add_xpath("keywords", r, 'head/meta[@name="news_keywords"]/@content')
-    b.add_xpath("keywords", r, 'head/meta[@name="keywords"]/@content')
-    b.add_xpath("language", r, "/html/@lang")
+    ix = ctx.index
+    b.add_value("bylines", ix.meta_name_or_prop("author"))
+    b.add_value("keywords", ix.meta_name("news_keywords"))
+    b.add_value("keywords", ix.meta_name("keywords"))
+    b.add_value("language", ix.lang)
 
 
 def add_schemaorg(b: ItemBuilder, ctx: PageContext) -> None:
@@ -225,63 +229,41 @@ def add_schemaorg_jsonld(b: ItemBuilder, ctx: PageContext) -> None:
 
 def add_schemaorg_by_xpath(b: ItemBuilder, ctx: PageContext) -> None:
     """Microdata (@itemprop) / RDFa-Lite (@property) xpaths
-    (loaders.py:211-256)."""
-    r = ctx.root
-    b.add_xpath("firstpubtime", r,
-                '//*[@itemprop="datePublished" or '
-                '@property="datePublished"]/@content')
-    b.add_xpath("modtime", r,
-                '//*[@itemprop="dateModified" or '
-                '@property="dateModified"]/@content')
-    b.add_xpath("keywords", r,
-                '//*[@itemprop="keywords" or @property="keywords"]/@content')
-    b.add_xpath("headline", r,
-                '//*[@itemprop="headline" or @property="headline"]//text()')
-    b.add_xpath("section", r,
-                '//*[@itemprop="articleSection" or '
-                '@property="articleSection"]/@content')
-    b.add_xpath("bodytext", r,
-                '//*[@itemprop="articleBody" or @property="articleBody" or '
-                '@itemprop="reviewBody" or @property="reviewBody"]//text()')
+    (loaders.py:211-256), answered from the one-pass DocIndex."""
+    ix = ctx.index
+    b.add_value("firstpubtime", ix.schema_content("datePublished"))
+    b.add_value("modtime", ix.schema_content("dateModified"))
+    b.add_value("keywords", ix.schema_content("keywords"))
+    b.add_value("headline", ix.schema_text("headline"))
+    b.add_value("section", ix.schema_content("articleSection"))
+    b.add_value("bodytext", ix.schema_text("articleBody", "reviewBody"))
 
 
 def add_opengraph(b: ItemBuilder, ctx: PageContext) -> None:
     """Open Graph protocol tags (loaders.py:265-296)."""
-    r = ctx.root
-    b.add_xpath("source", r, 'head/meta[@property="og:site_name"]/@content')
-    b.add_xpath("headline", r, 'head/meta[@property="og:title"]/@content')
-    b.add_xpath("summary", r, 'head/meta[@property="og:description"]/@content')
-    b.add_xpath("modtime", r,
-                'head/meta[@property="article:modified_time"]/@content')
-    b.add_xpath("firstpubtime", r,
-                'head/meta[@property="article:published_time"]/@content')
-    b.add_xpath("section", r,
-                'head/meta[@property="article:section"]/@content')
-    b.add_xpath("bylines", r,
-                'head/meta[@property="article:author"]/@content')
-    b.add_xpath("keywords", r, 'head/meta[@property="article:tag"]/@content')
+    ix = ctx.index
+    b.add_value("source", ix.meta_prop("og:site_name"))
+    b.add_value("headline", ix.meta_prop("og:title"))
+    b.add_value("summary", ix.meta_prop("og:description"))
+    b.add_value("modtime", ix.meta_prop("article:modified_time"))
+    b.add_value("firstpubtime", ix.meta_prop("article:published_time"))
+    b.add_value("section", ix.meta_prop("article:section"))
+    b.add_value("bylines", ix.meta_prop("article:author"))
+    b.add_value("keywords", ix.meta_prop("article:tag"))
 
 
 def add_dublincore(b: ItemBuilder, ctx: PageContext) -> None:
     """Dublin Core meta tags (loaders.py:298-320)."""
-    r = ctx.root
-    b.add_xpath("headline", r,
-                'head/meta[@name="dc.title" or @name="DC.title"]/@content')
-    b.add_xpath("summary", r,
-                'head/meta[@name="dcterms.abstract" or '
-                '@name="DCTERMS.abstract"]/@content')
-    b.add_xpath("summary", r,
-                'head/meta[@name="dc.description" or '
-                '@name="DC.description"]/@content')
-    b.add_xpath("modtime", r,
-                'head/meta[@name="dcterms.modified" or '
-                '@name="DCTERMS.modified"]/@content')
-    b.add_xpath("firstpubtime", r,
-                'head/meta[@name="dcterms.created" or '
-                '@name="DCTERMS.created"]/@content')
-    b.add_xpath("source", r,
-                'head/meta[@name="dc.publisher" or '
-                '@name="DC.publisher"]/@content')
+    ix = ctx.index
+    b.add_value("headline", ix.meta_name("dc.title", "DC.title"))
+    b.add_value("summary", ix.meta_name("dcterms.abstract",
+                                        "DCTERMS.abstract"))
+    b.add_value("summary", ix.meta_name("dc.description", "DC.description"))
+    b.add_value("modtime", ix.meta_name("dcterms.modified",
+                                        "DCTERMS.modified"))
+    b.add_value("firstpubtime", ix.meta_name("dcterms.created",
+                                             "DCTERMS.created"))
+    b.add_value("source", ix.meta_name("dc.publisher", "DC.publisher"))
 
 
 def add_scrapymeta(b: ItemBuilder, ctx: PageContext) -> None:

@@ -99,8 +99,11 @@ def extract_page(url: str, body: bytes, fetchtime: datetime,
     jsonld = jsonld + list(meta.get("json-ld", []))
 
     if not meta.get("sitemap"):
-        for xp in UNWANTED_XPATHS:
-            delete_nodes(root, xp)
+        # the four fixed tag prunes (settings.py:140-143) in ONE traversal
+        doomed = [n for n in root.iter_nodes()
+                  if n.tag in ("figure", "script", "style", "form")]
+        for n in doomed:
+            n.remove()
 
     if rules is None:
         rules = rules_for_url(url)

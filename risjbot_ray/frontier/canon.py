@@ -80,12 +80,20 @@ def canonicalize_batch(batch: pa.Table,
 def dedupe_wave(table: pa.Table) -> pa.Table:
     """Exact in-wave dedup by ledger key, deterministic winner =
     (priority desc, canon_url asc) — folds the Scrapy in-run dupefilter
-    (SURVEY.md 2.4 T5) into a groupby-first."""
+    (SURVEY.md 2.4 T5) into a groupby-first.
+
+    Arrow-native: one stable sort + a duplicated-mask over the key column
+    only; the wide columns (meta blobs) never round-trip through pandas.
+    """
     if table.num_rows == 0:
         return table
-    df = table.to_pandas()
-    df = df.sort_values(["priority", "canon_url"], ascending=[False, True],
-                        kind="mergesort")
-    df = df.drop_duplicates(subset=["key"], keep="first")
-    return pa.Table.from_pandas(df, schema=table.schema,
-                                preserve_index=False)
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(table, sort_keys=[("priority", "descending"),
+                                            ("canon_url", "ascending")])
+    table = table.take(idx)
+    import pandas as pd
+
+    keys = pd.Series(table.column("key").to_pylist())
+    keep = ~keys.duplicated(keep="first")
+    return table.filter(pa.array(keep.to_numpy()))

@@ -35,26 +35,39 @@ def build_page_store(pages_path: str | list[str], store_dir: str,
     """One-time layout: read pages parquet, write one file per url-hash
     bucket. (At production scale this is itself a Ray Data job —
     ``read_parquet → add bucket column → write_parquet(partition_cols)``;
-    done driver-side here because test inputs are small.)"""
+    done driver-side here because test inputs are small.)
+
+    Idempotent: an existing complete layout (DONE marker) is reused, so
+    repeated runs over the same corpus skip the rebuild and its page-cache
+    write-back does not bleed into the timed pipeline."""
+    done = os.path.join(store_dir, f"DONE-{num_buckets}")
+    if os.path.exists(done):
+        return PageStore(store_dir, num_buckets)
     os.makedirs(store_dir, exist_ok=True)
     dataset = pads.dataset(pages_path, format="parquet")
-    writers: dict[int, pq.ParquetWriter] = {}
-    try:
-        for batch in dataset.to_batches(columns=columns):
-            table = pa.Table.from_batches([batch])
-            if table.num_rows == 0:
-                continue
-            buckets = _hash_column(table.column("url")) % num_buckets
-            for b in np.unique(buckets):
-                part = table.filter(pa.array(buckets == b))
-                if b not in writers:
-                    writers[b] = pq.ParquetWriter(
-                        os.path.join(store_dir, f"bucket-{b:05d}.parquet"),
-                        part.schema)
-                writers[b].write_table(part)
-    finally:
-        for w in writers.values():
-            w.close()
+    pending: dict[int, list[pa.Table]] = {}
+    for batch in dataset.to_batches(columns=columns):
+        table = pa.Table.from_batches([batch])
+        if table.num_rows == 0:
+            continue
+        buckets = _hash_column(table.column("url")) % num_buckets
+        for b in np.unique(buckets):
+            pending.setdefault(int(b), []).append(
+                table.filter(pa.array(buckets == b)))
+    for b, parts in pending.items():
+        merged = pa.concat_tables(parts, promote_options="default")
+        # sort by url + small row groups -> the per-wave `url IN (...)`
+        # filter prunes whole row groups via min/max statistics instead
+        # of decoding every html column in the bucket
+        idx = pc.sort_indices(merged.column("url"))
+        merged = merged.take(idx)
+        pq.write_table(merged,
+                       os.path.join(store_dir, f"bucket-{b:05d}.parquet"),
+                       row_group_size=512)
+    if hasattr(os, "sync"):
+        os.sync()
+    with open(done, "w") as f:
+        f.write("ok")
     return PageStore(store_dir, num_buckets)
 
 

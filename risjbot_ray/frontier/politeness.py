@@ -58,23 +58,26 @@ def add_salted_group(table: pa.Table, per_host_budget: int,
     ``host#k`` (k = url_hash % S) for hosts whose wave volume exceeds
     ``salt_threshold`` — the explicit hot-host salting the north rule
     requires. S grows with the host's row count so each sub-group stays
-    under the threshold."""
+    under the threshold. Vectorized with Arrow kernels (no Python loop
+    over rows)."""
     hosts = table.column("host")
     counts = pc.value_counts(hosts)
     hot = {r["values"]: int(np.ceil(r["counts"] / salt_threshold))
            for r in counts.to_pylist() if r["counts"] > salt_threshold}
     if not hot:
         return table.append_column("sched_group", hosts.cast(pa.string()))
-    host_np = np.asarray(hosts.to_pylist(), dtype=object)
-    hash_np = np.asarray(table.column("url_hash").to_pylist(),
-                         dtype=np.uint64)
-    groups = host_np.copy()
+    hash_np = np.asarray(table.column("url_hash").to_numpy(
+        zero_copy_only=False), dtype=np.uint64)
+    groups = hosts.cast(pa.string())
     for h, s in hot.items():
-        idx = np.nonzero(host_np == h)[0]
-        salts = (hash_np[idx] % np.uint64(s)).astype(np.int64)
-        groups[idx] = np.array([f"{h}#{k}" for k in salts], dtype=object)
-    return table.append_column("sched_group",
-                               pa.array(groups.tolist(), type=pa.string()))
+        mask = pc.equal(hosts, h)
+        salts = pc.cast(pa.array((hash_np % np.uint64(s)).astype(np.int64)),
+                        pa.string())
+        salted = pc.binary_join_element_wise(
+            pa.scalar(h), salts, pa.scalar("#"))
+        # place 'host#k' where mask else keep existing group
+        groups = pc.if_else(mask, salted, groups)
+    return table.append_column("sched_group", groups)
 
 
 def schedule_wave(frontier: pa.Table, per_host_budget: int,
@@ -95,19 +98,23 @@ def schedule_wave(frontier: pa.Table, per_host_budget: int,
     if frontier.num_rows == 0:
         empty = frontier.slice(0, 0)
         return empty, empty
+    import pyarrow.compute as pc
+
     salted = add_salted_group(frontier, per_host_budget, salt_threshold)
-    df = salted.to_pandas()
-    # one global stable sort; groupby().head() then preserves it, so each
-    # phase is a vectorized grouped top-k with no per-group Python
-    df = df.sort_values(["priority", "canon_url"], ascending=[False, True],
-                        kind="mergesort")
-    phase1 = df.groupby("sched_group", sort=False).head(per_host_budget)
-    phase2 = phase1.groupby("host", sort=False).head(per_host_budget)
-    mask = df.index.isin(phase2.index)
-    scheduled = df[mask].drop(columns=["sched_group"])
-    deferred = df[~mask].drop(columns=["sched_group"])
-    schema = frontier.schema
-    return (pa.Table.from_pandas(scheduled, schema=schema,
-                                 preserve_index=False),
-            pa.Table.from_pandas(deferred, schema=schema,
-                                 preserve_index=False))
+    # one global stable Arrow sort; grouped top-k then reduces to a
+    # cumcount mask over two SMALL columns — the wide columns (meta blobs)
+    # never round-trip through pandas
+    idx = pc.sort_indices(salted, sort_keys=[("priority", "descending"),
+                                             ("canon_url", "ascending")])
+    salted = salted.take(idx)
+    df = pd.DataFrame({
+        "sched_group": salted.column("sched_group").to_pylist(),
+        "host": salted.column("host").to_pylist(),
+    })
+    in_p1 = df.groupby("sched_group", sort=False).cumcount() < per_host_budget
+    host_rank = df[in_p1].groupby("host", sort=False).cumcount()
+    in_p2 = pd.Series(False, index=df.index)
+    in_p2.loc[host_rank.index] = host_rank < per_host_budget
+    mask = pa.array(in_p2.to_numpy())
+    out = salted.drop_columns(["sched_group"])
+    return out.filter(mask), out.filter(pc.invert(mask))

@@ -228,10 +228,16 @@ class SeenSet:
     by ``url_hash % num_shards`` (url_hash = first 8 bytes of the sha1 key,
     urlnorm.url_hash64 — routing and ledger identity always agree)."""
 
-    def __init__(self, num_shards: int = 8, **shard_kwargs):
+    def __init__(self, num_shards: int = 8, pool_name: str | None = None,
+                 **shard_kwargs):
+        import uuid
+
         self.num_shards = num_shards
+        # unique pool id per SeenSet — a second pipeline in the same Ray
+        # session must NOT silently reuse another pool's (stale) ledgers
+        pool = pool_name or uuid.uuid4().hex[:8]
         self.shards = [
-            SeenShard.options(name=f"seen-shard-{i}", get_if_exists=True)
+            SeenShard.options(name=f"seen-{pool}-{i}", get_if_exists=True)
             .remote(shard_id=i, **shard_kwargs)
             for i in range(num_shards)
         ]

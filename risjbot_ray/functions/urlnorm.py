@@ -36,8 +36,24 @@ def apply_equivalent_domains(url: str, mappings: dict[str, str]) -> str:
 def canonicalize_url(url: str) -> str:
     """Scrapy-style canonicalization (w3lib.url.canonicalize_url semantics,
     simplified): sort query params, drop fragment, normalize empty path to
-    '/'. Used to build the request fingerprint."""
-    u = urlparse(url.strip())
+    '/'. Used to build the request fingerprint.
+
+    Fast path: query/fragment-free http(s) URLs (the overwhelming crawl
+    case) skip urlparse entirely — one split, no re-assembly."""
+    url = url.strip()
+    if "?" not in url and "#" not in url and ";" not in url:
+        scheme_end = url.find("://")
+        if scheme_end > 0:
+            rest = url[scheme_end + 3:]
+            slash = rest.find("/")
+            if slash < 0:
+                return url.lower() + "/"
+            netloc = rest[:slash]
+            lowered = netloc.lower()
+            if lowered != netloc:
+                return url[:scheme_end + 3] + lowered + rest[slash:]
+            return url
+    u = urlparse(url)
     query = urlencode(sorted(parse_qsl(u.query, keep_blank_values=True)))
     path = u.path or "/"
     return urlunparse((u.scheme, u.netloc.lower(), path, u.params, query, ""))
@@ -55,6 +71,15 @@ def url_hash64(url: str) -> int:
 
 
 def host_of(url: str) -> str:
+    i = url.find("://")
+    if i > 0:
+        rest = url[i + 3:]
+        end = len(rest)
+        for sep in "/?#":
+            j = rest.find(sep)
+            if 0 <= j < end:
+                end = j
+        return rest[:end].lower()
     return urlparse(url).netloc.lower()
 
 

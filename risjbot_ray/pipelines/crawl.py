@@ -16,6 +16,7 @@ through Dataset stages instead of driver pandas.
 from __future__ import annotations
 
 import json
+import os
 import time
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
@@ -54,6 +55,9 @@ class CrawlConfig:
     clock_us: int | None = None  # injectable clock for deterministic tests
     extract_concurrency: int | None = None
     batch_size: int = 256        # html rows per extraction batch (MB-scale)
+    small_wave_rows: int = 4096  # driver fast path below this
+    ray_canon_threshold: int = 20_000  # distribute canonicalize above
+    ray_discovery_rows: int = 32  # distribute discovery parse above
 
 
 def seed_frontier(seeds: list[dict]) -> pa.Table:
@@ -100,6 +104,26 @@ class CrawlPipeline:
         self.metrics: dict[str, float] = {"scheduled_urls": 0,
                                           "extracted_pages": 0,
                                           "fetched_rows": 0}
+        self._warm_workers()
+
+    def _warm_workers(self) -> None:
+        """Force worker-pool spin-up + library imports BEFORE the first
+        wave so cold-start cost is paid at pipeline construction, not
+        inside the crawl (one dummy task per CPU importing the package
+        modules the wave UDFs need)."""
+
+        def _touch(batch):
+            import pandas  # noqa: F401
+
+            from ..extract import stage  # noqa: F401
+            return batch
+
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            (ray.data.range(ncpu, override_num_blocks=ncpu)
+             .map_batches(_touch, batch_size=None).materialize())
+        except Exception:
+            pass
 
     # -- single wave ------------------------------------------------------
     def run_wave(self, wave: int, frontier: pa.Table) -> pa.Table:
@@ -107,12 +131,29 @@ class CrawlPipeline:
         cfg = self.cfg
         now_us = _now_us(cfg)
         t0 = time.time()
+        phases: dict[str, float] = {}
+
+        def mark(name: str) -> None:
+            phases[name] = round(time.time() - t0 - sum(phases.values()), 3)
+
         self.seen.new_wave()
 
         # 1. canonicalize + key (canonicalize-before-ledger,
-        #    settings.py:121-124) and in-wave exact dedup
-        cand = canonicalize_batch(frontier, cfg.equivalent_domains)
+        #    settings.py:121-124) and in-wave exact dedup. The per-URL
+        #    kernel runs distributed above the threshold — on a 10^10
+        #    frontier this is a pure map stage, never a driver loop.
+        if frontier.num_rows > cfg.ray_canon_threshold:
+            eq = cfg.equivalent_domains
+            cand_ds = ray.data.from_arrow(frontier).map_batches(
+                lambda b, _eq=eq: canonicalize_batch(b, _eq),
+                batch_format="pyarrow", zero_copy_batch=True)
+            cand = pa.concat_tables(
+                [ray.get(r) for r in cand_ds.to_arrow_refs()],
+                promote_options="default").combine_chunks()
+        else:
+            cand = canonicalize_batch(frontier, cfg.equivalent_domains)
         cand = dedupe_wave(cand)
+        mark("canonicalize")
 
         # 2. seen gate (sharded actor probe; trawled rows bypass the gate —
         #    refetchcontrol.py:205-212)
@@ -128,6 +169,7 @@ class CrawlPipeline:
         cand = cand.append_column("previousfetches",
                                   pa.array(prev, type=pa.int32()))
         gated = cand.filter(pa.array(allowed))
+        mark("gate")
 
         # 3. robots gate (T6)
         if self.cfg.obey_robots and gated.num_rows:
@@ -140,14 +182,35 @@ class CrawlPipeline:
         scheduled, deferred = schedule_wave(
             gated, cfg.per_host_budget, cfg.salt_threshold)
         self.metrics["scheduled_urls"] += scheduled.num_rows
+        mark("schedule")
 
-        # 5. fetch join against the page store, bucket-aligned
-        fetched_ds = self._fetch(scheduled)
+        # 5. split control plane (discovery fetches: robots / sitemaps /
+        #    feeds — always tiny) from data plane (article pages)
+        kinds = scheduled.column("source_kind")
+        disc_mask = pc.is_in(kinds, value_set=pa.array(
+            list(DISCOVERY_KINDS), type=pa.string()))
+        disc_tbl = scheduled.filter(disc_mask)
+        art_tbl = scheduled.filter(pc.invert(disc_mask))
 
-        # 6a. discovery expansion
-        # 6b. extraction + ledger commit + partitioned write
-        children, n_extracted, n_fetched = self._process_fetched(
-            fetched_ds, wave, now_us)
+        # 6. discovery expansion and article processing are independent —
+        #    run them CONCURRENTLY (both mostly wait on Ray) so control-
+        #    plane parse time hides behind the data-plane pipeline
+        if disc_tbl.num_rows and art_tbl.num_rows:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                fut_d = ex.submit(self._process_discovery, disc_tbl, wave,
+                                  now_us)
+                fut_a = ex.submit(self._process_articles, art_tbl, wave,
+                                  now_us)
+                children = fut_d.result()
+                n_extracted, n_fetched = fut_a.result()
+        else:
+            children = self._process_discovery(disc_tbl, wave, now_us)
+            n_extracted, n_fetched = self._process_articles(art_tbl, wave,
+                                                            now_us)
+        mark("discovery+articles")
+        n_fetched += disc_tbl.num_rows
         self.metrics["fetched_rows"] += n_fetched
         self.metrics["extracted_pages"] += n_extracted
 
@@ -167,70 +230,75 @@ class CrawlPipeline:
             "extracted": n_extracted,
             "children": children.num_rows,
             "seen_counters": self.seen.counters(),
+            "phase_sec": phases,
             "wall_sec": round(time.time() - t0, 3),
         })
         return next_frontier
 
-    def _fetch(self, scheduled: pa.Table):
-        """Scheduled rows -> fetched rows (html attached) as a Ray Dataset,
-        grouped by fetch bucket so each bucket file is read once."""
-        if scheduled.num_rows == 0:
-            return None
-        hashes = np.asarray(scheduled.column("url_hash").to_pylist(),
+    def _with_buckets(self, tbl: pa.Table) -> pa.Table:
+        hashes = np.asarray(tbl.column("url_hash").to_pylist(),
                             dtype=np.uint64)
         buckets = self.store.bucket_of(hashes)
-        scheduled = scheduled.append_column(
-            "fetch_bucket", pa.array(buckets, type=pa.int64()))
+        return tbl.append_column("fetch_bucket",
+                                 pa.array(buckets, type=pa.int64()))
+
+    def _fetch_driver(self, tbl: pa.Table) -> pa.Table | None:
+        """Driver-side bucketed fetch join for SMALL tables (control-plane
+        discovery fetches and tiny article waves)."""
+        if tbl.num_rows == 0:
+            return None
+        tbl = self._with_buckets(tbl)
+        buckets = np.asarray(tbl.column("fetch_bucket").to_pylist())
+        parts = []
+        for b in np.unique(buckets):
+            grp = tbl.filter(pa.array(buckets == b))
+            out = self.store.fetch_group(grp)
+            if out is not None and out.num_rows:
+                parts.append(out)
+        if not parts:
+            return None
+        return pa.concat_tables(parts, promote_options="default")
+
+    def _process_discovery(self, disc_tbl: pa.Table, wave: int,
+                           now_us: int) -> pa.Table:
+        """Control-plane expansion: robots/sitemap/feed bodies are few and
+        small, so they are fetched and parsed on the driver — no Ray
+        round-trips for waves that move only a handful of rows."""
+        if disc_tbl.num_rows == 0:
+            return CHILD_SCHEMA.empty_table()
+        if disc_tbl.num_rows <= self.cfg.ray_discovery_rows:
+            fetched = self._fetch_driver(disc_tbl)
+            if fetched is None:
+                return CHILD_SCHEMA.empty_table()
+            return discover_batch(fetched)
+        # many feed/sitemap bodies (each can hold tens of thousands of
+        # <url> entries): fetch AND parse inside per-bucket Ray tasks —
+        # the multi-MB XML bodies never ship through the object store,
+        # only the child frontier rows come back
         store = self.store
-        ds = ray.data.from_arrow(scheduled)
+        tbl = self._with_buckets(disc_tbl)
+        buckets = np.asarray(tbl.column("fetch_bucket").to_pylist())
+        parts = [tbl.filter(pa.array(buckets == b))
+                 for b in np.unique(buckets)]
 
-        def fetch_group(group: pa.Table) -> pa.Table:
-            out = store.fetch_group(group)
-            if out is None or out.num_rows == 0:
-                return _empty_fetched(group)
-            return out
+        def fetch_discover(group: pa.Table) -> pa.Table:
+            fetched = store.fetch_group(group)
+            if fetched is None or fetched.num_rows == 0:
+                return CHILD_SCHEMA.empty_table()
+            return discover_batch(fetched)
 
-        return ds.groupby("fetch_bucket").map_groups(
-            fetch_group, batch_format="pyarrow")
+        ds = ray.data.from_arrow(parts).map_batches(
+            fetch_discover, batch_format="pyarrow", batch_size=None)
+        tables = [ray.get(r) for r in ds.to_arrow_refs()]
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
+            return CHILD_SCHEMA.empty_table()
+        return pa.concat_tables(tables).combine_chunks()
 
-    def _process_fetched(self, fetched_ds, wave: int, now_us: int):
-        """Split fetched rows into discovery vs articles; expand / extract;
-        commit article keys; write extracted parquet under out/wave=K."""
-        if fetched_ds is None:
-            return CHILD_SCHEMA.empty_table(), 0, 0
-        cfg = self.cfg
-        fetched = fetched_ds.materialize()
-        n_fetched = fetched.count()
-
-        disc_kinds = pa.array(list(DISCOVERY_KINDS), type=pa.string())
-
-        def _split(batch: pa.Table, want_discovery: bool) -> pa.Table:
-            mask = pc.is_in(batch.column("source_kind"),
-                            value_set=disc_kinds)
-            if not want_discovery:
-                mask = pc.invert(mask)
-            return batch.filter(mask)
-
-        disc = fetched.map_batches(
-            lambda b: _split(b, True), batch_format="pyarrow")
-        arts = fetched.map_batches(
-            lambda b: _split(b, False), batch_format="pyarrow")
-
-        # discovery expansion (flat_map over bodies)
-        child_tables = [t for t in
-                        disc.map_batches(discover_batch,
-                                         batch_format="pyarrow")
-                        .to_arrow_refs()]
-        children = (pa.concat_tables([ray.get(r) for r in child_tables])
-                    if child_tables else CHILD_SCHEMA.empty_table())
-        if children.num_rows:
-            children = children.combine_chunks()
-
-        # extraction over articles: fold previousfetches into meta, run the
-        # ensemble, commit ledger keys per batch, write parquet partition
+    def _extract_commit_fn(self, wave: int, now_us: int):
+        """The fused extract+commit batch UDF (shared by the Ray pipeline
+        and the driver fast path)."""
         seen = self.seen
-        batch_size = cfg.batch_size
-        wave_dir = f"{cfg.out_dir}/wave={wave:04d}"
 
         def prep_meta(batch: pa.Table) -> pa.Table:
             metas = (batch.column("meta").to_pylist()
@@ -243,7 +311,8 @@ class CrawlPipeline:
                 if p is not None:
                     meta["refetchcontrol_previous"] = int(p)
                 out_meta.append(json.dumps(meta))
-            batch = batch.drop_columns(["meta"]) if "meta" in batch.column_names else batch
+            if "meta" in batch.column_names:
+                batch = batch.drop_columns(["meta"])
             return batch.append_column("meta",
                                        pa.array(out_meta, type=pa.string()))
 
@@ -256,9 +325,11 @@ class CrawlPipeline:
             batch = batch.append_column(
                 "resp_url", batch.column("canon_url"))
             batch = batch.rename_columns(
-                ["url" if c == "canon_url" else c for c in batch.column_names])
+                ["url" if c == "canon_url" else c
+                 for c in batch.column_names])
             out = extract_batch(batch, passthrough=("key", "url_hash",
-                                                    "pass_seen", "resp_url"))
+                                                    "pass_seen",
+                                                    "resp_url"))
             if out.num_rows:
                 mask = pc.invert(out.column("pass_seen"))
                 commit_rows = out.filter(mask)
@@ -266,21 +337,68 @@ class CrawlPipeline:
                     seen.commit(
                         commit_rows.column("key").to_pylist(),
                         commit_rows.column("resp_url").to_pylist(),
-                        np.asarray(commit_rows.column("url_hash").to_pylist(),
-                                   dtype=np.uint64),
+                        np.asarray(
+                            commit_rows.column("url_hash").to_pylist(),
+                            dtype=np.uint64),
                         now_us, wave)
             return out.drop_columns(["key", "url_hash", "pass_seen",
                                      "resp_url"])
 
-        n_extracted = 0
-        if arts.count() > 0:
-            ex = arts.map_batches(extract_commit, batch_format="pyarrow",
-                                  batch_size=batch_size)
-            ex = ex.materialize()
-            n_extracted = ex.count()
-            if n_extracted:
-                ex.write_parquet(wave_dir)
-        return children, n_extracted, n_fetched
+        return extract_commit
+
+    def _process_articles(self, art_tbl: pa.Table, wave: int,
+                          now_us: int) -> tuple[int, int]:
+        """Data plane: fetch join + extraction + ledger commit + write as
+        ONE fused streaming pipeline (fetch groups feed extraction feeds
+        the parquet sink with backpressure, no mid-pipeline
+        materialization). Waves under ``small_wave_rows`` run on the
+        driver — correctness-tier runs skip all Ray latency."""
+        if art_tbl.num_rows == 0:
+            return 0, 0
+        cfg = self.cfg
+        wave_dir = f"{cfg.out_dir}/wave={wave:04d}"
+        extract_commit = self._extract_commit_fn(wave, now_us)
+
+        if art_tbl.num_rows <= cfg.small_wave_rows:
+            fetched = self._fetch_driver(art_tbl)
+            if fetched is None:
+                return 0, 0
+            out = extract_commit(fetched)
+            if out.num_rows:
+                os.makedirs(wave_dir, exist_ok=True)
+                import pyarrow.parquet as pq
+                pq.write_table(out, f"{wave_dir}/part-driver.parquet")
+            return out.num_rows, fetched.num_rows
+
+        store = self.store
+        tbl = self._with_buckets(art_tbl)
+        # Hash-partition the wave into one Arrow table per fetch bucket
+        # (numpy masks — this IS the exchange a groupby would do, but the
+        # wave is politeness-bounded and the buckets are already files, so
+        # no Ray shuffle is needed). Each table becomes one block; the
+        # fused fetch+extract+commit UDF runs once per bucket, reading
+        # only that bucket's parquet file.
+        buckets = np.asarray(tbl.column("fetch_bucket").to_pylist())
+        parts = [tbl.filter(pa.array(buckets == b))
+                 for b in np.unique(buckets)]
+
+        def fetch_extract_commit(group: pa.Table) -> pa.Table:
+            fetched = store.fetch_group(group)
+            if fetched is None or fetched.num_rows == 0:
+                return _empty_extracted()
+            return extract_commit(fetched)
+
+        ds = ray.data.from_arrow(parts)
+        (ds.map_batches(fetch_extract_commit, batch_format="pyarrow",
+                        batch_size=None, zero_copy_batch=True)
+           .write_parquet(wave_dir))
+
+        import glob
+
+        import pyarrow.parquet as pq
+        n_extracted = sum(pq.read_metadata(p).num_rows
+                          for p in glob.glob(f"{wave_dir}/*.parquet"))
+        return n_extracted, n_extracted
 
     # -- full run ---------------------------------------------------------
     def run(self, seeds: list[dict] | None = None,
@@ -353,8 +471,6 @@ def _concat_frontier(tables: list[pa.Table]) -> pa.Table:
         [t.cast(CHILD_SCHEMA) for t in keep]).combine_chunks()
 
 
-def _empty_fetched(group: pa.Table) -> pa.Table:
-    schema = pa.schema(list(group.schema)
-                       + [pa.field("warc_ts", pa.timestamp("us", tz="UTC")),
-                          pa.field("html", pa.binary())])
-    return schema.empty_table()
+def _empty_extracted() -> pa.Table:
+    from .. import schemas
+    return schemas.EXTRACTED.empty_table()

@@ -383,12 +383,53 @@ def gen_discovery_pages(article_urls_by_host: dict[str, list[str]],
         rows.append({"url": url, "warc_ts": ts,
                      "html": body.encode("utf-8"), "text": "", "lang": "en"})
 
+    # real sitemaps cap at 50k URLs; we shard at 5k so big corpora get
+    # many parse-parallel shards, and feeds cap like real RSS (the rest
+    # of a feed host's articles are covered by its sitemap — union of
+    # sources, reference uk/guardian.py:62-67 pattern)
+    SITEMAP_SHARD = 5000
+    FEED_CAP = 2000
+
+    def emit_sitemaps(host: str, urls: list[str]) -> None:
+        page(f"https://{host}/robots.txt",
+             "User-agent: *\nDisallow: /private/\n"
+             f"Sitemap: https://{host}/sitemap.xml\n")
+        shard_urls = []
+        for k in range(0, max(1, -(-len(urls) // SITEMAP_SHARD))):
+            shard = urls[k * SITEMAP_SHARD:(k + 1) * SITEMAP_SHARD]
+            if not shard:
+                continue
+            su = f"https://{host}/sitemap-{k}.xml"
+            shard_urls.append(su)
+            entries = []
+            for j, u in enumerate(shard):
+                lastmod = (BASE_TS + timedelta(seconds=90 * j)).isoformat()
+                entries.append(
+                    f"<url><loc>{_alias(u, host)}</loc>"
+                    f"<lastmod>{lastmod}</lastmod>"
+                    f"<news:news><news:keywords>newskw</news:keywords>"
+                    f"<news:publication_date>{lastmod}"
+                    f"</news:publication_date>"
+                    f"<news:title>News title {j}</news:title>"
+                    f"</news:news></url>")
+            page(su,
+                 '<?xml version="1.0"?>'
+                 '<urlset xmlns="http://www.sitemaps.org/schemas/'
+                 'sitemap/0.9" xmlns:news="http://www.google.com/'
+                 'schemas/sitemap-news/0.9">'
+                 f"{''.join(entries)}</urlset>")
+        index = "".join(f"<sitemap><loc>{su}</loc></sitemap>"
+                        for su in shard_urls)
+        page(f"https://{host}/sitemap.xml",
+             '<?xml version="1.0"?>'
+             '<sitemapindex xmlns="http://www.sitemaps.org/schemas/'
+             f'sitemap/0.9">{index}</sitemapindex>')
+
     for host in sorted(article_urls_by_host):
         urls = article_urls_by_host[host]
-        r = _rng(seed, 0, salt=host)
         if host in RSS_HOSTS:
             items = []
-            for j, u in enumerate(urls):
+            for j, u in enumerate(urls[:FEED_CAP]):
                 link = _alias(u, host)
                 if host == "dailymail.example":
                     link += "?ITO=1490"  # tracking junk -> strip_query
@@ -402,49 +443,20 @@ def gen_discovery_pages(article_urls_by_host: dict[str, list[str]],
             page(f"https://{host}/feed.rss",
                  '<?xml version="1.0"?><rss version="2.0"><channel>'
                  f"<title>{host}</title>{''.join(items)}</channel></rss>")
+            if len(urls) > FEED_CAP:
+                emit_sitemaps(host, urls)
         elif host in ATOM_HOSTS:
             entries = "".join(
                 f'<entry><link href="{_alias(u, host)}"/></entry>'
-                for u in urls)
+                for u in urls[:FEED_CAP])
             page(f"https://{host}/feed.atom",
                  '<?xml version="1.0"?>'
                  '<feed xmlns="http://www.w3.org/2005/Atom">'
                  f"{entries}</feed>")
+            if len(urls) > FEED_CAP:
+                emit_sitemaps(host, urls)
         else:
-            page(f"https://{host}/robots.txt",
-                 "User-agent: *\nDisallow: /private/\n"
-                 f"Sitemap: https://{host}/sitemap.xml\n")
-            half = max(1, (len(urls) + 1) // 2)
-            shards = [urls[:half], urls[half:]]
-            shard_urls = []
-            for k, shard in enumerate(shards):
-                if not shard:
-                    continue
-                su = f"https://{host}/sitemap-{k}.xml"
-                shard_urls.append(su)
-                entries = []
-                for j, u in enumerate(shard):
-                    lastmod = (BASE_TS + timedelta(seconds=90 * j)).isoformat()
-                    entries.append(
-                        f"<url><loc>{_alias(u, host)}</loc>"
-                        f"<lastmod>{lastmod}</lastmod>"
-                        f"<news:news><news:keywords>newskw</news:keywords>"
-                        f"<news:publication_date>{lastmod}"
-                        f"</news:publication_date>"
-                        f"<news:title>News title {j}</news:title>"
-                        f"</news:news></url>")
-                page(su,
-                     '<?xml version="1.0"?>'
-                     '<urlset xmlns="http://www.sitemaps.org/schemas/'
-                     'sitemap/0.9" xmlns:news="http://www.google.com/'
-                     'schemas/sitemap-news/0.9">'
-                     f"{''.join(entries)}</urlset>")
-            index = "".join(f"<sitemap><loc>{su}</loc></sitemap>"
-                            for su in shard_urls)
-            page(f"https://{host}/sitemap.xml",
-                 '<?xml version="1.0"?>'
-                 '<sitemapindex xmlns="http://www.sitemaps.org/schemas/'
-                 f'sitemap/0.9">{index}</sitemapindex>')
+            emit_sitemaps(host, urls)
     return rows
 
 
@@ -469,11 +481,14 @@ def gen_corpus(n_articles: int, seed: int = 42
     seeds: list[dict] = []
     robots_bodies: dict[str, str] = {}
     for host in sorted(by_host):
+        feed_host = host in RSS_HOSTS or host in ATOM_HOSTS
         if host in RSS_HOSTS:
             seeds.append({"url": f"https://{host}/feed.rss", "kind": "rss"})
         elif host in ATOM_HOSTS:
             seeds.append({"url": f"https://{host}/feed.atom", "kind": "atom"})
-        else:
+        if not feed_host or len(by_host[host]) > 2000:
+            # sitemap channel (feed hosts above the feed cap use BOTH —
+            # union of sources, like guardian's sitemap+specified pair)
             seeds.append({"url": f"https://{host}/robots.txt",
                           "kind": "robots"})
             robots_bodies[host] = ("User-agent: *\nDisallow: /private/\n"
