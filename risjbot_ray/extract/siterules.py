@@ -41,6 +41,14 @@ class SiteRules:
     post: tuple[AddRule, ...] = ()      # gap-fillers (after standard block)
     readability: bool = False
     url_normalizer: Callable[[str], str] | None = None
+    # sitemapindex child filter regexes (SitemapSpider.sitemap_follow;
+    # e.g. reuters' date-window regex, uk/reuters.py:11-19,40)
+    sitemap_follow: tuple[str, ...] | None = None
+    # LinkExtractor crawl rules for link-following sites
+    # (base/buzzfeednewscrawlspider.py:15-19, de/bild.py:75-90)
+    link_allow: tuple[str, ...] = ()
+    link_deny: tuple[str, ...] = ()
+    link_restrict_xpaths: tuple[str, ...] = ()
 
 
 def _take_first_strip(vals: list) -> list:
@@ -99,6 +107,18 @@ def _strip_millis(vals: list) -> list:
     """USAToday millisecond strip (us/usatoday.py:66-68) — wrapped_parse
     also handles this; kept for explicit site parity."""
     return [re.sub(r"\.\d+Z$", "Z", v) for v in vals]
+
+
+def _metro_bylines(vals: list) -> list:
+    """Drop ' For Metro.co.uk' byline fluff (uk/metro.py:44)."""
+    return [re.sub(r" For Metro\.co\.uk", "", v, flags=re.IGNORECASE)
+            for v in vals]
+
+
+def _abc_timestamp(vals: list) -> list:
+    """Strip the leading 'Author — ' from ABC timestamps
+    (us/abc.py:45-50)."""
+    return [re.sub(r".* — ", "", v, count=1) for v in vals]
 
 
 GENERIC = SiteRules(
@@ -309,6 +329,208 @@ SITE_RULES: tuple[SiteRules, ...] = (
                     '//div[contains(@class, "post-content")]//text()'),
         ),
         url_normalizer=lambda u: force_query_param(u, "IR", "C"),
+    ),
+    # --- uk/telegraph.py:15-48 --------------------------------------------
+    SiteRules(
+        key="telegraph",
+        hosts=("www.telegraph.co.uk", "telegraph.co.uk",
+               "telegraph.example"),
+        pre=(
+            AddRule("section", "xpath",
+                    '//a[contains(@class, "header-breadcrumbs__link")]'
+                    "//text()", procs=_take_first_strip),
+            AddRule("bylines", "xpath",
+                    '//main//*[@itemprop="author"]'
+                    '//*[@itemprop="name"]//text()'),
+        ),
+        post=(
+            AddRule("notes", "value", "Premium paywall",
+                    cond='//div[contains(@class, "premium-paywall")]'),
+        ),
+    ),
+    # --- uk/metro.py:16-45 -------------------------------------------------
+    SiteRules(
+        key="metro",
+        hosts=("metro.co.uk", "www.metro.co.uk", "metro.example"),
+        pre=(
+            AddRule("bodytext", "xpath",
+                    '//div[contains(@class, "article-body")]//text()'),
+        ),
+        post=(
+            AddRule("bylines", "xpath",
+                    '//span[contains(@class, "byline")]'
+                    '//a[@rel="author"]//text()', procs=_metro_bylines),
+        ),
+    ),
+    # --- uk/mirror.py:15-40 ------------------------------------------------
+    SiteRules(
+        key="mirror",
+        hosts=("www.mirror.co.uk", "mirror.co.uk", "mirror.example"),
+        prunes=(("xpath", "//form"),
+                ("xpath", '//aside[contains(@class,"read-more-links")]')),
+        post=(AddRule("bodytext", "css", ".article-body ::text"),),
+    ),
+    # --- uk/independent.py:17-50 ------------------------------------------
+    SiteRules(
+        key="independent",
+        hosts=("www.independent.co.uk", "independent.co.uk",
+               "independent.example"),
+        prunes=(("css", ".type-gallery"),
+                ("xpath",
+                 '//li[contains(text(), "More about")]/'
+                 'parent::*[contains(@class, "inline-pipes-list")]')),
+        pre=(
+            AddRule("bylines", "xpath",
+                    '//article//*[@itemprop="author"]'
+                    '//*[@itemprop="name"]//text()'),
+        ),
+    ),
+    # --- uk/reuters.py:20-77 (date-window sitemap follow) ------------------
+    SiteRules(
+        key="reuters",
+        hosts=("uk.reuters.com", "reuters.example"),
+        source="Reuters [UK]",
+        prunes=(("css", "div.related-content"),),
+        std=("fromresponse", "htmlmeta", "schemaorg", "scrapymeta"),
+        post=(
+            AddRule("bodytext", "xpath",
+                    '//span[@id="article-text"]/'
+                    '*[not(contains(@class, "author"))]//text()'),
+            AddRule("summary", "xpath",
+                    '//meta[@name="description"]/@content'),
+            AddRule("notes", "value", "fetchtime delayed by slow feed"),
+        ),
+        sitemap_follow=(r"\.xml$",),  # date-window regex injected by config
+    ),
+    # --- us/abc.py:16-50 ---------------------------------------------------
+    SiteRules(
+        key="abc",
+        hosts=("abcnews.go.com", "abc.example"),
+        post=(
+            AddRule("section", "xpath", "//article/@data-section"),
+            AddRule("modtime", "xpath",
+                    'head/meta[@name="Last-Modified"]/@content'),
+            AddRule("firstpubtime", "xpath",
+                    '//div[contains(@class, "article-meta")]'
+                    '//span[contains(@class, "timestamp")]/text()',
+                    procs=_abc_timestamp),
+        ),
+    ),
+    # --- us/cbs.py:15-43 ---------------------------------------------------
+    SiteRules(
+        key="cbs",
+        hosts=("www.cbsnews.com", "cbsnews.com", "cbs.example"),
+        post=(
+            AddRule("bodytext", "xpath",
+                    '//div[contains(@class, "post")]//text()'),
+            AddRule("bodytext", "xpath",
+                    '//div[@itemid="#article-entry"]//text()'),
+        ),
+    ),
+    # --- us/nbc.py:15-39 ---------------------------------------------------
+    SiteRules(
+        key="nbc",
+        hosts=("www.nbcnews.com", "nbcnews.com", "nbc.example"),
+        post=(
+            AddRule("bodytext", "xpath",
+                    '//div[contains(@class, "article-body")]//text()'),
+        ),
+    ),
+    # --- us/yahoo.py:16-48 (no schemaorg!) ---------------------------------
+    SiteRules(
+        key="yahoo",
+        hosts=("www.yahoo.com", "yahoo.example"),
+        source="Yahoo! News [US]",
+        std=("fromresponse", "htmlmeta", "opengraph", "scrapymeta"),
+        post=(
+            AddRule("bodytext", "xpath",
+                    '//div[contains(@class, "canvas-body")]/p/text()'),
+            AddRule("firstpubtime", "xpath",
+                    '//div[contains(@class, "auth-attr")]'
+                    "//time/@datetime"),
+            AddRule("bylines", "xpath",
+                    '//div[contains(@class, "auth-attr")]'
+                    '//div[contains(@class, "author-name")]//text()'),
+        ),
+    ),
+    # --- us/prnewswire.py + uk/prnewswireuk.py ------------------------------
+    SiteRules(
+        key="prnewswire",
+        hosts=("www.prnewswire.com", "www.prnewswire.co.uk",
+               "prnewswire.example"),
+        source="PR Newswire",
+        pre=(
+            AddRule("summary", "xpath",
+                    '//meta[@name="description"]/@content'),
+            AddRule("bylines", "xpath", '//meta[@name="author"]/@content'),
+        ),
+        post=(
+            AddRule("firstpubtime", "xpath",
+                    '//meta[@name="date"]/@content'),
+        ),
+    ),
+    # --- base/huffpospider.py:10-34 ----------------------------------------
+    SiteRules(
+        key="huffpo",
+        hosts=("www.huffingtonpost.co.uk", "www.huffingtonpost.com",
+               "www.huffingtonpost.de", "huffpo.example"),
+        pre=(
+            AddRule("bylines", "xpath",
+                    '//*[contains(@class, "author-card__details__name")]'
+                    "//text()"),
+            AddRule("bodytext", "xpath",
+                    '//div[contains(@class, "entry__body")]//text()'),
+            AddRule("bodytext", "xpath",
+                    '//div[@id="mainentrycontent"]//text()'),
+        ),
+    ),
+    # --- base/buzzfeedspider.py:10-36 + buzzfeednewscrawlspider ------------
+    SiteRules(
+        key="buzzfeed",
+        hosts=("www.buzzfeed.com", "buzzfeed.example"),
+        prunes=(("xpath",
+                 '//*[contains(@class, "print") or '
+                 'contains(@class, "hidden")]'),),
+        pre=(AddRule("url", "xpath", 'head/link[@rel="canonical"]/@href'),),
+        post=(
+            AddRule("bodytext", "xpath",
+                    '//div[@data-print="body"]/'
+                    '*[not(contains(@class, "user-bio") or '
+                    'contains(@class, "_shares") or '
+                    'contains(@class, "inline-promo"))]//text()'),
+            AddRule("bodytext", "xpath",
+                    '//div[contains(@class, "_item_text")]//text()'),
+            AddRule("bodytext", "xpath",
+                    '//article//*[contains(@class, "subbuzz-text") or '
+                    'contains(@class, "subbuzz__title")]//text()'),
+        ),
+        # CrawlSpider rules (base/buzzfeednewscrawlspider.py:15-19)
+        link_allow=(r"buzzfeed[^/]*/[^/]+/[a-z0-9-]+$",),
+        link_deny=(r"/(about|contact|jobs|press)",),
+    ),
+    # --- base/vicespider.py:29-58 ------------------------------------------
+    SiteRules(
+        key="vice",
+        hosts=("news.vice.com", "www.vice.com", "vice.example"),
+        source="Vice News",
+        std=("fromresponse", "htmlmeta", "schemaorg", "opengraph",
+             "dublincore", "scrapymeta"),
+        post=(
+            AddRule("bodytext", "xpath",
+                    '//div[contains(@class, "article-content")]//text()'),
+        ),
+        link_allow=(r"vice[^/]*/article/",),
+    ),
+    # --- uk/liverpoolecho.py:54-190 (articleid; comments join via J5) -------
+    SiteRules(
+        key="liverpoolecho",
+        hosts=("www.liverpoolecho.co.uk", "liverpoolecho.example"),
+        prunes=(("xpath", "//form"),
+                ("xpath", '//aside[contains(@class,"read-more-links")]')),
+        pre=(
+            AddRule("articleid", "xpath", "//article/@data-article-id"),
+        ),
+        post=(AddRule("bodytext", "css", ".article-body ::text"),),
     ),
 )
 

@@ -117,6 +117,20 @@ class _Parser:
         if k == "name" and v == "text" and self.peek(1)[0] == "lparen":
             self.next(); self.expect("lparen"); self.expect("rparen")
             return (axis, "text", None)
+        if k == "name" and v.startswith("parent::"):
+            # parent axis: 'parent::*' / 'parent::tag' (reference
+            # uk/independent.py:31-34)
+            self.next()
+            rest = v[len("parent::"):]
+            if rest == "" and self.peek()[0] == "star":
+                self.next()
+            name = None if rest in ("", "*") else rest
+            preds: list[Pred] = []
+            while self.peek()[0] == "lbrack":
+                self.next()
+                preds.append(self.parse_or())
+                self.expect("rbrack")
+            return ("parent", "node", (name, preds))
         if k == "star":
             self.next()
             name = None
@@ -174,7 +188,16 @@ class _Parser:
                 needle = self._string()
                 self.expect("rparen")
                 return lambda n, _s=needle: _s in n.string_value()
-            raise ValueError("contains() supports @attr or . only")
+            elif (ak, av) == ("name", "text") and self.peek()[0] == "lparen":
+                # contains(text(), "...") — any DIRECT text child matches
+                # (reference uk/independent.py:31)
+                self.expect("lparen"); self.expect("rparen")
+                self.expect("comma")
+                needle = self._string()
+                self.expect("rparen")
+                return lambda n, _s=needle: any(
+                    _s in t for t in n.direct_text())
+            raise ValueError("contains() supports @attr, ., or text()")
         if k == "at":
             self.next()
             attr = self.expect("name")
@@ -222,7 +245,10 @@ def xpath(context: Node, path: str) -> list[Result]:
             nxt: list[Node] = []
             seen: set[int] = set()
             for node in current:
-                if axis == "child":
+                if axis == "parent":
+                    pool = iter(() if node.parent is None
+                                else (node.parent,))
+                elif axis == "child":
                     if si == 0 and absolute:
                         # '/html/...': the document root's element IS the
                         # context element (parsel roots at <html>), so the

@@ -192,6 +192,12 @@ class CrawlPipeline:
         disc_tbl = scheduled.filter(disc_mask)
         art_tbl = scheduled.filter(pc.invert(disc_mask))
 
+        # 5b. link-following hosts (SiteRules.link_allow): their article
+        #     pages are ALSO discovery surfaces — harvest <a href>
+        #     children (S7). Fetched separately from extraction (rare
+        #     hosts; the fused extract path doesn't expose html).
+        link_children = self._harvest_links(art_tbl)
+
         # 6. discovery expansion and article processing are independent —
         #    run them CONCURRENTLY (both mostly wait on Ray) so control-
         #    plane parse time hides behind the data-plane pipeline
@@ -214,7 +220,8 @@ class CrawlPipeline:
         self.metrics["fetched_rows"] += n_fetched
         self.metrics["extracted_pages"] += n_extracted
 
-        next_frontier = _concat_frontier([deferred, children])
+        next_frontier = _concat_frontier([deferred, children,
+                                          link_children])
 
         # 7. checkpoint: seen snapshots + next frontier + manifest
         self.seen.snapshot(self.ckpt.seen_dir)
@@ -294,6 +301,27 @@ class CrawlPipeline:
         if not tables:
             return CHILD_SCHEMA.empty_table()
         return pa.concat_tables(tables).combine_chunks()
+
+    def _harvest_links(self, art_tbl: pa.Table) -> pa.Table:
+        """Fetch + link-harvest article rows of link-crawl hosts
+        (buzzfeed/bild-style CrawlSpider rules)."""
+        from ..extract.siterules import rules_for_host
+        from ..sources.stage import harvest_links_batch
+
+        if art_tbl.num_rows == 0:
+            return CHILD_SCHEMA.empty_table()
+        hosts = art_tbl.column("host").to_pylist()
+        wanted = {h for h in set(hosts)
+                  if rules_for_host(h).link_allow
+                  or rules_for_host(h).link_restrict_xpaths}
+        if not wanted:
+            return CHILD_SCHEMA.empty_table()
+        mask = pa.array([h in wanted for h in hosts])
+        sub = art_tbl.filter(mask)
+        fetched = self._fetch_driver(sub)
+        if fetched is None:
+            return CHILD_SCHEMA.empty_table()
+        return harvest_links_batch(fetched)
 
     def _extract_commit_fn(self, wave: int, now_us: int):
         """The fused extract+commit batch UDF (shared by the Ray pipeline

@@ -13,9 +13,11 @@ import json
 
 import pyarrow as pa
 
-from .discovery import (maybe_gunzip, parse_atom, parse_csv_urls, parse_rss,
-                        parse_sitemap, parse_specified,
-                        sitemap_urls_from_robots)
+from ..extract.siterules import rules_for_host
+from ..functions.urlnorm import host_of
+from .discovery import (extract_links, maybe_gunzip, parse_atom,
+                        parse_csv_urls, parse_rss, parse_sitemap,
+                        parse_specified, sitemap_urls_from_robots)
 
 DISCOVERY_KINDS = frozenset({"robots", "sitemap", "rss", "atom", "csv",
                              "urllist"})
@@ -82,14 +84,56 @@ def _children_of(kind: str, body: bytes, priority: int, depth: int,
 
 def discover_batch(batch: pa.Table) -> pa.Table:
     """Expects fetched discovery rows with columns source_kind, html,
-    priority, depth. Emits child frontier rows."""
+    priority, depth (+ canon_url when available, for per-site
+    sitemap_follow filters). Emits child frontier rows."""
     kinds = batch.column("source_kind").to_pylist()
     htmls = batch.column("html").to_pylist()
     prios = batch.column("priority").to_pylist()
     depths = batch.column("depth").to_pylist()
+    url_col = ("canon_url" if "canon_url" in batch.column_names
+               else "url" if "url" in batch.column_names else None)
+    urls = (batch.column(url_col).to_pylist()
+            if url_col else [None] * len(kinds))
     rows: list[dict] = []
-    for kind, body, prio, depth in zip(kinds, htmls, prios, depths):
+    for kind, body, prio, depth, url in zip(kinds, htmls, prios, depths,
+                                            urls):
         if body is None:
             continue
-        rows.extend(_children_of(kind, body, int(prio or 0), int(depth or 0)))
+        follow = None
+        if url is not None:
+            follow = rules_for_host(host_of(url)).sitemap_follow
+        rows.extend(_children_of(kind, body, int(prio or 0),
+                                 int(depth or 0),
+                                 sitemap_follow=list(follow) if follow
+                                 else None))
+    return pa.Table.from_pylist(rows, schema=CHILD_SCHEMA)
+
+
+def harvest_links_batch(batch: pa.Table, max_depth: int = 3) -> pa.Table:
+    """Link-following crawl (SURVEY.md 2.1 S7): harvest <a href> from
+    fetched article pages of hosts that declare LinkExtractor-style rules
+    (SiteRules.link_allow/deny/restrict); children enter the frontier as
+    kind 'link' and pass the seen-gate like any other request."""
+    urls = batch.column("canon_url" if "canon_url" in batch.column_names
+                        else "url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    depths = (batch.column("depth").to_pylist()
+              if "depth" in batch.column_names else [0] * len(urls))
+    rows: list[dict] = []
+    for url, body, depth in zip(urls, htmls, depths):
+        if body is None or (depth or 0) >= max_depth:
+            continue
+        rules = rules_for_host(host_of(url))
+        if not rules.link_allow and not rules.link_restrict_xpaths:
+            continue
+        links = extract_links(
+            body, url,
+            allow=list(rules.link_allow) or None,
+            deny=list(rules.link_deny) or None,
+            restrict_xpaths=list(rules.link_restrict_xpaths) or None)
+        for u in links:
+            rows.append({"url": u, "priority": 0,
+                         "depth": int(depth or 0) + 1,
+                         "source_kind": "link",
+                         "meta": json.dumps({"originalurl": u})})
     return pa.Table.from_pylist(rows, schema=CHILD_SCHEMA)
