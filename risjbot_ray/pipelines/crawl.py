@@ -104,6 +104,8 @@ class CrawlPipeline:
         self.metrics: dict[str, float] = {"scheduled_urls": 0,
                                           "extracted_pages": 0,
                                           "fetched_rows": 0}
+        from ..state.metrics import Metrics
+        self.extract_metrics = Metrics()
         self._warm_workers()
 
     def _warm_workers(self) -> None:
@@ -237,6 +239,7 @@ class CrawlPipeline:
             "extracted": n_extracted,
             "children": children.num_rows,
             "seen_counters": self.seen.counters(),
+            "extract_counters": self.extract_metrics.snapshot(),
             "phase_sec": phases,
             "wall_sec": round(time.time() - t0, 3),
         })
@@ -344,6 +347,8 @@ class CrawlPipeline:
             return batch.append_column("meta",
                                        pa.array(out_meta, type=pa.string()))
 
+        metrics = self.extract_metrics
+
         def extract_commit(batch: pa.Table) -> pa.Table:
             batch = prep_meta(batch)
             # response URL is the canonical one (the fetch joined on it);
@@ -355,9 +360,14 @@ class CrawlPipeline:
             batch = batch.rename_columns(
                 ["url" if c == "canon_url" else c
                  for c in batch.column_names])
+            from ..extract.page import ExtractStats as _ES
+            stats = _ES()
             out = extract_batch(batch, passthrough=("key", "url_hash",
                                                     "pass_seen",
-                                                    "resp_url"))
+                                                    "resp_url"),
+                                stats=stats)
+            if metrics is not None:
+                metrics.incr(stats.as_dict())
             if out.num_rows:
                 mask = pc.invert(out.column("pass_seen"))
                 commit_rows = out.filter(mask)
@@ -488,6 +498,7 @@ class CrawlPipeline:
 
     def shutdown(self) -> None:
         self.seen.shutdown()
+        self.extract_metrics.shutdown()
 
 
 def _concat_frontier(tables: list[pa.Table]) -> pa.Table:

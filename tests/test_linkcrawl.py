@@ -1,0 +1,106 @@
+"""Link-following crawl (S7) and per-site sitemap_follow tests."""
+
+import json
+from datetime import datetime, timezone
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from risjbot_ray.pipelines.crawl import CrawlConfig, CrawlPipeline
+from risjbot_ray.sources.stage import discover_batch, harvest_links_batch
+from risjbot_ray.testsupport.pagegen import PAGE_SCHEMA
+
+TS = datetime(2017, 3, 1, tzinfo=timezone.utc)
+
+
+def _page(url, html):
+    return {"url": url, "warc_ts": TS, "html": html.encode(),
+            "text": "", "lang": "en"}
+
+
+def test_harvest_links_respects_site_rules():
+    hub = ('<html><body>'
+           '<a href="/news/a-good-story">x</a>'
+           '<a href="/about/team">y</a>'
+           '<a href="https://other.example/z">z</a>'
+           "</body></html>")
+    batch = pa.Table.from_pylist([
+        {"url": "https://www.buzzfeed.com/news/hub", "html": hub.encode(),
+         "depth": 0},
+        # host without link rules -> no children
+        {"url": "https://site00.example/hub", "html": hub.encode(),
+         "depth": 0},
+    ], schema=pa.schema([("url", pa.string()), ("html", pa.binary()),
+                         ("depth", pa.int32())]))
+    out = harvest_links_batch(batch)
+    urls = out.column("url").to_pylist()
+    assert urls == ["https://www.buzzfeed.com/news/a-good-story"]
+    assert out.column("source_kind").to_pylist() == ["link"]
+    assert out.column("depth").to_pylist() == [1]
+
+
+def test_harvest_links_depth_cap():
+    hub = '<html><body><a href="/news/a-x">x</a></body></html>'
+    batch = pa.Table.from_pylist(
+        [{"url": "https://www.buzzfeed.com/news/h", "html": hub.encode(),
+          "depth": 3}],
+        schema=pa.schema([("url", pa.string()), ("html", pa.binary()),
+                          ("depth", pa.int32())]))
+    assert harvest_links_batch(batch, max_depth=3).num_rows == 0
+
+
+def test_sitemap_follow_filters_index_children():
+    idx = ('<?xml version="1.0"?><sitemapindex>'
+           "<sitemap><loc>https://uk.reuters.com/sitemap_20170301.xml</loc>"
+           "</sitemap>"
+           "<sitemap><loc>https://uk.reuters.com/sitemap_fr.html</loc>"
+           "</sitemap></sitemapindex>")
+    batch = pa.Table.from_pylist([
+        {"source_kind": "sitemap", "html": idx.encode(), "priority": 0,
+         "depth": 0, "canon_url": "https://uk.reuters.com/sitemap_index.xml"},
+    ], schema=pa.schema([("source_kind", pa.string()),
+                         ("html", pa.binary()), ("priority", pa.int32()),
+                         ("depth", pa.int32()), ("canon_url", pa.string())]))
+    out = discover_batch(batch)
+    urls = out.column("url").to_pylist()
+    # reuters rules follow only *.xml children (uk/reuters.py:11-19,40)
+    assert urls == ["https://uk.reuters.com/sitemap_20170301.xml"]
+
+
+def test_link_crawl_end_to_end(ray_session, tmp_path):
+    """Seed a hub page on a link-crawl host; the crawl must follow links
+    across hops and extract the linked articles."""
+    art = ('<html lang="en"><head><title>T{i}</title>'
+           '<meta property="og:title" content="Linked {i}"></head>'
+           '<body><div itemprop="articleBody"><p>Body of linked article '
+           "number {i} with enough words to matter.</p></div>"
+           '{next_link}</body></html>')
+    pages = [
+        _page("https://www.buzzfeed.com/news/hub",
+              '<html><body><a href="/news/art-1">1</a>'
+              '<a href="/about/nope">no</a></body></html>'),
+        _page("https://www.buzzfeed.com/news/art-1",
+              art.format(i=1, next_link='<a href="/news/art-2">next</a>')),
+        _page("https://www.buzzfeed.com/news/art-2",
+              art.format(i=2, next_link="")),
+    ]
+    ppath = str(tmp_path / "pages.parquet")
+    pq.write_table(pa.Table.from_pylist(pages, schema=PAGE_SCHEMA), ppath)
+    cfg = CrawlConfig(out_dir=str(tmp_path / "out"),
+                      checkpoint_dir=str(tmp_path / "ckpt"),
+                      per_host_budget=100, num_seen_shards=1,
+                      num_fetch_buckets=2, max_waves=8, obey_robots=False)
+    pipe = CrawlPipeline(cfg, ppath, str(tmp_path / "store"))
+    res = pipe.run(seeds=[{"url": "https://www.buzzfeed.com/news/hub",
+                           "kind": "article",
+                           "meta": {"refetchcontrol_pass": True}}])
+    counters = pipe.extract_metrics.snapshot()
+    pipe.shutdown()
+    import glob
+    parts = glob.glob(str(tmp_path / "out" / "wave=*" / "*.parquet"))
+    ext = pa.concat_tables([pq.read_table(p) for p in parts],
+                           promote_options="default")
+    urls = sorted(ext.column("url").to_pylist())
+    assert "https://www.buzzfeed.com/news/art-1" in urls
+    assert "https://www.buzzfeed.com/news/art-2" in urls  # 2 hops
+    assert counters.get("extracted", 0) >= 3
