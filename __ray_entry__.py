@@ -38,7 +38,7 @@ def _corpus_paths(sf_dir: str, n: int | None = None) -> tuple[str, str]:
 
     if n is None:
         n = _n_articles_for(sf_dir)
-    tag = hashlib.md5(f"{sf_dir}:{n}:v2".encode()).hexdigest()[:12]
+    tag = hashlib.md5(f"{sf_dir}:{n}:v3".encode()).hexdigest()[:12]
     root = f"/tmp/risjbot_corpus/{tag}"
     pages_path = f"{root}/pages"
     if not os.path.exists(f"{root}/DONE"):

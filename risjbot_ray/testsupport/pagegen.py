@@ -63,6 +63,17 @@ _SITE_BODY = {
     "usatoday.example": '<div class="article-wrapper">{paras}</div>',
     "sun.example": '<div class="article__content">{paras}</div>',
     "bild.example": '<div itemprop="articleBody">{paras}</div>',
+    # second-tranche sites (siterules.py citations per entry)
+    "metro.example": '<div class="article-body">{paras}</div>',
+    "mirror.example": '<div class="article-body">{paras}</div>',
+    "cbs.example": '<div class="post">{paras}</div>',
+    "nbc.example": '<div class="article-body">{paras}</div>',
+    "yahoo.example": '<div class="canvas-body">{paras}</div>',
+    "huffpo.example": '<div class="entry__body">{paras}</div>',
+    "vice.example": '<div class="article-content">{paras}</div>',
+    "reuters.example": '<span id="article-text">{paras}</span>',
+    "telegraph.example": '<div itemprop="articleBody">{paras}</div>',
+    "independent.example": '<div itemprop="articleBody">{paras}</div>',
 }
 
 _SITE_SOURCE = {
@@ -74,6 +85,9 @@ _SITE_SOURCE = {
     "usatoday.example": "USA Today",
     "sun.example": "The Sun",
     "bild.example": "Bild",
+    "reuters.example": "Reuters [UK]",
+    "vice.example": "Vice News",
+    "yahoo.example": "Yahoo! News [US]",
 }
 
 
@@ -227,10 +241,12 @@ def make_page(seed: int, i: int) -> tuple[dict, dict]:
         head_extra = (f'<meta property="og:title" content="{headline}">'
                       f'<meta property="og:site_name" content="{og_name}">')
         body_html = _SITE_BODY[host].format(paras=ptags)
+        if host == "reuters.example":
+            # reuters skips opengraph (uk/reuters.py:64): headline must
+            # come through the schema.org channel instead
+            body_html = (f'<h1 itemprop="headline">{headline}</h1>'
+                         + body_html)
         exp.update(source=_SITE_SOURCE.get(host, og_name), language=lang)
-        if host == "usatoday.example":
-            # usatoday wraps paragraphs: selector is //p//text()
-            pass
     elif family == "readability_fallback":
         body_html = (f'<div class="sidebar"><p>Related links and promo '
                      f"items live here, {i}.</p></div>"
