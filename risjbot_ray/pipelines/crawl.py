@@ -395,6 +395,11 @@ class CrawlPipeline:
             return 0, 0
         cfg = self.cfg
         wave_dir = f"{cfg.out_dir}/wave={wave:04d}"
+        # idempotent re-run: a crash between this wave's write and its
+        # manifest commit leaves partial files — a resumed wave must
+        # replace, not append (resumability contract, SURVEY.md section 4)
+        import shutil
+        shutil.rmtree(wave_dir, ignore_errors=True)
         extract_commit = self._extract_commit_fn(wave, now_us)
 
         if art_tbl.num_rows <= cfg.small_wave_rows:
