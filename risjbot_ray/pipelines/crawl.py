@@ -86,6 +86,36 @@ def _now_us(cfg: CrawlConfig) -> int:
     return int(datetime.now(timezone.utc).timestamp() * 1_000_000)
 
 
+# result rows of the discovery-spill tasks: spilled bucket files,
+# per-host counts, and (few) discovery-kind children
+_DISC_RESULT_SCHEMA = pa.schema([
+    ("kind", pa.string()),        # spill | hostcount | child
+    ("path", pa.string()),
+    ("bucket", pa.int64()),
+    ("host", pa.string()),
+    ("n", pa.int64()),
+    ("child_json", pa.string()),
+])
+
+
+@dataclass
+class BucketedFrontier:
+    """A frontier wave that never materializes on the driver: article
+    children were canonicalized + keyed at discovery time and written as
+    per-fetch-bucket parquet files. The driver holds only file lists and
+    per-host counts (O(#hosts), not O(#urls)) — the representation that
+    makes a 10^10-URL frontier possible.
+
+    The next wave runs gate -> robots -> fetch -> extract as ONE task per
+    bucket with no shuffle: the partitioning key (url_hash bucket) is
+    shared between the frontier layout and the page store."""
+
+    directory: str
+    num_rows: int
+    host_counts: dict[str, int]
+    bucket_files: dict[int, list[str]]
+
+
 class CrawlPipeline:
     """Owns the seen-shard pool, page store and checkpoint state across
     waves. Ray must already be initialized by the caller."""
@@ -106,6 +136,7 @@ class CrawlPipeline:
                                           "fetched_rows": 0}
         from ..state.metrics import Metrics
         self.extract_metrics = Metrics()
+        self._pending_bucketed: list = []
         self._warm_workers()
 
     def _warm_workers(self) -> None:
@@ -246,6 +277,8 @@ class CrawlPipeline:
         return next_frontier
 
     def _with_buckets(self, tbl: pa.Table) -> pa.Table:
+        if "fetch_bucket" in tbl.column_names:
+            tbl = tbl.drop_columns(["fetch_bucket"])
         hashes = np.asarray(tbl.column("url_hash").to_pylist(),
                             dtype=np.uint64)
         buckets = self.store.bucket_of(hashes)
@@ -283,27 +316,97 @@ class CrawlPipeline:
             return discover_batch(fetched)
         # many feed/sitemap bodies (each can hold tens of thousands of
         # <url> entries): fetch AND parse inside per-bucket Ray tasks —
-        # the multi-MB XML bodies never ship through the object store,
-        # only the child frontier rows come back
+        # the multi-MB XML bodies never ship through the object store.
+        # Article children are canonicalized IN the task and spilled to
+        # per-fetch-bucket parquet (BucketedFrontier); only discovery-kind
+        # children (sitemap shards — always few) and per-host counts come
+        # back to the driver.
         store = self.store
+        eq = self.cfg.equivalent_domains
+        num_buckets = store.num_buckets
+        frontier_dir = os.path.join(self.ckpt.dir,
+                                    f"frontier-bucketed-{wave + 1:04d}")
+        os.makedirs(frontier_dir, exist_ok=True)
         tbl = self._with_buckets(disc_tbl)
         buckets = np.asarray(tbl.column("fetch_bucket").to_pylist())
         parts = [tbl.filter(pa.array(buckets == b))
                  for b in np.unique(buckets)]
 
-        def fetch_discover(group: pa.Table) -> pa.Table:
+        def fetch_discover_spill(group: pa.Table) -> pa.Table:
+            import uuid
+
+            import pyarrow.parquet as _pq
             fetched = store.fetch_group(group)
             if fetched is None or fetched.num_rows == 0:
-                return CHILD_SCHEMA.empty_table()
-            return discover_batch(fetched)
+                return _DISC_RESULT_SCHEMA.empty_table()
+            children = discover_batch(fetched)
+            if children.num_rows == 0:
+                return _DISC_RESULT_SCHEMA.empty_table()
+            kinds = children.column("source_kind")
+            dmask = pc.is_in(kinds, value_set=pa.array(
+                list(DISCOVERY_KINDS), type=pa.string()))
+            disc_children = children.filter(dmask)
+            art_children = children.filter(pc.invert(dmask))
+            rows = []
+            if art_children.num_rows:
+                cand = canonicalize_batch(art_children, eq)
+                hashes = np.asarray(cand.column("url_hash").to_pylist(),
+                                    dtype=np.uint64)
+                cbuckets = (hashes % np.uint64(num_buckets)).astype(np.int64)
+                cand = cand.append_column(
+                    "fetch_bucket", pa.array(cbuckets, type=pa.int64()))
+                tag = uuid.uuid4().hex[:10]
+                for b in np.unique(cbuckets):
+                    sub = cand.filter(pa.array(cbuckets == b))
+                    bdir = os.path.join(frontier_dir, f"bucket={b:05d}")
+                    os.makedirs(bdir, exist_ok=True)
+                    path = os.path.join(bdir, f"part-{tag}.parquet")
+                    _pq.write_table(sub, path)
+                    rows.append({"kind": "spill", "path": path,
+                                 "bucket": int(b), "host": None,
+                                 "n": sub.num_rows, "child_json": None})
+                # per-host counts for the politeness budget decision
+                for hc in pc.value_counts(cand.column("host")).to_pylist():
+                    rows.append({"kind": "hostcount", "path": None,
+                                 "bucket": -1, "host": hc["values"],
+                                 "n": int(hc["counts"]), "child_json": None})
+            for child in disc_children.to_pylist():
+                rows.append({"kind": "child", "path": None, "bucket": -1,
+                             "host": None, "n": 0,
+                             "child_json": json.dumps(child)})
+            return pa.Table.from_pylist(rows, schema=_DISC_RESULT_SCHEMA)
 
         ds = ray.data.from_arrow(parts).map_batches(
-            fetch_discover, batch_format="pyarrow", batch_size=None)
-        tables = [ray.get(r) for r in ds.to_arrow_refs()]
-        tables = [t for t in tables if t.num_rows]
-        if not tables:
+            fetch_discover_spill, batch_format="pyarrow", batch_size=None)
+        results = [ray.get(r) for r in ds.to_arrow_refs()]
+        results = [t for t in results if t.num_rows]
+        if not results:
             return CHILD_SCHEMA.empty_table()
-        return pa.concat_tables(tables).combine_chunks()
+        res = pa.concat_tables(results).to_pylist()
+
+        disc_children_rows = [json.loads(r["child_json"]) for r in res
+                              if r["kind"] == "child"]
+        host_counts: dict[str, int] = {}
+        bucket_files: dict[int, list[str]] = {}
+        n_rows = 0
+        for r in res:
+            if r["kind"] == "hostcount":
+                host_counts[r["host"]] = (host_counts.get(r["host"], 0)
+                                          + r["n"])
+            elif r["kind"] == "spill":
+                bucket_files.setdefault(r["bucket"], []).append(r["path"])
+                n_rows += r["n"]
+
+        disc_children = (pa.Table.from_pylist(disc_children_rows,
+                                              schema=CHILD_SCHEMA)
+                         if disc_children_rows
+                         else CHILD_SCHEMA.empty_table())
+        if n_rows == 0:
+            return disc_children
+        self._pending_bucketed.append(
+            BucketedFrontier(frontier_dir, n_rows, host_counts,
+                             bucket_files))
+        return disc_children
 
     def _harvest_links(self, art_tbl: pa.Table) -> pa.Table:
         """Fetch + link-harvest article rows of link-crawl hosts
@@ -325,6 +428,136 @@ class CrawlPipeline:
         if fetched is None:
             return CHILD_SCHEMA.empty_table()
         return harvest_links_batch(fetched)
+
+    def _run_bucketed_wave(self, wave: int, bf: BucketedFrontier,
+                           primary: bool = True) -> pa.Table:
+        """Process a bucket-partitioned article frontier: ONE Ray task per
+        fetch bucket runs dedup -> seen-gate -> robots -> fetch join ->
+        extract -> ledger commit; results stream to parquet. Nothing about
+        the wave is O(rows) on the driver.
+
+        Falls back to the table path (returned as next-wave children) when
+        the per-host politeness budget binds or a link-crawl host is
+        present — both need cross-bucket coordination."""
+        cfg = self.cfg
+        now_us = _now_us(cfg)
+        from ..extract.siterules import rules_for_host
+
+        max_host = max(bf.host_counts.values(), default=0)
+        if max_host > cfg.per_host_budget:
+            # the politeness budget binds: per-host top-k needs cross-
+            # bucket coordination — hand the spill to the table path
+            import pyarrow.parquet as pq
+            tables = [pq.read_table(p) for files in bf.bucket_files.values()
+                      for p in files]
+            tbl = pa.concat_tables(tables, promote_options="default")
+            if primary:
+                # keep the manifest chain gap-free even when this wave
+                # only re-queues the spill for table-path processing
+                self.ckpt.commit_wave(wave, {
+                    "wave": wave, "mode": "bucketed-fallback",
+                    "rows_in": bf.num_rows, "scheduled": 0, "fetched": 0,
+                    "extracted": 0, "children": tbl.num_rows,
+                    "seen_counters": self.seen.counters()})
+            return tbl.select(CHILD_SCHEMA.names)
+
+        # link-crawl hosts: pull ONLY their rows (tiny subset) for link
+        # harvesting; the bucketed extraction still covers them
+        link_hosts = {h for h in bf.host_counts
+                      if rules_for_host(h).link_allow
+                      or rules_for_host(h).link_restrict_xpaths}
+        link_children = CHILD_SCHEMA.empty_table()
+        if link_hosts:
+            import pyarrow.parquet as pq
+            subs = []
+            for files in bf.bucket_files.values():
+                for p in files:
+                    t = pq.read_table(p)
+                    m = pc.is_in(t.column("host"),
+                                 value_set=pa.array(sorted(link_hosts)))
+                    sub = t.filter(m)
+                    if sub.num_rows:
+                        subs.append(sub)
+            if subs:
+                link_children = self._harvest_links(
+                    pa.concat_tables(subs, promote_options="default"))
+
+        seen = self.seen
+        robots = self.robots if cfg.obey_robots else None
+        store = self.store
+        metrics = self.extract_metrics
+        extract_commit = self._extract_commit_fn(wave, now_us)
+        wave_dir = f"{cfg.out_dir}/wave={wave:04d}b"
+        import shutil
+        shutil.rmtree(wave_dir, ignore_errors=True)
+        self.seen.new_wave()
+
+        def run_bucket(batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as _pq
+            outs = []
+            for row in batch.to_pylist():
+                tbl = pa.concat_tables([_pq.read_table(p)
+                                        for p in row["paths"]],
+                                       promote_options="default")
+                tbl = dedupe_wave(tbl)
+                keys = tbl.column("key").to_pylist()
+                hashes = np.asarray(tbl.column("url_hash").to_pylist(),
+                                    dtype=np.uint64)
+                passes = np.asarray(tbl.column("pass_seen").to_pylist(),
+                                    dtype=bool)
+                allowed, prev = seen.check(keys, hashes, now_us,
+                                           pass_flags=passes)
+                tbl = tbl.append_column("previousfetches",
+                                        pa.array(prev, type=pa.int32()))
+                tbl = tbl.filter(pa.array(allowed))
+                if robots is not None and tbl.num_rows:
+                    mask = robots.allowed_mask(
+                        tbl.column("host").to_pylist(),
+                        tbl.column("canon_url").to_pylist())
+                    tbl = tbl.filter(pa.array(mask))
+                metrics.incr({"bucketed_scheduled": tbl.num_rows})
+                if tbl.num_rows == 0:
+                    continue
+                fetched = store.fetch_group(tbl)
+                if fetched is None or fetched.num_rows == 0:
+                    continue
+                outs.append(extract_commit(fetched))
+            if not outs:
+                return _empty_extracted()
+            return pa.concat_tables(outs, promote_options="default")
+
+        before = metrics.snapshot().get("bucketed_scheduled", 0)
+        items = [{"bucket": b, "paths": files}
+                 for b, files in sorted(bf.bucket_files.items())]
+        (ray.data.from_items(items)
+         .map_batches(run_bucket, batch_format="pyarrow", batch_size=1)
+         .write_parquet(wave_dir))
+
+        import glob
+
+        import pyarrow.parquet as pq
+        n_extracted = sum(pq.read_metadata(p).num_rows
+                          for p in glob.glob(f"{wave_dir}/*.parquet"))
+        snap = metrics.snapshot()
+        n_scheduled = snap.get("bucketed_scheduled", 0) - before
+        self.metrics["scheduled_urls"] += n_scheduled
+        self.metrics["extracted_pages"] += n_extracted
+        self.metrics["fetched_rows"] += n_extracted
+        self.seen.snapshot(self.ckpt.seen_dir)
+        commit = (self.ckpt.commit_wave if primary
+                  else lambda w, m: self.ckpt.commit_wave_suffixed(w, "b", m))
+        commit(wave, {
+            "wave": wave, "mode": "bucketed",
+            "rows_in": bf.num_rows,
+            "scheduled": n_scheduled,
+            "fetched": n_extracted,
+            "extracted": n_extracted,
+            "children": 0,
+            "buckets": len(bf.bucket_files),
+            "seen_counters": self.seen.counters(),
+            "extract_counters": snap,
+        })
+        return link_children
 
     def _extract_commit_fn(self, wave: int, now_us: int):
         """The fused extract+commit batch UDF (shared by the Ray pipeline
@@ -459,19 +692,42 @@ class CrawlPipeline:
         if not resume:
             frontier = seed_frontier(seeds or [])
 
+        # the frontier between waves is a list of PIECES: driver tables
+        # (control plane, trawl, link children) and BucketedFrontier
+        # spills (bulk article sets that never touch the driver)
+        pieces: list = [frontier] if frontier is not None else []
         wave = start_wave
         trawled_done = False
         t0 = time.time()
         while wave < cfg.max_waves:
-            if frontier is None or frontier.num_rows == 0:
+            tables = [p for p in pieces if isinstance(p, pa.Table)
+                      and p.num_rows]
+            bucketed = [p for p in pieces
+                        if isinstance(p, BucketedFrontier) and p.num_rows]
+            if not tables and not bucketed:
                 # idle: trawl epilogue, once (refetchcontrol.py:132-195)
                 if cfg.refetchfromdb and not trawled_done:
                     trawled_done = True
-                    frontier = self._trawl_frontier()
-                    if frontier.num_rows:
+                    tf = self._trawl_frontier()
+                    if tf.num_rows:
+                        pieces = [tf]
                         continue
                 break
-            frontier = self.run_wave(wave, frontier)
+            self._pending_bucketed = []
+            next_pieces: list = []
+            if tables:
+                tbl = (tables[0] if len(tables) == 1
+                       else _concat_frontier(tables))
+                nf = self.run_wave(wave, tbl)
+                if nf is not None and nf.num_rows:
+                    next_pieces.append(nf)
+            for i, bfp in enumerate(bucketed):
+                children = self._run_bucketed_wave(
+                    wave, bfp, primary=(not tables and i == 0))
+                if children.num_rows:
+                    next_pieces.append(children)
+            next_pieces.extend(self._pending_bucketed)
+            pieces = next_pieces
             wave += 1
         wall = time.time() - t0
         return {

@@ -63,6 +63,16 @@ class CheckpointManager:
             f.write(str(wave))
         os.replace(ltmp, os.path.join(self.dir, "LATEST"))
 
+    def commit_wave_suffixed(self, wave: int, suffix: str,
+                             manifest: dict) -> None:
+        """Secondary manifest for an extra frontier piece processed in the
+        same wave index (does not advance LATEST)."""
+        mpath = os.path.join(self.dir, f"wave-{wave:04d}{suffix}.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
+        os.replace(tmp, mpath)
+
     def latest_wave(self) -> int | None:
         path = os.path.join(self.dir, "LATEST")
         if not os.path.exists(path):
