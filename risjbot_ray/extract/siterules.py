@@ -49,6 +49,10 @@ class SiteRules:
     link_allow: tuple[str, ...] = ()
     link_deny: tuple[str, ...] = ()
     link_restrict_xpaths: tuple[str, ...] = ()
+    # offsite gate (allowed_domains + OffsiteDownloaderShim,
+    # uk/independent.py:13-16, dlmiddlewares/offsitedownloadershim.py:20-39):
+    # discovered children outside these domains are dropped
+    allowed_domains: tuple[str, ...] = ()
 
 
 def _take_first_strip(vals: list) -> list:
@@ -384,6 +388,9 @@ SITE_RULES: tuple[SiteRules, ...] = (
                     '//article//*[@itemprop="author"]'
                     '//*[@itemprop="name"]//text()'),
         ),
+        # "Don't accept off-domain redirects to thinly-branded content"
+        # (uk/independent.py:13-16)
+        allowed_domains=("independent.co.uk", "independent.example"),
     ),
     # --- uk/reuters.py:20-77 (date-window sitemap follow) ------------------
     SiteRules(

@@ -100,12 +100,23 @@ def discover_batch(batch: pa.Table) -> pa.Table:
         if body is None:
             continue
         follow = None
+        allowed: tuple[str, ...] = ()
         if url is not None:
-            follow = rules_for_host(host_of(url)).sitemap_follow
-        rows.extend(_children_of(kind, body, int(prio or 0),
-                                 int(depth or 0),
-                                 sitemap_follow=list(follow) if follow
-                                 else None))
+            site = rules_for_host(host_of(url))
+            follow = site.sitemap_follow
+            allowed = site.allowed_domains
+        children = _children_of(kind, body, int(prio or 0),
+                                int(depth or 0),
+                                sitemap_follow=list(follow) if follow
+                                else None)
+        if allowed:
+            # offsite gate: drop children outside allowed_domains
+            # (uk/independent.py:13-16 + OffsiteDownloaderShim role)
+            children = [c for c in children
+                        if any(host_of(c["url"]) == d
+                               or host_of(c["url"]).endswith("." + d)
+                               for d in allowed)]
+        rows.extend(children)
     return pa.Table.from_pylist(rows, schema=CHILD_SCHEMA)
 
 

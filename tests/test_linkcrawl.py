@@ -104,3 +104,23 @@ def test_link_crawl_end_to_end(ray_session, tmp_path):
     assert "https://www.buzzfeed.com/news/art-1" in urls
     assert "https://www.buzzfeed.com/news/art-2" in urls  # 2 hops
     assert counters.get("extracted", 0) >= 3
+
+
+def test_allowed_domains_offsite_gate():
+    """Children outside allowed_domains are dropped (independent.co.uk
+    allowed_domains, uk/independent.py:13-16)."""
+    rss = (b'<rss version="2.0"><channel>'
+           b"<item><link>https://www.independent.co.uk/news/a1</link>"
+           b"<title>ok</title></item>"
+           b"<item><link>https://www.standard.co.uk/offsite</link>"
+           b"<title>no</title></item>"
+           b"</channel></rss>")
+    batch = pa.Table.from_pylist([
+        {"source_kind": "rss", "html": rss, "priority": 0, "depth": 0,
+         "canon_url": "https://www.independent.co.uk/rss"},
+    ], schema=pa.schema([("source_kind", pa.string()),
+                         ("html", pa.binary()), ("priority", pa.int32()),
+                         ("depth", pa.int32()), ("canon_url", pa.string())]))
+    out = discover_batch(batch)
+    assert out.column("url").to_pylist() == \
+        ["https://www.independent.co.uk/news/a1"]
