@@ -63,11 +63,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                           per_host_budget=1_000_000,
                           equivalent_domains=EQUIVALENT_DOMAINS,
                           num_seen_shards=8,
-                          num_fetch_buckets=64,
+                          num_fetch_buckets=128,
                           max_waves=12)
         # store layout is corpus-keyed and shared across CPU levels —
         # built once, reused (same input at both parallelism levels)
-        pipe = CrawlPipeline(cfg, pages_path, f"{root}/store64",
+        pipe = CrawlPipeline(cfg, pages_path, f"{root}/store128",
                              robots_bodies=sj["robots"])
         t0 = time.time()
         res = pipe.run(seeds=sj["seeds"])

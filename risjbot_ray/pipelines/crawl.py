@@ -431,6 +431,7 @@ class CrawlPipeline:
 
     def _run_bucketed_wave(self, wave: int, bf: BucketedFrontier,
                            primary: bool = True) -> pa.Table:
+        _t0 = time.time()
         """Process a bucket-partitioned article frontier: ONE Ray task per
         fetch bucket runs dedup -> seen-gate -> robots -> fetch join ->
         extract -> ledger commit; results stream to parquet. Nothing about
@@ -556,6 +557,7 @@ class CrawlPipeline:
             "buckets": len(bf.bucket_files),
             "seen_counters": self.seen.counters(),
             "extract_counters": snap,
+            "wall_sec": round(time.time() - _t0, 3),
         })
         return link_children
 
