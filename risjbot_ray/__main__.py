@@ -1,0 +1,108 @@
+"""CLI entry point — the ``ray job submit`` surface (north_star).
+
+Examples::
+
+    # full crawl over a pages corpus
+    ray job submit -- python -m risjbot_ray crawl \
+        --pages /data/pages --store /data/store \
+        --seeds seeds.json --out /data/out --checkpoint /data/ckpt
+
+    # resume after interruption
+    ray job submit -- python -m risjbot_ray crawl ... --resume
+
+    # extraction only (no frontier)
+    ray job submit -- python -m risjbot_ray extract \
+        --pages /data/pages --out /data/extracted
+
+The script owns its Ray session (guarded init; `RAY_ADDRESS` / local).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init():
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    return ray
+
+
+def cmd_crawl(args: argparse.Namespace) -> int:
+    ray = _ray_init()
+    try:
+        from .pipelines.crawl import CrawlConfig, CrawlPipeline
+
+        seeds = []
+        robots = {}
+        if args.seeds:
+            with open(args.seeds) as f:
+                sj = json.load(f)
+            seeds = sj.get("seeds", sj if isinstance(sj, list) else [])
+            robots = sj.get("robots", {}) if isinstance(sj, dict) else {}
+        cfg = CrawlConfig(
+            out_dir=args.out, checkpoint_dir=args.checkpoint,
+            per_host_budget=args.budget,
+            num_seen_shards=args.seen_shards,
+            num_fetch_buckets=args.fetch_buckets,
+            refetchfromdb=args.trawl,
+            max_waves=args.max_waves)
+        pipe = CrawlPipeline(cfg, args.pages, args.store,
+                             robots_bodies=robots)
+        try:
+            res = pipe.run(seeds=seeds, resume=args.resume)
+        finally:
+            pipe.shutdown()
+        print(json.dumps(res))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+def cmd_extract(args: argparse.Namespace) -> int:
+    ray = _ray_init()
+    try:
+        from .extract.stage import extract_batch
+
+        ds = ray.data.read_parquet(args.pages)
+        ds.map_batches(extract_batch, batch_format="pyarrow",
+                       zero_copy_batch=True).write_parquet(args.out)
+        print(json.dumps({"out": args.out}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="risjbot_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="frontier crawl over a pages corpus")
+    c.add_argument("--pages", required=True)
+    c.add_argument("--store", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--checkpoint", required=True)
+    c.add_argument("--seeds", help="JSON: {seeds: [...], robots: {...}}")
+    c.add_argument("--budget", type=int, default=100_000)
+    c.add_argument("--seen-shards", type=int, default=8)
+    c.add_argument("--fetch-buckets", type=int, default=64)
+    c.add_argument("--max-waves", type=int, default=25)
+    c.add_argument("--trawl", action="store_true")
+    c.add_argument("--resume", action="store_true")
+    c.set_defaults(fn=cmd_crawl)
+
+    e = sub.add_parser("extract", help="extraction only")
+    e.add_argument("--pages", required=True)
+    e.add_argument("--out", required=True)
+    e.set_defaults(fn=cmd_extract)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -136,7 +136,9 @@ def make_page(seed: int, i: int) -> tuple[dict, dict]:
     elif family == "dates_dirty":
         host = "washingtonpost.example"
     elif family == "bodyxpath":
-        host = list(_SITE_BODY)[i % len(_SITE_BODY)]
+        # i // len(FAMILIES) walks every site in turn (i % len(_SITE_BODY)
+        # would only hit gcd-many residues)
+        host = list(_SITE_BODY)[(i // len(FAMILIES)) % len(_SITE_BODY)]
     elif family in ("jsonld", "jsonld_broken", "microdata", "opengraph",
                     "dublincore", "htmlmeta", "readability_fallback",
                     "nulbytes", "entities_escapes"):
