@@ -143,14 +143,18 @@ def run_subprocess(ncpu: int) -> dict:
 
 
 def run_level_steady(ncpu: int) -> dict:
-    """Two runs per level: the first warms caches / absorbs write-back
-    from earlier runs, the second is recorded. os.sync + settle between
-    runs keeps one level's dirty-page flush out of the other's timing."""
+    """Three runs per level: the first warms caches / absorbs write-back
+    from earlier runs; of the remaining two, the FASTER is recorded
+    (min-of-N damps interference from unrelated host load). os.sync +
+    settle keeps one run's dirty-page flush out of the next's timing."""
     os.sync()
     run_subprocess(ncpu)          # warm-up, discarded
-    os.sync()
-    time.sleep(3)
-    return run_subprocess(ncpu)
+    results = []
+    for _ in range(2):
+        os.sync()
+        time.sleep(3)
+        results.append(run_subprocess(ncpu))
+    return min(results, key=lambda r: r["value"])
 
 
 def main() -> None:
