@@ -170,7 +170,8 @@ def main() -> None:
             n_li = pq.read_metadata(
                 f"{sf_dir}/lineitem.parquet").num_rows
             os.environ["GRAFT_BENCH_N"] = str(max(100_000, n_li))
-        lo, hi = 8, 32
+        levels = os.environ.get("GRAFT_SCALE_LEVELS", "8,32")
+        lo, hi = (int(x) for x in levels.split(","))
         r_lo = run_level_steady(lo)
         r_hi = run_level_steady(hi)
         t_lo, t_hi = r_lo["value"], r_hi["value"]
@@ -179,9 +180,10 @@ def main() -> None:
             "metric": "scaling_efficiency",
             "value": round(eff, 3),
             "unit": "ratio",
-            "sec_8": t_lo, "sec_32": t_hi,
-            "throughput_8": r_lo["throughput"],
-            "throughput_32": r_hi["throughput"],
+            f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
+            f"throughput_{lo}": r_lo["throughput"],
+            f"throughput_{hi}": r_hi["throughput"],
+            "levels": [lo, hi],
             "sf": sf_dir,
         }))
         return
