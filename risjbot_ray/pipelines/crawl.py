@@ -58,6 +58,12 @@ class CrawlConfig:
     small_wave_rows: int = 4096  # driver fast path below this
     ray_canon_threshold: int = 20_000  # distribute canonicalize above
     ray_discovery_rows: int = 32  # distribute discovery parse above
+    # item pipelines enabled by default in the reference
+    # (settings.py:216-224: Sentiment(100), WordCount(200); NamedPeople/
+    # ReadingAge present but disabled)
+    enrich: bool = True
+    enrich_namedpeople: bool = False
+    enrich_readingage: bool = False
 
 
 def seed_frontier(seeds: list[dict]) -> pa.Table:
@@ -583,6 +589,19 @@ class CrawlPipeline:
                                        pa.array(out_meta, type=pa.string()))
 
         metrics = self.extract_metrics
+        cfg = self.cfg
+        enrich_holder: list = []  # built once per task process
+
+        def get_enricher():
+            if not cfg.enrich:
+                return None
+            if not enrich_holder:
+                from ..enrich.stages import Enrich
+                enrich_holder.append(Enrich(
+                    sentiment=True, wordcount=True,
+                    namedpeople=cfg.enrich_namedpeople,
+                    readingage=cfg.enrich_readingage))
+            return enrich_holder[0]
 
         def extract_commit(batch: pa.Table) -> pa.Table:
             batch = prep_meta(batch)
@@ -614,8 +633,12 @@ class CrawlPipeline:
                             commit_rows.column("url_hash").to_pylist(),
                             dtype=np.uint64),
                         now_us, wave)
-            return out.drop_columns(["key", "url_hash", "pass_seen",
-                                     "resp_url"])
+            out = out.drop_columns(["key", "url_hash", "pass_seen",
+                                    "resp_url"])
+            enricher = get_enricher()
+            if enricher is not None and out.num_rows:
+                out = enricher(out)
+            return out
 
         return extract_commit
 

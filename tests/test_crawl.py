@@ -156,3 +156,17 @@ def test_trawl_epilogue_refetches(ray_session, corpus):
     assert c["trawled"] > 0
     assert c["stored"] > stored_first  # refetches committed
     assert res2["extracted_pages"] > 0
+
+
+def test_crawl_output_is_enriched(crawl_run):
+    """The reference runs Sentiment(100)+WordCount(200) on every item by
+    default (settings.py:216-224); the crawl output must carry them, with
+    wordcount == len(bodytext.split())."""
+    _, cfg, expected, _ = crawl_run
+    ext = read_extracted(cfg.out_dir)
+    assert "wordcount" in ext.column_names
+    assert "sentiment" in ext.column_names
+    for row in ext.to_pylist()[:50]:
+        if row.get("bodytext"):
+            assert row["wordcount"] == len(row["bodytext"].split())
+            assert row["sentiment"] is not None
