@@ -277,6 +277,12 @@ class CrawlPipeline:
             "children": children.num_rows,
             "seen_counters": self.seen.counters(),
             "extract_counters": self.extract_metrics.snapshot(),
+            "pending_bucketed": [
+                {"directory": b.directory, "num_rows": b.num_rows,
+                 "host_counts": b.host_counts,
+                 "bucket_files": {str(k): v
+                                  for k, v in b.bucket_files.items()}}
+                for b in self._pending_bucketed],
             "phase_sec": phases,
             "wall_sec": round(time.time() - t0, 3),
         })
@@ -565,6 +571,8 @@ class CrawlPipeline:
             "extract_counters": snap,
             "wall_sec": round(time.time() - _t0, 3),
         })
+        with open(os.path.join(bf.directory, "COMPLETE"), "w") as f:
+            f.write("ok")
         return link_children
 
     def _extract_commit_fn(self, wave: int, now_us: int):
@@ -706,12 +714,22 @@ class CrawlPipeline:
             resume: bool = False) -> dict:
         cfg = self.cfg
         start_wave = 0
+        restored_bucketed: list = []
         if resume:
             latest = self.ckpt.latest_wave()
             if latest is not None:
                 self.seen.restore(self.ckpt.seen_dir)
                 frontier = self.ckpt.read_frontier(latest + 1)
                 start_wave = latest + 1
+                manifest = self.ckpt.read_manifest(latest) or {}
+                for pb in manifest.get("pending_bucketed", []):
+                    if os.path.exists(os.path.join(pb["directory"],
+                                                   "COMPLETE")):
+                        continue  # finished before the crash
+                    restored_bucketed.append(BucketedFrontier(
+                        pb["directory"], pb["num_rows"], pb["host_counts"],
+                        {int(k): v
+                         for k, v in pb["bucket_files"].items()}))
             else:
                 resume = False
         if not resume:
@@ -721,6 +739,7 @@ class CrawlPipeline:
         # (control plane, trawl, link children) and BucketedFrontier
         # spills (bulk article sets that never touch the driver)
         pieces: list = [frontier] if frontier is not None else []
+        pieces.extend(restored_bucketed)
         wave = start_wave
         trawled_done = False
         t0 = time.time()

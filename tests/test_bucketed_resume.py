@@ -1,0 +1,76 @@
+"""Resume semantics for BucketedFrontier spills: a crash between the
+discovery spill and the bucketed wave must not lose the spilled articles,
+and a COMPLETED bucketed wave must not be clobbered on resume."""
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from risjbot_ray.pipelines.crawl import CrawlConfig, CrawlPipeline
+from risjbot_ray.testsupport.pagegen import EQUIVALENT_DOMAINS, gen_corpus
+
+
+def _read_out(out_dir):
+    parts = sorted(glob.glob(f"{out_dir}/wave=*/*.parquet"))
+    return (pa.concat_tables([pq.read_table(p) for p in parts],
+                             promote_options="default")
+            if parts else None)
+
+
+def test_pending_bucketed_survives_crash(ray_session, tmp_path):
+    pages, expected, seeds, robots = gen_corpus(120, seed=7)
+    ppath = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, ppath)
+
+    # ray_discovery_rows=0 forces the spill path even for small waves;
+    # max_waves cuts the run right after the spill wave commits, before
+    # the bucketed article wave runs — simulating a crash at the worst
+    # point
+    cfg = CrawlConfig(out_dir=str(tmp_path / "out"),
+                      checkpoint_dir=str(tmp_path / "ckpt"),
+                      per_host_budget=100000, num_seen_shards=2,
+                      num_fetch_buckets=4, max_waves=3,
+                      ray_discovery_rows=0, small_wave_rows=0,
+                      equivalent_domains=EQUIVALENT_DOMAINS)
+    pipe = CrawlPipeline(cfg, ppath, str(tmp_path / "store"),
+                         robots_bodies=robots)
+    pipe.run(seeds=seeds)
+    pipe.shutdown()
+
+    latest = int(open(tmp_path / "ckpt" / "LATEST").read())
+    manifest = json.load(open(tmp_path / "ckpt" / f"wave-{latest:04d}.json"))
+    # at least one pending spill must be recorded somewhere in the chain
+    pend_any = any(
+        json.load(open(p)).get("pending_bucketed")
+        for p in glob.glob(str(tmp_path / "ckpt" / "wave-*.json")))
+    extracted_so_far = _read_out(cfg.out_dir)
+    n_before = extracted_so_far.num_rows if extracted_so_far else 0
+
+    # resume: the pending spill must be restored and processed
+    cfg2 = CrawlConfig(out_dir=str(tmp_path / "out"),
+                       checkpoint_dir=str(tmp_path / "ckpt"),
+                       per_host_budget=100000, num_seen_shards=2,
+                       num_fetch_buckets=4, max_waves=25,
+                       ray_discovery_rows=0, small_wave_rows=0,
+                       equivalent_domains=EQUIVALENT_DOMAINS)
+    pipe2 = CrawlPipeline(cfg2, ppath, str(tmp_path / "store2"),
+                          robots_bodies=robots)
+    pipe2.run(resume=True)
+    pipe2.shutdown()
+
+    ext = _read_out(cfg.out_dir)
+    live = sorted(r["url"] for r in expected.to_pylist() if not r["dropped"])
+    got = sorted(ext.column("url").to_pylist())
+    assert got == live, (len(got), len(live))
+    assert pend_any or n_before == len(live)
+
+    # resuming AGAIN after full completion must not clobber outputs
+    pipe3 = CrawlPipeline(cfg2, ppath, str(tmp_path / "store3"),
+                          robots_bodies=robots)
+    pipe3.run(resume=True)
+    pipe3.shutdown()
+    ext2 = _read_out(cfg.out_dir)
+    assert sorted(ext2.column("url").to_pylist()) == live
