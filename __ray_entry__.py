@@ -54,8 +54,11 @@ def _corpus_paths(sf_dir: str, n: int | None = None) -> tuple[str, str]:
                            f"{pages_path}/shard-{s:04d}.parquet")
         pq.write_table(expected, f"{root}/expected.parquet")
         import json
+
+        from risjbot_ray.testsupport.pagegen import EQUIVALENT_DOMAINS
         with open(f"{root}/seeds.json", "w") as f:
-            json.dump({"seeds": seeds, "robots": robots}, f)
+            json.dump({"seeds": seeds, "robots": robots,
+                       "equivalent_domains": EQUIVALENT_DOMAINS}, f)
         with open(f"{root}/DONE", "w") as f:
             f.write("ok")
     return pages_path, root

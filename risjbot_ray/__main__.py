@@ -39,17 +39,21 @@ def cmd_crawl(args: argparse.Namespace) -> int:
 
         seeds = []
         robots = {}
+        eq = None
         if args.seeds:
             with open(args.seeds) as f:
                 sj = json.load(f)
             seeds = sj.get("seeds", sj if isinstance(sj, list) else [])
             robots = sj.get("robots", {}) if isinstance(sj, dict) else {}
+            if isinstance(sj, dict):
+                eq = sj.get("equivalent_domains")
         cfg = CrawlConfig(
             out_dir=args.out, checkpoint_dir=args.checkpoint,
             per_host_budget=args.budget,
             num_seen_shards=args.seen_shards,
             num_fetch_buckets=args.fetch_buckets,
             refetchfromdb=args.trawl,
+            equivalent_domains=eq,
             max_waves=args.max_waves)
         pipe = CrawlPipeline(cfg, args.pages, args.store,
                              robots_bodies=robots)
