@@ -79,7 +79,8 @@ def _apply_add(b: ItemBuilder, root: Node, rule: AddRule) -> None:
 def extract_page(url: str, body: bytes, fetchtime: datetime,
                  meta: dict | None = None,
                  rules: SiteRules | None = None,
-                 stats: ExtractStats | None = None) -> dict | None:
+                 stats: ExtractStats | None = None,
+                 include_rawpage: bool = False) -> dict | None:
     """Parse + extract one page; returns the NewsItem dict or None when the
     page is dropped (fake 404). ``meta`` is the frontier meta blob
     (RSSFeed / NewsSitemap / originalurl / refetchcontrol_previous)."""
@@ -131,6 +132,10 @@ def extract_page(url: str, body: bytes, fetchtime: datetime,
         if not b.get_output("bodytext"):
             b.add_value("bodytext", readability_bodytext_nodes(root))
 
+    if not include_rawpage:
+        # StripRawPage default: drop BEFORE load_item so the gzip+b64
+        # output processor (loaders.py:105-109) never runs
+        b._values.pop("rawpagegzipb64", None)
     item = b.load_item()
 
     # CheckContent validator (pipelines/checkcontent.py:7-12)

@@ -63,7 +63,8 @@ def extract_batch(batch: pa.Table, *, include_rawpage: bool = False,
     for i in range(n):
         meta = json.loads(metas[i]) if metas[i] else {}
         item = extract_page(urls[i], htmls[i] or b"",
-                            _ts_to_datetime(tss[i]), meta, stats=stats)
+                            _ts_to_datetime(tss[i]), meta, stats=stats,
+                            include_rawpage=include_rawpage)
         if item is None:
             continue
         emitted_idx.append(i)
