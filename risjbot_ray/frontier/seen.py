@@ -75,44 +75,47 @@ class SeenShardLogic:
 
     # -- gate -------------------------------------------------------------
     def check(self, keys: list[bytes], now_us: int,
-              pass_flags: list[bool] | None = None
-              ) -> tuple[np.ndarray, np.ndarray]:
+              pass_flags: list[bool] | None = None,
+              dry: bool = False) -> tuple[np.ndarray, np.ndarray]:
         """Returns (allowed bool mask, previousfetches int32).
 
-        Truth table per refetchcontrol.py:246-271.
-        """
+        Truth table per refetchcontrol.py:246-271. ``dry=True`` is a pure
+        read (no counters, no keysrqd) — used by the politeness-cutoff
+        pre-pass, which gates the same rows a second time for real."""
         n = len(keys)
         allowed = np.zeros(n, dtype=bool)
         prev = np.zeros(n, dtype=np.int32)
         if n == 0:
             return allowed, prev
+        counters = (dict(self.counters) if dry else self.counters)
         arr = keys_to_array(keys)
         maybe_seen = self.bloom.contains(arr)
         for i, key in enumerate(keys):
-            self.keysrqd.add(key)
+            if not dry:
+                self.keysrqd.add(key)
             if pass_flags is not None and pass_flags[i]:
-                self.counters["passed"] += 1
+                counters["passed"] += 1
                 allowed[i] = True
                 continue
             if not maybe_seen[i]:
                 # bloom-certified new — no ledger lookup needed
-                self.counters["bloom_negative"] += 1
-                self.counters["firstfetch"] += 1
+                counters["bloom_negative"] += 1
+                counters["firstfetch"] += 1
                 allowed[i] = True
                 continue
             rec = self.ledger.get(key)
             if rec is None:
-                self.counters["firstfetch"] += 1
+                counters["firstfetch"] += 1
                 allowed[i] = True
                 continue
             _, nf, t_us = rec
             age = (now_us - t_us) / 1e6
             if (nf >= self.maxfetches or age < self.refetchsecs
                     or age > self.agelimit):
-                self.counters["skipped"] += 1
+                counters["skipped"] += 1
                 continue
             prev[i] = nf
-            self.counters["refetched"] += 1
+            counters["refetched"] += 1
             allowed[i] = True
         return allowed, prev
 
@@ -165,6 +168,34 @@ class SeenShardLogic:
             # bloom is add-only; it is rebuilt from the ledger at snapshot
             self.counters["dbkeystrimmed"] += len(to_delete)
         return eligible, len(to_delete)
+
+    def trawl_spill(self, now_us: int, spill_dir: str, num_buckets: int,
+                    trim: bool = True) -> int:
+        """Shard-side trawl: write this shard's eligible refetch entries
+        DIRECTLY as a bucketed frontier spill (per-fetch-bucket parquet +
+        sidecar counts) instead of returning them to the driver — at
+        design scale the trawl IS the frontier (refetchcontrol.py:132-195
+        semantics, spilled like any discovery wave). Returns rows spilled.
+        """
+        import json as _json
+
+        from ..sources.stage import CHILD_SCHEMA
+        from .canon import canonicalize_batch
+        from .spill import spill_bucketed
+
+        eligible, _ = self.trawl(now_us, trim=trim)
+        if not eligible:
+            return 0
+        rows = [{"url": url, "priority": 0, "depth": 0,
+                 "source_kind": "trawl",
+                 "meta": _json.dumps({"refetchcontrol_trawled": True,
+                                      "refetchcontrol_previous": nf})}
+                for _key, url, nf in eligible]
+        # trawled URLs are stored canonical; canonicalize_batch sees the
+        # trawled flag and does not re-normalize (refetchcontrol.py:205-212)
+        cand = canonicalize_batch(
+            pa.Table.from_pylist(rows, schema=CHILD_SCHEMA))
+        return spill_bucketed(cand, spill_dir, num_buckets)
 
     def new_wave(self) -> None:
         self._wave_committed.clear()
@@ -246,7 +277,7 @@ class SeenSet:
         return (hashes % np.uint64(self.num_shards)).astype(np.int64)
 
     def check(self, keys: list[bytes], hashes: np.ndarray, now_us: int,
-              pass_flags: np.ndarray | None = None
+              pass_flags: np.ndarray | None = None, dry: bool = False
               ) -> tuple[np.ndarray, np.ndarray]:
         """Batched gate across shards; preserves input order."""
         n = len(keys)
@@ -263,7 +294,7 @@ class SeenSet:
             pf = (list(map(bool, pass_flags[idx]))
                   if pass_flags is not None else None)
             futures.append(self.shards[s].check.remote(
-                [keys[i] for i in idx], now_us, pf))
+                [keys[i] for i in idx], now_us, pf, dry))
             idx_of.append(idx)
         for idx, (a, p) in zip(idx_of, ray.get(futures)):
             allowed[idx] = a
@@ -288,6 +319,14 @@ class SeenSet:
         for eligible, _ in results:
             out.extend(eligible)
         return out
+
+    def trawl_spill(self, now_us: int, spill_dir: str, num_buckets: int,
+                    trim: bool = True) -> int:
+        """Each shard spills its eligible set in parallel; the driver sees
+        only the per-shard row counts."""
+        return sum(ray.get([
+            s.trawl_spill.remote(now_us, spill_dir, num_buckets, trim)
+            for s in self.shards]))
 
     def new_wave(self) -> None:
         ray.get([s.new_wave.remote() for s in self.shards])

@@ -18,7 +18,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from datetime import datetime, timezone
 
 import numpy as np
@@ -32,6 +32,8 @@ from ..frontier.canon import canonicalize_batch, dedupe_wave
 from ..frontier.pagestore import PageStore, build_page_store
 from ..frontier.politeness import RobotsIndex, schedule_wave
 from ..frontier.seen import SeenSet
+from ..frontier.spill import (BucketedFrontier, load_bucketed_frontier,
+                              spill_bucketed)
 from ..sources.stage import CHILD_SCHEMA, DISCOVERY_KINDS, discover_batch
 from ..state.checkpoint import CheckpointManager
 
@@ -92,34 +94,11 @@ def _now_us(cfg: CrawlConfig) -> int:
     return int(datetime.now(timezone.utc).timestamp() * 1_000_000)
 
 
-# result rows of the discovery-spill tasks: spilled bucket files,
-# per-host counts, and (few) discovery-kind children
+# result rows of the discovery-spill tasks: the (few) discovery-kind
+# children; article children go straight to the bucketed spill layout
 _DISC_RESULT_SCHEMA = pa.schema([
-    ("kind", pa.string()),        # spill | hostcount | child
-    ("path", pa.string()),
-    ("bucket", pa.int64()),
-    ("host", pa.string()),
-    ("n", pa.int64()),
     ("child_json", pa.string()),
 ])
-
-
-@dataclass
-class BucketedFrontier:
-    """A frontier wave that never materializes on the driver: article
-    children were canonicalized + keyed at discovery time and written as
-    per-fetch-bucket parquet files. The driver holds only file lists and
-    per-host counts (O(#hosts), not O(#urls)) — the representation that
-    makes a 10^10-URL frontier possible.
-
-    The next wave runs gate -> robots -> fetch -> extract as ONE task per
-    bucket with no shuffle: the partitioning key (url_hash bucket) is
-    shared between the frontier layout and the page store."""
-
-    directory: str
-    num_rows: int
-    host_counts: dict[str, int]
-    bucket_files: dict[int, list[str]]
 
 
 class CrawlPipeline:
@@ -277,12 +256,8 @@ class CrawlPipeline:
             "children": children.num_rows,
             "seen_counters": self.seen.counters(),
             "extract_counters": self.extract_metrics.snapshot(),
-            "pending_bucketed": [
-                {"directory": b.directory, "num_rows": b.num_rows,
-                 "host_counts": b.host_counts,
-                 "bucket_files": {str(k): v
-                                  for k, v in b.bucket_files.items()}}
-                for b in self._pending_bucketed],
+            "pending_bucketed": [b.to_manifest()
+                                 for b in self._pending_bucketed],
             "phase_sec": phases,
             "wall_sec": round(time.time() - t0, 3),
         })
@@ -338,6 +313,10 @@ class CrawlPipeline:
         num_buckets = store.num_buckets
         frontier_dir = os.path.join(self.ckpt.dir,
                                     f"frontier-bucketed-{wave + 1:04d}")
+        # the loader scans the dir's sidecars: orphan parts from a crashed
+        # earlier attempt at this wave must not double-count
+        import shutil
+        shutil.rmtree(frontier_dir, ignore_errors=True)
         os.makedirs(frontier_dir, exist_ok=True)
         tbl = self._with_buckets(disc_tbl)
         buckets = np.asarray(tbl.column("fetch_bucket").to_pylist())
@@ -345,9 +324,6 @@ class CrawlPipeline:
                  for b in np.unique(buckets)]
 
         def fetch_discover_spill(group: pa.Table) -> pa.Table:
-            import uuid
-
-            import pyarrow.parquet as _pq
             fetched = store.fetch_group(group)
             if fetched is None or fetched.num_rows == 0:
                 return _DISC_RESULT_SCHEMA.empty_table()
@@ -359,65 +335,27 @@ class CrawlPipeline:
                 list(DISCOVERY_KINDS), type=pa.string()))
             disc_children = children.filter(dmask)
             art_children = children.filter(pc.invert(dmask))
-            rows = []
             if art_children.num_rows:
-                cand = canonicalize_batch(art_children, eq)
-                hashes = np.asarray(cand.column("url_hash").to_pylist(),
-                                    dtype=np.uint64)
-                cbuckets = (hashes % np.uint64(num_buckets)).astype(np.int64)
-                cand = cand.append_column(
-                    "fetch_bucket", pa.array(cbuckets, type=pa.int64()))
-                tag = uuid.uuid4().hex[:10]
-                for b in np.unique(cbuckets):
-                    sub = cand.filter(pa.array(cbuckets == b))
-                    bdir = os.path.join(frontier_dir, f"bucket={b:05d}")
-                    os.makedirs(bdir, exist_ok=True)
-                    path = os.path.join(bdir, f"part-{tag}.parquet")
-                    _pq.write_table(sub, path)
-                    rows.append({"kind": "spill", "path": path,
-                                 "bucket": int(b), "host": None,
-                                 "n": sub.num_rows, "child_json": None})
-                # per-host counts for the politeness budget decision
-                for hc in pc.value_counts(cand.column("host")).to_pylist():
-                    rows.append({"kind": "hostcount", "path": None,
-                                 "bucket": -1, "host": hc["values"],
-                                 "n": int(hc["counts"]), "child_json": None})
-            for child in disc_children.to_pylist():
-                rows.append({"kind": "child", "path": None, "bucket": -1,
-                             "host": None, "n": 0,
-                             "child_json": json.dumps(child)})
+                spill_bucketed(canonicalize_batch(art_children, eq),
+                               frontier_dir, num_buckets)
+            rows = [{"child_json": json.dumps(child)}
+                    for child in disc_children.to_pylist()]
             return pa.Table.from_pylist(rows, schema=_DISC_RESULT_SCHEMA)
 
         ds = ray.data.from_arrow(parts).map_batches(
             fetch_discover_spill, batch_format="pyarrow", batch_size=None)
         results = [ray.get(r) for r in ds.to_arrow_refs()]
         results = [t for t in results if t.num_rows]
-        if not results:
-            return CHILD_SCHEMA.empty_table()
-        res = pa.concat_tables(results).to_pylist()
-
-        disc_children_rows = [json.loads(r["child_json"]) for r in res
-                              if r["kind"] == "child"]
-        host_counts: dict[str, int] = {}
-        bucket_files: dict[int, list[str]] = {}
-        n_rows = 0
-        for r in res:
-            if r["kind"] == "hostcount":
-                host_counts[r["host"]] = (host_counts.get(r["host"], 0)
-                                          + r["n"])
-            elif r["kind"] == "spill":
-                bucket_files.setdefault(r["bucket"], []).append(r["path"])
-                n_rows += r["n"]
-
+        disc_children_rows = [
+            json.loads(r["child_json"])
+            for t in results for r in t.to_pylist()]
         disc_children = (pa.Table.from_pylist(disc_children_rows,
                                               schema=CHILD_SCHEMA)
                          if disc_children_rows
                          else CHILD_SCHEMA.empty_table())
-        if n_rows == 0:
-            return disc_children
-        self._pending_bucketed.append(
-            BucketedFrontier(frontier_dir, n_rows, host_counts,
-                             bucket_files))
+        bf = load_bucketed_frontier(frontier_dir)
+        if bf is not None:
+            self._pending_bucketed.append(bf)
         return disc_children
 
     def _harvest_links(self, art_tbl: pa.Table) -> pa.Table:
@@ -441,38 +379,137 @@ class CrawlPipeline:
             return CHILD_SCHEMA.empty_table()
         return harvest_links_batch(fetched)
 
-    def _run_bucketed_wave(self, wave: int, bf: BucketedFrontier,
-                           primary: bool = True) -> pa.Table:
-        _t0 = time.time()
-        """Process a bucket-partitioned article frontier: ONE Ray task per
-        fetch bucket runs dedup -> seen-gate -> robots -> fetch join ->
-        extract -> ledger commit; results stream to parquet. Nothing about
-        the wave is O(rows) on the driver.
+    def _politeness_cutoffs(self, bf: BucketedFrontier, over: set[str],
+                            now_us: int) -> dict[str, tuple[int, str]]:
+        """Exact cross-bucket per-host top-k without driver frontier
+        materialization: each participating bucket task gates its
+        over-budget-host rows (dry-run — no counter/keysrqd mutation,
+        identical verdicts to the real gate) and returns only its LOCAL
+        top-``budget`` (priority, canon_url) keys per host; the driver
+        merges O(#over-hosts x #buckets x budget) keys and derives each
+        host's global cutoff key. Rows are totally ordered by
+        (priority desc, canon_url asc) — canon_url is unique per host
+        after in-bucket dedup because equal URLs always hash to the same
+        bucket — so filtering each bucket by the cutoff reproduces the
+        table path's ``schedule_wave`` selection exactly (per-domain
+        budget semantics, reference settings.py:88-94)."""
+        import pandas as pd
 
-        Falls back to the table path (returned as next-wave children) when
-        the per-host politeness budget binds or a link-crawl host is
-        present — both need cross-bucket coordination."""
+        cfg = self.cfg
+        seen = self.seen
+        robots = self.robots if cfg.obey_robots else None
+        budget = cfg.per_host_budget
+        over_arr = pa.array(sorted(over), type=pa.string())
+        hbc = bf.host_bucket_counts
+        if hbc:
+            want = set()
+            for h in over:
+                want.update(hbc.get(h, {}))
+        else:  # counts missing (old manifest): all buckets participate
+            want = set(bf.bucket_files)
+        items = [{"bucket": b, "paths": bf.bucket_files[b]}
+                 for b in sorted(want) if b in bf.bucket_files]
+        cols = ["key", "url_hash", "pass_seen", "trawled", "host",
+                "canon_url", "priority"]
+        key_schema = pa.schema([("host", pa.string()),
+                                ("priority", pa.int64()),
+                                ("canon_url", pa.string())])
+
+        def local_topk(batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as _pq
+            outs = []
+            for row in batch.to_pylist():
+                tbl = pa.concat_tables(
+                    [_pq.read_table(p, columns=cols)
+                     for p in row["paths"]], promote_options="default")
+                tbl = tbl.filter(pc.is_in(tbl.column("host"),
+                                          value_set=over_arr))
+                if tbl.num_rows == 0:
+                    continue
+                tbl = dedupe_wave(tbl)
+                keys = tbl.column("key").to_pylist()
+                hashes = np.asarray(tbl.column("url_hash").to_pylist(),
+                                    dtype=np.uint64)
+                passes = np.asarray(tbl.column("pass_seen").to_pylist(),
+                                    dtype=bool)
+                allowed, _ = seen.check(keys, hashes, now_us,
+                                        pass_flags=passes, dry=True)
+                allowed |= np.asarray(tbl.column("trawled").to_pylist(),
+                                      dtype=bool)
+                tbl = tbl.filter(pa.array(allowed))
+                if robots is not None and tbl.num_rows:
+                    mask = robots.allowed_mask(
+                        tbl.column("host").to_pylist(),
+                        tbl.column("canon_url").to_pylist())
+                    tbl = tbl.filter(pa.array(mask))
+                if tbl.num_rows == 0:
+                    continue
+                idx = pc.sort_indices(
+                    tbl, sort_keys=[("priority", "descending"),
+                                    ("canon_url", "ascending")])
+                tbl = tbl.take(idx)
+                hosts = pd.Series(tbl.column("host").to_pylist())
+                keep = hosts.groupby(hosts, sort=False).cumcount() < budget
+                outs.append(tbl.filter(pa.array(keep.to_numpy()))
+                            .select(["host", "priority", "canon_url"])
+                            .cast(key_schema))
+            if not outs:
+                return key_schema.empty_table()
+            return pa.concat_tables(outs)
+
+        ds = ray.data.from_items(items).map_batches(
+            local_topk, batch_format="pyarrow", batch_size=1)
+        merged = pa.concat_tables(
+            [ray.get(r) for r in ds.to_arrow_refs()],
+            promote_options="default")
+        cutoffs: dict[str, tuple[int, str]] = {}
+        if merged.num_rows == 0:
+            return cutoffs
+        df = merged.to_pandas().sort_values(
+            ["host", "priority", "canon_url"],
+            ascending=[True, False, True], kind="mergesort")
+        for h, grp in df.groupby("host", sort=False):
+            if len(grp) > budget:
+                row = grp.iloc[budget - 1]
+                cutoffs[h] = (int(row["priority"]), str(row["canon_url"]))
+        return cutoffs
+
+    def _run_bucketed_wave(self, wave: int, bf: BucketedFrontier,
+                           primary: bool = True, piece: int = 0) -> pa.Table:
+        """Process a bucket-partitioned article frontier: ONE Ray task per
+        fetch bucket runs dedup -> seen-gate -> robots -> politeness ->
+        fetch join -> extract -> ledger commit; results stream to parquet.
+        Nothing about the wave is O(rows) on the driver.
+
+        When a host's wave volume exceeds ``per_host_budget``, a cheap
+        key-column pre-pass computes per-host cutoff keys
+        (``_politeness_cutoffs``); each bucket task keeps its rows within
+        the cutoff and spills the politeness-deferred remainder as a NEW
+        bucketed frontier for the next wave — per-domain queue semantics
+        with zero driver materialization."""
+        _t0 = time.time()
         cfg = self.cfg
         now_us = _now_us(cfg)
         from ..extract.siterules import rules_for_host
 
-        max_host = max(bf.host_counts.values(), default=0)
-        if max_host > cfg.per_host_budget:
-            # the politeness budget binds: per-host top-k needs cross-
-            # bucket coordination — hand the spill to the table path
-            import pyarrow.parquet as pq
-            tables = [pq.read_table(p) for files in bf.bucket_files.values()
-                      for p in files]
-            tbl = pa.concat_tables(tables, promote_options="default")
-            if primary:
-                # keep the manifest chain gap-free even when this wave
-                # only re-queues the spill for table-path processing
-                self.ckpt.commit_wave(wave, {
-                    "wave": wave, "mode": "bucketed-fallback",
-                    "rows_in": bf.num_rows, "scheduled": 0, "fetched": 0,
-                    "extracted": 0, "children": tbl.num_rows,
-                    "seen_counters": self.seen.counters()})
-            return tbl.select(CHILD_SCHEMA.names)
+        over = {h for h, c in bf.host_counts.items()
+                if c > cfg.per_host_budget}
+        cutoffs: dict[str, tuple[int, str]] = {}
+        deferred_dir = None
+        import shutil
+        if over:
+            cutoffs = self._politeness_cutoffs(bf, over, now_us)
+        if cutoffs:
+            # deferred-dir name derives from the PARENT spill so a resumed
+            # reprocessing of the parent regenerates the identical dir
+            # (hash-capped so deferral chains can't grow the path forever)
+            import hashlib as _hl
+            dbase = "deferred-" + os.path.basename(bf.directory)
+            if len(dbase) > 100:
+                dbase = "deferred-" + _hl.md5(
+                    dbase.encode()).hexdigest()[:16]
+            deferred_dir = os.path.join(self.ckpt.dir, dbase)
+            shutil.rmtree(deferred_dir, ignore_errors=True)
 
         # link-crawl hosts: pull ONLY their rows (tiny subset) for link
         # harvesting; the bucketed extraction still covers them
@@ -500,10 +537,13 @@ class CrawlPipeline:
         store = self.store
         metrics = self.extract_metrics
         extract_commit = self._extract_commit_fn(wave, now_us)
-        wave_dir = f"{cfg.out_dir}/wave={wave:04d}b"
-        import shutil
+        # output dir derives from the SPILL identity, not the wave index:
+        # a resumed run reprocessing this spill at a different wave index
+        # rewrites the same dir (idempotent), never duplicates output
+        wave_dir = f"{cfg.out_dir}/wave={os.path.basename(bf.directory)}"
         shutil.rmtree(wave_dir, ignore_errors=True)
         self.seen.new_wave()
+        num_buckets = store.num_buckets
 
         def run_bucket(batch: pa.Table) -> pa.Table:
             import pyarrow.parquet as _pq
@@ -520,6 +560,8 @@ class CrawlPipeline:
                                     dtype=bool)
                 allowed, prev = seen.check(keys, hashes, now_us,
                                            pass_flags=passes)
+                allowed |= np.asarray(tbl.column("trawled").to_pylist(),
+                                      dtype=bool)
                 tbl = tbl.append_column("previousfetches",
                                         pa.array(prev, type=pa.int32()))
                 tbl = tbl.filter(pa.array(allowed))
@@ -528,6 +570,29 @@ class CrawlPipeline:
                         tbl.column("host").to_pylist(),
                         tbl.column("canon_url").to_pylist())
                     tbl = tbl.filter(pa.array(mask))
+                if cutoffs and tbl.num_rows:
+                    # per-host politeness: keep rows at-or-above the
+                    # host's global cutoff key; spill the rest as the
+                    # next wave's deferred frontier
+                    pri = np.asarray(tbl.column("priority").to_pylist())
+                    hosts_np = np.asarray(tbl.column("host").to_pylist(),
+                                          dtype=object)
+                    urls_np = np.asarray(
+                        tbl.column("canon_url").to_pylist(), dtype=object)
+                    keep = np.ones(tbl.num_rows, dtype=bool)
+                    for h, (cp, cu) in cutoffs.items():
+                        m = hosts_np == h
+                        if m.any():
+                            keep[m] = ((pri[m] > cp)
+                                       | ((pri[m] == cp)
+                                          & (urls_np[m] <= cu)))
+                    if not keep.all():
+                        dropped = (tbl.filter(pa.array(~keep))
+                                   .drop_columns(["previousfetches"]))
+                        n_def = spill_bucketed(dropped, deferred_dir,
+                                               num_buckets)
+                        metrics.incr({"bucketed_deferred": n_def})
+                        tbl = tbl.filter(pa.array(keep))
                 metrics.incr({"bucketed_scheduled": tbl.num_rows})
                 if tbl.num_rows == 0:
                     continue
@@ -539,7 +604,9 @@ class CrawlPipeline:
                 return _empty_extracted()
             return pa.concat_tables(outs, promote_options="default")
 
-        before = metrics.snapshot().get("bucketed_scheduled", 0)
+        snap0 = metrics.snapshot()
+        before = snap0.get("bucketed_scheduled", 0)
+        before_def = snap0.get("bucketed_deferred", 0)
         items = [{"bucket": b, "paths": files}
                  for b, files in sorted(bf.bucket_files.items())]
         (ray.data.from_items(items)
@@ -553,22 +620,33 @@ class CrawlPipeline:
                           for p in glob.glob(f"{wave_dir}/*.parquet"))
         snap = metrics.snapshot()
         n_scheduled = snap.get("bucketed_scheduled", 0) - before
+        n_deferred = snap.get("bucketed_deferred", 0) - before_def
+        if deferred_dir is not None:
+            dbf = load_bucketed_frontier(deferred_dir)
+            if dbf is not None:
+                dbf.parent = bf.directory
+                self._pending_bucketed.append(dbf)
         self.metrics["scheduled_urls"] += n_scheduled
         self.metrics["extracted_pages"] += n_extracted
         self.metrics["fetched_rows"] += n_extracted
         self.seen.snapshot(self.ckpt.seen_dir)
         commit = (self.ckpt.commit_wave if primary
-                  else lambda w, m: self.ckpt.commit_wave_suffixed(w, "b", m))
+                  else lambda w, m: self.ckpt.commit_wave_suffixed(
+                      w, f"b{piece}", m))
         commit(wave, {
             "wave": wave, "mode": "bucketed",
             "rows_in": bf.num_rows,
             "scheduled": n_scheduled,
+            "deferred": n_deferred,
             "fetched": n_extracted,
             "extracted": n_extracted,
             "children": 0,
             "buckets": len(bf.bucket_files),
+            "out_dir": wave_dir,
             "seen_counters": self.seen.counters(),
             "extract_counters": snap,
+            "pending_bucketed": [b.to_manifest()
+                                 for b in self._pending_bucketed],
             "wall_sec": round(time.time() - _t0, 3),
         })
         with open(os.path.join(bf.directory, "COMPLETE"), "w") as f:
@@ -721,15 +799,27 @@ class CrawlPipeline:
                 self.seen.restore(self.ckpt.seen_dir)
                 frontier = self.ckpt.read_frontier(latest + 1)
                 start_wave = latest + 1
-                manifest = self.ckpt.read_manifest(latest) or {}
-                for pb in manifest.get("pending_bucketed", []):
-                    if os.path.exists(os.path.join(pb["directory"],
-                                                   "COMPLETE")):
-                        continue  # finished before the crash
-                    restored_bucketed.append(BucketedFrontier(
-                        pb["directory"], pb["num_rows"], pb["host_counts"],
-                        {int(k): v
-                         for k, v in pb["bucket_files"].items()}))
+                # scan EVERY manifest (incl. suffixed piece manifests) for
+                # spills lacking a COMPLETE marker — a wave that commits a
+                # new manifest while a prior wave's spill is still being
+                # processed must not orphan the in-flight spill on crash
+                import glob as _glob
+                pend: dict[str, BucketedFrontier] = {}
+                for mpath in sorted(_glob.glob(
+                        os.path.join(self.ckpt.dir, "wave-*.json"))):
+                    with open(mpath) as f:
+                        m = json.load(f)
+                    for pb in m.get("pending_bucketed", []):
+                        d = pb["directory"]
+                        if d in pend or os.path.exists(
+                                os.path.join(d, "COMPLETE")):
+                            continue
+                        pend[d] = BucketedFrontier.from_manifest(pb)
+                # a pending deferred spill whose parent is ALSO pending is
+                # dropped: reprocessing the parent regenerates it
+                restored_bucketed = [
+                    b for b in pend.values()
+                    if not (b.parent and b.parent in pend)]
             else:
                 resume = False
         if not resume:
@@ -749,12 +839,14 @@ class CrawlPipeline:
             bucketed = [p for p in pieces
                         if isinstance(p, BucketedFrontier) and p.num_rows]
             if not tables and not bucketed:
-                # idle: trawl epilogue, once (refetchcontrol.py:132-195)
+                # idle: trawl epilogue, once (refetchcontrol.py:132-195).
+                # Each seen shard spills its eligible set directly as a
+                # bucketed frontier — the trawl never lands on the driver.
                 if cfg.refetchfromdb and not trawled_done:
                     trawled_done = True
-                    tf = self._trawl_frontier()
-                    if tf.num_rows:
-                        pieces = [tf]
+                    tbf = self._trawl_bucketed(wave)
+                    if tbf is not None:
+                        pieces = [tbf]
                         continue
                 break
             self._pending_bucketed = []
@@ -767,9 +859,17 @@ class CrawlPipeline:
                     next_pieces.append(nf)
             for i, bfp in enumerate(bucketed):
                 children = self._run_bucketed_wave(
-                    wave, bfp, primary=(not tables and i == 0))
+                    wave, bfp, primary=(not tables and i == 0), piece=i)
                 if children.num_rows:
                     next_pieces.append(children)
+            if not tables:
+                # bucketed-only wave: persist any table children (link
+                # harvest) so a crash before the next table wave cannot
+                # lose them (run_wave persists its own)
+                child_tables = [p for p in next_pieces
+                                if isinstance(p, pa.Table)]
+                self.ckpt.write_frontier(wave + 1,
+                                         _concat_frontier(child_tables))
             next_pieces.extend(self._pending_bucketed)
             pieces = next_pieces
             wave += 1
@@ -788,18 +888,19 @@ class CrawlPipeline:
             "seen_size": self.seen.size(),
         }
 
-    def _trawl_frontier(self) -> pa.Table:
+    def _trawl_bucketed(self, wave: int) -> BucketedFrontier | None:
+        """Trawl epilogue as a bucketed frontier: shards canonicalize and
+        spill their own eligible sets (frontier/seen.py trawl_spill); the
+        driver only merges the sidecar counts."""
+        import shutil
         now_us = _now_us(self.cfg)
-        entries = self.seen.trawl(now_us, trim=self.cfg.trimdb)
-        rows = []
-        for key, url, nf in entries:
-            rows.append({
-                "url": url, "priority": 0, "depth": 0,
-                "source_kind": "trawl",
-                "meta": json.dumps({"refetchcontrol_trawled": True,
-                                    "refetchcontrol_previous": nf}),
-            })
-        return pa.Table.from_pylist(rows, schema=CHILD_SCHEMA)
+        tdir = os.path.join(self.ckpt.dir, f"frontier-trawl-{wave:04d}")
+        shutil.rmtree(tdir, ignore_errors=True)
+        n = self.seen.trawl_spill(now_us, tdir, self.store.num_buckets,
+                                  trim=self.cfg.trimdb)
+        if n == 0:
+            return None
+        return load_bucketed_frontier(tdir)
 
     def shutdown(self) -> None:
         self.seen.shutdown()

@@ -156,6 +156,16 @@ def test_trawl_epilogue_refetches(ray_session, corpus):
     assert c["trawled"] > 0
     assert c["stored"] > stored_first  # refetches committed
     assert res2["extracted_pages"] > 0
+    # the trawl frontier must flow through the bucketed (shard-spill)
+    # path — never materialized as a driver table
+    import os
+    trawl_spills = glob.glob(
+        os.path.join(cfg.checkpoint_dir, "frontier-trawl-*", "bucket=*"))
+    assert trawl_spills, "trawl must spill a bucketed frontier"
+    manifests = [json.load(open(p)) for p in sorted(
+        glob.glob(os.path.join(cfg.checkpoint_dir, "wave-*.json")))]
+    assert any(m.get("mode") == "bucketed" and m.get("extracted", 0) > 0
+               for m in manifests)
 
 
 def test_crawl_output_is_enriched(crawl_run):

@@ -1,0 +1,136 @@
+"""The bucketed politeness scheduler: when a host's wave volume exceeds
+per_host_budget, the bucketed path must schedule EXACTLY the same set as
+the table path's ``schedule_wave`` (per-domain budget semantics, reference
+settings.py:88-94) — via cutoff keys, with zero driver materialization and
+no table-path fallback."""
+
+import glob
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from risjbot_ray.frontier.canon import canonicalize_batch, dedupe_wave
+from risjbot_ray.frontier.politeness import schedule_wave
+from risjbot_ray.frontier.spill import load_bucketed_frontier, spill_bucketed
+from risjbot_ray.pipelines.crawl import CrawlConfig, CrawlPipeline
+from risjbot_ray.sources.stage import CHILD_SCHEMA
+from risjbot_ray.testsupport.pagegen import EQUIVALENT_DOMAINS, gen_corpus
+
+
+def _read_spill_urls(directory: str) -> set[str]:
+    out = set()
+    for p in glob.glob(f"{directory}/bucket=*/part-*.parquet"):
+        out.update(pq.read_table(p, columns=["canon_url"])
+                   .column("canon_url").to_pylist())
+    return out
+
+
+def test_bucketed_schedule_matches_table_path(ray_session, tmp_path):
+    """Exact parity: scheduled + deferred sets of a budget-bound bucketed
+    wave equal schedule_wave's on the identical frontier."""
+    pages, expected, seeds, robots = gen_corpus(200, seed=11)
+    ppath = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, ppath)
+    cfg = CrawlConfig(out_dir=str(tmp_path / "out"),
+                      checkpoint_dir=str(tmp_path / "ckpt"),
+                      per_host_budget=7, num_seen_shards=2,
+                      num_fetch_buckets=4,
+                      equivalent_domains=EQUIVALENT_DOMAINS)
+    pipe = CrawlPipeline(cfg, ppath, str(tmp_path / "store"),
+                         robots_bodies=robots)
+    try:
+        urls = [r["url"] for r in expected.to_pylist()]
+        rows = [{"url": u, "priority": (i * 3) % 5, "depth": 0,
+                 "source_kind": "article", "meta": None}
+                for i, u in enumerate(urls)]
+        cand = dedupe_wave(canonicalize_batch(
+            pa.Table.from_pylist(rows, schema=CHILD_SCHEMA),
+            EQUIVALENT_DOMAINS))
+        sched, deferred = schedule_wave(cand, cfg.per_host_budget,
+                                        cfg.salt_threshold)
+        exp_sched = set(sched.column("canon_url").to_pylist())
+        exp_def = set(deferred.column("canon_url").to_pylist())
+        assert exp_def, "budget must bind for this test to mean anything"
+
+        sdir = str(tmp_path / "ckpt" / "frontier-bucketed-manual")
+        spill_bucketed(cand, sdir, pipe.store.num_buckets)
+        bf = load_bucketed_frontier(sdir)
+        assert max(bf.host_counts.values()) > cfg.per_host_budget
+        pipe._run_bucketed_wave(0, bf)
+
+        snap = pipe.extract_metrics.snapshot()
+        assert snap["bucketed_scheduled"] == len(exp_sched)
+        got_def = _read_spill_urls(
+            str(tmp_path / "ckpt" / "deferred-frontier-bucketed-manual"))
+        assert got_def == exp_def
+    finally:
+        pipe.shutdown()
+
+
+def test_budget_bound_bucketed_crawl_completes_without_fallback(
+        ray_session, tmp_path):
+    """E2E: binding per-host budget on the bucketed discovery path — the
+    crawl defers and completes across waves with no driver fallback and
+    the same final extracted set."""
+    pages, expected, seeds, robots = gen_corpus(150, seed=13)
+    ppath = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, ppath)
+    cfg = CrawlConfig(out_dir=str(tmp_path / "out"),
+                      checkpoint_dir=str(tmp_path / "ckpt"),
+                      per_host_budget=5, num_seen_shards=2,
+                      num_fetch_buckets=4, max_waves=60,
+                      ray_discovery_rows=0, small_wave_rows=0,
+                      equivalent_domains=EQUIVALENT_DOMAINS)
+    pipe = CrawlPipeline(cfg, ppath, str(tmp_path / "store"),
+                         robots_bodies=robots)
+    res = pipe.run(seeds=seeds)
+    pipe.shutdown()
+
+    manifests = [json.load(open(p)) for p in
+                 sorted(glob.glob(str(tmp_path / "ckpt" / "wave-*.json")))]
+    assert all(m.get("mode") != "bucketed-fallback" for m in manifests)
+    assert any(m.get("deferred", 0) > 0 for m in manifests)
+
+    parts = sorted(glob.glob(str(tmp_path / "out" / "wave=*" /
+                                 "*.parquet")))
+    ext = pa.concat_tables([pq.read_table(p) for p in parts],
+                           promote_options="default")
+    live = sorted(r["url"] for r in expected.to_pylist()
+                  if not r["dropped"])
+    assert sorted(ext.column("url").to_pylist()) == live
+    assert res["waves"] > 2  # deferral forced extra waves
+
+
+def test_trawl_spill_writes_bucketed_frontier(ray_session, tmp_path):
+    """Shard-side trawl: eligible entries land as a bucketed spill (with
+    trawled meta), never as a driver table."""
+    from risjbot_ray.frontier.seen import SeenSet
+    from risjbot_ray.functions.urlnorm import url_fingerprint
+
+    import numpy as np
+
+    seen = SeenSet(num_shards=2, maxfetches=8, refetchsecs=100)
+    try:
+        urls = [f"https://example.org/a/{i}" for i in range(20)]
+        keys = [url_fingerprint(u) for u in urls]
+        hashes = np.asarray([int.from_bytes(k[:8], "big") for k in keys],
+                            dtype=np.uint64)
+        t0 = 1_600_000_000 * 1_000_000
+        seen.commit(keys, urls, hashes, t0, wave=0)
+        tdir = str(tmp_path / "trawl")
+        n = seen.trawl_spill(t0 + 200 * 1_000_000, tdir, num_buckets=4)
+        assert n == 20
+        bf = load_bucketed_frontier(tdir)
+        assert bf.num_rows == 20
+        assert bf.host_counts == {"example.org": 20}
+        rows = [r for p in glob.glob(f"{tdir}/bucket=*/part-*.parquet")
+                for r in pq.read_table(p).to_pylist()]
+        assert sorted(r["canon_url"] for r in rows) == sorted(urls)
+        for r in rows:
+            assert r["trawled"] is True
+            meta = json.loads(r["meta"])
+            assert meta["refetchcontrol_trawled"] is True
+            assert meta["refetchcontrol_previous"] == 1
+    finally:
+        seen.shutdown()
