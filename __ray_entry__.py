@@ -336,6 +336,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
             FROM documents GROUP BY md5(text)
         """,
+        "events_sessionize": """
+            WITH ordered AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN ts - LAG(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts)
+                          > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+              FROM events
+            ), sess AS (
+              SELECT user_id, ts, value,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM ordered
+            )
+            SELECT user_id, MIN(ts) AS session_start,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS total_value
+            FROM sess GROUP BY user_id, sid
+        """,
+        # exact all-pairs oracle; the Ray side is multi-table LSH with a
+        # ~1.3e-4 per-pair miss probability at cosine 0.95 (see
+        # pipelines/dedup.py), i.e. exact at checkable scales
+        "embedding_neardup_pairs": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   ROUND(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 5) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])) >= 0.95
+        """,
+        # exact all-pairs 3-token-shingle Jaccard (same tokenizer/padding
+        # as dedup._shingle_hashes); LSH candidate recall at J>=0.5 is
+        # ~1 for the J>=0.9 pairs the corpus contains
+        "ngram_jaccard_pairs": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(CASE
+                        WHEN len(toks) = 0 THEN ['∅ ∅ ∅']
+                        WHEN len(toks) = 1
+                          THEN [toks[1] || ' ∅ ∅']
+                        WHEN len(toks) = 2
+                          THEN [toks[1] || ' ' || toks[2] || ' ∅']
+                        ELSE list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' '
+                                    || toks[i+2])
+                     END) AS s
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text),
+                                              '[a-z0-9]+') AS toks
+                    FROM documents)
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(a.s || b.s)), 5) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(a.s || b.s)) >= 0.5
+        """,
         "ann_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding FROM embeddings

@@ -301,48 +301,112 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 3):
 # n-gram Jaccard verification
 # --------------------------------------------------------------------------
 
+_JACCARD_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("jaccard", pa.float64())])
+
+
 def ngram_jaccard_pairs(sf_dir: str, shingle_k: int = 3,
                         threshold: float = 0.5, num_perm: int = 64,
-                        bands: int = 16):
-    """Exact shingle-set Jaccard for LSH candidate pairs: broadcast the
-    candidate doc texts (small side) and verify per pair."""
-    import pandas as pd
+                        bands: int = 16, candidates=None,
+                        num_partitions: int | None = None) -> pa.Table:
+    """Exact shingle-set Jaccard over candidate pairs, verified as a
+    distributed two-sided hash join: pairs ⋈ docs ON a, then ⋈ docs ON b,
+    then a vectorized per-pair Jaccard inside map_batches — no pair texts
+    or candidate loops ever land on the driver.
 
-    cands = minhash_candidate_pairs(sf_dir, num_perm=num_perm, bands=bands,
-                                    threshold=0.3).to_pandas()
-    if len(cands) == 0:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    need = sorted(set(cands["a"]) | set(cands["b"]))
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(
-        lambda b: b.filter(pc.is_in(b.column("doc_id"),
-                                    value_set=pa.array(need))),
-        batch_format="pyarrow").to_pandas()
-    text_of = dict(zip(docs["doc_id"], docs["text"]))
-    rows = []
-    for a, b in zip(cands["a"].astype(int), cands["b"].astype(int)):
-        sa = set(_shingle_hashes(text_of.get(a, ""), shingle_k).tolist())
-        sb = set(_shingle_hashes(text_of.get(b, ""), shingle_k).tolist())
-        if not sa or not sb:
-            continue
-        j = len(sa & sb) / len(sa | sb)
-        if j >= threshold:
-            rows.append((a, b, j))
-    out = pd.DataFrame(rows, columns=["a", "b", "jaccard"])
-    return pa.Table.from_pandas(out, preserve_index=False)
+    ``candidates`` is a (a, b) Dataset/Table of pairs to verify (e.g. the
+    output of :func:`minhash_candidate_pairs` or
+    :func:`simhash_near_pairs`); by default the MinHash/LSH candidates at
+    a permissive estimated threshold of 0.3 are generated — callers that
+    already ran LSH should pass its pairs in rather than recomputing.
+    Returns (a, b, jaccard >= threshold), sorted, 5dp."""
+    if candidates is None:
+        candidates = minhash_candidate_pairs(
+            sf_dir, num_perm=num_perm, bands=bands, threshold=0.3)
+    if isinstance(candidates, pa.Table):
+        candidates = ray.data.from_arrow(candidates)
+    cands = candidates.select_columns(["a", "b"])
+    if not cands.take(1):
+        return _JACCARD_SCHEMA.empty_table()
+    if num_partitions is None:
+        # two chained joins spawn 2x num_partitions aggregator actors —
+        # size to the cluster or they deadlock on small CPU counts
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(32, cpus // 2))
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def _rename_a(b: pa.Table) -> pa.Table:
+        # the hash join folds the right key into `a`; only `text` remains
+        if "doc_id" in b.column_names:
+            b = b.drop_columns(["doc_id"])
+        return b.rename_columns(["text_a" if c == "text" else c
+                                 for c in b.column_names])
+
+    j1 = (cands.join(docs, join_type="inner", on=("a",),
+                     right_on=("doc_id",), num_partitions=num_partitions)
+          .map_batches(_rename_a, batch_format="pyarrow"))
+    j2 = j1.join(docs, join_type="inner", on=("b",),
+                 right_on=("doc_id",), num_partitions=num_partitions)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_pylist()
+        b = batch.column("b").to_pylist()
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text").to_pylist()
+        a_o, b_o, j_o = [], [], []
+        for ai, bi, xa, xb in zip(a, b, ta, tb):
+            sa = _shingle_hashes(xa or "", shingle_k)
+            sb = _shingle_hashes(xb or "", shingle_k)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            if union == 0:
+                continue
+            j = inter / union
+            if j >= threshold:
+                a_o.append(ai)
+                b_o.append(bi)
+                j_o.append(j)
+        return pa.table({"a": pa.array(a_o, pa.int64()),
+                         "b": pa.array(b_o, pa.int64()),
+                         "jaccard": pa.array(j_o, pa.float64())})
+
+    out = j2.map_batches(verify, batch_format="pyarrow")
+    parts = [t.cast(_JACCARD_SCHEMA) for t in
+             (ray.get(r) for r in out.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return _JACCARD_SCHEMA.empty_table()
+    tbl = pa.concat_tables(parts)
+    idx = pc.sort_indices(tbl, sort_keys=[("a", "ascending"),
+                                          ("b", "ascending")])
+    tbl = tbl.take(idx)
+    return tbl.set_column(2, "jaccard",
+                          pc.round(tbl.column("jaccard"), 5))
 
 
 # --------------------------------------------------------------------------
 # embedding-cosine near-dup
 # --------------------------------------------------------------------------
 
+_NEARDUP_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("cosine", pa.float64())])
+
+
 def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.95,
-                            n_planes: int = 12, seed: int = 99):
-    """Random-hyperplane LSH buckets then exact cosine verify; returns
-    (a, b, cosine) pairs with cosine >= threshold."""
+                            n_tables: int = 16, n_planes: int = 8,
+                            seed: int = 99) -> pa.Table:
+    """Multi-table random-hyperplane LSH then exact cosine verify; returns
+    (a, b, cosine) pairs with cosine >= threshold, sorted, 5dp.
+
+    Recall math: a pair at cosine c collides in one p-plane table with
+    probability (1 - arccos(c)/pi)^p; with the default p=8, T=16 a pair
+    at c=0.95 is missed with probability (1-0.899^8)^16 ~ 1.3e-4 —
+    effectively exact in the near-dup regime the operator targets (the
+    single-table variant missed ~70% of such pairs). ``n_planes`` sets
+    bucket granularity (2^p buckets/table — raise it for larger corpora
+    so per-bucket verify matmuls stay small), ``n_tables`` buys recall at
+    the cost of an n_tables-fold row fan-out into the bucket groupby.
+    Verification runs in float64 so values match a DOUBLE[] SQL oracle."""
     import pandas as pd
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
@@ -350,30 +414,42 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.95,
     first = ds.take(1)
     dim = len(first[0]["embedding"])
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+    planes = rng.standard_normal((n_tables, dim, n_planes))
     planes_ref = ray.put(planes)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
-        ids = batch.column("vec_id").to_pylist()
-        vecs = np.stack([np.asarray(v, dtype=np.float32)
+        ids = np.asarray(batch.column("vec_id").to_pylist(),
+                         dtype=np.int64)
+        vecs = np.stack([np.asarray(v, dtype=np.float64)
                          for v in batch.column("embedding").to_pylist()])
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         unit = vecs / np.maximum(norms, 1e-12)
-        signs = (unit @ pl) > 0
-        keys = (signs.astype(np.uint64)
-                << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
+        unit_list = [u.tolist() for u in unit]
+        n = len(ids)
+        out_id = np.tile(ids, n_tables)
+        out_bucket = np.empty(n_tables * n, dtype=np.int64)
+        weights = 1 << np.arange(n_planes, dtype=np.uint64)
+        for t in range(n_tables):
+            signs = (unit @ pl[t]) > 0
+            keys = (signs.astype(np.uint64) * weights).sum(axis=1)
+            # table id in the high bits -> ONE coarse groupby key
+            out_bucket[t * n:(t + 1) * n] = (
+                (np.uint64(t) << np.uint64(n_planes)) | keys
+            ).astype(np.int64)
         return pa.table({
-            "vec_id": pa.array(ids, pa.int64()),
-            "bucket": pa.array(keys.astype(np.int64), pa.int64()),
-            "unit": pa.array([u.tolist() for u in unit],
-                             pa.list_(pa.float32())),
+            "vec_id": pa.array(out_id, pa.int64()),
+            "bucket": pa.array(out_bucket, pa.int64()),
+            "unit": pa.array(unit_list * n_tables,
+                             pa.list_(pa.float64())),
         })
 
     def verify(group) -> "pd.DataFrame":
         ids = group["vec_id"].to_numpy()
         if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
         unit = np.stack(group["unit"].to_numpy())
         order = np.argsort(ids)
         ids, unit = ids[order], unit[order]
@@ -385,10 +461,24 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.95,
                 a_o.append(int(ids[i]))
                 b_o.append(int(ids[i + 1 + off]))
                 c_o.append(float(sims[i, i + 1 + off]))
-        return pd.DataFrame({"a": a_o, "b": b_o, "cosine": c_o})
+        return pd.DataFrame({"a": pd.Series(a_o, dtype="int64"),
+                             "b": pd.Series(b_o, dtype="int64"),
+                             "cosine": pd.Series(c_o, dtype="float64")})
 
     buckets = ds.map_batches(bucketize, batch_format="pyarrow")
     p = buckets.groupby("bucket").map_groups(verify, batch_format="pandas")
     from ray.data.aggregate import Max
-    return p.groupby(["a", "b"]).aggregate(Max("cosine",
-                                               alias_name="cosine"))
+    agg = p.groupby(["a", "b"]).aggregate(Max("cosine",
+                                              alias_name="cosine"))
+    # the pair set is LSH-bounded (small by construction) — materialize
+    # with an explicit schema so an empty result is still well-typed
+    parts = [ray.get(r) for r in agg.to_arrow_refs()]
+    parts = [t.select(["a", "b", "cosine"]).cast(_NEARDUP_SCHEMA)
+             for t in parts if t.num_rows]
+    if not parts:
+        return _NEARDUP_SCHEMA.empty_table()
+    tbl = pa.concat_tables(parts)
+    idx = pc.sort_indices(tbl, sort_keys=[("a", "ascending"),
+                                          ("b", "ascending")])
+    tbl = tbl.take(idx)
+    return tbl.set_column(2, "cosine", pc.round(tbl.column("cosine"), 5))

@@ -87,43 +87,129 @@ def ann_topk(sf_dir: str, query_ids: list[int] | None = None,
 
 
 class IVFIndex:
-    """IVF coarse quantizer: seeded k-means-lite centroids computed once
-    from a sample; vectors are assigned to their nearest centroid and the
-    search probes only ``nprobe`` cells — the bucketed scale path for ANN
-    (brute force within each probed cell)."""
+    """Distributed IVF coarse quantizer — the bucketed scale path for ANN.
+
+    Build (once per corpus, cached on disk):
+    1. FIT: k-means-lite centroids from a bounded SAMPLE (``ds.limit``)
+       — the driver never sees more than ``sample_size`` vectors.
+    2. ASSIGN: a ``map_batches`` pass computes each vector's nearest
+       centroid (one matmul against the broadcast centroid matrix) and
+       writes CELL-PARTITIONED parquet (``cell=NN/part-*.parquet``, unit
+       float64 vectors) — the same partition-once-probe-few layout the
+       page store uses for the fetch join.
+
+    Search reads ONLY the ``nprobe`` probed cells' files (union across the
+    query batch) and brute-forces within them; the full table is never
+    read after build. Cache key covers the index parameters."""
 
     def __init__(self, sf_dir: str, n_cells: int = 16, iters: int = 5,
-                 seed: int = 5):
-        import pyarrow.parquet as pq
+                 seed: int = 5, sample_size: int = 4096,
+                 index_dir: str | None = None):
+        import hashlib
+        import json
+        import os
 
-        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                          columns=["vec_id", "embedding"])
-        self.ids = np.asarray(t.column("vec_id").to_pylist())
-        vecs = np.stack([np.asarray(v, dtype=np.float64)
-                         for v in t.column("embedding").to_pylist()])
-        self.unit = _unit(vecs)
-        rng = np.random.default_rng(seed)
-        cent = self.unit[rng.choice(len(self.unit),
-                                    size=min(n_cells, len(self.unit)),
+        self.n_cells = n_cells
+        if index_dir is None:
+            tag = hashlib.md5(
+                f"{os.path.abspath(sf_dir)}:{n_cells}:{iters}:{seed}:"
+                f"{sample_size}:v1".encode()).hexdigest()[:12]
+            index_dir = f"/tmp/risjbot_ivf/{tag}"
+        self.index_dir = index_dir
+        done = os.path.join(index_dir, "DONE")
+        if not os.path.exists(done):
+            os.makedirs(index_dir, exist_ok=True)
+            ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                       columns=["vec_id", "embedding"])
+            # FIT on a sample only
+            sample = ds.limit(sample_size).take_all()
+            svecs = _unit(np.stack([np.asarray(r["embedding"],
+                                               dtype=np.float64)
+                                    for r in sample]))
+            rng = np.random.default_rng(seed)
+            cent = svecs[rng.choice(len(svecs),
+                                    size=min(n_cells, len(svecs)),
                                     replace=False)]
-        for _ in range(iters):
-            assign = np.argmax(self.unit @ cent.T, axis=1)
-            for c in range(len(cent)):
-                members = self.unit[assign == c]
-                if len(members):
-                    cent[c] = _unit(members.mean(axis=0))
-        self.centroids = cent
-        self.assign = np.argmax(self.unit @ cent.T, axis=1)
+            for _ in range(iters):
+                assign = np.argmax(svecs @ cent.T, axis=1)
+                for c in range(len(cent)):
+                    members = svecs[assign == c]
+                    if len(members):
+                        cent[c] = _unit(members.mean(axis=0))
+            np.save(os.path.join(index_dir, "centroids.npy"), cent)
+            cent_ref = ray.put(cent)
+            out_dir = index_dir
+
+            def assign_and_spill(batch: pa.Table) -> pa.Table:
+                import uuid
+
+                import pyarrow.parquet as _pq
+                cm = ray.get(cent_ref)
+                ids = np.asarray(batch.column("vec_id").to_pylist(),
+                                 dtype=np.int64)
+                unit = _unit(np.stack(
+                    [np.asarray(v, dtype=np.float64)
+                     for v in batch.column("embedding").to_pylist()]))
+                cells = np.argmax(unit @ cm.T, axis=1)
+                tag = uuid.uuid4().hex[:10]
+                for c in np.unique(cells):
+                    m = cells == c
+                    cdir = os.path.join(out_dir, f"cell={int(c):04d}")
+                    os.makedirs(cdir, exist_ok=True)
+                    _pq.write_table(pa.table({
+                        "vec_id": pa.array(ids[m], pa.int64()),
+                        "unit": pa.array([u.tolist() for u in unit[m]],
+                                         pa.list_(pa.float64())),
+                    }), os.path.join(cdir, f"part-{tag}.parquet"))
+                return pa.table({"n": pa.array([int(len(ids))],
+                                               pa.int64())})
+
+            counts = ds.map_batches(assign_and_spill,
+                                    batch_format="pyarrow").take_all()
+            with open(done, "w") as f:
+                json.dump({"rows": sum(r["n"] for r in counts)}, f)
+        self.centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+
+    def _read_cells(self, cells: np.ndarray) -> tuple[np.ndarray,
+                                                      np.ndarray]:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+        parts = []
+        for c in sorted(set(int(x) for x in cells)):
+            parts.extend(glob.glob(os.path.join(
+                self.index_dir, f"cell={c:04d}", "part-*.parquet")))
+        if not parts:
+            return np.empty(0, dtype=np.int64), np.empty((0, 0))
+        tbl = pa.concat_tables([pq.read_table(p) for p in parts])
+        ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+        unit = np.stack([np.asarray(v) for v in
+                         tbl.column("unit").to_pylist()])
+        return ids, unit
+
+    def search_batch(self, queries: np.ndarray, k: int = 10,
+                     nprobe: int = 4) -> list[list[tuple[int, float]]]:
+        """Probe the union of the queries' nprobe cells with ONE read."""
+        q = _unit(queries)
+        probe = np.argsort(-(q @ self.centroids.T), axis=1)[:, :nprobe]
+        ids, unit = self._read_cells(probe.ravel())
+        cell_of = (np.argmax(unit @ self.centroids.T, axis=1)
+                   if len(ids) else np.empty(0, dtype=np.int64))
+        out = []
+        for qi in range(len(q)):
+            # restrict to this query's own probed cells
+            mask = np.isin(cell_of, probe[qi])
+            cids, cunit = ids[mask], unit[mask]
+            sims = cunit @ q[qi]
+            top = np.argsort(-sims)[:k]
+            out.append([(int(cids[i]), float(sims[i])) for i in top])
+        return out
 
     def search(self, query: np.ndarray, k: int = 10,
                nprobe: int = 4) -> list[tuple[int, float]]:
-        q = _unit(query.reshape(1, -1))[0]
-        cells = np.argsort(-(self.centroids @ q))[:nprobe]
-        mask = np.isin(self.assign, cells)
-        ids, unit = self.ids[mask], self.unit[mask]
-        sims = unit @ q
-        top = np.argsort(-sims)[:k]
-        return [(int(ids[i]), float(sims[i])) for i in top]
+        return self.search_batch(query.reshape(1, -1), k=k,
+                                 nprobe=nprobe)[0]
 
 
 def ann_ivf_topk(sf_dir: str, query_ids: list[int] | None = None,
@@ -131,11 +217,14 @@ def ann_ivf_topk(sf_dir: str, query_ids: list[int] | None = None,
     query_ids = query_ids or [0]
     index = IVFIndex(sf_dir)
     q = _load_query_vectors(sf_dir, query_ids)
+    results = index.search_batch(q, k=k + 1, nprobe=nprobe)
     rows = []
-    for qi, qid in enumerate(query_ids):
-        for vid, sim in index.search(q[qi], k=k + 1, nprobe=nprobe):
-            if vid != qid and len([r for r in rows if r[0] == qid]) < k:
+    for qid, hits in zip(query_ids, results):
+        kept = 0
+        for vid, sim in hits:
+            if vid != qid and kept < k:
                 rows.append((qid, vid, sim))
+                kept += 1
     return pa.table({
         "query_id": pa.array([r[0] for r in rows], pa.int64()),
         "vec_id": pa.array([r[1] for r in rows], pa.int64()),

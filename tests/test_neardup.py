@@ -1,0 +1,127 @@
+"""Planted-duplicate tests for the near-dup operators VERDICT r1 flagged
+as unverified: embedding_neardup_pairs must surface a planted cosine
+near-duplicate (and not sub-threshold pairs); ngram_jaccard_pairs must
+verify planted text near-duplicates with exact Jaccard values, without
+re-running LSH when candidates are supplied."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from risjbot_ray.pipelines import dedup
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("planted")
+    rng = np.random.default_rng(7)
+    dim = 16
+    vecs = rng.standard_normal((40, dim))
+    # plant: 41 ~= 1 (tiny perturbation, cosine > 0.99), 42 ~= 2 at a
+    # moderate angle (cosine ~0.97), 43 vs 3 well below threshold
+    v41 = vecs[1] + 0.01 * rng.standard_normal(dim)
+    u2 = vecs[2] / np.linalg.norm(vecs[2])
+    orth = rng.standard_normal(dim)
+    orth -= (orth @ u2) * u2
+    orth /= np.linalg.norm(orth)
+    v42 = np.linalg.norm(vecs[2]) * (0.97 * u2 + np.sqrt(1 - 0.97**2) * orth)
+    v43 = vecs[3] + 2.0 * rng.standard_normal(dim)
+    all_vecs = np.vstack([vecs, v41[None], v42[None], v43[None]])
+    ids = list(range(40)) + [41, 42, 43]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([v.astype(np.float32).tolist()
+                               for v in all_vecs],
+                              pa.list_(pa.float32())),
+    }), str(root / "embeddings.parquet"))
+
+    base = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "editors review the morning bulletin about harbour traffic "
+            "and municipal budget negotiations in the city assembly")
+    docs = []
+    for i in range(30):
+        docs.append((i, f"document number {i} " + base + f" variant {i}"))
+    # plant: 100 identical to 0; 101 near-identical to 1 (one word edit);
+    # 102 unrelated
+    docs.append((100, docs[0][1]))
+    docs.append((101, docs[1][1].replace("harbour", "airport")))
+    docs.append((102, "completely different text with no overlap at all "
+                      "regarding astronomy telescopes and nebulae"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+    }), str(root / "documents.parquet"))
+    return str(root), all_vecs, ids, dict(docs)
+
+
+def _exact_jaccard(xa: str, xb: str, k: int = 3) -> float:
+    sa = dedup._shingle_hashes(xa, k)
+    sb = dedup._shingle_hashes(xb, k)
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def test_embedding_neardup_finds_planted_pairs(ray_session, planted_dir):
+    root, all_vecs, ids, _ = planted_dir
+    out = dedup.embedding_neardup_pairs(root, threshold=0.95)
+    pairs = {(r["a"], r["b"]): r["cosine"] for r in out.to_pylist()}
+    assert (1, 41) in pairs and pairs[(1, 41)] > 0.99
+    assert (2, 42) in pairs and 0.95 < pairs[(2, 42)] < 0.99
+    # verified cosines match exact float64 computation to the 5dp rounding
+    unit = all_vecs / np.linalg.norm(all_vecs, axis=1, keepdims=True)
+    # parquet stores float32 embeddings; recompute from the stored values
+    f32 = all_vecs.astype(np.float32).astype(np.float64)
+    f32u = f32 / np.linalg.norm(f32, axis=1, keepdims=True)
+    idx = {v: i for i, v in enumerate(ids)}
+    for (a, b), c in pairs.items():
+        exact = float(f32u[idx[a]] @ f32u[idx[b]])
+        assert abs(c - round(exact, 5)) < 1e-9
+        assert exact >= 0.95
+    # nothing below threshold sneaks in
+    assert (3, 43) not in pairs
+
+
+def test_embedding_neardup_empty_result_is_typed(ray_session, tmp_path):
+    rng = np.random.default_rng(3)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(20), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in
+                               rng.standard_normal((20, 8))
+                               .astype(np.float32)],
+                              pa.list_(pa.float32())),
+    }), str(tmp_path / "embeddings.parquet"))
+    out = dedup.embedding_neardup_pairs(str(tmp_path), threshold=0.95)
+    assert out.num_rows == 0
+    assert out.schema.equals(dedup._NEARDUP_SCHEMA)
+
+
+def test_ngram_jaccard_finds_planted_pairs(ray_session, planted_dir):
+    root, _, _, text_of = planted_dir
+    out = dedup.ngram_jaccard_pairs(root, threshold=0.5)
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in out.to_pylist()}
+    assert pairs.get((0, 100)) == 1.0
+    assert (1, 101) in pairs
+    exp = _exact_jaccard(text_of[1], text_of[101])
+    assert 0.5 <= exp < 1.0
+    assert abs(pairs[(1, 101)] - round(exp, 5)) < 1e-9
+    assert not any(102 in p for p in pairs)
+
+
+def test_ngram_jaccard_accepts_candidate_pairs(ray_session, planted_dir):
+    """Supplying candidates must skip LSH and verify exactly those."""
+    root, _, _, text_of = planted_dir
+    cands = pa.table({"a": pa.array([0, 1, 5], pa.int64()),
+                      "b": pa.array([100, 101, 102], pa.int64())})
+    out = dedup.ngram_jaccard_pairs(root, threshold=0.0, candidates=cands)
+    got = {(r["a"], r["b"]): r["jaccard"] for r in out.to_pylist()}
+    assert set(got) == {(0, 100), (1, 101), (5, 102)}
+    for (a, b), j in got.items():
+        assert abs(j - round(_exact_jaccard(text_of[a], text_of[b]), 5)) \
+            < 1e-9
+
+    empty = dedup.ngram_jaccard_pairs(
+        root, candidates=pa.table({"a": pa.array([], pa.int64()),
+                                   "b": pa.array([], pa.int64())}))
+    assert empty.num_rows == 0
+    assert empty.schema.equals(dedup._JACCARD_SCHEMA)
