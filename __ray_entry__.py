@@ -38,7 +38,7 @@ def _corpus_paths(sf_dir: str, n: int | None = None) -> tuple[str, str]:
 
     if n is None:
         n = _n_articles_for(sf_dir)
-    tag = hashlib.md5(f"{sf_dir}:{n}:v3".encode()).hexdigest()[:12]
+    tag = hashlib.md5(f"{sf_dir}:{n}:v4".encode()).hexdigest()[:12]
     root = f"/tmp/risjbot_corpus/{tag}"
     pages_path = f"{root}/pages"
     if not os.path.exists(f"{root}/DONE"):
@@ -92,7 +92,10 @@ def _gen_corpus_maybe_parallel(n: int, seed: int = 42):
     for row in art_pages.select(["url"]).to_pylist():
         url = row["url"]
         by_host.setdefault(url.split("/", 3)[2], []).append(url)
-    disc_rows = PG.gen_discovery_pages(by_host, seed=seed)
+    headline_of = {r["url"]: r["headline"]
+                   for r in expected.to_pylist()}
+    disc_rows = PG.gen_discovery_pages(by_host, seed=seed,
+                                       headline_of=headline_of)
     pages = pa.concat_tables(
         [art_pages,
          pa.Table.from_pylist(disc_rows, schema=PG.PAGE_SCHEMA)])
@@ -182,6 +185,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow as pa
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def crawl_vs_expected(sf_dir: str):
+        """Flagship-pipeline self-check at the driver level (VERDICT r1
+        item 7): run the crawl and anti-join its output against the
+        corpus's own golden `expected.parquet`. A correct engine returns
+        ONE row of all-zero mismatch counters — checkable at a glance
+        without a SQL oracle (the corpus is synthesized, not a view)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = _run_crawl(sf_dir, tag="vsexp")
+        _, root = _corpus_paths(sf_dir)
+        exp = pq.read_table(f"{root}/expected.parquet")
+        expd = {r["url"]: r for r in exp.to_pylist() if not r["dropped"]}
+        outd = ({r["url"]: r for r in tbl.to_pylist()}
+                if tbl is not None else {})
+        both = set(expd) & set(outd)
+        n_body = sum(1 for u in both
+                     if expd[u]["bodytext"] is not None
+                     and outd[u].get("bodytext") != expd[u]["bodytext"])
+        n_head = sum(1 for u in both
+                     if expd[u]["headline"] is not None
+                     and outd[u].get("headline") != expd[u]["headline"])
+        return pa.table({
+            "n_extracted": pa.array([len(outd)], pa.int64()),
+            "n_expected_live": pa.array([len(expd)], pa.int64()),
+            "n_missing": pa.array([len(set(expd) - set(outd))], pa.int64()),
+            "n_unexpected": pa.array([len(set(outd) - set(expd))],
+                                     pa.int64()),
+            "n_bodytext_mismatch": pa.array([n_body], pa.int64()),
+            "n_headline_mismatch": pa.array([n_head], pa.int64()),
+        })
+
     def frontier_schedule(sf_dir: str):
         """Deterministic politeness schedule over the corpus's article
         URLs (priority = url-hash-derived)."""
@@ -229,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # correctness is gated by the pytest golden fixtures)
         "crawl_extracted": crawl_extracted,
         "crawl_enriched": crawl_enriched,
+        "crawl_vs_expected": crawl_vs_expected,
         "frontier_schedule": frontier_schedule,
     }
 

@@ -87,19 +87,28 @@ def top_customers_by_nation(sf_dir: str, k: int = 5):
              .aggregate(Sum("total", alias_name="total_spent"),
                         Sum("n", alias_name="n_orders")))
 
-    def attach_and_topk(df: pd.DataFrame) -> pd.DataFrame:
+    def attach(b: pa.Table) -> pa.Table:
+        """Broadcast-join the (customer, nation) lookup onto the
+        per-customer aggregate — runs per batch in the tasks, so the
+        aggregate never materializes on the driver."""
         lk = ray.get(lookup_ref)
-        df = df.join(lk, on="o_custkey", how="inner")
+        df = b.to_pandas().join(lk, on="o_custkey", how="inner")
         df["total_spent"] = df["total_spent"].round(2)
-        df = df.sort_values(["n_name", "total_spent", "o_custkey"],
-                            ascending=[True, False, True],
-                            kind="mergesort")
-        return df.groupby("n_name", sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    out = total.to_pandas()
-    out = attach_and_topk(out)
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["total_spent", "o_custkey"],
+                            ascending=[False, True], kind="mergesort")
+        return df.head(k)
+
+    # distributed grouped top-k: one small group per nation
+    ranked = (total.map_batches(attach, batch_format="pyarrow")
+              .groupby("n_name").map_groups(topk, batch_format="pandas"))
+    out = ranked.to_pandas()  # k x #nations rows — tiny final result
     out = out.rename(columns={"o_custkey": "custkey",
                               "n_name": "nation_name"})
+    out = out.sort_values(["nation_name", "total_spent", "custkey"],
+                          ascending=[True, False, True], kind="mergesort")
     return pa.Table.from_pandas(
         out[["nation_name", "custkey", "c_name", "total_spent",
              "n_orders"]], preserve_index=False)

@@ -391,9 +391,17 @@ def _alias(url: str, host: str) -> str:
 
 
 def gen_discovery_pages(article_urls_by_host: dict[str, list[str]],
-                        seed: int = 42) -> list[dict]:
+                        seed: int = 42,
+                        headline_of: dict[str, str] | None = None
+                        ) -> list[dict]:
     """Discovery pages (robots.txt + sitemapindex + urlset shards, or
-    RSS/Atom feeds) whose entries point at the given article URLs."""
+    RSS/Atom feeds) whose entries point at the given article URLs.
+
+    ``headline_of`` maps article url -> its real headline: like real news
+    sitemaps/feeds, the <news:title>/<item><title> carries the article's
+    actual title (the reference's scrapymeta channel surfaces it when no
+    page channel yields a headline, loaders.py:336-397)."""
+    headline_of = headline_of or {}
     rows: list[dict] = []
     ts = BASE_TS
 
@@ -428,7 +436,8 @@ def gen_discovery_pages(article_urls_by_host: dict[str, list[str]],
                     f"<news:news><news:keywords>newskw</news:keywords>"
                     f"<news:publication_date>{lastmod}"
                     f"</news:publication_date>"
-                    f"<news:title>News title {j}</news:title>"
+                    f"<news:title>{headline_of.get(u) or f'News title {j}'}"
+                    f"</news:title>"
                     f"</news:news></url>")
             page(su,
                  '<?xml version="1.0"?>'
@@ -454,7 +463,9 @@ def gen_discovery_pages(article_urls_by_host: dict[str, list[str]],
                 pub = (BASE_TS + timedelta(seconds=60 * j)).strftime(
                     "%a, %d %b %Y %H:%M:%S GMT")
                 items.append(
-                    f"<item><title>Feed title {j}</title><link>{link}</link>"
+                    f"<item><title>"
+                    f"{headline_of.get(u) or f'Feed title {j}'}"
+                    f"</title><link>{link}</link>"
                     f"<description>Feed desc {j}</description>"
                     f"<category>feedcat</category>"
                     f"<pubDate>{pub}</pubDate></item>")
@@ -492,7 +503,10 @@ def gen_corpus(n_articles: int, seed: int = 42
         url = row["url"]
         host = url.split("/", 3)[2]
         by_host.setdefault(host, []).append(url)
-    disc_rows = gen_discovery_pages(by_host, seed=seed)
+    headline_of = {r["url"]: r["headline"]
+                   for r in expected.to_pylist()}
+    disc_rows = gen_discovery_pages(by_host, seed=seed,
+                                    headline_of=headline_of)
     pages = pa.concat_tables(
         [art_pages, pa.Table.from_pylist(disc_rows, schema=PAGE_SCHEMA)])
 
