@@ -64,7 +64,8 @@ def best_content_node(root: Node) -> Node | None:
     order: dict[int, int] = {}
 
     for idx, n in enumerate(root.iter_nodes()):
-        order.setdefault(id(n), idx)
+        if n.tag in _CONTAINER_TAGS:
+            order.setdefault(id(n), idx)  # only containers can be scored
         if n.tag != "p":
             continue
         text = n.string_value()
