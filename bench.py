@@ -55,24 +55,36 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         throughput: dict[str, float] = {}
 
         # ---- headline: full crawl (frontier + politeness + fetch join +
-        # extraction + ledger + checkpoint)
-        run_dir = f"{root}/bench-{num_cpus}"
-        shutil.rmtree(run_dir, ignore_errors=True)
-        cfg = CrawlConfig(out_dir=f"{run_dir}/out",
-                          checkpoint_dir=f"{run_dir}/ckpt",
-                          per_host_budget=1_000_000,
-                          equivalent_domains=EQUIVALENT_DOMAINS,
-                          num_seen_shards=8,
-                          num_fetch_buckets=128,
-                          max_waves=12)
-        # store layout is corpus-keyed and shared across CPU levels —
-        # built once, reused (same input at both parallelism levels)
-        pipe = CrawlPipeline(cfg, pages_path, f"{root}/store128",
-                             robots_bodies=sj["robots"])
-        t0 = time.time()
-        res = pipe.run(seeds=sj["seeds"])
-        crawl_sec = time.time() - t0
-        pipe.shutdown()
+        # extraction + ledger + checkpoint). Run twice, record the MIN —
+        # identical runs on this host swing 2-3x under invisible VM
+        # steal, and min-of-N is the documented damping protocol.
+        crawl_sec = float("inf")
+        for attempt in range(2):
+            run_dir = f"{root}/bench-{num_cpus}"
+            shutil.rmtree(run_dir, ignore_errors=True)
+            cfg = CrawlConfig(out_dir=f"{run_dir}/out",
+                              checkpoint_dir=f"{run_dir}/ckpt",
+                              per_host_budget=1_000_000,
+                              equivalent_domains=EQUIVALENT_DOMAINS,
+                              num_seen_shards=8,
+                              num_fetch_buckets=128,
+                              max_waves=12)
+            # store layout is corpus-keyed and shared across CPU levels —
+            # built once, reused (same input at both parallelism levels)
+            pipe = CrawlPipeline(cfg, pages_path, f"{root}/store128",
+                                 robots_bodies=sj["robots"])
+            if attempt == 0:
+                # untimed page-cache warm of the STORE layout too — the
+                # crawl reads bucket files, not the raw pages; a cold
+                # first read of ~3 GB otherwise dominates the first wave
+                for p in _glob.glob(f"{root}/store128/bucket-*.parquet"):
+                    with open(p, "rb") as f:
+                        while f.read(1 << 24):
+                            pass
+            t0 = time.time()
+            res = pipe.run(seeds=sj["seeds"])
+            crawl_sec = min(crawl_sec, time.time() - t0)
+            pipe.shutdown()
         queries["crawl_full"] = round(crawl_sec, 3)
         throughput["frontier_scheduled_urls_per_sec"] = round(
             res["scheduled_urls"] / crawl_sec, 1)
@@ -80,6 +92,53 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             res["extracted_pages"] / crawl_sec, 1)
         throughput["scheduled_urls"] = res["scheduled_urls"]
         throughput["extracted_pages"] = res["extracted_pages"]
+
+        if os.environ.get("GRAFT_HEADLINE_ONLY"):
+            # scaling runs time ONLY the headline crawl (the other
+            # queries don't feed the efficiency ratio)
+            return {
+                "metric": "crawl_pipeline_wall_sec",
+                "value": queries["crawl_full"],
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf_dir,
+                "num_cpus": num_cpus,
+                "throughput": throughput,
+            }
+
+        # ---- politeness-bound crawl: a BINDING per-host budget (~1/3 of
+        # each host's volume) exercises the distributed cutoff scheduler
+        # and the deferred-spill requeue chain — the semantics the
+        # reference enforces per-domain (settings.py:88-94). Recorded so
+        # the headline numbers are not only measured with politeness off.
+        hosts: set[str] = set()
+        for p in (_glob.glob(f"{pages_path}/*.parquet")
+                  if os.path.isdir(pages_path) else [pages_path]):
+            hosts.update(
+                u.split("/", 3)[2]
+                for u in pq.read_table(p, columns=["url"])
+                .column("url").to_pylist())
+        budget = max(50, bench_n // max(1, len(hosts)) // 3)
+        run_dir_b = f"{root}/bench-budget-{num_cpus}"
+        shutil.rmtree(run_dir_b, ignore_errors=True)
+        cfg_b = CrawlConfig(out_dir=f"{run_dir_b}/out",
+                            checkpoint_dir=f"{run_dir_b}/ckpt",
+                            per_host_budget=budget,
+                            equivalent_domains=EQUIVALENT_DOMAINS,
+                            num_seen_shards=8,
+                            num_fetch_buckets=128,
+                            max_waves=40)
+        pipe_b = CrawlPipeline(cfg_b, pages_path, f"{root}/store128",
+                               robots_bodies=sj["robots"])
+        t0 = time.time()
+        res_b = pipe_b.run(seeds=sj["seeds"])
+        budget_sec = time.time() - t0
+        pipe_b.shutdown()
+        queries["crawl_budget_bound"] = round(budget_sec, 3)
+        throughput["budget_bound_pages_per_sec"] = round(
+            res_b["extracted_pages"] / budget_sec, 1)
+        throughput["budget_bound_waves"] = res_b["waves"]
+        throughput["per_host_budget"] = budget
 
         # ---- extract-only: the pure map_batches throughput path over
         # ARTICLE pages (the corpus also holds multi-MB feed/sitemap
@@ -143,18 +202,22 @@ def run_subprocess(ncpu: int) -> dict:
 
 
 def run_level_steady(ncpu: int) -> dict:
-    """Three runs per level: the first warms caches / absorbs write-back
-    from earlier runs; of the remaining two, the FASTER is recorded
-    (min-of-N damps interference from unrelated host load). os.sync +
-    settle keeps one run's dirty-page flush out of the next's timing."""
+    """N+1 runs per level: the first warms caches / absorbs write-back
+    from earlier runs; of the remaining N (GRAFT_SCALE_RUNS, default 3),
+    the FASTEST is recorded (min-of-N damps interference from unrelated
+    host load). os.sync + settle keeps one run's dirty-page flush out of
+    the next's timing. All raw timings are reported alongside the min."""
+    n_runs = int(os.environ.get("GRAFT_SCALE_RUNS", "3"))
     os.sync()
     run_subprocess(ncpu)          # warm-up, discarded
     results = []
-    for _ in range(2):
+    for _ in range(n_runs):
         os.sync()
         time.sleep(3)
         results.append(run_subprocess(ncpu))
-    return min(results, key=lambda r: r["value"])
+    best = min(results, key=lambda r: r["value"])
+    best["all_runs_sec"] = [r["value"] for r in results]
+    return best
 
 
 def main() -> None:
@@ -170,6 +233,7 @@ def main() -> None:
             n_li = pq.read_metadata(
                 f"{sf_dir}/lineitem.parquet").num_rows
             os.environ["GRAFT_BENCH_N"] = str(max(100_000, n_li))
+        os.environ["GRAFT_HEADLINE_ONLY"] = "1"
         levels = os.environ.get("GRAFT_SCALE_LEVELS", "8,32")
         lo, hi = (int(x) for x in levels.split(","))
         r_lo = run_level_steady(lo)
@@ -181,6 +245,8 @@ def main() -> None:
             "value": round(eff, 3),
             "unit": "ratio",
             f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
+            f"runs_{lo}": r_lo.get("all_runs_sec"),
+            f"runs_{hi}": r_hi.get("all_runs_sec"),
             f"throughput_{lo}": r_lo["throughput"],
             f"throughput_{hi}": r_hi["throughput"],
             "levels": [lo, hi],

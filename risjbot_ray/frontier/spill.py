@@ -104,8 +104,15 @@ def spill_bucketed(cand: pa.Table, directory: str,
         hc = {r["values"]: int(r["counts"])
               for r in pc.value_counts(sub.column("host")).to_pylist()}
         side = {"bucket": int(b), "n": sub.num_rows, "host_counts": hc}
-        with open(path + ".json", "w") as f:
+        # atomic publish: the sidecar is the part's commit record — the
+        # loader ignores parquet without one, so a task that dies mid-
+        # write (and is retried by Ray) can never surface a torn part.
+        # A retry that re-runs a COMPLETED attempt leaves duplicate rows
+        # under fresh uuids; in-bucket dedupe_wave absorbs them.
+        tmp = path + ".json.tmp"
+        with open(tmp, "w") as f:
             json.dump(side, f)
+        os.replace(tmp, path + ".json")
         total += sub.num_rows
     return total
 

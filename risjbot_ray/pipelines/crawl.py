@@ -164,7 +164,8 @@ class CrawlPipeline:
             eq = cfg.equivalent_domains
             cand_ds = ray.data.from_arrow(frontier).map_batches(
                 lambda b, _eq=eq: canonicalize_batch(b, _eq),
-                batch_format="pyarrow", zero_copy_batch=True)
+                batch_format="pyarrow",
+                zero_copy_batch=True).materialize()
             cand = pa.concat_tables(
                 [ray.get(r) for r in cand_ds.to_arrow_refs()],
                 promote_options="default").combine_chunks()
@@ -320,13 +321,30 @@ class CrawlPipeline:
         os.makedirs(frontier_dir, exist_ok=True)
         tbl = self._with_buckets(disc_tbl)
         buckets = np.asarray(tbl.column("fetch_bucket").to_pylist())
-        parts = [tbl.filter(pa.array(buckets == b))
-                 for b in np.unique(buckets)]
+        uniq = np.unique(buckets)
+        # cap the task fan-out: each spill task writes one part into
+        # EVERY target bucket, so #tasks x #buckets parts land on disk —
+        # a few multi-bucket tasks keep parse parallelism while cutting
+        # the per-bucket tiny-file count an order of magnitude
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            ncpu = 8
+        max_tasks = max(8, ncpu // 2)
+        groups = np.array_split(uniq, min(len(uniq), max_tasks))
+        parts = [tbl.filter(pa.array(np.isin(buckets, g)))
+                 for g in groups if len(g)]
 
         def fetch_discover_spill(group: pa.Table) -> pa.Table:
-            fetched = store.fetch_group(group)
-            if fetched is None or fetched.num_rows == 0:
+            gb = np.asarray(group.column("fetch_bucket").to_pylist())
+            fparts = []
+            for b in np.unique(gb):
+                f = store.fetch_group(group.filter(pa.array(gb == b)))
+                if f is not None and f.num_rows:
+                    fparts.append(f)
+            if not fparts:
                 return _DISC_RESULT_SCHEMA.empty_table()
+            fetched = pa.concat_tables(fparts, promote_options="default")
             children = discover_batch(fetched)
             if children.num_rows == 0:
                 return _DISC_RESULT_SCHEMA.empty_table()
@@ -342,8 +360,13 @@ class CrawlPipeline:
                     for child in disc_children.to_pylist()]
             return pa.Table.from_pylist(rows, schema=_DISC_RESULT_SCHEMA)
 
+        # materialize BEFORE to_arrow_refs: the lazy path runs an extra
+        # limit-1 schema probe that re-executes (and then cancels) the
+        # side-effecting spill tasks — a cancelled task can be killed
+        # mid-write
         ds = ray.data.from_arrow(parts).map_batches(
-            fetch_discover_spill, batch_format="pyarrow", batch_size=None)
+            fetch_discover_spill, batch_format="pyarrow",
+            batch_size=None).materialize()
         results = [ray.get(r) for r in ds.to_arrow_refs()]
         results = [t for t in results if t.num_rows]
         disc_children_rows = [
@@ -416,12 +439,11 @@ class CrawlPipeline:
                                 ("canon_url", pa.string())])
 
         def local_topk(batch: pa.Table) -> pa.Table:
-            import pyarrow.parquet as _pq
+            import pyarrow.dataset as _pads
             outs = []
             for row in batch.to_pylist():
-                tbl = pa.concat_tables(
-                    [_pq.read_table(p, columns=cols)
-                     for p in row["paths"]], promote_options="default")
+                tbl = _pads.dataset(row["paths"],
+                                    format="parquet").to_table(columns=cols)
                 tbl = tbl.filter(pc.is_in(tbl.column("host"),
                                           value_set=over_arr))
                 if tbl.num_rows == 0:
@@ -457,8 +479,9 @@ class CrawlPipeline:
                 return key_schema.empty_table()
             return pa.concat_tables(outs)
 
-        ds = ray.data.from_items(items).map_batches(
-            local_topk, batch_format="pyarrow", batch_size=1)
+        ds = (ray.data.from_items(items)
+              .map_batches(local_topk, batch_format="pyarrow",
+                           batch_size=1).materialize())
         merged = pa.concat_tables(
             [ray.get(r) for r in ds.to_arrow_refs()],
             promote_options="default")
@@ -546,12 +569,14 @@ class CrawlPipeline:
         num_buckets = store.num_buckets
 
         def run_bucket(batch: pa.Table) -> pa.Table:
-            import pyarrow.parquet as _pq
+            import pyarrow.dataset as _pads
             outs = []
             for row in batch.to_pylist():
-                tbl = pa.concat_tables([_pq.read_table(p)
-                                        for p in row["paths"]],
-                                       promote_options="default")
+                # one dataset scan over the bucket's parts (cheaper than
+                # per-file read_table when a bucket holds many small
+                # parts from fan-out spill tasks)
+                tbl = _pads.dataset(row["paths"],
+                                    format="parquet").to_table()
                 tbl = dedupe_wave(tbl)
                 keys = tbl.column("key").to_pylist()
                 hashes = np.asarray(tbl.column("url_hash").to_pylist(),
@@ -838,6 +863,29 @@ class CrawlPipeline:
                       and p.num_rows]
             bucketed = [p for p in pieces
                         if isinstance(p, BucketedFrontier) and p.num_rows]
+            # large article-table pieces (bulk seed lists, big child
+            # sets) leave the driver NOW via a distributed spill; only
+            # control-plane discovery rows stay on the table path
+            kept_tables = []
+            for t in tables:
+                if t.num_rows <= cfg.ray_canon_threshold:
+                    kept_tables.append(t)
+                    continue
+                dmask = pc.is_in(t.column("source_kind"),
+                                 value_set=pa.array(
+                                     list(DISCOVERY_KINDS),
+                                     type=pa.string()))
+                disc_t = t.filter(dmask)
+                art_t = t.filter(pc.invert(dmask))
+                if art_t.num_rows <= cfg.ray_canon_threshold:
+                    kept_tables.append(t)
+                    continue
+                bf = self._spill_table_piece(wave, len(bucketed), art_t)
+                if bf is not None:
+                    bucketed.append(bf)
+                if disc_t.num_rows:
+                    kept_tables.append(disc_t)
+            tables = kept_tables
             if not tables and not bucketed:
                 # idle: trawl epilogue, once (refetchcontrol.py:132-195).
                 # Each seen shard spills its eligible set directly as a
@@ -887,6 +935,29 @@ class CrawlPipeline:
             "seen_counters": self.seen.counters(),
             "seen_size": self.seen.size(),
         }
+
+    def _spill_table_piece(self, wave: int, idx: int,
+                           art_tbl: pa.Table) -> BucketedFrontier | None:
+        """Distributed canonicalize + spill of a LARGE article table piece
+        (e.g. a 10^8-row specified-URL seed list) into the bucketed
+        layout: after this, the driver holds only per-host counts and
+        file lists — the table path never sees the rows (ADVICE r1: large
+        table frontiers must not concat back onto the driver)."""
+        import shutil
+        sdir = os.path.join(self.ckpt.dir,
+                            f"frontier-tblspill-{wave:04d}-{idx}")
+        shutil.rmtree(sdir, ignore_errors=True)
+        eq = self.cfg.equivalent_domains
+        nb = self.store.num_buckets
+
+        def canon_spill(b: pa.Table) -> pa.Table:
+            n = spill_bucketed(canonicalize_batch(b, eq), sdir, nb)
+            return pa.table({"n": pa.array([n], pa.int64())})
+
+        (ray.data.from_arrow(art_tbl)
+         .map_batches(canon_spill, batch_format="pyarrow")
+         .materialize())
+        return load_bucketed_frontier(sdir)
 
     def _trawl_bucketed(self, wave: int) -> BucketedFrontier | None:
         """Trawl epilogue as a bucketed frontier: shards canonicalize and

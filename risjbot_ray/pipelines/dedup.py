@@ -371,7 +371,7 @@ def ngram_jaccard_pairs(sf_dir: str, shingle_k: int = 3,
                          "b": pa.array(b_o, pa.int64()),
                          "jaccard": pa.array(j_o, pa.float64())})
 
-    out = j2.map_batches(verify, batch_format="pyarrow")
+    out = j2.map_batches(verify, batch_format="pyarrow").materialize()
     parts = [t.cast(_JACCARD_SCHEMA) for t in
              (ray.get(r) for r in out.to_arrow_refs()) if t.num_rows]
     if not parts:
@@ -472,7 +472,7 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.95,
                                               alias_name="cosine"))
     # the pair set is LSH-bounded (small by construction) — materialize
     # with an explicit schema so an empty result is still well-typed
-    parts = [ray.get(r) for r in agg.to_arrow_refs()]
+    parts = [ray.get(r) for r in agg.materialize().to_arrow_refs()]
     parts = [t.select(["a", "b", "cosine"]).cast(_NEARDUP_SCHEMA)
              for t in parts if t.num_rows]
     if not parts:

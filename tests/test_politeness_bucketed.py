@@ -102,6 +102,38 @@ def test_budget_bound_bucketed_crawl_completes_without_fallback(
     assert res["waves"] > 2  # deferral forced extra waves
 
 
+def test_large_seed_table_spills_to_bucketed(ray_session, tmp_path):
+    """A seed list above ray_canon_threshold must leave the driver as a
+    distributed bucketed spill, not flow through the table path."""
+    pages, expected, _seeds, robots = gen_corpus(150, seed=17)
+    ppath = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, ppath)
+    cfg = CrawlConfig(out_dir=str(tmp_path / "out"),
+                      checkpoint_dir=str(tmp_path / "ckpt"),
+                      per_host_budget=100_000, num_seen_shards=2,
+                      num_fetch_buckets=4, ray_canon_threshold=50,
+                      equivalent_domains=EQUIVALENT_DOMAINS)
+    pipe = CrawlPipeline(cfg, ppath, str(tmp_path / "store"),
+                         robots_bodies=robots)
+    live = sorted(r["url"] for r in expected.to_pylist()
+                  if not r["dropped"])
+    all_urls = [r["url"] for r in expected.to_pylist()]
+    res = pipe.run(seeds=[{"url": u, "kind": "specified"}
+                          for u in all_urls])
+    pipe.shutdown()
+    assert glob.glob(str(tmp_path / "ckpt" / "frontier-tblspill-*" /
+                         "bucket=*")), "seed table must spill"
+    manifests = [json.load(open(p)) for p in sorted(
+        glob.glob(str(tmp_path / "ckpt" / "wave-*.json")))]
+    assert any(m.get("mode") == "bucketed" for m in manifests)
+    parts = sorted(glob.glob(str(tmp_path / "out" / "wave=*" /
+                                 "*.parquet")))
+    ext = pa.concat_tables([pq.read_table(p) for p in parts],
+                           promote_options="default")
+    assert sorted(ext.column("url").to_pylist()) == live
+    assert res["extracted_pages"] == len(live)
+
+
 def test_trawl_spill_writes_bucketed_frontier(ray_session, tmp_path):
     """Shard-side trawl: eligible entries land as a bucketed spill (with
     trawled meta), never as a driver table."""
