@@ -54,6 +54,10 @@ class BucketedFrontier:
     # parent is also pending is dropped: reprocessing the parent
     # regenerates it deterministically
     parent: str | None = field(default=None)
+    # source spill dirs when this piece is an in-memory MERGE of several
+    # spills (one wave job + jointly-applied politeness); each source
+    # gets its COMPLETE marker when the merged piece finishes
+    sources: list[str] | None = field(default=None)
 
     def to_manifest(self) -> dict:
         return {

@@ -674,8 +674,9 @@ class CrawlPipeline:
                                  for b in self._pending_bucketed],
             "wall_sec": round(time.time() - _t0, 3),
         })
-        with open(os.path.join(bf.directory, "COMPLETE"), "w") as f:
-            f.write("ok")
+        for d in [bf.directory] + (bf.sources or []):
+            with open(os.path.join(d, "COMPLETE"), "w") as f:
+                f.write("ok")
         return link_children
 
     def _extract_commit_fn(self, wave: int, now_us: int):
@@ -897,6 +898,8 @@ class CrawlPipeline:
                         pieces = [tbf]
                         continue
                 break
+            if len(bucketed) > 1:
+                bucketed = [self._merge_bucketed(bucketed)]
             self._pending_bucketed = []
             next_pieces: list = []
             if tables:
@@ -935,6 +938,37 @@ class CrawlPipeline:
             "seen_counters": self.seen.counters(),
             "seen_size": self.seen.size(),
         }
+
+    def _merge_bucketed(self, pieces: list[BucketedFrontier]
+                        ) -> BucketedFrontier:
+        """Merge several bucketed pieces into ONE logical wave piece: the
+        per-host budget then applies JOINTLY (table-path parity — the
+        table path schedules a wave's pieces together) and the wave pays
+        one politeness pre-pass + one Ray job instead of one per piece.
+        The merge is driver-side metadata only (file lists + counts);
+        deterministic naming keeps resume idempotent."""
+        import hashlib
+        names = sorted(os.path.basename(p.directory) for p in pieces)
+        tag = hashlib.md5("|".join(names).encode()).hexdigest()[:12]
+        mdir = os.path.join(self.ckpt.dir, f"frontier-merged-{tag}")
+        os.makedirs(mdir, exist_ok=True)
+        bucket_files: dict[int, list[str]] = {}
+        host_counts: dict[str, int] = {}
+        hbc: dict[str, dict[int, int]] = {}
+        n = 0
+        for p in pieces:
+            n += p.num_rows
+            for b, fs in p.bucket_files.items():
+                bucket_files.setdefault(b, []).extend(fs)
+            for h, c in p.host_counts.items():
+                host_counts[h] = host_counts.get(h, 0) + c
+            for h, bc in (p.host_bucket_counts or {}).items():
+                d = hbc.setdefault(h, {})
+                for b, c in bc.items():
+                    d[b] = d.get(b, 0) + c
+        return BucketedFrontier(mdir, n, host_counts, bucket_files,
+                                hbc or None,
+                                sources=[p.directory for p in pieces])
 
     def _spill_table_piece(self, wave: int, idx: int,
                            art_tbl: pa.Table) -> BucketedFrontier | None:
