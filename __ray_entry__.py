@@ -252,6 +252,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": lambda sf: similarity.ann_ivf_topk(
             sf, query_ids=[0, 1, 2], k=10),
         # near-dup families (rows-only checks)
+        "doc_curation": ts.curate_documents,
+        "corpus_token_stats": ts.corpus_token_stats,
         "doc_langid": ts.q_langid,
         "doc_fingerprint": ts.q_fingerprint,
         "minhash_dedup_clusters": dedup.minhash_dedup,
@@ -367,6 +369,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_lang_counts": """
             SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        """,
+        "doc_curation": rf"""
+            WITH m AS (
+              SELECT doc_id, md5(text) AS h,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE length(regexp_split_to_array(trim(text),
+                                                            '\s+'))
+                     END AS n_words,
+                     CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE CAST(length(regexp_replace(text,
+                               '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                               / length(text) END AS alpha,
+                     CASE WHEN length(trim(text)) = 0 THEN 0.0
+                          ELSE CAST(length(list_filter(
+                               regexp_split_to_array(trim(lower(text)),
+                                                     '\s+'),
+                               x -> list_contains([{",".join(
+                                   f"'{w}'" for w in sorted(
+                                       'the a an and or of to in is was '
+                                       'for on with as by at it this '
+                                       'that be are from he she they we '
+                                       'you his her its not have had but'
+                                       .split()))}],
+                                    trim(x, '.,;:!?''"()')))) AS DOUBLE)
+                               / length(regexp_split_to_array(trim(text),
+                                                              '\s+'))
+                     END AS stop
+              FROM documents
+            )
+            SELECT MIN(doc_id) AS doc_id, MAX(n_words) AS n_words
+            FROM m
+            WHERE n_words >= 50 AND alpha >= 0.5 AND stop >= 0.02
+            GROUP BY h
+        """,
+        "corpus_token_stats": r"""
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE length(regexp_split_to_array(trim(text),
+                                                         '\s+')) END)
+                       AS BIGINT) AS total_words,
+                   CAST(SUM(length(regexp_extract_all(text,
+                       '[A-Za-z]+(''[A-Za-z]+)?|[0-9]+|[^\w\s]')))
+                       AS BIGINT) AS total_bpeish_tokens
+            FROM documents
         """,
         "doc_exact_dedup": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups

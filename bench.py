@@ -59,7 +59,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # identical runs on this host swing 2-3x under invisible VM
         # steal, and min-of-N is the documented damping protocol.
         crawl_sec = float("inf")
-        for attempt in range(2):
+        # scaling mode does its own min-of-N across subprocesses — one
+        # crawl per subprocess there; min-of-2 in-process otherwise
+        n_attempts = 1 if os.environ.get("GRAFT_HEADLINE_ONLY") else 2
+        for attempt in range(n_attempts):
             run_dir = f"{root}/bench-{num_cpus}"
             shutil.rmtree(run_dir, ignore_errors=True)
             cfg = CrawlConfig(out_dir=f"{run_dir}/out",

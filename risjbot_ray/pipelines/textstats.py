@@ -243,3 +243,72 @@ def q_lang_counts(sf_dir: str):
                                columns=["lang"])
     from ray.data.aggregate import Count
     return ds.groupby("lang").aggregate(Count(alias_name="n"))
+
+
+# --------------------------------------------------------------------------
+# composed curation pipelines (filter + dedup + aggregate at corpus scale)
+# --------------------------------------------------------------------------
+
+def curate_documents(sf_dir: str, min_words: int = 50,
+                     min_alpha: float = 0.5, min_stop: float = 0.02):
+    """Training-corpus curation: quality-filter then exact-dedup in ONE
+    pass shape — per-batch metric computation + in-batch filter (rows
+    drop before the shuffle), then a groupby on the 32-char md5 only.
+    Returns kept (doc_id = min id per distinct text, n_words), the
+    standard quality-gate + dedup step of an LLM data pipeline."""
+    ds = documents_ds(sf_dir)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_md5, out_nw = [], [], []
+        for i, t in zip(ids, texts):
+            t = t or ""
+            words = t.split()
+            nw = len(words)
+            n = len(t)
+            if nw < min_words or n == 0:
+                continue
+            alpha = sum("A" <= c <= "Z" or "a" <= c <= "z" for c in t)
+            stop = sum(w.lower().strip(".,;:!?'\"()") in _STOPWORDS
+                       for w in words)
+            if alpha / n < min_alpha or stop / nw < min_stop:
+                continue
+            out_id.append(i)
+            out_md5.append(hashlib.md5(t.encode("utf-8")).hexdigest())
+            out_nw.append(nw)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "text_md5": pa.array(out_md5, pa.string()),
+                         "n_words": pa.array(out_nw, pa.int64())})
+
+    from ray.data.aggregate import Max, Min
+    return (ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("text_md5")
+            .aggregate(Min("doc_id", alias_name="doc_id"),
+                       Max("n_words", alias_name="n_words"))
+            .select_columns(["doc_id", "n_words"]))
+
+
+def corpus_token_stats(sf_dir: str):
+    """One-row corpus summary (n_docs, total_words, total_bpeish_tokens):
+    per-batch PARTIAL sums inside map_batches, then a tiny global sum —
+    the pre-aggregation pattern; no row-level data ever shuffles."""
+    ds = documents_ds(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        nw = sum(len((t or "").split()) for t in texts)
+        nb = sum(len(_BPEISH_RE.findall(t or "")) for t in texts)
+        return pa.table({"n_docs": pa.array([len(texts)], pa.int64()),
+                         "words": pa.array([nw], pa.int64()),
+                         "bpeish": pa.array([nb], pa.int64())})
+
+    from ray.data.aggregate import Sum
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("words", alias_name="total_words"),
+                      Sum("bpeish", alias_name="total_bpeish_tokens")))
+    return pa.table({k: pa.array([v], pa.int64())
+                     for k, v in sorted(agg.items())})
