@@ -275,17 +275,24 @@ class CrawlPipeline:
 
     def _fetch_driver(self, tbl: pa.Table) -> pa.Table | None:
         """Driver-side bucketed fetch join for SMALL tables (control-plane
-        discovery fetches and tiny article waves)."""
+        discovery fetches and tiny article waves). Per-bucket reads are
+        IO-bound parquet scans — a thread pool overlaps them (pyarrow
+        releases the GIL), cutting the serial per-wave driver cost that
+        otherwise caps scaling efficiency."""
         if tbl.num_rows == 0:
             return None
         tbl = self._with_buckets(tbl)
         buckets = np.asarray(tbl.column("fetch_bucket").to_pylist())
-        parts = []
-        for b in np.unique(buckets):
-            grp = tbl.filter(pa.array(buckets == b))
-            out = self.store.fetch_group(grp)
-            if out is not None and out.num_rows:
-                parts.append(out)
+        groups = [tbl.filter(pa.array(buckets == b))
+                  for b in np.unique(buckets)]
+        if len(groups) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(
+                    max_workers=min(16, len(groups))) as ex:
+                outs = list(ex.map(self.store.fetch_group, groups))
+        else:
+            outs = [self.store.fetch_group(groups[0])]
+        parts = [o for o in outs if o is not None and o.num_rows]
         if not parts:
             return None
         return pa.concat_tables(parts, promote_options="default")
@@ -572,9 +579,11 @@ class CrawlPipeline:
             import pyarrow.dataset as _pads
             outs = []
             for row in batch.to_pylist():
-                # one dataset scan over the bucket's parts (cheaper than
+                # one dataset scan over the group's parts (cheaper than
                 # per-file read_table when a bucket holds many small
-                # parts from fan-out spill tasks)
+                # parts from fan-out spill tasks); a group may span
+                # SEVERAL buckets when the piece is small — the fetch
+                # join below re-splits by fetch_bucket
                 tbl = _pads.dataset(row["paths"],
                                     format="parquet").to_table()
                 tbl = dedupe_wave(tbl)
@@ -621,10 +630,16 @@ class CrawlPipeline:
                 metrics.incr({"bucketed_scheduled": tbl.num_rows})
                 if tbl.num_rows == 0:
                     continue
-                fetched = store.fetch_group(tbl)
-                if fetched is None or fetched.num_rows == 0:
+                fb = np.asarray(tbl.column("fetch_bucket").to_pylist())
+                fparts = []
+                for b in np.unique(fb):
+                    f = store.fetch_group(tbl.filter(pa.array(fb == b)))
+                    if f is not None and f.num_rows:
+                        fparts.append(f)
+                if not fparts:
                     continue
-                outs.append(extract_commit(fetched))
+                outs.append(extract_commit(
+                    pa.concat_tables(fparts, promote_options="default")))
             if not outs:
                 return _empty_extracted()
             return pa.concat_tables(outs, promote_options="default")
@@ -632,8 +647,18 @@ class CrawlPipeline:
         snap0 = metrics.snapshot()
         before = snap0.get("bucketed_scheduled", 0)
         before_def = snap0.get("bucketed_deferred", 0)
-        items = [{"bucket": b, "paths": files}
-                 for b, files in sorted(bf.bucket_files.items())]
+        # task granularity: one bucket per task for big waves; SMALL
+        # pieces group many buckets per task so a 6k-row wave doesn't pay
+        # 128 task launches + tiny-file scans (~1.5k rows per task)
+        sorted_buckets = sorted(bf.bucket_files.items())
+        n_groups = min(len(sorted_buckets),
+                       max(1, -(-bf.num_rows // 1500)))
+        group_sz = -(-len(sorted_buckets) // n_groups)
+        items = [{"group": g,
+                  "paths": [p for _, files in
+                            sorted_buckets[g * group_sz:(g + 1) * group_sz]
+                            for p in files]}
+                 for g in range(n_groups)]
         (ray.data.from_items(items)
          .map_batches(run_bucket, batch_format="pyarrow", batch_size=1)
          .write_parquet(wave_dir))
