@@ -5,11 +5,13 @@ Scale shapes (per the Ray Data dedup guidance):
 - exact: content-hash in a vectorized ``map_batches`` then
   ``groupby(hash)`` keep-first — a single shuffle on the 16-byte hash,
   never on the text.
-- MinHash/LSH: per-batch shingle->minhash signatures, explode to
-  (band_id, band_hash, doc_id) rows, ``groupby`` the band key; candidate
-  pairs verified with exact shingle Jaccard; duplicate groups closed with
-  min-label propagation (no driver-side union-find over the full corpus,
-  only over the verified-pair set, which LSH keeps tiny).
+- MinHash/LSH: per-batch shingle->minhash signatures (computed ONCE,
+  materialized), then a 20-byte-row (doc_id, band, band_hash) shuffle to
+  find colliding pairs; signatures hash-join back onto the LSH-bounded
+  pair set for the estimate — the 512B signatures never ride the band
+  shuffle. Duplicate groups closed with min-label propagation (no
+  driver-side union-find over the full corpus, only over the
+  verified-pair set, which LSH keeps tiny).
 - SimHash: 64-bit signatures; banding on 4 x 16-bit sub-keys finds all
   pairs within Hamming distance 3 (pigeonhole), verified exactly.
 - embedding near-dup: random-hyperplane LSH buckets then exact cosine.
@@ -100,80 +102,115 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        sigs = np.stack([self.signature(t or "") for t in texts])
+        sigs = [self.signature(t or "") for t in texts]
+        # fixed-width binary (num_perm x 8 bytes, little-endian uint64):
+        # a primitive type, so the signature can ride a hash join as a
+        # payload column (Arrow joins reject list columns)
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "sig": pa.array(list(sigs), pa.list_(pa.uint64())),
+            "sig": pa.array([s.tobytes() for s in sigs], pa.binary()),
         })
 
 
-def _explode_bands(batch: pa.Table, bands: int, rows_per_band: int
-                   ) -> pa.Table:
+def _explode_bands_light(batch: pa.Table, bands: int, rows_per_band: int
+                         ) -> pa.Table:
+    """(doc_id, band, band_hash) rows ONLY — the 512B signature does NOT
+    ride the band shuffle (it would be duplicated ``bands`` times);
+    signatures join back onto the (tiny) candidate-pair set instead."""
     ids = batch.column("doc_id").to_pylist()
     sigs = batch.column("sig").to_pylist()
-    out_id, out_band, out_hash, out_sig = [], [], [], []
+    out_id, out_band, out_hash = [], [], []
+    row_bytes = rows_per_band * 8
     for did, sig in zip(ids, sigs):
-        sig_arr = np.asarray(sig, dtype=np.uint64)
         for b in range(bands):
-            chunk = sig_arr[b * rows_per_band:(b + 1) * rows_per_band]
-            h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+            chunk = sig[b * row_bytes:(b + 1) * row_bytes]
+            h = hashlib.blake2b(chunk, digest_size=8).digest()
             out_id.append(did)
             out_band.append(b)
             out_hash.append(int.from_bytes(h, "big") >> 1)
-            out_sig.append(sig)
     return pa.table({"doc_id": pa.array(out_id, pa.int64()),
                      "band": pa.array(out_band, pa.int32()),
-                     "band_hash": pa.array(out_hash, pa.int64()),
-                     "sig": pa.array(out_sig, pa.list_(pa.uint64()))})
+                     "band_hash": pa.array(out_hash, pa.int64())})
 
 
-def _band_pairs(group, threshold: float):
-    """Candidate pairs within ONE BAND: almost all band_hash buckets are
-    singletons, so first keep only duplicated hashes (vectorized), then
-    enumerate pairs bucket-by-bucket. Grouping by band (few, large groups)
-    instead of (band, band_hash) (millions of tiny groups) keeps the Ray
-    groupby shuffle coarse."""
+def _band_cands(group):
+    """Colliding pairs within ONE BAND: almost all band_hash buckets are
+    singletons, so keep only duplicated hashes (vectorized), then
+    enumerate pairs bucket-by-bucket. Grouping by band (few, large
+    groups) instead of (band, band_hash) (millions of tiny groups) keeps
+    the Ray groupby shuffle coarse."""
     import pandas as pd
 
-    dup_mask = group.duplicated("band_hash", keep=False)
-    hot = group[dup_mask]
-    if len(hot) < 2:
-        return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                             "b": pd.Series(dtype="int64"),
-                             "est_jaccard": pd.Series(dtype="float64")})
-    a_out, b_out, j_out = [], [], []
+    hot = group[group.duplicated("band_hash", keep=False)]
+    a_out, b_out = [], []
     for _, bucket in hot.groupby("band_hash", sort=False):
-        ids = bucket["doc_id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        sigs = np.stack(bucket["sig"].to_numpy())[order]
+        ids = np.sort(bucket["doc_id"].to_numpy())
         for i in range(len(ids)):
-            eq = (sigs[i + 1:] == sigs[i]).mean(axis=1)
-            for off in np.nonzero(eq >= threshold)[0]:
+            for j in range(i + 1, len(ids)):
                 a_out.append(int(ids[i]))
-                b_out.append(int(ids[i + 1 + off]))
-                j_out.append(float(eq[off]))
-    return pd.DataFrame({"a": a_out, "b": b_out, "est_jaccard": j_out})
+                b_out.append(int(ids[j]))
+    return pd.DataFrame({"a": pd.Series(a_out, dtype="int64"),
+                         "b": pd.Series(b_out, dtype="int64")})
 
 
 def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64,
-                            bands: int = 16, threshold: float = 0.7):
-    """Verified near-duplicate pairs (a < b) with estimated Jaccard."""
+                            bands: int = 16, threshold: float = 0.7,
+                            num_partitions: int | None = None):
+    """Near-duplicate pairs (a < b) with estimated Jaccard >= threshold.
+
+    Three stages, all narrow: (1) signatures once per doc (actor pool);
+    (2) band-hash shuffle of 20-byte rows -> colliding pairs, deduped;
+    (3) signatures hash-join back onto the LSH-bounded pair set and the
+    per-pair estimate is one vectorized row-equality mean."""
     rows_per_band = num_perm // bands
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
+    # materialized: consumed by the band shuffle AND both joins — without
+    # this the MinHasher pool would re-run once per consumer
     sigs = ds.map_batches(MinHasher, batch_format="pyarrow",
                           fn_constructor_kwargs={"num_perm": num_perm},
-                          concurrency=(1, 8))
+                          concurrency=(1, 8)).materialize()
     exploded = sigs.map_batches(
-        lambda b: _explode_bands(b, bands, rows_per_band),
+        lambda b: _explode_bands_light(b, bands, rows_per_band),
         batch_format="pyarrow")
-    pairs = exploded.groupby("band").map_groups(
-        lambda g: _band_pairs(g, threshold), batch_format="pandas")
-    # a pair can surface from several bands — dedupe on (a, b)
-    from ray.data.aggregate import Max
-    return (pairs.groupby(["a", "b"])
-            .aggregate(Max("est_jaccard", alias_name="est_jaccard")))
+    cands = exploded.groupby("band").map_groups(
+        _band_cands, batch_format="pandas")
+    # a pair can collide in several bands — dedupe on (a, b)
+    from ray.data.aggregate import Count
+    uniq = (cands.groupby(["a", "b"])
+            .aggregate(Count(alias_name="n_bands"))
+            .select_columns(["a", "b"]))
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(32, cpus // 2))
+
+    def _rename_a(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["sig_a" if c == "sig" else c
+                                 for c in b.column_names])
+
+    j1 = (uniq.join(sigs, join_type="inner", on=("a",),
+                    right_on=("doc_id",), num_partitions=num_partitions)
+          .map_batches(_rename_a, batch_format="pyarrow"))
+    j2 = j1.join(sigs, join_type="inner", on=("b",),
+                 right_on=("doc_id",), num_partitions=num_partitions)
+
+    def est(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "est_jaccard": pa.array([], pa.float64())})
+        sa = np.stack([np.frombuffer(s, dtype=np.uint64)
+                       for s in batch.column("sig_a").to_pylist()])
+        sb = np.stack([np.frombuffer(s, dtype=np.uint64)
+                       for s in batch.column("sig").to_pylist()])
+        e = (sa == sb).mean(axis=1)
+        keep = e >= threshold
+        return pa.table({
+            "a": batch.column("a").filter(pa.array(keep)),
+            "b": batch.column("b").filter(pa.array(keep)),
+            "est_jaccard": pa.array(e[keep], pa.float64())})
+
+    return j2.map_batches(est, batch_format="pyarrow")
 
 
 def minhash_dedup(sf_dir: str, num_perm: int = 64, bands: int = 16,
