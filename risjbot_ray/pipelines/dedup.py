@@ -153,6 +153,18 @@ def _band_cands(group):
                          "b": pd.Series(b_out, dtype="int64")})
 
 
+_PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+
+def _norm_pairs(b: pa.Table) -> pa.Table:
+    """Schema-stabilize (a, b) pair blocks: pandas map_groups stages emit
+    EMPTY blocks with no columns at all, and a join partition holding
+    only such blocks fails field resolution ('No match for FieldRef a')."""
+    if b.num_rows == 0 or "a" not in b.column_names:
+        return _PAIR_SCHEMA.empty_table()
+    return b.select(["a", "b"]).cast(_PAIR_SCHEMA)
+
+
 def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64,
                             bands: int = 16, threshold: float = 0.7,
                             num_partitions: int | None = None):
@@ -177,20 +189,35 @@ def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64,
         _band_cands, batch_format="pandas")
     # a pair can collide in several bands — dedupe on (a, b)
     from ray.data.aggregate import Count
+    # The pair-side of each join is materialized into ONE block: Ray's
+    # join aggregator fails Arrow field resolution for partitions that
+    # receive no shard from a multi-block lazy left side (zero-column
+    # table), while a single typed block shards to every partition. The
+    # pair set is LSH-bounded small by design, so one block is cheap;
+    # the BIG side (signatures/docs) stays fully partitioned.
     uniq = (cands.groupby(["a", "b"])
             .aggregate(Count(alias_name="n_bands"))
-            .select_columns(["a", "b"]))
+            .select_columns(["a", "b"])
+            .map_batches(_norm_pairs, batch_format="pyarrow")
+            .materialize().repartition(1))
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(2, min(32, cpus // 2))
 
+    j1_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                           ("sig_a", pa.binary())])
+
     def _rename_a(b: pa.Table) -> pa.Table:
-        return b.rename_columns(["sig_a" if c == "sig" else c
-                                 for c in b.column_names])
+        if b.num_rows == 0 or "sig" not in b.column_names:
+            return j1_schema.empty_table()
+        b = b.rename_columns(["sig_a" if c == "sig" else c
+                              for c in b.column_names])
+        return b.select(["a", "b", "sig_a"]).cast(j1_schema)
 
     j1 = (uniq.join(sigs, join_type="inner", on=("a",),
                     right_on=("doc_id",), num_partitions=num_partitions)
-          .map_batches(_rename_a, batch_format="pyarrow"))
+          .map_batches(_rename_a, batch_format="pyarrow")
+          .materialize().repartition(1))
     j2 = j1.join(sigs, join_type="inner", on=("b",),
                  right_on=("doc_id",), num_partitions=num_partitions)
 
@@ -362,7 +389,9 @@ def ngram_jaccard_pairs(sf_dir: str, shingle_k: int = 3,
             sf_dir, num_perm=num_perm, bands=bands, threshold=0.3)
     if isinstance(candidates, pa.Table):
         candidates = ray.data.from_arrow(candidates)
-    cands = candidates.select_columns(["a", "b"])
+    cands = (candidates.select_columns(["a", "b"])
+             .map_batches(_norm_pairs, batch_format="pyarrow")
+             .materialize().repartition(1))
     if not cands.take(1):
         return _JACCARD_SCHEMA.empty_table()
     if num_partitions is None:
@@ -373,16 +402,23 @@ def ngram_jaccard_pairs(sf_dir: str, shingle_k: int = 3,
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
 
+    j1_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                           ("text_a", pa.string())])
+
     def _rename_a(b: pa.Table) -> pa.Table:
         # the hash join folds the right key into `a`; only `text` remains
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return j1_schema.empty_table()
         if "doc_id" in b.column_names:
             b = b.drop_columns(["doc_id"])
-        return b.rename_columns(["text_a" if c == "text" else c
-                                 for c in b.column_names])
+        b = b.rename_columns(["text_a" if c == "text" else c
+                              for c in b.column_names])
+        return b.select(["a", "b", "text_a"]).cast(j1_schema)
 
     j1 = (cands.join(docs, join_type="inner", on=("a",),
                      right_on=("doc_id",), num_partitions=num_partitions)
-          .map_batches(_rename_a, batch_format="pyarrow"))
+          .map_batches(_rename_a, batch_format="pyarrow")
+          .materialize().repartition(1))
     j2 = j1.join(docs, join_type="inner", on=("b",),
                  right_on=("doc_id",), num_partitions=num_partitions)
 
