@@ -654,11 +654,12 @@ class CrawlPipeline:
         n_groups = min(len(sorted_buckets),
                        max(1, -(-bf.num_rows // 1500)))
         group_sz = -(-len(sorted_buckets) // n_groups)
-        items = [{"group": g,
-                  "paths": [p for _, files in
-                            sorted_buckets[g * group_sz:(g + 1) * group_sz]
-                            for p in files]}
-                 for g in range(n_groups)]
+        items = [{"group": g, "paths": paths}
+                 for g in range(n_groups)
+                 if (paths := [p for _, files in
+                               sorted_buckets[g * group_sz:
+                                              (g + 1) * group_sz]
+                               for p in files])]
         (ray.data.from_items(items)
          .map_batches(run_bucket, batch_format="pyarrow", batch_size=1)
          .write_parquet(wave_dir))
