@@ -90,10 +90,14 @@ def schedule_wave(frontier: pa.Table, per_host_budget: int,
     survivors. Deferred rows = everything not scheduled, re-queued for the
     next wave (per-domain queue semantics).
 
-    Implemented with pandas inside the driver for wave-sized tables; the
-    identical two-phase structure maps to ``groupby(sched_group)
-    .map_groups`` on a Dataset when a single wave exceeds driver memory
-    (the crawl pipeline uses that path for large waves).
+    Implemented with pandas inside the driver for wave-sized tables. Waves
+    that never land on the driver (the bucketed spill path) get the SAME
+    per-host selection from ``CrawlPipeline._politeness_cutoffs``: each
+    bucket task dry-gates its over-budget-host rows and returns only local
+    top-k keys; the driver merges those few keys into per-host cutoff keys
+    that each bucket filters by — exact parity with this function (pinned
+    by tests/test_politeness_bucketed.py) at O(#hosts x #buckets x budget)
+    driver cost instead of a wave materialization.
     """
     if frontier.num_rows == 0:
         empty = frontier.slice(0, 0)
