@@ -541,26 +541,24 @@ class CrawlPipeline:
             deferred_dir = os.path.join(self.ckpt.dir, dbase)
             shutil.rmtree(deferred_dir, ignore_errors=True)
 
-        # link-crawl hosts: pull ONLY their rows (tiny subset) for link
-        # harvesting; the bucketed extraction still covers them
-        link_hosts = {h for h in bf.host_counts
-                      if rules_for_host(h).link_allow
-                      or rules_for_host(h).link_restrict_xpaths}
-        link_children = CHILD_SCHEMA.empty_table()
+        # link-crawl hosts (buzzfeed/bild-style CrawlSpider rules): their
+        # article pages are ALSO discovery surfaces. The harvest runs
+        # INSIDE each bucket task on the rows it already fetched (zero
+        # extra reads, zero extra fetches — the driver never scans the
+        # frontier spill) and the children leave the task as a bucketed
+        # side-spill, exactly like politeness-deferred rows.
+        link_hosts = frozenset(
+            h for h in bf.host_counts
+            if rules_for_host(h).link_allow
+            or rules_for_host(h).link_restrict_xpaths)
+        links_dir = None
         if link_hosts:
-            import pyarrow.parquet as pq
-            subs = []
-            for files in bf.bucket_files.values():
-                for p in files:
-                    t = pq.read_table(p)
-                    m = pc.is_in(t.column("host"),
-                                 value_set=pa.array(sorted(link_hosts)))
-                    sub = t.filter(m)
-                    if sub.num_rows:
-                        subs.append(sub)
-            if subs:
-                link_children = self._harvest_links(
-                    pa.concat_tables(subs, promote_options="default"))
+            lbase = "links-" + os.path.basename(bf.directory)
+            if len(lbase) > 100:
+                import hashlib as _hl
+                lbase = "links-" + _hl.md5(lbase.encode()).hexdigest()[:16]
+            links_dir = os.path.join(self.ckpt.dir, lbase)
+            shutil.rmtree(links_dir, ignore_errors=True)
 
         seen = self.seen
         robots = self.robots if cfg.obey_robots else None
@@ -638,8 +636,26 @@ class CrawlPipeline:
                         fparts.append(f)
                 if not fparts:
                     continue
-                outs.append(extract_commit(
-                    pa.concat_tables(fparts, promote_options="default")))
+                fetched = pa.concat_tables(fparts,
+                                           promote_options="default")
+                if link_hosts:
+                    # in-task link harvest over pages this task fetched
+                    # anyway (reference CrawlSpider rules, S7); children
+                    # spill straight to the bucketed layout
+                    from ..sources.stage import harvest_links_batch
+                    lmask = pc.is_in(
+                        fetched.column("host"),
+                        value_set=pa.array(sorted(link_hosts)))
+                    if pc.any(lmask).as_py():
+                        children = harvest_links_batch(
+                            fetched.filter(lmask))
+                        if children.num_rows:
+                            n_link = spill_bucketed(
+                                canonicalize_batch(
+                                    children, cfg.equivalent_domains),
+                                links_dir, num_buckets)
+                            metrics.incr({"link_children": n_link})
+                outs.append(extract_commit(fetched))
             if not outs:
                 return _empty_extracted()
             return pa.concat_tables(outs, promote_options="default")
@@ -677,6 +693,11 @@ class CrawlPipeline:
             if dbf is not None:
                 dbf.parent = bf.directory
                 self._pending_bucketed.append(dbf)
+        if links_dir is not None:
+            lbf = load_bucketed_frontier(links_dir)
+            if lbf is not None:
+                lbf.parent = bf.directory
+                self._pending_bucketed.append(lbf)
         self.metrics["scheduled_urls"] += n_scheduled
         self.metrics["extracted_pages"] += n_extracted
         self.metrics["fetched_rows"] += n_extracted
@@ -703,7 +724,7 @@ class CrawlPipeline:
         for d in [bf.directory] + (bf.sources or []):
             with open(os.path.join(d, "COMPLETE"), "w") as f:
                 f.write("ok")
-        return link_children
+        return CHILD_SCHEMA.empty_table()
 
     def _extract_commit_fn(self, wave: int, now_us: int):
         """The fused extract+commit batch UDF (shared by the Ray pipeline

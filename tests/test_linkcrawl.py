@@ -106,6 +106,69 @@ def test_link_crawl_end_to_end(ray_session, tmp_path):
     assert counters.get("extracted", 0) >= 3
 
 
+def test_link_crawl_bucketed_harvests_in_task(ray_session, tmp_path,
+                                              monkeypatch):
+    """Bucketed waves with a link-crawl host harvest inside the
+    per-bucket tasks: children arrive as a bucketed side-spill and the
+    DRIVER never reads any frontier spill parquet (the round-2 scan of
+    every bucket part is gone)."""
+    art = ('<html lang="en"><head><title>T{i}</title>'
+           '<meta property="og:title" content="Linked {i}"></head>'
+           '<body><div itemprop="articleBody"><p>Body of linked article '
+           "number {i} with enough words to matter.</p></div>"
+           '{next_link}</body></html>')
+    pages = [
+        _page("https://www.buzzfeed.com/news/hub",
+              '<html><body><a href="/news/art-1">1</a>'
+              '<a href="/about/nope">no</a></body></html>'),
+        _page("https://www.buzzfeed.com/news/art-1",
+              art.format(i=1, next_link='<a href="/news/art-2">next</a>')),
+        _page("https://www.buzzfeed.com/news/art-2",
+              art.format(i=2, next_link="")),
+    ]
+    ppath = str(tmp_path / "pages.parquet")
+    pq.write_table(pa.Table.from_pylist(pages, schema=PAGE_SCHEMA), ppath)
+    cfg = CrawlConfig(out_dir=str(tmp_path / "out"),
+                      checkpoint_dir=str(tmp_path / "ckpt"),
+                      per_host_budget=100, num_seen_shards=1,
+                      num_fetch_buckets=2, max_waves=8, obey_robots=False,
+                      # force EVERY article piece through the bucketed path
+                      ray_canon_threshold=0, small_wave_rows=0,
+                      ray_discovery_rows=0)
+    pipe = CrawlPipeline(cfg, ppath, str(tmp_path / "store"))
+
+    reads: list[str] = []
+    real_read = pq.read_table
+
+    def spy(path, *a, **k):
+        reads.append(str(path))
+        return real_read(path, *a, **k)
+
+    monkeypatch.setattr(pq, "read_table", spy)
+    try:
+        pipe.run(seeds=[{"url": "https://www.buzzfeed.com/news/hub",
+                         "kind": "article",
+                         "meta": {"refetchcontrol_pass": True}}])
+    finally:
+        monkeypatch.setattr(pq, "read_table", real_read)
+        pipe.shutdown()
+
+    spill_reads = [p for p in reads
+                   if "/frontier-" in p or "/links-" in p
+                   or "/deferred-" in p]
+    assert not spill_reads, f"driver read frontier spill parquet: " \
+                            f"{spill_reads[:3]}"
+    import glob
+    assert glob.glob(str(tmp_path / "ckpt" / "links-*" / "bucket=*")), \
+        "link children must spill bucketed"
+    parts = glob.glob(str(tmp_path / "out" / "wave=*" / "*.parquet"))
+    ext = pa.concat_tables([pq.read_table(p) for p in parts],
+                           promote_options="default")
+    urls = sorted(ext.column("url").to_pylist())
+    assert "https://www.buzzfeed.com/news/art-1" in urls
+    assert "https://www.buzzfeed.com/news/art-2" in urls  # 2 hops in-task
+
+
 def test_allowed_domains_offsite_gate():
     """Children outside allowed_domains are dropped (independent.co.uk
     allowed_domains, uk/independent.py:13-16)."""
