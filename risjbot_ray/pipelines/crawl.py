@@ -66,6 +66,11 @@ class CrawlConfig:
     enrich: bool = True
     enrich_namedpeople: bool = False
     enrich_readingage: bool = False
+    # deferral look-ahead: ONE politeness pre-pass emits cutoff keys for
+    # the next K waves, so a budget-bound host pays ceil(waves/K)
+    # pre-passes instead of one per wave (each rank spill is within
+    # budget by construction and schedules with no pre-pass at all)
+    politeness_lookahead: int = 8
 
 
 def seed_frontier(seeds: list[dict]) -> pa.Table:
@@ -410,25 +415,31 @@ class CrawlPipeline:
         return harvest_links_batch(fetched)
 
     def _politeness_cutoffs(self, bf: BucketedFrontier, over: set[str],
-                            now_us: int) -> dict[str, tuple[int, str]]:
+                            now_us: int) -> dict[str, list[tuple[int, str]]]:
         """Exact cross-bucket per-host top-k without driver frontier
         materialization: each participating bucket task gates its
         over-budget-host rows (dry-run — no counter/keysrqd mutation,
         identical verdicts to the real gate) and returns only its LOCAL
-        top-``budget`` (priority, canon_url) keys per host; the driver
-        merges O(#over-hosts x #buckets x budget) keys and derives each
-        host's global cutoff key. Rows are totally ordered by
+        top-``budget x K`` (priority, canon_url) keys per host; the
+        driver merges O(#over-hosts x #buckets x budget x K) keys and
+        derives each host's global cutoff keys for the next K waves
+        (K = ``politeness_lookahead``): cutoffs[h][r] bounds the rows
+        host h may schedule in wave now+r. Rows are totally ordered by
         (priority desc, canon_url asc) — canon_url is unique per host
         after in-bucket dedup because equal URLs always hash to the same
-        bucket — so filtering each bucket by the cutoff reproduces the
-        table path's ``schedule_wave`` selection exactly (per-domain
-        budget semantics, reference settings.py:88-94)."""
+        bucket — so filtering each bucket by the rank-0 cutoff reproduces
+        the table path's ``schedule_wave`` selection exactly (per-domain
+        budget semantics, reference settings.py:88-94), and the later
+        ranks pre-compute the NEXT waves' selections so deferral chains
+        stop paying one pre-pass per wave."""
         import pandas as pd
 
         cfg = self.cfg
         seen = self.seen
         robots = self.robots if cfg.obey_robots else None
         budget = cfg.per_host_budget
+        lookahead = max(1, cfg.politeness_lookahead)
+        local_cap = budget * lookahead
         over_arr = pa.array(sorted(over), type=pa.string())
         hbc = bf.host_bucket_counts
         if hbc:
@@ -478,7 +489,8 @@ class CrawlPipeline:
                                     ("canon_url", "ascending")])
                 tbl = tbl.take(idx)
                 hosts = pd.Series(tbl.column("host").to_pylist())
-                keep = hosts.groupby(hosts, sort=False).cumcount() < budget
+                keep = (hosts.groupby(hosts, sort=False).cumcount()
+                        < local_cap)
                 outs.append(tbl.filter(pa.array(keep.to_numpy()))
                             .select(["host", "priority", "canon_url"])
                             .cast(key_schema))
@@ -492,16 +504,22 @@ class CrawlPipeline:
         merged = pa.concat_tables(
             [ray.get(r) for r in ds.to_arrow_refs()],
             promote_options="default")
-        cutoffs: dict[str, tuple[int, str]] = {}
+        cutoffs: dict[str, list[tuple[int, str]]] = {}
         if merged.num_rows == 0:
             return cutoffs
         df = merged.to_pandas().sort_values(
             ["host", "priority", "canon_url"],
             ascending=[True, False, True], kind="mergesort")
         for h, grp in df.groupby("host", sort=False):
-            if len(grp) > budget:
-                row = grp.iloc[budget - 1]
-                cutoffs[h] = (int(row["priority"]), str(row["canon_url"]))
+            cl: list[tuple[int, str]] = []
+            for r in range(lookahead):
+                pos = (r + 1) * budget - 1
+                if len(grp) <= pos + 1:
+                    break  # everything up to here fits — no more cutoffs
+                row = grp.iloc[pos]
+                cl.append((int(row["priority"]), str(row["canon_url"])))
+            if cl:
+                cutoffs[h] = cl
         return cutoffs
 
     def _run_bucketed_wave(self, wave: int, bf: BucketedFrontier,
@@ -524,22 +542,29 @@ class CrawlPipeline:
 
         over = {h for h, c in bf.host_counts.items()
                 if c > cfg.per_host_budget}
-        cutoffs: dict[str, tuple[int, str]] = {}
-        deferred_dir = None
+        cutoffs: dict[str, list[tuple[int, str]]] = {}
+        deferred_dirs: dict[int, str] = {}
         import shutil
         if over:
             cutoffs = self._politeness_cutoffs(bf, over, now_us)
         if cutoffs:
-            # deferred-dir name derives from the PARENT spill so a resumed
-            # reprocessing of the parent regenerates the identical dir
-            # (hash-capped so deferral chains can't grow the path forever)
+            # deferral-rank dirs: rank r holds the rows wave now+r will
+            # schedule (each within budget per host by construction, so
+            # processing a rank needs NO pre-pass); the last rank holds
+            # the overflow beyond the look-ahead horizon and pays its own
+            # pre-pass if still over budget. Names derive from the PARENT
+            # spill so a resumed reprocessing of the parent regenerates
+            # identical dirs (hash-capped so chains can't grow the path).
             import hashlib as _hl
             dbase = "deferred-" + os.path.basename(bf.directory)
             if len(dbase) > 100:
                 dbase = "deferred-" + _hl.md5(
                     dbase.encode()).hexdigest()[:16]
-            deferred_dir = os.path.join(self.ckpt.dir, dbase)
-            shutil.rmtree(deferred_dir, ignore_errors=True)
+            max_rank = max(len(cl) for cl in cutoffs.values())
+            for r in range(1, max_rank + 1):
+                d = os.path.join(self.ckpt.dir, f"{dbase}-r{r:02d}")
+                shutil.rmtree(d, ignore_errors=True)
+                deferred_dirs[r] = d
 
         # link-crawl hosts (buzzfeed/bild-style CrawlSpider rules): their
         # article pages are ALSO discovery surfaces. The harvest runs
@@ -603,28 +628,32 @@ class CrawlPipeline:
                         tbl.column("canon_url").to_pylist())
                     tbl = tbl.filter(pa.array(mask))
                 if cutoffs and tbl.num_rows:
-                    # per-host politeness: keep rows at-or-above the
-                    # host's global cutoff key; spill the rest as the
-                    # next wave's deferred frontier
+                    # per-host politeness: rank = number of wave cutoffs
+                    # the row falls after; rank 0 is scheduled NOW, rank
+                    # r spills to the wave-(now+r) deferral dir
                     pri = np.asarray(tbl.column("priority").to_pylist())
                     hosts_np = np.asarray(tbl.column("host").to_pylist(),
                                           dtype=object)
                     urls_np = np.asarray(
                         tbl.column("canon_url").to_pylist(), dtype=object)
-                    keep = np.ones(tbl.num_rows, dtype=bool)
-                    for h, (cp, cu) in cutoffs.items():
+                    rank = np.zeros(tbl.num_rows, dtype=np.int64)
+                    for h, cl in cutoffs.items():
                         m = hosts_np == h
-                        if m.any():
-                            keep[m] = ((pri[m] > cp)
-                                       | ((pri[m] == cp)
-                                          & (urls_np[m] <= cu)))
-                    if not keep.all():
-                        dropped = (tbl.filter(pa.array(~keep))
-                                   .drop_columns(["previousfetches"]))
-                        n_def = spill_bucketed(dropped, deferred_dir,
-                                               num_buckets)
-                        metrics.incr({"bucketed_deferred": n_def})
-                        tbl = tbl.filter(pa.array(keep))
+                        if not m.any():
+                            continue
+                        for cp, cu in cl:
+                            rank[m] += ((pri[m] < cp)
+                                        | ((pri[m] == cp)
+                                           & (urls_np[m] > cu)))
+                    if (rank > 0).any():
+                        for r in np.unique(rank[rank > 0]):
+                            dropped = (tbl.filter(pa.array(rank == r))
+                                       .drop_columns(["previousfetches"]))
+                            n_def = spill_bucketed(
+                                dropped, deferred_dirs[int(r)],
+                                num_buckets)
+                            metrics.incr({"bucketed_deferred": n_def})
+                        tbl = tbl.filter(pa.array(rank == 0))
                 metrics.incr({"bucketed_scheduled": tbl.num_rows})
                 if tbl.num_rows == 0:
                     continue
@@ -688,11 +717,38 @@ class CrawlPipeline:
         snap = metrics.snapshot()
         n_scheduled = snap.get("bucketed_scheduled", 0) - before
         n_deferred = snap.get("bucketed_deferred", 0) - before_def
-        if deferred_dir is not None:
-            dbf = load_bucketed_frontier(deferred_dir)
-            if dbf is not None:
-                dbf.parent = bf.directory
-                self._pending_bucketed.append(dbf)
+        if deferred_dirs:
+            # register only the FIRST non-empty rank as pending; each rank
+            # dir gets a NEXT pointer to its successor so completing one
+            # rank wave releases the next (one rank per wave — exact
+            # table-path parity — with zero additional pre-passes)
+            rank_bfs = []
+            for r in sorted(deferred_dirs):
+                rbf = load_bucketed_frontier(deferred_dirs[r])
+                if rbf is not None:
+                    rbf.parent = bf.directory
+                    rank_bfs.append(rbf)
+            if rank_bfs:
+                self._pending_bucketed.append(rank_bfs[0])
+                for cur, nxt in zip(rank_bfs, rank_bfs[1:]):
+                    with open(os.path.join(cur.directory, "NEXT"),
+                              "w") as f:
+                        json.dump({"dir": nxt.directory,
+                                   "parent": bf.directory}, f)
+        # successor release: if THIS spill (or a merged source) was a
+        # deferral rank, completing it unlocks the next rank's spill
+        for d in [bf.directory] + (bf.sources or []):
+            nxt_path = os.path.join(d, "NEXT")
+            if not os.path.exists(nxt_path):
+                continue
+            with open(nxt_path) as f:
+                info = json.load(f)
+            if os.path.exists(os.path.join(info["dir"], "COMPLETE")):
+                continue
+            nbf = load_bucketed_frontier(info["dir"])
+            if nbf is not None:
+                nbf.parent = info.get("parent")
+                self._pending_bucketed.append(nbf)
         if links_dir is not None:
             lbf = load_bucketed_frontier(links_dir)
             if lbf is not None:

@@ -61,18 +61,45 @@ def test_bucketed_schedule_matches_table_path(ray_session, tmp_path):
 
         snap = pipe.extract_metrics.snapshot()
         assert snap["bucketed_scheduled"] == len(exp_sched)
-        got_def = _read_spill_urls(
-            str(tmp_path / "ckpt" / "deferred-frontier-bucketed-manual"))
+        # deferred rows live in per-rank dirs (-r01, -r02, ...): the union
+        # is the table path's deferred set, and EACH rank must be within
+        # budget per host (so later waves schedule it with no pre-pass)
+        rank_dirs = sorted(glob.glob(
+            str(tmp_path / "ckpt" / "deferred-frontier-bucketed-manual-r*")))
+        assert rank_dirs
+        got_def = set()
+        for rd in rank_dirs:
+            urls_r = _read_spill_urls(rd)
+            assert not (urls_r & got_def), "ranks must partition the set"
+            got_def |= urls_r
+            rbf = load_bucketed_frontier(rd)
+            if rd != rank_dirs[-1]:  # last rank may hold the overflow
+                assert max(rbf.host_counts.values()) <= cfg.per_host_budget
         assert got_def == exp_def
+        # next-wave parity: rank 1 is exactly schedule_wave's pick on the
+        # deferred remainder
+        sched2, _ = schedule_wave(
+            deferred, cfg.per_host_budget, cfg.salt_threshold)
+        assert _read_spill_urls(rank_dirs[0]) == \
+            set(sched2.column("canon_url").to_pylist())
     finally:
         pipe.shutdown()
 
 
 def test_budget_bound_bucketed_crawl_completes_without_fallback(
-        ray_session, tmp_path):
+        ray_session, tmp_path, monkeypatch):
     """E2E: binding per-host budget on the bucketed discovery path — the
     crawl defers and completes across waves with no driver fallback and
-    the same final extracted set."""
+    the same final extracted set; the look-ahead cutoffs mean deferral
+    waves do NOT each pay a politeness pre-pass."""
+    prepasses = {"n": 0}
+    orig_cutoffs = CrawlPipeline._politeness_cutoffs
+
+    def counting(self, *a, **k):
+        prepasses["n"] += 1
+        return orig_cutoffs(self, *a, **k)
+
+    monkeypatch.setattr(CrawlPipeline, "_politeness_cutoffs", counting)
     pages, expected, seeds, robots = gen_corpus(150, seed=13)
     ppath = str(tmp_path / "pages.parquet")
     pq.write_table(pages, ppath)
@@ -100,6 +127,14 @@ def test_budget_bound_bucketed_crawl_completes_without_fallback(
                   if not r["dropped"])
     assert sorted(ext.column("url").to_pylist()) == live
     assert res["waves"] > 2  # deferral forced extra waves
+    deferral_waves = sum(1 for m in manifests if m.get("deferred", 0) > 0
+                         or (m.get("mode") == "bucketed"
+                             and m.get("rows_in", 0)
+                             and m.get("scheduled", 0) < m["rows_in"]))
+    # one look-ahead pre-pass covers K deferral waves; without the
+    # look-ahead this equals the number of budget-bound waves
+    assert prepasses["n"] < max(3, deferral_waves), \
+        f"{prepasses['n']} pre-passes for {deferral_waves} deferral waves"
 
 
 def test_large_seed_table_spills_to_bucketed(ray_session, tmp_path):
