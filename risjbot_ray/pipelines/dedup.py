@@ -467,7 +467,8 @@ _NEARDUP_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64()),
 
 def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.95,
                             n_tables: int = 16, n_planes: int = 8,
-                            seed: int = 99) -> pa.Table:
+                            seed: int = 99,
+                            num_partitions: int | None = None) -> pa.Table:
     """Multi-table random-hyperplane LSH then exact cosine verify; returns
     (a, b, cosine) pairs with cosine >= threshold, sorted, 5dp.
 
@@ -477,9 +478,15 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.95,
     effectively exact in the near-dup regime the operator targets (the
     single-table variant missed ~70% of such pairs). ``n_planes`` sets
     bucket granularity (2^p buckets/table — raise it for larger corpora
-    so per-bucket verify matmuls stay small), ``n_tables`` buys recall at
-    the cost of an n_tables-fold row fan-out into the bucket groupby.
-    Verification runs in float64 so values match a DOUBLE[] SQL oracle."""
+    so per-bucket candidate sets stay small).
+
+    Scale shape (mirrors :func:`minhash_candidate_pairs`): only 16-byte
+    (vec_id, bucket) rows ride the n_tables-fold bucket shuffle — the
+    embedding vectors do NOT (the round-2 version duplicated every
+    vector n_tables=16x through the groupby). In-bucket candidate (a, b)
+    pairs are deduped across tables, then the unit vectors hash-join
+    back onto the LSH-bounded pair set and the exact float64 cosine is
+    one vectorized dot per pair — values match a DOUBLE[] SQL oracle."""
     import pandas as pd
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
@@ -490,17 +497,26 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.95,
     planes = rng.standard_normal((n_tables, dim, n_planes))
     planes_ref = ray.put(planes)
 
-    def bucketize(batch: pa.Table) -> pa.Table:
-        pl = ray.get(planes_ref)
-        ids = np.asarray(batch.column("vec_id").to_pylist(),
-                         dtype=np.int64)
+    def unitize(batch: pa.Table) -> pa.Table:
+        """(vec_id, unit) with the unit vector as fixed-width float64
+        bytes — a primitive binary column, join-friendly."""
         vecs = np.stack([np.asarray(v, dtype=np.float64)
                          for v in batch.column("embedding").to_pylist()])
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         unit = vecs / np.maximum(norms, 1e-12)
-        unit_list = [u.tolist() for u in unit]
+        return pa.table({
+            "vec_id": batch.column("vec_id").cast(pa.int64()),
+            "unit": pa.array([u.tobytes() for u in unit], pa.binary()),
+        })
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        """Explode ONLY (vec_id, bucket) rows — one per (vector, table)."""
+        pl = ray.get(planes_ref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(),
+                         dtype=np.int64)
+        unit = np.stack([np.frombuffer(u, dtype=np.float64)
+                         for u in batch.column("unit").to_pylist()])
         n = len(ids)
-        out_id = np.tile(ids, n_tables)
         out_bucket = np.empty(n_tables * n, dtype=np.int64)
         weights = 1 << np.arange(n_planes, dtype=np.uint64)
         for t in range(n_tables):
@@ -510,44 +526,70 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.95,
             out_bucket[t * n:(t + 1) * n] = (
                 (np.uint64(t) << np.uint64(n_planes)) | keys
             ).astype(np.int64)
-        return pa.table({
-            "vec_id": pa.array(out_id, pa.int64()),
-            "bucket": pa.array(out_bucket, pa.int64()),
-            "unit": pa.array(unit_list * n_tables,
-                             pa.list_(pa.float64())),
-        })
+        return pa.table({"vec_id": pa.array(np.tile(ids, n_tables)),
+                         "bucket": pa.array(out_bucket, pa.int64())})
 
-    def verify(group) -> "pd.DataFrame":
-        ids = group["vec_id"].to_numpy()
+    def bucket_pairs(group) -> "pd.DataFrame":
+        ids = np.unique(group["vec_id"].to_numpy())
         if len(ids) < 2:
             return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                 "b": pd.Series(dtype="int64"),
-                                 "cosine": pd.Series(dtype="float64")})
-        unit = np.stack(group["unit"].to_numpy())
-        order = np.argsort(ids)
-        ids, unit = ids[order], unit[order]
-        sims = unit @ unit.T
-        a_o, b_o, c_o = [], [], []
-        for i in range(len(ids)):
-            hits = np.nonzero(sims[i, i + 1:] >= threshold)[0]
-            for off in hits:
-                a_o.append(int(ids[i]))
-                b_o.append(int(ids[i + 1 + off]))
-                c_o.append(float(sims[i, i + 1 + off]))
-        return pd.DataFrame({"a": pd.Series(a_o, dtype="int64"),
-                             "b": pd.Series(b_o, dtype="int64"),
-                             "cosine": pd.Series(c_o, dtype="float64")})
+                                 "b": pd.Series(dtype="int64")})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": pd.Series(ids[ia], dtype="int64"),
+                             "b": pd.Series(ids[ib], dtype="int64")})
 
-    buckets = ds.map_batches(bucketize, batch_format="pyarrow")
-    p = buckets.groupby("bucket").map_groups(verify, batch_format="pandas")
-    from ray.data.aggregate import Max
-    agg = p.groupby(["a", "b"]).aggregate(Max("cosine",
-                                              alias_name="cosine"))
-    # the pair set is LSH-bounded (small by construction) — materialize
-    # with an explicit schema so an empty result is still well-typed
-    parts = [ray.get(r) for r in agg.materialize().to_arrow_refs()]
-    parts = [t.select(["a", "b", "cosine"]).cast(_NEARDUP_SCHEMA)
-             for t in parts if t.num_rows]
+    # units are consumed by the bucket explode AND both pair-side joins
+    units = ds.map_batches(unitize, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    cand = (units.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bucket").map_groups(bucket_pairs,
+                                          batch_format="pandas"))
+    from ray.data.aggregate import Count
+    uniq = (cand.groupby(["a", "b"])
+            .aggregate(Count(alias_name="n_hits"))
+            .select_columns(["a", "b"])
+            .map_batches(_norm_pairs, batch_format="pyarrow")
+            .materialize().repartition(1))
+    if not uniq.take(1):
+        return _NEARDUP_SCHEMA.empty_table()
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(32, cpus // 2))
+
+    j1_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                           ("unit_a", pa.binary())])
+
+    def _rename_a(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "unit" not in b.column_names:
+            return j1_schema.empty_table()
+        b = b.rename_columns(["unit_a" if c == "unit" else c
+                              for c in b.column_names])
+        return b.select(["a", "b", "unit_a"]).cast(j1_schema)
+
+    j1 = (uniq.join(units, join_type="inner", on=("a",),
+                    right_on=("vec_id",), num_partitions=num_partitions)
+          .map_batches(_rename_a, batch_format="pyarrow")
+          .materialize().repartition(1))
+    j2 = j1.join(units, join_type="inner", on=("b",),
+                 right_on=("vec_id",), num_partitions=num_partitions)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _NEARDUP_SCHEMA.empty_table()
+        ua = np.stack([np.frombuffer(u, dtype=np.float64)
+                       for u in batch.column("unit_a").to_pylist()])
+        ub = np.stack([np.frombuffer(u, dtype=np.float64)
+                       for u in batch.column("unit").to_pylist()])
+        cos = np.einsum("ij,ij->i", ua, ub)
+        keep = cos >= threshold
+        return pa.table({
+            "a": batch.column("a").filter(pa.array(keep)),
+            "b": batch.column("b").filter(pa.array(keep)),
+            "cosine": pa.array(cos[keep], pa.float64())})
+
+    out = j2.map_batches(verify, batch_format="pyarrow").materialize()
+    parts = [t.cast(_NEARDUP_SCHEMA) for t in
+             (ray.get(r) for r in out.to_arrow_refs()) if t.num_rows]
     if not parts:
         return _NEARDUP_SCHEMA.empty_table()
     tbl = pa.concat_tables(parts)
