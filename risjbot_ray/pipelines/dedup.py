@@ -240,32 +240,117 @@ def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64,
     return j2.map_batches(est, batch_format="pyarrow")
 
 
-def minhash_dedup(sf_dir: str, num_perm: int = 64, bands: int = 16,
-                  threshold: float = 0.7):
-    """Duplicate clusters via min-label propagation over verified pairs:
-    returns (doc_id, cluster_id = min doc_id reachable). The pair set is
-    LSH-bounded, so the propagation table is small; iterate grouped min
-    until fixpoint (logarithmic rounds)."""
+_LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+
+def _norm_labels(b: pa.Table) -> pa.Table:
+    """Schema-stabilize (node, label) blocks (pandas map_groups stages
+    emit schemaless empty blocks)."""
+    if b.num_rows == 0 or "node" not in b.column_names:
+        return _LABEL_SCHEMA.empty_table()
+    return b.select(["node", "label"]).cast(_LABEL_SCHEMA)
+
+
+def label_propagation_clusters(edges, max_rounds: int = 64):
+    """Distributed connected components by iterated min-label
+    propagation, entirely as Dataset ops (no driver-side edge loop):
+    each round unions the current (node, label) set with both edge
+    directions, a groupby(node) emits each node's min label to itself
+    and every neighbor, and a second groupby(node).min(label) folds the
+    messages — new_label(v) = min(label(v), min_{u in N(v)} label(u)).
+    Labels are non-increasing, so convergence is detected by an
+    unchanged Sum(label) aggregate (a driver scalar, never the rows).
+    Rounds needed = max cluster diameter; ``max_rounds`` bounds
+    pathological chains. Returns a Dataset of (node, label=min reachable
+    node id)."""
     import pandas as pd
 
+    from ray.data.aggregate import Min, Sum
+
+    edges = (edges.map_batches(_norm_pairs, batch_format="pyarrow")
+             .materialize())
+    if not edges.take(1):
+        return ray.data.from_arrow(_LABEL_SCHEMA.empty_table())
+
+    def as_msgs(direction: str):
+        def f(b: pa.Table) -> pa.Table:
+            src, dst = (("a", "b") if direction == "fwd" else ("b", "a"))
+            return pa.table({
+                "node": b.column(src).cast(pa.int64()),
+                "nbr": b.column(dst).cast(pa.int64()),
+                "label": pa.nulls(b.num_rows, pa.int64()),
+            })
+        return f
+
+    edge_msgs = (edges.map_batches(as_msgs("fwd"), batch_format="pyarrow")
+                 .union(edges.map_batches(as_msgs("rev"),
+                                          batch_format="pyarrow"))
+                 .materialize())
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"),
+                         "label": b.column("node")})
+
+    labels = (edge_msgs.select_columns(["node"])
+              .groupby("node").aggregate(Min("node", alias_name="m"))
+              .select_columns(["node"])
+              .map_batches(init_labels, batch_format="pyarrow")
+              .materialize())
+
+    def with_nbr(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"),
+                         "nbr": pa.nulls(b.num_rows, pa.int64()),
+                         "label": b.column("label")})
+
+    def propagate(group) -> "pd.DataFrame":
+        lab = group["label"].dropna()
+        if lab.empty:  # isolated message rows (no label row) — impossible
+            return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                 "label": pd.Series(dtype="int64")})
+        m = int(lab.min())
+        nodes = group["nbr"].dropna().astype("int64").tolist()
+        nodes.append(int(group["node"].iloc[0]))
+        return pd.DataFrame({"node": pd.Series(nodes, dtype="int64"),
+                             "label": pd.Series([m] * len(nodes),
+                                                dtype="int64")})
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        msgs = (labels.map_batches(with_nbr, batch_format="pyarrow")
+                .union(edge_msgs)
+                .groupby("node")
+                .map_groups(propagate, batch_format="pandas")
+                .map_batches(_norm_labels, batch_format="pyarrow"))
+        labels = (msgs.groupby("node")
+                  .aggregate(Min("label", alias_name="label"))
+                  .map_batches(_norm_labels, batch_format="pyarrow")
+                  .materialize())
+        cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels
+
+
+def minhash_dedup(sf_dir: str, num_perm: int = 64, bands: int = 16,
+                  threshold: float = 0.7):
+    """Duplicate clusters over verified MinHash pairs: returns (doc_id,
+    cluster_id = min doc_id reachable). The closure runs as distributed
+    min-label propagation (:func:`label_propagation_clusters`) — the
+    pair set never lands on the driver, only the final cluster table
+    (LSH-bounded small) does."""
     pairs = minhash_candidate_pairs(sf_dir, num_perm, bands, threshold)
-    ptbl = pairs.to_pandas()
-    label: dict[int, int] = {}
-    edges = list(zip(ptbl["a"].astype(int), ptbl["b"].astype(int)))
-    nodes = sorted({x for e in edges for x in e})
-    for x in nodes:
-        label[x] = x
-    changed = True
-    while changed:  # min-label propagation to fixpoint
-        changed = False
-        for a, b in edges:
-            m = min(label[a], label[b])
-            if label[a] != m or label[b] != m:
-                label[a] = label[b] = m
-                changed = True
-    out = pd.DataFrame({"doc_id": nodes,
-                        "cluster_id": [label[x] for x in nodes]})
-    return pa.Table.from_pandas(out, preserve_index=False)
+    edges = pairs.select_columns(["a", "b"])
+    labels = label_propagation_clusters(edges)
+    parts = [ray.get(r) for r in labels.to_arrow_refs()]
+    parts = [t for t in parts if t.num_rows]
+    if not parts:
+        return pa.schema([("doc_id", pa.int64()),
+                          ("cluster_id", pa.int64())]).empty_table()
+    tbl = (pa.concat_tables(parts)
+           .rename_columns(["doc_id", "cluster_id"]))
+    return tbl.take(pc.sort_indices(tbl, sort_keys=[("doc_id",
+                                                     "ascending")]))
 
 
 # --------------------------------------------------------------------------

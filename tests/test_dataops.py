@@ -44,6 +44,22 @@ def test_minhash_clusters_on_corpus():
             == out.groupby("cluster_id")["cluster_id"].first()).all()
 
 
+def test_label_propagation_clusters_distributed():
+    """Connected components as Dataset ops: a chain, a separate pair,
+    and a cycle all collapse to their min node id, with no driver-side
+    edge loop (the edges Dataset is never to_pandas'd)."""
+    import ray
+    from risjbot_ray.pipelines.dedup import label_propagation_clusters
+    edges = pa.table({
+        "a": pa.array([1, 2, 3, 9, 5, 20, 21], pa.int64()),
+        "b": pa.array([2, 3, 4, 1, 6, 21, 20], pa.int64()),
+    })
+    labels = label_propagation_clusters(ray.data.from_arrow(edges))
+    got = {(r["node"], r["label"]) for r in labels.take_all()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (9, 1),
+                   (5, 5), (6, 5), (20, 20), (21, 20)}
+
+
 def test_simhash_hamming_for_similar_text():
     from risjbot_ray.pipelines.dedup import SimHasher
     sh = SimHasher()
