@@ -217,6 +217,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "n_headline_mismatch": pa.array([n_head], pa.int64()),
         })
 
+    def ann_ivf_recall(sf_dir: str):
+        """Driver-visible IVF self-check (VERDICT r2 item 4,
+        `crawl_vs_expected`-style): run the IVF search AND the exact
+        brute-force top-k inside one query and return a single row of
+        checkable counters — recall@k against the exact results and a
+        pass flag. Readable as pass/fail straight from CORRECTNESS
+        output, no pytest needed."""
+        import pyarrow as pa
+
+        qids, k = [0, 1, 2], 10
+        exact = similarity.ann_topk(sf_dir, query_ids=qids, k=k)
+        # nprobe=8 of 16 cells is the operator's documented accuracy
+        # contract (tests/test_dataops.py::test_ann_ivf_recall_vs_exact)
+        ivf = similarity.ann_ivf_topk(sf_dir, query_ids=qids, k=k,
+                                      nprobe=8)
+        ed: dict[int, set] = {}
+        for r in exact.to_pylist():
+            ed.setdefault(r["query_id"], set()).add(r["vec_id"])
+        vd: dict[int, set] = {}
+        for r in ivf.to_pylist():
+            vd.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hits = sum(len(ed[q] & vd.get(q, set())) for q in ed)
+        total = sum(len(s) for s in ed.values())
+        rec = hits / max(total, 1)
+        return pa.table({
+            "n_queries": pa.array([len(qids)], pa.int64()),
+            "k": pa.array([k], pa.int64()),
+            "exact_hits_found": pa.array([hits], pa.int64()),
+            "exact_hits_total": pa.array([total], pa.int64()),
+            "recall_at_k": pa.array([round(rec, 5)], pa.float64()),
+            "recall_ok": pa.array([rec >= 0.6], pa.bool_()),
+        })
+
     def frontier_schedule(sf_dir: str):
         """Deterministic politeness schedule over the corpus's article
         URLs (priority = url-hash-derived)."""
@@ -251,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                    k=10),
         "ann_ivf_topk": lambda sf: similarity.ann_ivf_topk(
             sf, query_ids=[0, 1, 2], k=10),
+        "ann_ivf_recall": ann_ivf_recall,
         # near-dup families (rows-only checks)
         "doc_curation": ts.curate_documents,
         "corpus_token_stats": ts.corpus_token_stats,
