@@ -18,8 +18,20 @@ Scaled out: N shard actors keyed by ``url_hash % N`` (url_hash is derived
 from the same sha1 fingerprint as the ledger key, so routing and identity
 agree). Each shard holds bloom pre-filter + cuckoo filter + an exact dict
 ledger; the bloom/cuckoo tiers answer "definitely new" / "probably seen"
-without touching the exact map and are the piece that stays in RAM at
-10^10-key scale while the exact ledger pages to Parquet snapshots.
+without touching the exact map.
+
+RAM bound (honest): the exact tier is an in-RAM dict of ~100 B/entry, so
+one shard holds ~10^7 keys per GiB of actor heap. At 10^10 ledger keys
+the deployment answer is MORE SHARDS across MORE NODES (the shard count
+is a constructor parameter and routing is pure ``hash % N``, so 1024
+shards over a 256-node cluster hold ~10^7 keys each at ~1 GiB/actor);
+a single node cannot hold the exact tier of a 10^10-key ledger and this
+module does not pretend otherwise. What IS paged to Parquet is the
+snapshot stream: ``snapshot()`` writes per-wave DELTAS (keys
+upserted/trimmed since the last snapshot, tombstones as ``fetches=-1``)
+and compacts into a fresh base every ``compact_every`` deltas, so
+per-wave checkpoint bytes are proportional to the wave's commits, never
+to ledger size, and ``restore()`` replays base + suffix deltas.
 
 Idempotence under task retries: ``commit`` carries the wave id; a key
 already committed in the same wave is not double-counted
@@ -47,6 +59,12 @@ def _now_us() -> int:
     return int(datetime.now(timezone.utc).timestamp() * 1_000_000)
 
 
+def _snap_seq_of(path: str) -> int:
+    """Sequence number from a snapshot file name (…-{base,delta}-NNNNNN
+    .parquet)."""
+    return int(os.path.basename(path).rsplit("-", 1)[-1].split(".")[0])
+
+
 class SeenShardLogic:
     """Pure (non-actor) shard logic, unit-testable without Ray."""
 
@@ -55,7 +73,8 @@ class SeenShardLogic:
                  refetchsecs: int = DEFAULT_REFETCHSECS,
                  agelimit: int | None = None,
                  bloom_bits: int = 1 << 22,
-                 cuckoo_buckets: int = 1 << 16):
+                 cuckoo_buckets: int = 1 << 16,
+                 compact_every: int = 16):
         self.shard_id = shard_id
         self.maxfetches = maxfetches
         self.refetchsecs = refetchsecs
@@ -67,6 +86,12 @@ class SeenShardLogic:
         self.cuckoo = CuckooFilter(n_buckets=cuckoo_buckets)
         self.keysrqd: set[bytes] = set()     # refetchcontrol.py:62,231-232
         self._wave_committed: dict[bytes, int] = {}
+        # delta-snapshot state: keys changed since the last snapshot
+        self.compact_every = compact_every
+        self._dirty: set[bytes] = set()
+        self._tombstones: set[bytes] = set()
+        self._snap_seq = 0
+        self._delta_count = 0
         self.counters = {
             "firstfetch": 0, "refetched": 0, "skipped": 0, "passed": 0,
             "stored": 0, "trawled": 0, "dbkeystrimmed": 0,
@@ -138,6 +163,8 @@ class SeenShardLogic:
                 rec[0] = url
                 rec[1] += 1
                 rec[2] = now_us
+            self._dirty.add(key)
+            self._tombstones.discard(key)
             stored += 1
         if fresh:
             arr = keys_to_array(fresh)
@@ -164,6 +191,8 @@ class SeenShardLogic:
         if trim and to_delete:
             for key in to_delete:
                 del self.ledger[key]
+                self._tombstones.add(key)
+                self._dirty.discard(key)
             self.cuckoo.delete(keys_to_array(to_delete))
             # bloom is add-only; it is rebuilt from the ledger at snapshot
             self.counters["dbkeystrimmed"] += len(to_delete)
@@ -220,26 +249,117 @@ class SeenShardLogic:
         for row in table.to_pylist():
             self.ledger[row["key"]] = [row["url"], row["fetches"],
                                        row["time_us"]]
+        self._rebuild_filters()
+
+    def _rebuild_filters(self) -> None:
+        self.bloom = BloomFilter(n_bits=self.bloom.n_bits)
+        self.cuckoo = CuckooFilter(n_buckets=self.cuckoo.n_buckets)
         if self.ledger:
             arr = keys_to_array(list(self.ledger))
-            self.bloom = BloomFilter(n_bits=self.bloom.n_bits)
             self.bloom.add(arr)
-            self.cuckoo = CuckooFilter(n_buckets=self.cuckoo.n_buckets)
             self.cuckoo.insert(arr)
 
+    def _snap_prefix(self, directory: str) -> str:
+        return os.path.join(directory, f"seen-shard-{self.shard_id:04d}")
+
+    def _delta_table(self) -> pa.Table:
+        keys, urls, fetches, times = [], [], [], []
+        for key in self._dirty:
+            url, nf, t_us = self.ledger[key]
+            keys.append(key)
+            urls.append(url)
+            fetches.append(nf)
+            times.append(t_us)
+        for key in self._tombstones:
+            keys.append(key)
+            urls.append("")
+            fetches.append(-1)  # tombstone: delete on replay
+            times.append(0)
+        return pa.table({
+            "key": pa.array(keys, type=pa.binary()),
+            "url": pa.array(urls, type=pa.string()),
+            "fetches": pa.array(fetches, type=pa.int32()),
+            "time_us": pa.array(times, type=pa.int64()),
+        })
+
     def snapshot(self, directory: str) -> str:
+        """Incremental checkpoint: per-wave DELTA files (dirty upserts +
+        trim tombstones — O(wave commits) bytes), compacted into a fresh
+        full base every ``compact_every`` deltas. File names carry a
+        sequence number; a base at seq S supersedes every delta with
+        seq <= S, so a crash between base publish and delta GC replays
+        only already-included idempotent upserts."""
+        import glob as _glob
         os.makedirs(directory, exist_ok=True)
-        path = os.path.join(directory, f"seen-shard-{self.shard_id:04d}.parquet")
-        tmp = path + ".tmp"
-        pq.write_table(self.to_table(), tmp)
-        os.replace(tmp, path)  # atomic publish
+        prefix = self._snap_prefix(directory)
+        bases = _glob.glob(prefix + "-base-*.parquet")
+        if not bases or self._delta_count >= self.compact_every:
+            path = f"{prefix}-base-{self._snap_seq:06d}.parquet"
+            tmp = path + ".tmp"
+            pq.write_table(self.to_table(), tmp)
+            os.replace(tmp, path)  # atomic publish
+            # GC superseded bases/deltas (correctness never depends on it)
+            for p in _glob.glob(prefix + "-base-*.parquet"):
+                if p != path:
+                    os.remove(p)
+            for p in _glob.glob(prefix + "-delta-*.parquet"):
+                if _snap_seq_of(p) <= self._snap_seq:
+                    os.remove(p)
+            legacy = prefix + ".parquet"
+            if os.path.exists(legacy):
+                os.remove(legacy)
+            self._delta_count = 0
+        elif not self._dirty and not self._tombstones:
+            return max(bases)  # nothing changed since the last snapshot
+        else:
+            path = f"{prefix}-delta-{self._snap_seq:06d}.parquet"
+            tmp = path + ".tmp"
+            pq.write_table(self._delta_table(), tmp)
+            os.replace(tmp, path)
+            self._delta_count += 1
+        self._snap_seq += 1
+        self._dirty.clear()
+        self._tombstones.clear()
         return path
 
     def restore(self, directory: str) -> bool:
-        path = os.path.join(directory, f"seen-shard-{self.shard_id:04d}.parquet")
-        if not os.path.exists(path):
+        """Load the newest base, then replay suffix deltas in sequence
+        order (upserts overwrite, ``fetches=-1`` tombstones delete);
+        filters are rebuilt once from the final ledger."""
+        import glob as _glob
+        prefix = self._snap_prefix(directory)
+        bases = sorted(_glob.glob(prefix + "-base-*.parquet"))
+        base_seq = -1
+        if bases:
+            base = bases[-1]
+            base_seq = _snap_seq_of(base)
+        elif os.path.exists(prefix + ".parquet"):
+            base = prefix + ".parquet"  # legacy single-file snapshot
+        else:
             return False
-        self.restore_table(pq.read_table(path))
+        self.ledger = {}
+        for row in pq.read_table(base).to_pylist():
+            self.ledger[row["key"]] = [row["url"], row["fetches"],
+                                       row["time_us"]]
+        max_seq = base_seq
+        n_deltas = 0
+        for dpath in sorted(_glob.glob(prefix + "-delta-*.parquet")):
+            seq = _snap_seq_of(dpath)
+            if seq <= base_seq:
+                continue
+            max_seq = max(max_seq, seq)
+            n_deltas += 1
+            for row in pq.read_table(dpath).to_pylist():
+                if row["fetches"] < 0:
+                    self.ledger.pop(row["key"], None)
+                else:
+                    self.ledger[row["key"]] = [row["url"], row["fetches"],
+                                               row["time_us"]]
+        self._rebuild_filters()
+        self._snap_seq = max_seq + 1
+        self._delta_count = n_deltas
+        self._dirty.clear()
+        self._tombstones.clear()
         return True
 
     def size(self) -> int:

@@ -127,6 +127,59 @@ class TestRefetchTruthTable:
         assert s2.bloom.contains(arr)[0]
         assert s2.cuckoo.contains(arr)[0]
 
+    def test_snapshot_deltas_proportional_to_wave_commits(self, tmp_path):
+        """Per-wave snapshot rows ~ wave commits, never ledger size; the
+        replayed chain restores exactly."""
+        import glob
+
+        import pyarrow.parquet as pq
+        s = make_shard()
+        for i in range(1000):
+            s.commit([_key(i)], [f"u{i}"], now_us=i, wave=0)
+        p0 = s.snapshot(str(tmp_path))       # full base
+        assert "-base-" in p0
+        assert pq.read_metadata(p0).num_rows == 1000
+        s.commit([_key(2000)], ["new"], now_us=5, wave=1)
+        s.commit([_key(3)], ["u3b"], now_us=6, wave=1)  # refetch upsert
+        p1 = s.snapshot(str(tmp_path))       # delta with 2 rows only
+        assert "-delta-" in p1
+        assert pq.read_metadata(p1).num_rows == 2
+        s2 = make_shard()
+        assert s2.restore(str(tmp_path))
+        assert s2.ledger == s.ledger
+        assert s2.ledger[_key(3)][1] == 2    # upsert replayed
+        # an unchanged wave adds no snapshot file
+        n_files = len(glob.glob(str(tmp_path / "seen-shard-*")))
+        s.snapshot(str(tmp_path))
+        assert len(glob.glob(str(tmp_path / "seen-shard-*"))) == n_files
+
+    def test_snapshot_tombstones_and_compaction(self, tmp_path):
+        s = SeenShardLogic(maxfetches=MAXF, refetchsecs=REFETCH,
+                           agelimit=AGELIM, compact_every=3)
+        now = (AGELIM + 100) * US
+        s.commit([_key(1)], ["old"], now_us=now - (AGELIM + 50) * US,
+                 wave=0)
+        s.commit([_key(2)], ["live"], now_us=now - (REFETCH + 1) * US,
+                 wave=0)
+        s.snapshot(str(tmp_path))            # base holds both
+        s.trawl(now_us=now)                  # trims key 1 -> tombstone
+        s.snapshot(str(tmp_path))            # delta carries the delete
+        s2 = make_shard()
+        assert s2.restore(str(tmp_path))
+        assert _key(1) not in s2.ledger and _key(2) in s2.ledger
+        assert not s2.cuckoo.contains(keys_to_array([_key(1)]))[0]
+        # after compact_every deltas a fresh base replaces the chain
+        import glob
+        for w in range(2, 6):
+            s.commit([_key(100 + w)], [f"u{w}"], now_us=now, wave=w)
+            s.snapshot(str(tmp_path))
+        bases = glob.glob(str(tmp_path / "seen-shard-*-base-*.parquet"))
+        deltas = glob.glob(str(tmp_path / "seen-shard-*-delta-*.parquet"))
+        assert len(bases) == 1 and len(deltas) <= 1
+        s3 = make_shard()
+        assert s3.restore(str(tmp_path))
+        assert s3.ledger == s.ledger
+
 
 class TestFilters:
     def test_bloom_no_false_negatives(self):
