@@ -122,21 +122,23 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                 for u in pq.read_table(p, columns=["url"])
                 .column("url").to_pylist())
         budget = max(50, bench_n // max(1, len(hosts)) // 3)
-        run_dir_b = f"{root}/bench-budget-{num_cpus}"
-        shutil.rmtree(run_dir_b, ignore_errors=True)
-        cfg_b = CrawlConfig(out_dir=f"{run_dir_b}/out",
-                            checkpoint_dir=f"{run_dir_b}/ckpt",
-                            per_host_budget=budget,
-                            equivalent_domains=EQUIVALENT_DOMAINS,
-                            num_seen_shards=8,
-                            num_fetch_buckets=128,
-                            max_waves=40)
-        pipe_b = CrawlPipeline(cfg_b, pages_path, f"{root}/store128",
-                               robots_bodies=sj["robots"])
-        t0 = time.time()
-        res_b = pipe_b.run(seeds=sj["seeds"])
-        budget_sec = time.time() - t0
-        pipe_b.shutdown()
+        budget_sec = float("inf")
+        for _ in range(2):  # min-of-2: same damping as the headline
+            run_dir_b = f"{root}/bench-budget-{num_cpus}"
+            shutil.rmtree(run_dir_b, ignore_errors=True)
+            cfg_b = CrawlConfig(out_dir=f"{run_dir_b}/out",
+                                checkpoint_dir=f"{run_dir_b}/ckpt",
+                                per_host_budget=budget,
+                                equivalent_domains=EQUIVALENT_DOMAINS,
+                                num_seen_shards=8,
+                                num_fetch_buckets=128,
+                                max_waves=40)
+            pipe_b = CrawlPipeline(cfg_b, pages_path, f"{root}/store128",
+                                   robots_bodies=sj["robots"])
+            t0 = time.time()
+            res_b = pipe_b.run(seeds=sj["seeds"])
+            budget_sec = min(budget_sec, time.time() - t0)
+            pipe_b.shutdown()
         queries["crawl_budget_bound"] = round(budget_sec, 3)
         throughput["budget_bound_pages_per_sec"] = round(
             res_b["extracted_pages"] / budget_sec, 1)

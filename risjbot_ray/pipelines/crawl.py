@@ -442,14 +442,29 @@ class CrawlPipeline:
         local_cap = budget * lookahead
         over_arr = pa.array(sorted(over), type=pa.string())
         hbc = bf.host_bucket_counts
+        over_rows_of: dict[int, int] = {}
         if hbc:
-            want = set()
             for h in over:
-                want.update(hbc.get(h, {}))
+                for b, c in hbc.get(h, {}).items():
+                    over_rows_of[b] = over_rows_of.get(b, 0) + c
+            want = sorted(over_rows_of)
         else:  # counts missing (old manifest): all buckets participate
-            want = set(bf.bucket_files)
-        items = [{"bucket": b, "paths": bf.bucket_files[b]}
-                 for b in sorted(want) if b in bf.bucket_files]
+            want = sorted(bf.bucket_files)
+        want = [b for b in want if b in bf.bucket_files]
+        # task granularity scales with the OVER-HOST row volume (known
+        # from the sidecar counts), not the bucket count — a small wave
+        # must not pay 128 task launches x 8 seen-shard RPC storms each.
+        # Per-host local top-k over a multi-bucket group is still a
+        # superset of the host's global top-k, so cutoffs are unchanged.
+        total_over = (sum(over_rows_of.values()) if over_rows_of
+                      else bf.num_rows)
+        n_groups = min(len(want), max(1, -(-total_over // 6000)))
+        group_sz = -(-len(want) // max(1, n_groups))
+        items = [{"group": g,
+                  "paths": [p for b in want[g * group_sz:(g + 1) * group_sz]
+                            for p in bf.bucket_files[b]]}
+                 for g in range(n_groups)]
+        items = [it for it in items if it["paths"]]
         cols = ["key", "url_hash", "pass_seen", "trawled", "host",
                 "canon_url", "priority"]
         key_schema = pa.schema([("host", pa.string()),
@@ -498,12 +513,16 @@ class CrawlPipeline:
                 return key_schema.empty_table()
             return pa.concat_tables(outs)
 
-        ds = (ray.data.from_items(items)
-              .map_batches(local_topk, batch_format="pyarrow",
-                           batch_size=1).materialize())
-        merged = pa.concat_tables(
-            [ray.get(r) for r in ds.to_arrow_refs()],
-            promote_options="default")
+        if total_over <= cfg.small_wave_rows:
+            # tiny over-volume: one driver-side scan beats a Ray job
+            merged = local_topk(pa.Table.from_pylist(items))
+        else:
+            ds = (ray.data.from_items(items)
+                  .map_batches(local_topk, batch_format="pyarrow",
+                               batch_size=1).materialize())
+            merged = pa.concat_tables(
+                [ray.get(r) for r in ds.to_arrow_refs()],
+                promote_options="default")
         cutoffs: dict[str, list[tuple[int, str]]] = {}
         if merged.num_rows == 0:
             return cutoffs
@@ -658,11 +677,21 @@ class CrawlPipeline:
                 if tbl.num_rows == 0:
                     continue
                 fb = np.asarray(tbl.column("fetch_bucket").to_pylist())
-                fparts = []
-                for b in np.unique(fb):
-                    f = store.fetch_group(tbl.filter(pa.array(fb == b)))
-                    if f is not None and f.num_rows:
-                        fparts.append(f)
+                groups = [tbl.filter(pa.array(fb == b))
+                          for b in np.unique(fb)]
+                # per-bucket store reads are IO-bound parquet scans —
+                # pyarrow releases the GIL, so a thread pool overlaps
+                # them (a sparse wave touches MANY buckets with few rows
+                # each; serial reads would dominate the wave)
+                if len(groups) > 1:
+                    from concurrent.futures import ThreadPoolExecutor
+                    with ThreadPoolExecutor(
+                            max_workers=min(16, len(groups))) as ex:
+                        fouts = list(ex.map(store.fetch_group, groups))
+                else:
+                    fouts = [store.fetch_group(groups[0])]
+                fparts = [f for f in fouts
+                          if f is not None and f.num_rows]
                 if not fparts:
                     continue
                 fetched = pa.concat_tables(fparts,
@@ -705,9 +734,22 @@ class CrawlPipeline:
                                sorted_buckets[g * group_sz:
                                               (g + 1) * group_sz]
                                for p in files])]
-        (ray.data.from_items(items)
-         .map_batches(run_bucket, batch_format="pyarrow", batch_size=1)
-         .write_parquet(wave_dir))
+        if bf.num_rows <= cfg.small_wave_rows:
+            # driver fast path (same threshold as the table path): a
+            # politeness-rank or trickle wave of a few thousand rows pays
+            # pyarrow-kernel cost, not a Ray Data job launch + task
+            # round-trips — this is what keeps a long deferral chain's
+            # per-wave overhead flat
+            import pyarrow.parquet as _pq
+            out = run_bucket(pa.Table.from_pylist(items))
+            if out.num_rows:
+                os.makedirs(wave_dir, exist_ok=True)
+                _pq.write_table(out, f"{wave_dir}/part-driver.parquet")
+        else:
+            (ray.data.from_items(items)
+             .map_batches(run_bucket, batch_format="pyarrow",
+                          batch_size=1)
+             .write_parquet(wave_dir))
 
         import glob
 
