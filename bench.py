@@ -199,9 +199,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 def run_subprocess(ncpu: int) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
+    cmd = [sys.executable, os.path.abspath(__file__)]
+    # HONEST parallelism levels: ray.init(num_cpus=N) only caps task
+    # SCHEDULING — in-task thread pools (fetch IO, pyarrow decode) would
+    # still borrow idle physical cores, silently flattering the LOW
+    # level and deflating the measured N->4N ratio. taskset pins the
+    # whole process tree to exactly N cores so each level behaves like
+    # an N-core node. Disable with GRAFT_NO_PIN=1.
+    if not os.environ.get("GRAFT_NO_PIN") and os.path.exists(
+            "/usr/bin/taskset"):
+        cmd = ["/usr/bin/taskset", "-c", f"0-{ncpu - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)], env=env,
-        capture_output=True, text=True, check=True,
+        cmd, env=env, capture_output=True, text=True, check=True,
         cwd=os.path.dirname(os.path.abspath(__file__)))
     return json.loads(out.stdout.strip().splitlines()[-1])
 

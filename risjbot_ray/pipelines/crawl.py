@@ -336,13 +336,14 @@ class CrawlPipeline:
         uniq = np.unique(buckets)
         # cap the task fan-out: each spill task writes one part into
         # EVERY target bucket, so #tasks x #buckets parts land on disk —
-        # a few multi-bucket tasks keep parse parallelism while cutting
-        # the per-bucket tiny-file count an order of magnitude
+        # one task per CPU keeps the parse+canonicalize+spill wave fully
+        # parallel (it is a whole-corpus pass at crawl start) while
+        # bounding the per-bucket tiny-file count at #CPUs
         try:
             ncpu = int(ray.cluster_resources().get("CPU", 8))
         except Exception:
             ncpu = 8
-        max_tasks = max(8, ncpu // 2)
+        max_tasks = max(8, ncpu)
         groups = np.array_split(uniq, min(len(uniq), max_tasks))
         parts = [tbl.filter(pa.array(np.isin(buckets, g)))
                  for g in groups if len(g)]
@@ -417,11 +418,13 @@ class CrawlPipeline:
     def _politeness_cutoffs(self, bf: BucketedFrontier, over: set[str],
                             now_us: int) -> dict[str, list[tuple[int, str]]]:
         """Exact cross-bucket per-host top-k without driver frontier
-        materialization: each participating bucket task gates its
-        over-budget-host rows (dry-run — no counter/keysrqd mutation,
-        identical verdicts to the real gate) and returns only its LOCAL
-        top-``budget x K`` (priority, canon_url) keys per host; the
-        driver merges O(#over-hosts x #buckets x budget x K) keys and
+        materialization: each participating bucket-group task (task count
+        sized by over-host row volume; driver-side below the small-wave
+        threshold) gates its over-budget-host rows (dry-run — no
+        counter/keysrqd mutation, identical verdicts to the real gate)
+        and returns only its LOCAL top-``budget x K`` (priority,
+        canon_url) keys per host; the driver merges
+        O(#over-hosts x #groups x budget x K) keys and
         derives each host's global cutoff keys for the next K waves
         (K = ``politeness_lookahead``): cutoffs[h][r] bounds the rows
         host h may schedule in wave now+r. Rows are totally ordered by

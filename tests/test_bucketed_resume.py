@@ -74,3 +74,42 @@ def test_pending_bucketed_survives_crash(ray_session, tmp_path):
     pipe3.shutdown()
     ext2 = _read_out(cfg.out_dir)
     assert sorted(ext2.column("url").to_pylist()) == live
+
+
+def test_resume_mid_deferral_chain(ray_session, tmp_path):
+    """A run stopped in the middle of a politeness deferral-rank chain
+    (look-ahead cutoffs, NEXT-linked rank spills) must resume and finish
+    with the exact live set — the pending rank and its successors are
+    recovered from the manifests + NEXT files."""
+    pages, expected, seeds, robots = gen_corpus(150, seed=23)
+    ppath = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, ppath)
+    base = dict(out_dir=str(tmp_path / "out"),
+                checkpoint_dir=str(tmp_path / "ckpt"),
+                per_host_budget=2, num_seen_shards=2,
+                num_fetch_buckets=4, ray_discovery_rows=0,
+                small_wave_rows=0,
+                equivalent_domains=EQUIVALENT_DOMAINS)
+    cfg = CrawlConfig(max_waves=5, **base)
+    pipe = CrawlPipeline(cfg, ppath, str(tmp_path / "store"),
+                         robots_bodies=robots)
+    pipe.run(seeds=seeds)
+    pipe.shutdown()
+    partial = _read_out(cfg.out_dir)
+    live = sorted(r["url"] for r in expected.to_pylist()
+                  if not r["dropped"])
+    assert partial is not None and partial.num_rows < len(live), \
+        "run must stop mid-chain for this test to mean anything"
+    # mid-chain: rank spills exist, some without COMPLETE markers
+    ranks = glob.glob(str(tmp_path / "ckpt" / "deferred-*-r*"))
+    assert ranks
+    assert any(not os.path.exists(os.path.join(r, "COMPLETE"))
+               for r in ranks)
+
+    cfg2 = CrawlConfig(max_waves=80, **base)
+    pipe2 = CrawlPipeline(cfg2, ppath, str(tmp_path / "store2"),
+                          robots_bodies=robots)
+    pipe2.run(resume=True)
+    pipe2.shutdown()
+    ext = _read_out(cfg.out_dir)
+    assert sorted(ext.column("url").to_pylist()) == live
