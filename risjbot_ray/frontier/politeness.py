@@ -81,9 +81,17 @@ def add_salted_group(table: pa.Table, per_host_budget: int,
 
 
 def schedule_wave(frontier: pa.Table, per_host_budget: int,
-                  salt_threshold: int = 10_000
+                  salt_threshold: int = 10_000,
+                  host_budgets: dict[str, int] | None = None,
+                  default_budget: int | None = None
                   ) -> tuple[pa.Table, pa.Table]:
     """Split a gated frontier wave into (scheduled, deferred).
+
+    ``host_budgets`` optionally tightens the budget per host (AutoThrottle,
+    ``frontier/autothrottle.py``); hosts absent from it use
+    ``default_budget`` when given (the start-delay-implied budget for
+    not-yet-observed hosts) else ``per_host_budget``, and a listed budget
+    is never applied above ``per_host_budget``.
 
     Phase 1: salted grouped top-k (each sub-group takes the full budget —
     a superset). Phase 2: exact per-host top-k over the ≤ budget x S
@@ -115,10 +123,19 @@ def schedule_wave(frontier: pa.Table, per_host_budget: int,
         "sched_group": salted.column("sched_group").to_pylist(),
         "host": salted.column("host").to_pylist(),
     })
-    in_p1 = df.groupby("sched_group", sort=False).cumcount() < per_host_budget
+    per_host = host_budgets or default_budget is not None
+    if per_host:
+        fallback = (default_budget if default_budget is not None
+                    else per_host_budget)
+        bud = (df["host"].map(host_budgets or {}).fillna(fallback)
+               .clip(upper=per_host_budget).astype(int))
+    else:
+        bud = per_host_budget  # scalar fast path
+    in_p1 = df.groupby("sched_group", sort=False).cumcount() < bud
     host_rank = df[in_p1].groupby("host", sort=False).cumcount()
     in_p2 = pd.Series(False, index=df.index)
-    in_p2.loc[host_rank.index] = host_rank < per_host_budget
+    in_p2.loc[host_rank.index] = host_rank < (
+        bud.loc[host_rank.index] if per_host else per_host_budget)
     mask = pa.array(in_p2.to_numpy())
     out = salted.drop_columns(["sched_group"])
     return out.filter(mask), out.filter(pc.invert(mask))

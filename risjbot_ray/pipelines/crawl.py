@@ -71,6 +71,15 @@ class CrawlConfig:
     # pre-passes instead of one per wave (each rank spill is within
     # budget by construction and schedules with no pre-pass at all)
     politeness_lookahead: int = 8
+    # AutoThrottle (reference settings.py:236-247, disabled by default
+    # there too): per-host delays adapt to observed wave fetch latency
+    # and TIGHTEN per_host_budget per host (frontier/autothrottle.py)
+    autothrottle: bool = False
+    autothrottle_start_delay: float = 5.0    # AUTOTHROTTLE_START_DELAY
+    autothrottle_max_delay: float = 60.0     # AUTOTHROTTLE_MAX_DELAY
+    autothrottle_target_concurrency: float = 1.0
+    autothrottle_wave_seconds: float = 60.0  # wave period: delay->budget
+    download_delay: float = 0.0              # DOWNLOAD_DELAY floor
 
 
 def seed_frontier(seeds: list[dict]) -> pa.Table:
@@ -106,6 +115,31 @@ _DISC_RESULT_SCHEMA = pa.schema([
 ])
 
 
+def _timed_fetch(store, metrics, enabled: bool):
+    """``fetch_group`` wrapper: when AutoThrottle is on, attribute each
+    group's fetch wall time to its hosts (mean per-page latency x host
+    row count) as at_us:/at_n: counters — one fire-and-forget metrics
+    RPC per group, folded by the driver in the wave epilogue."""
+    if not enabled:
+        return store.fetch_group
+
+    def fetch(group):
+        t0 = time.perf_counter()
+        out = store.fetch_group(group)
+        el = time.perf_counter() - t0
+        if out is not None and out.num_rows:
+            from collections import Counter
+            per_us = el * 1e6 / out.num_rows
+            deltas: dict[str, int] = {}
+            for h, c in Counter(out.column("host").to_pylist()).items():
+                deltas["at_us:" + h] = int(per_us * c)
+                deltas["at_n:" + h] = c
+            metrics.incr(deltas)
+        return out
+
+    return fetch
+
+
 class CrawlPipeline:
     """Owns the seen-shard pool, page store and checkpoint state across
     waves. Ray must already be initialized by the caller."""
@@ -127,7 +161,60 @@ class CrawlPipeline:
         from ..state.metrics import Metrics
         self.extract_metrics = Metrics()
         self._pending_bucketed: list = []
+        self.throttle = None
+        self._host_budgets: dict[str, int] = {}
+        self._at_snap: dict[str, int] = {}
+        if cfg.autothrottle:
+            from ..frontier.autothrottle import AutoThrottle
+            self.throttle = AutoThrottle(
+                start_delay=cfg.autothrottle_start_delay,
+                max_delay=cfg.autothrottle_max_delay,
+                target_concurrency=cfg.autothrottle_target_concurrency,
+                download_delay=cfg.download_delay)
+            self._host_budgets = self.throttle.budgets(
+                [], cfg.autothrottle_wave_seconds, cfg.per_host_budget)
         self._warm_workers()
+
+    def _budget_of(self, host: str) -> int:
+        cap = self.cfg.per_host_budget
+        if self.throttle is not None:
+            # unseen hosts start at start_delay (Scrapy semantics), so
+            # the throttle answers for EVERY host, not just observed ones
+            return self.throttle.budget_of(
+                host, self.cfg.autothrottle_wave_seconds, cap)
+        hb = self._host_budgets.get(host)
+        return cap if hb is None else min(cap, hb)
+
+    def _at_default_budget(self) -> int | None:
+        """Budget for hosts the throttle has not observed yet (the
+        start_delay-implied one); None when AutoThrottle is off."""
+        if self.throttle is None:
+            return None
+        return self.throttle.budget_of(
+            "\x00unseen", self.cfg.autothrottle_wave_seconds,
+            self.cfg.per_host_budget)
+
+    def _update_autothrottle(self) -> None:
+        """Wave epilogue: fold the wave's per-host mean fetch latency
+        (shipped as at_us:/at_n: counters by the fetch sites) into the
+        throttle and refresh next wave's per-host budgets. O(#hosts)."""
+        if self.throttle is None:
+            return
+        snap = self.extract_metrics.snapshot()
+        for k, v in snap.items():
+            if not k.startswith("at_n:"):
+                continue
+            host = k[5:]
+            n = v - self._at_snap.get(k, 0)
+            if n <= 0:
+                continue
+            us = (snap.get("at_us:" + host, 0)
+                  - self._at_snap.get("at_us:" + host, 0))
+            self.throttle.observe(host, (us / n) / 1e6)
+        self._at_snap = snap
+        self._host_budgets = self.throttle.budgets(
+            self.throttle.delays, self.cfg.autothrottle_wave_seconds,
+            self.cfg.per_host_budget)
 
     def _warm_workers(self) -> None:
         """Force worker-pool spin-up + library imports BEFORE the first
@@ -204,7 +291,9 @@ class CrawlPipeline:
 
         # 4. politeness schedule: salted grouped top-k; overflow deferred
         scheduled, deferred = schedule_wave(
-            gated, cfg.per_host_budget, cfg.salt_threshold)
+            gated, cfg.per_host_budget, cfg.salt_threshold,
+            host_budgets=self._host_budgets or None,
+            default_budget=self._at_default_budget())
         self.metrics["scheduled_urls"] += scheduled.num_rows
         mark("schedule")
 
@@ -290,13 +379,15 @@ class CrawlPipeline:
         buckets = np.asarray(tbl.column("fetch_bucket").to_pylist())
         groups = [tbl.filter(pa.array(buckets == b))
                   for b in np.unique(buckets)]
+        fetchfn = _timed_fetch(self.store, self.extract_metrics,
+                               self.cfg.autothrottle)
         if len(groups) > 1:
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(
                     max_workers=min(16, len(groups))) as ex:
-                outs = list(ex.map(self.store.fetch_group, groups))
+                outs = list(ex.map(fetchfn, groups))
         else:
-            outs = [self.store.fetch_group(groups[0])]
+            outs = [fetchfn(groups[0])]
         parts = [o for o in outs if o is not None and o.num_rows]
         if not parts:
             return None
@@ -440,9 +531,12 @@ class CrawlPipeline:
         cfg = self.cfg
         seen = self.seen
         robots = self.robots if cfg.obey_robots else None
-        budget = cfg.per_host_budget
+        # per-host budgets: the static cap, tightened by AutoThrottle
+        # when enabled (absent hosts keep the cap)
+        bud_of = {h: self._budget_of(h) for h in over}
         lookahead = max(1, cfg.politeness_lookahead)
-        local_cap = budget * lookahead
+        cap_of = {h: b * lookahead for h, b in bud_of.items()}
+        local_cap = max(cap_of.values()) if cap_of else 0
         over_arr = pa.array(sorted(over), type=pa.string())
         hbc = bf.host_bucket_counts
         over_rows_of: dict[int, int] = {}
@@ -508,7 +602,7 @@ class CrawlPipeline:
                 tbl = tbl.take(idx)
                 hosts = pd.Series(tbl.column("host").to_pylist())
                 keep = (hosts.groupby(hosts, sort=False).cumcount()
-                        < local_cap)
+                        < hosts.map(cap_of).fillna(local_cap))
                 outs.append(tbl.filter(pa.array(keep.to_numpy()))
                             .select(["host", "priority", "canon_url"])
                             .cast(key_schema))
@@ -534,8 +628,9 @@ class CrawlPipeline:
             ascending=[True, False, True], kind="mergesort")
         for h, grp in df.groupby("host", sort=False):
             cl: list[tuple[int, str]] = []
+            budget_h = bud_of.get(h, cfg.per_host_budget)
             for r in range(lookahead):
-                pos = (r + 1) * budget - 1
+                pos = (r + 1) * budget_h - 1
                 if len(grp) <= pos + 1:
                     break  # everything up to here fits — no more cutoffs
                 row = grp.iloc[pos]
@@ -563,7 +658,7 @@ class CrawlPipeline:
         from ..extract.siterules import rules_for_host
 
         over = {h for h, c in bf.host_counts.items()
-                if c > cfg.per_host_budget}
+                if c > self._budget_of(h)}
         cutoffs: dict[str, list[tuple[int, str]]] = {}
         deferred_dirs: dict[int, str] = {}
         import shutil
@@ -611,6 +706,7 @@ class CrawlPipeline:
         robots = self.robots if cfg.obey_robots else None
         store = self.store
         metrics = self.extract_metrics
+        at_on = cfg.autothrottle
         extract_commit = self._extract_commit_fn(wave, now_us)
         # output dir derives from the SPILL identity, not the wave index:
         # a resumed run reprocessing this spill at a different wave index
@@ -686,13 +782,14 @@ class CrawlPipeline:
                 # pyarrow releases the GIL, so a thread pool overlaps
                 # them (a sparse wave touches MANY buckets with few rows
                 # each; serial reads would dominate the wave)
+                fetchfn = _timed_fetch(store, metrics, at_on)
                 if len(groups) > 1:
                     from concurrent.futures import ThreadPoolExecutor
                     with ThreadPoolExecutor(
                             max_workers=min(16, len(groups))) as ex:
-                        fouts = list(ex.map(store.fetch_group, groups))
+                        fouts = list(ex.map(fetchfn, groups))
                 else:
-                    fouts = [store.fetch_group(groups[0])]
+                    fouts = [fetchfn(groups[0])]
                 fparts = [f for f in fouts
                           if f is not None and f.num_rows]
                 if not fparts:
@@ -1071,6 +1168,7 @@ class CrawlPipeline:
                                          _concat_frontier(child_tables))
             next_pieces.extend(self._pending_bucketed)
             pieces = next_pieces
+            self._update_autothrottle()
             wave += 1
         wall = time.time() - t0
         return {
