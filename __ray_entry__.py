@@ -310,6 +310,43 @@ def oracle_sql() -> dict[str, str]:
         "the a an and or of to in is was for on with as by at it this that "
         "be are from he she they we you his her its not have had but"
         .split()))
+
+    # ---- simhash: per-token 64-bit hash = first 8 md5 bytes (the Ray
+    # side uses exactly this so the signature is SQL-reproducible);
+    # per-bit +1/-1 votes, bit set iff vote sum > 0, assembled as
+    # HUGEINT then two's-complemented into the int64 the query emits.
+    sh_votes = ",\n              ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(64))
+    sh_asm = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {1 << i}::HUGEINT ELSE 0::HUGEINT END"
+        for i in range(64))
+
+    # ---- rolling fingerprint: Rabin-Karp window hashes as explicit
+    # window sums (sum of byte*B^(W-1-j) mod 2^61-1, HUGEINT math);
+    # text is ASCII so unicode(char) == byte value.
+    _B, _MOD, _W = 1_000_003, (1 << 61) - 1, 16
+    powlist = ("[" + ",".join(f"{pow(_B, k, _MOD)}::HUGEINT"
+                              for k in range(_W)) + "]")
+
+    # ---- langid: trigram-profile scores; replace() deletes the same
+    # non-overlapping occurrences str.count counts, and the + chain is
+    # generated in profile order so float64 summation order (hence the
+    # exact score bits) matches the Ray side.
+    from risjbot_ray.pipelines.textstats import _LANG_PROFILES
+    lang_scores = []
+    langs = list(_LANG_PROFILES)
+    for lang, prof in _LANG_PROFILES.items():
+        terms = " + ".join(
+            "{w} * ((length(tt) - length(replace(tt, '{t}', ''))) // 3)"
+            .format(w=w, t=tri.replace("'", "''"))
+            for tri, w in prof.items())
+        lang_scores.append(f"CAST({terms} AS DOUBLE) / n AS s_{lang}")
+    lang_best = "CASE " + " ".join(
+        "WHEN " + " AND ".join(
+            f"(s_{a}, '{a}') >= (s_{b}, '{b}')" for b in langs if b != a)
+        + f" THEN (s_{a}, '{a}')" for a in langs) + " END"
+
     return {
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -510,6 +547,120 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                   / len(list_distinct(a.s || b.s)) >= 0.5
+        """,
+        # duplicate clusters = connected components over pairs with
+        # EXACT shingle Jaccard >= 0.7 (the operator's mathematical
+        # spec; the Ray side reaches it via LSH candidates + exact
+        # verify). Components via recursive reachability: lbl reaches
+        # node => component min = MIN(lbl).
+        "minhash_dedup_clusters": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     list_distinct(CASE
+                        WHEN len(toks) = 0 THEN ['∅ ∅ ∅']
+                        WHEN len(toks) = 1
+                          THEN [toks[1] || ' ∅ ∅']
+                        WHEN len(toks) = 2
+                          THEN [toks[1] || ' ' || toks[2] || ' ∅']
+                        ELSE list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' '
+                                    || toks[i+2])
+                     END) AS s
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text),
+                                              '[a-z0-9]+') AS toks
+                    FROM documents)
+            ), pairs AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / len(list_distinct(a.s || b.s)) >= 0.7
+            ), edges AS (
+              SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+            ), reach(node, lbl) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT e.b, r.lbl FROM reach r
+              JOIN edges e ON e.a = r.node
+            )
+            SELECT node AS doc_id, MIN(lbl) AS cluster_id
+            FROM reach GROUP BY node
+        """,
+        "simhash_signatures": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(t.tok), 1, 16))::UBIGINT AS h
+              FROM documents,
+                   unnest(regexp_extract_all(lower(text),
+                                             '[a-z0-9]+')) AS t(tok)
+            ), v AS (
+              SELECT doc_id,
+              {sh_votes}
+              FROM tok GROUP BY doc_id
+            ), u AS (
+              SELECT doc_id, ({sh_asm}) AS uval FROM v
+            )
+            SELECT d.doc_id,
+                   CAST(CASE WHEN u.uval IS NULL THEN 0
+                             WHEN u.uval >= 9223372036854775808::HUGEINT
+                               THEN u.uval - 18446744073709551616::HUGEINT
+                             ELSE u.uval END AS BIGINT) AS simhash
+            FROM documents d LEFT JOIN u USING (doc_id)
+        """,
+        "doc_fingerprint": f"""
+            WITH chars AS (
+              SELECT doc_id, i, unicode(substr(text, i, 1))::HUGEINT AS b,
+                     length(text) AS n
+              FROM documents,
+                   unnest(generate_series(1, length(text))) AS t(i)
+              WHERE length(text) > 0
+            ),
+            short AS (
+              SELECT doc_id,
+                     CAST(SUM(b * {powlist}[n - i + 1]) % {_MOD}
+                          AS BIGINT) AS h
+              FROM chars WHERE n <= {_W} GROUP BY doc_id
+            ),
+            wins AS (
+              SELECT c.doc_id, s.i AS ws,
+                     CAST(SUM(c.b * {powlist}[s.i + {_W} - c.i])
+                          % {_MOD} AS BIGINT) AS h
+              FROM chars c
+              JOIN (SELECT doc_id, i FROM chars
+                    WHERE i + {_W} - 1 <= n) s
+                ON c.doc_id = s.doc_id AND c.i BETWEEN s.i
+                   AND s.i + {_W} - 1
+              GROUP BY c.doc_id, s.i
+            ),
+            agg AS (
+              SELECT doc_id, MIN(h) AS fp_min, bit_xor(h) AS fp_xor
+              FROM wins GROUP BY doc_id
+              UNION ALL
+              SELECT doc_id, h, h FROM short
+            )
+            SELECT d.doc_id, COALESCE(a.fp_min, 0) AS fp_min,
+                   COALESCE(a.fp_xor, 0) AS fp_xor, md5(d.text) AS fp_md5
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "doc_langid": f"""
+            WITH norm AS (
+              SELECT doc_id,
+                     ' ' || regexp_replace(lower(text), '\\s+', ' ', 'g')
+                     || ' ' AS tt
+              FROM documents
+            ), sc AS (
+              SELECT doc_id, {", ".join(lang_scores)}
+              FROM (SELECT doc_id, tt, length(tt) - 2 AS n FROM norm)
+              WHERE n > 0
+            ), pick AS (
+              SELECT doc_id, {lang_best} AS best FROM sc
+            )
+            SELECT d.doc_id,
+                   CASE WHEN p.best IS NULL OR p.best[1] <= 0 THEN 'und'
+                        ELSE p.best[2] END AS pred_lang,
+                   CASE WHEN p.best IS NULL OR p.best[1] <= 0 THEN 0.0
+                        ELSE p.best[1] END AS lang_score
+            FROM documents d LEFT JOIN pick p USING (doc_id)
         """,
         "ann_topk": """
             WITH q AS (

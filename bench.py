@@ -210,8 +210,12 @@ def run_subprocess(ncpu: int) -> dict:
             "/usr/bin/taskset"):
         cmd = ["/usr/bin/taskset", "-c", f"0-{ncpu - 1}"] + cmd
     out = subprocess.run(
-        cmd, env=env, capture_output=True, text=True, check=True,
+        cmd, env=env, capture_output=True, text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)))
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise subprocess.CalledProcessError(
+            out.returncode, cmd, out.stdout, out.stderr)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 

@@ -334,13 +334,22 @@ def label_propagation_clusters(edges, max_rounds: int = 64):
 
 def minhash_dedup(sf_dir: str, num_perm: int = 64, bands: int = 16,
                   threshold: float = 0.7):
-    """Duplicate clusters over verified MinHash pairs: returns (doc_id,
-    cluster_id = min doc_id reachable). The closure runs as distributed
-    min-label propagation (:func:`label_propagation_clusters`) — the
-    pair set never lands on the driver, only the final cluster table
-    (LSH-bounded small) does."""
-    pairs = minhash_candidate_pairs(sf_dir, num_perm, bands, threshold)
-    edges = pairs.select_columns(["a", "b"])
+    """Duplicate clusters over EXACT-Jaccard-verified MinHash/LSH pairs:
+    returns (doc_id, cluster_id = min doc_id reachable). Candidates come
+    from LSH banding at a permissive estimated threshold (so borderline
+    true pairs aren't lost to signature noise), each candidate is then
+    verified with exact shingle-set Jaccard (:func:`ngram_jaccard_pairs`)
+    and kept iff jaccard >= ``threshold`` — which makes the operator's
+    spec pure SQL ("components over pairs with exact Jaccard >= t"),
+    checkable by the driver's recursive-CTE oracle. The closure runs as
+    distributed min-label propagation
+    (:func:`label_propagation_clusters`) — the pair set never lands on
+    the driver, only the final cluster table (LSH-bounded small) does."""
+    cands = minhash_candidate_pairs(sf_dir, num_perm, bands,
+                                    threshold=min(0.5, threshold))
+    verified = ngram_jaccard_pairs(sf_dir, threshold=threshold,
+                                   candidates=cands)
+    edges = ray.data.from_arrow(verified.select(["a", "b"]))
     labels = label_propagation_clusters(edges)
     parts = [ray.get(r) for r in labels.to_arrow_refs()]
     parts = [t for t in parts if t.num_rows]
@@ -358,19 +367,21 @@ def minhash_dedup(sf_dir: str, num_perm: int = 64, bands: int = 16,
 # --------------------------------------------------------------------------
 
 class SimHasher:
-    """64-bit SimHash over token hashes, vectorized per doc."""
+    """64-bit SimHash over token hashes, vectorized per doc.
 
-    def __init__(self, seed: int = 7):
-        self.seed = seed
+    The per-token 64-bit hash is the first 8 bytes (big-endian) of
+    md5(token) — chosen over a keyed hash because it is reproducible in
+    ANSI SQL (DuckDB ``md5()``), which makes the whole signature
+    oracle-checkable by the driver (`__ray_entry__.oracle_sql()`
+    ``simhash_signatures``)."""
 
     def simhash(self, text: str) -> int:
         toks = _tokens(text)
         if not toks:
             return 0
         hs = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8,
-                                            salt=b"simhash0")
-                            .digest(), "big") for t in toks),
+            (int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+             for t in toks),
             dtype=np.uint64, count=len(toks))
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                 & np.uint64(1)).astype(np.int64)

@@ -1,9 +1,9 @@
-"""Golden value-hash gates for the deterministic queries the driver can
-only rows-check (no SQL oracle is expressible): language-ID, rolling
-fingerprints, SimHash signatures, MinHash duplicate clusters. All are
-pure seeded functions of the sf0.001 documents table, so their full
-sorted output is pinned by hash — any silent behavior change trips here
-even though the driver's CORRECTNESS check cannot see it."""
+"""Golden value-hash gates for language-ID, rolling fingerprints,
+SimHash signatures and MinHash duplicate clusters. All four now ALSO
+have driver-side DuckDB oracles (`__ray_entry__.oracle_sql()`), but the
+goldens stay: they are pure seeded functions of the sf0.001 documents
+table, so their full sorted output is pinned by hash and any silent
+behavior change trips here without waiting for a driver round."""
 
 import hashlib
 
@@ -14,7 +14,7 @@ SF = "/root/testdata/sf0.001"
 GOLDEN = {
     "doc_langid": "77ebdc69e943e328fcbe2ae3c776fb4a",
     "doc_fingerprint": "a3bcf10ff01cbb820b6126ad43e81b6c",
-    "simhash_signatures": "e6ebc40b5401a02bfcf30771b1f17c18",
+    "simhash_signatures": "2e41a04b50bcacb04ba7bd260c53e2d2",
     "minhash_dedup_clusters": "b2ef4fe48c4934cb5316983a526baedc",
 }
 

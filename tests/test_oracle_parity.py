@@ -1,0 +1,38 @@
+"""Driver-style parity gates for the generated DuckDB oracles added in
+round 3 (simhash / fingerprint / langid): run the Ray query AND the
+oracle SQL over sf0.001 and compare rows + schema + value hash exactly
+the way the driver's CORRECTNESS check does. The minhash-clusters
+recursive-CTE oracle is excluded here only because its all-pairs
+shingle SQL takes ~35 s — it is pinned by the golden value hash
+(test_golden_hashes) and checked by the driver at sf0.01."""
+
+import hashlib
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+NAMES = ["simhash_signatures", "doc_fingerprint", "doc_langid"]
+
+
+def _vhash(df) -> str:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns),
+                        kind="mergesort").reset_index(drop=True)
+    return hashlib.md5(
+        df.to_csv(index=False, float_format="%.6f").encode()).hexdigest()
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_oracle_matches_query(ray_session, name):
+    import __ray_entry__ as entry
+    res = entry.queries()[name](SF)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS "
+                f"SELECT * FROM '{SF}/documents.parquet'")
+    odf = con.execute(entry.oracle_sql()[name]).df()
+    assert len(df) == len(odf)
+    assert sorted(df.columns) == sorted(odf.columns)
+    assert _vhash(df) == _vhash(odf)
