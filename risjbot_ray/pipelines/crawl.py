@@ -924,6 +924,284 @@ class CrawlPipeline:
                 f.write("ok")
         return CHILD_SCHEMA.empty_table()
 
+    def _run_bucketed_window(self, wave: int, bf: BucketedFrontier,
+                             k: int) -> int:
+        """Execute up to ``k`` politeness waves of one over-budget
+        bucketed frontier as ONE job (virtual waves ``wave`` ..
+        ``wave+k-1``); returns the number of virtual waves consumed.
+
+        A politeness-bound tail is a chain of budget-sized waves; running
+        them one driver iteration each pays the per-wave fixed costs
+        (politeness pre-pass, seen snapshot, metrics round-trips, a full
+        pruned store-read pass, a job launch) once PER WAVE — the
+        dominant cost when each wave extracts for only a fraction of a
+        second. This path pays them once per WINDOW: one cutoff pre-pass
+        ranks every row into its virtual wave (identical per-wave
+        scheduled sets to the sequential path — the cutoffs ARE the
+        sequential path's rank spills, see ``_politeness_cutoffs``), one
+        task set fetches each page exactly once grouped by store bucket,
+        then extracts/commits per rank into per-rank output dirs. Rows
+        ranked beyond the window spill to ONE overflow frontier and the
+        next driver iteration re-ranks them (merged with any newly
+        discovered pieces) under a fresh pre-pass. Per-host per-wave
+        budgets hold exactly (reference settings.py:88-94): each rank is
+        within budget by cutoff construction.
+
+        Crash consistency matches the single-wave path at window
+        granularity: outputs/overflow dirs derive from the spill
+        identity (idempotent rewrite), ONE manifest commits at the
+        window's last virtual-wave index after the seen snapshot, and
+        COMPLETE markers land last — a crash mid-window resumes by
+        reprocessing the whole spill."""
+        cfg = self.cfg
+        _t0 = time.time()
+        now_us = int(time.time() * 1e6)
+        import hashlib as _hl
+        import shutil
+
+        from ..extract.siterules import rules_for_host
+
+        over = {h for h, c in bf.host_counts.items()
+                if c > self._budget_of(h)}
+        cutoffs = self._politeness_cutoffs(bf, over, now_us)
+        base = os.path.basename(bf.directory)
+        dbase = "deferred-" + base
+        if len(dbase) > 100:
+            dbase = "deferred-" + _hl.md5(dbase.encode()).hexdigest()[:16]
+        overflow_dir = os.path.join(self.ckpt.dir, f"{dbase}-r{k:02d}")
+        shutil.rmtree(overflow_dir, ignore_errors=True)
+
+        link_hosts = frozenset(
+            h for h in bf.host_counts
+            if rules_for_host(h).link_allow
+            or rules_for_host(h).link_restrict_xpaths)
+        links_dir = None
+        if link_hosts:
+            lbase = "links-" + base
+            if len(lbase) > 100:
+                lbase = "links-" + _hl.md5(lbase.encode()).hexdigest()[:16]
+            links_dir = os.path.join(self.ckpt.dir, lbase)
+            shutil.rmtree(links_dir, ignore_errors=True)
+
+        seen = self.seen
+        robots = self.robots if cfg.obey_robots else None
+        store = self.store
+        metrics = self.extract_metrics
+        at_on = cfg.autothrottle
+        extract_commit = self._extract_commit_fn(wave, now_us)
+        wave_dirs = [f"{cfg.out_dir}/wave={base}-w{r:02d}"
+                     for r in range(k)]
+        for d in wave_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        self.seen.new_wave()
+        num_buckets = store.num_buckets
+
+        def run_group(batch: pa.Table) -> pa.Table:
+            import pyarrow.dataset as _pads
+            import pyarrow.parquet as _pq
+            for row in batch.to_pylist():
+                tbl = _pads.dataset(row["paths"],
+                                    format="parquet").to_table()
+                tbl = dedupe_wave(tbl)
+                keys = tbl.column("key").to_pylist()
+                hashes = np.asarray(tbl.column("url_hash").to_pylist(),
+                                    dtype=np.uint64)
+                passes = np.asarray(tbl.column("pass_seen").to_pylist(),
+                                    dtype=bool)
+                allowed, prev = seen.check(keys, hashes, now_us,
+                                           pass_flags=passes)
+                allowed |= np.asarray(tbl.column("trawled").to_pylist(),
+                                      dtype=bool)
+                tbl = tbl.append_column("previousfetches",
+                                        pa.array(prev, type=pa.int32()))
+                tbl = tbl.filter(pa.array(allowed))
+                if robots is not None and tbl.num_rows:
+                    mask = robots.allowed_mask(
+                        tbl.column("host").to_pylist(),
+                        tbl.column("canon_url").to_pylist())
+                    tbl = tbl.filter(pa.array(mask))
+                if tbl.num_rows == 0:
+                    continue
+                # rank = the virtual wave this row schedules in (same
+                # cutoff arithmetic as the sequential path)
+                rank = np.zeros(tbl.num_rows, dtype=np.int64)
+                if cutoffs:
+                    pri = np.asarray(tbl.column("priority").to_pylist())
+                    hosts_np = np.asarray(
+                        tbl.column("host").to_pylist(), dtype=object)
+                    urls_np = np.asarray(
+                        tbl.column("canon_url").to_pylist(),
+                        dtype=object)
+                    for h, cl in cutoffs.items():
+                        m = hosts_np == h
+                        if not m.any():
+                            continue
+                        for cp, cu in cl:
+                            rank[m] += ((pri[m] < cp)
+                                        | ((pri[m] == cp)
+                                           & (urls_np[m] > cu)))
+                    over_m = rank >= k
+                    if over_m.any():
+                        dropped = (tbl.filter(pa.array(over_m))
+                                   .drop_columns(["previousfetches"]))
+                        n_def = spill_bucketed(dropped, overflow_dir,
+                                               num_buckets)
+                        metrics.incr({"bucketed_deferred": n_def,
+                                      "win_overflow": n_def})
+                        keep = ~over_m
+                        tbl = tbl.filter(pa.array(keep))
+                        rank = rank[keep]
+                if tbl.num_rows == 0:
+                    continue
+                deltas = {"bucketed_scheduled": tbl.num_rows,
+                          "win_ranked": int((rank > 0).sum())}
+                for r, n in zip(*np.unique(rank, return_counts=True)):
+                    deltas[f"win_sched_r{int(r)}"] = int(n)
+                metrics.incr(deltas)
+                # ONE store-read pass fetches every rank's rows together
+                fb = np.asarray(tbl.column("fetch_bucket").to_pylist())
+                groups = [tbl.filter(pa.array(fb == b))
+                          for b in np.unique(fb)]
+                fetchfn = _timed_fetch(store, metrics, at_on)
+                if len(groups) > 1:
+                    from concurrent.futures import ThreadPoolExecutor
+                    with ThreadPoolExecutor(
+                            max_workers=min(16, len(groups))) as ex:
+                        fouts = list(ex.map(fetchfn, groups))
+                else:
+                    fouts = [fetchfn(groups[0])]
+                fparts = [f for f in fouts
+                          if f is not None and f.num_rows]
+                if not fparts:
+                    continue
+                fetched = pa.concat_tables(fparts,
+                                           promote_options="default")
+                rank_of = dict(zip(tbl.column("canon_url").to_pylist(),
+                                   rank.tolist()))
+                frk = np.asarray(
+                    [rank_of[u] for u in
+                     fetched.column("canon_url").to_pylist()],
+                    dtype=np.int64)
+                if link_hosts:
+                    from ..sources.stage import harvest_links_batch
+                    lmask = pc.is_in(
+                        fetched.column("host"),
+                        value_set=pa.array(sorted(link_hosts)))
+                    if pc.any(lmask).as_py():
+                        children = harvest_links_batch(
+                            fetched.filter(lmask))
+                        if children.num_rows:
+                            n_link = spill_bucketed(
+                                canonicalize_batch(
+                                    children, cfg.equivalent_domains),
+                                links_dir, num_buckets)
+                            metrics.incr({"link_children": n_link})
+                for r in np.unique(frk):
+                    out = extract_commit(
+                        fetched.filter(pa.array(frk == r)),
+                        wave_idx=wave + int(r))
+                    if out.num_rows:
+                        os.makedirs(wave_dirs[int(r)], exist_ok=True)
+                        _pq.write_table(
+                            out, f"{wave_dirs[int(r)]}"
+                                 f"/part-g{row['group']:05d}.parquet")
+            return pa.table({"groups": [batch.num_rows]})
+
+        snap0 = metrics.snapshot()
+        sorted_buckets = sorted(bf.bucket_files.items())
+        n_groups = min(len(sorted_buckets),
+                       max(1, -(-bf.num_rows // 1500)))
+        group_sz = -(-len(sorted_buckets) // n_groups)
+        items = [{"group": g, "paths": paths}
+                 for g in range(n_groups)
+                 if (paths := [p for _, files in
+                               sorted_buckets[g * group_sz:
+                                              (g + 1) * group_sz]
+                               for p in files])]
+        if bf.num_rows <= cfg.small_wave_rows:
+            run_group(pa.Table.from_pylist(items))
+        else:
+            (ray.data.from_items(items)
+             .map_batches(run_group, batch_format="pyarrow",
+                          batch_size=1)
+             .materialize())
+
+        import glob
+
+        import pyarrow.parquet as pq
+        snap = metrics.snapshot()
+
+        def delta(key: str) -> int:
+            return snap.get(key, 0) - snap0.get(key, 0)
+
+        rank_stats = []
+        k_used = 1
+        for r in range(k):
+            s = delta(f"win_sched_r{r}")
+            e = sum(pq.read_metadata(p).num_rows
+                    for p in glob.glob(f"{wave_dirs[r]}/*.parquet"))
+            if s > 0:
+                k_used = r + 1
+            rank_stats.append({"wave": wave + r, "scheduled": s,
+                               "extracted": e})
+        rank_stats = rank_stats[:k_used]
+        n_scheduled = sum(rs["scheduled"] for rs in rank_stats)
+        n_extracted = sum(rs["extracted"] for rs in rank_stats)
+        n_overflow = delta("win_overflow")
+        n_deferred = delta("win_ranked") + n_overflow
+        obf = load_bucketed_frontier(overflow_dir)
+        if obf is not None:
+            obf.parent = bf.directory
+            self._pending_bucketed.append(obf)
+        # successor release: a merged source may be a rank spill from an
+        # old-style NEXT chain (mixed-table waves still emit them);
+        # completing it here must unlock its successor exactly like the
+        # single-wave path does
+        for d in [bf.directory] + (bf.sources or []):
+            nxt_path = os.path.join(d, "NEXT")
+            if not os.path.exists(nxt_path):
+                continue
+            with open(nxt_path) as f:
+                info = json.load(f)
+            if os.path.exists(os.path.join(info["dir"], "COMPLETE")):
+                continue
+            nbf = load_bucketed_frontier(info["dir"])
+            if nbf is not None:
+                nbf.parent = info.get("parent")
+                self._pending_bucketed.append(nbf)
+        if links_dir is not None:
+            lbf = load_bucketed_frontier(links_dir)
+            if lbf is not None:
+                lbf.parent = bf.directory
+                self._pending_bucketed.append(lbf)
+        self.metrics["scheduled_urls"] += n_scheduled
+        self.metrics["extracted_pages"] += n_extracted
+        self.metrics["fetched_rows"] += n_extracted
+        self.seen.snapshot(self.ckpt.seen_dir)
+        self.ckpt.commit_wave(wave + k_used - 1, {
+            "wave": wave + k_used - 1, "mode": "bucketed-window",
+            "wave_first": wave, "waves": k_used,
+            "rows_in": bf.num_rows,
+            "scheduled": n_scheduled,
+            "deferred": n_deferred,
+            "overflow": n_overflow,
+            "ranks": rank_stats,
+            "fetched": n_extracted,
+            "extracted": n_extracted,
+            "children": 0,
+            "buckets": len(bf.bucket_files),
+            "out_dirs": wave_dirs[:k_used],
+            "seen_counters": self.seen.counters(),
+            "extract_counters": snap,
+            "pending_bucketed": [b.to_manifest()
+                                 for b in self._pending_bucketed],
+            "wall_sec": round(time.time() - _t0, 3),
+        })
+        for d in [bf.directory] + (bf.sources or []):
+            with open(os.path.join(d, "COMPLETE"), "w") as f:
+                f.write("ok")
+        return k_used
+
     def _extract_commit_fn(self, wave: int, now_us: int):
         """The fused extract+commit batch UDF (shared by the Ray pipeline
         and the driver fast path)."""
@@ -960,7 +1238,12 @@ class CrawlPipeline:
                     readingage=cfg.enrich_readingage))
             return enrich_holder[0]
 
-        def extract_commit(batch: pa.Table) -> pa.Table:
+        def extract_commit(batch: pa.Table,
+                           wave_idx: int | None = None) -> pa.Table:
+            # wave_idx overrides the construction-time wave stamp: the
+            # windowed politeness path (_run_bucketed_window) commits K
+            # virtual waves through ONE closure (one enrichment build per
+            # task, not per rank)
             batch = prep_meta(batch)
             # response URL is the canonical one (the fetch joined on it);
             # keep a copy for the ledger commit — the reference commits
@@ -989,7 +1272,7 @@ class CrawlPipeline:
                         np.asarray(
                             commit_rows.column("url_hash").to_pylist(),
                             dtype=np.uint64),
-                        now_us, wave)
+                        now_us, wave if wave_idx is None else wave_idx)
             out = out.drop_columns(["key", "url_hash", "pass_seen",
                                     "resp_url"])
             enricher = get_enricher()
@@ -1147,29 +1430,43 @@ class CrawlPipeline:
                 bucketed = [self._merge_bucketed(bucketed)]
             self._pending_bucketed = []
             next_pieces: list = []
-            if tables:
-                tbl = (tables[0] if len(tables) == 1
-                       else _concat_frontier(tables))
-                nf = self.run_wave(wave, tbl)
-                if nf is not None and nf.num_rows:
-                    next_pieces.append(nf)
-            for i, bfp in enumerate(bucketed):
-                children = self._run_bucketed_wave(
-                    wave, bfp, primary=(not tables and i == 0), piece=i)
-                if children.num_rows:
-                    next_pieces.append(children)
-            if not tables:
-                # bucketed-only wave: persist any table children (link
-                # harvest) so a crash before the next table wave cannot
-                # lose them (run_wave persists its own)
-                child_tables = [p for p in next_pieces
-                                if isinstance(p, pa.Table)]
-                self.ckpt.write_frontier(wave + 1,
-                                         _concat_frontier(child_tables))
+            # bucketed-only over-budget wave => windowed politeness: run
+            # up to K budget-sized virtual waves in ONE job (one
+            # pre-pass / store pass / snapshot for the whole window)
+            win_used = 0
+            if (not tables and len(bucketed) == 1
+                    and cfg.politeness_lookahead > 1):
+                k = min(cfg.politeness_lookahead, cfg.max_waves - wave)
+                if k >= 2 and any(
+                        c > self._budget_of(h)
+                        for h, c in bucketed[0].host_counts.items()):
+                    win_used = self._run_bucketed_window(
+                        wave, bucketed[0], k)
+            if win_used == 0:
+                if tables:
+                    tbl = (tables[0] if len(tables) == 1
+                           else _concat_frontier(tables))
+                    nf = self.run_wave(wave, tbl)
+                    if nf is not None and nf.num_rows:
+                        next_pieces.append(nf)
+                for i, bfp in enumerate(bucketed):
+                    children = self._run_bucketed_wave(
+                        wave, bfp, primary=(not tables and i == 0),
+                        piece=i)
+                    if children.num_rows:
+                        next_pieces.append(children)
+                if not tables:
+                    # bucketed-only wave: persist any table children
+                    # (link harvest) so a crash before the next table
+                    # wave cannot lose them (run_wave persists its own)
+                    child_tables = [p for p in next_pieces
+                                    if isinstance(p, pa.Table)]
+                    self.ckpt.write_frontier(
+                        wave + 1, _concat_frontier(child_tables))
             next_pieces.extend(self._pending_bucketed)
             pieces = next_pieces
             self._update_autothrottle()
-            wave += 1
+            wave += win_used or 1
         wall = time.time() - t0
         return {
             "waves": wave - start_wave,

@@ -201,3 +201,69 @@ def test_trawl_spill_writes_bucketed_frontier(ray_session, tmp_path):
             assert meta["refetchcontrol_previous"] == 1
     finally:
         seen.shutdown()
+
+
+def test_window_matches_iterated_schedule_wave(ray_session, tmp_path):
+    """Windowed politeness (`_run_bucketed_window`): the per-rank output
+    sets of one K-wave window equal K sequential applications of the
+    table path's ``schedule_wave`` on the same frontier (each rank's
+    extracted pages = that virtual wave's scheduled set ∩ live pages)."""
+    pages, expected, seeds, robots = gen_corpus(200, seed=11)
+    ppath = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, ppath)
+    cfg = CrawlConfig(out_dir=str(tmp_path / "out"),
+                      checkpoint_dir=str(tmp_path / "ckpt"),
+                      per_host_budget=3, num_seen_shards=2,
+                      num_fetch_buckets=4, small_wave_rows=0,
+                      equivalent_domains=EQUIVALENT_DOMAINS)
+    pipe = CrawlPipeline(cfg, ppath, str(tmp_path / "store"),
+                         robots_bodies=robots)
+    try:
+        urls = [r["url"] for r in expected.to_pylist()]
+        live = {r["url"] for r in expected.to_pylist() if not r["dropped"]}
+        rows = [{"url": u, "priority": (i * 3) % 5, "depth": 0,
+                 "source_kind": "article", "meta": None}
+                for i, u in enumerate(urls)]
+        cand = dedupe_wave(canonicalize_batch(
+            pa.Table.from_pylist(rows, schema=CHILD_SCHEMA),
+            EQUIVALENT_DOMAINS))
+        k = 4
+        # expected: iterate the table scheduler K times
+        exp_ranks, remaining = [], cand
+        for _ in range(k):
+            sched, remaining = schedule_wave(remaining,
+                                             cfg.per_host_budget,
+                                             cfg.salt_threshold)
+            exp_ranks.append(set(sched.column("canon_url").to_pylist()))
+        assert remaining.num_rows, "window must overflow to bind"
+
+        sdir = str(tmp_path / "ckpt" / "frontier-bucketed-win")
+        spill_bucketed(cand, sdir, pipe.store.num_buckets)
+        bf = load_bucketed_frontier(sdir)
+        used = pipe._run_bucketed_window(0, bf, k)
+        assert used == k
+        for r in range(k):
+            parts = glob.glob(str(
+                tmp_path / "out" / f"wave=frontier-bucketed-win-w{r:02d}"
+                / "*.parquet"))
+            got = set()
+            for p in parts:
+                got.update(pq.read_table(p, columns=["url"])
+                           .column("url").to_pylist())
+            assert got == (exp_ranks[r] & live), f"rank {r}"
+        # the overflow spill holds exactly the un-scheduled remainder
+        odirs = glob.glob(str(tmp_path / "ckpt" /
+                              "deferred-frontier-bucketed-win-r*"))
+        assert len(odirs) == 1
+        assert _read_spill_urls(odirs[0]) == set(
+            remaining.column("canon_url").to_pylist())
+        # window manifest: one commit covering all K virtual waves
+        m = json.load(open(str(tmp_path / "ckpt" /
+                               f"wave-{k - 1:04d}.json")))
+        assert m["mode"] == "bucketed-window"
+        assert m["waves"] == k and m["wave_first"] == 0
+        assert m["overflow"] == remaining.num_rows
+        assert [rs["scheduled"] for rs in m["ranks"]] == \
+            [len(s) for s in exp_ranks]
+    finally:
+        pipe.shutdown()
