@@ -639,6 +639,101 @@ class CrawlPipeline:
                 cutoffs[h] = cl
         return cutoffs
 
+    @staticmethod
+    def _outputs_marker_of(bf: BucketedFrontier) -> dict | None:
+        """The spill's OUTPUTS marker payload, if its fetch/extract
+        outputs already completed in a crashed run (see
+        ``_replay_bucketed_commit``)."""
+        path = os.path.join(bf.directory, "OUTPUTS.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def _write_outputs_marker(self, bf: BucketedFrontier,
+                              payload: dict) -> None:
+        """Atomically record that every fetch/extract output of this
+        spill is fully on disk, plus what the commit epilogue needs to
+        replay. Written AFTER the last task finishes and BEFORE the seen
+        snapshot: a crash anywhere in the epilogue resumes via
+        ``_replay_bucketed_commit`` instead of a destructive
+        reprocess."""
+        path = os.path.join(bf.directory, "OUTPUTS.json")
+        with open(path + ".tmp", "w") as f:
+            json.dump(payload, f)
+        os.replace(path + ".tmp", path)
+
+    def _replay_bucketed_commit(self, wave: int, bf: BucketedFrontier,
+                                payload: dict, primary: bool = True,
+                                piece: int = 0) -> int:
+        """Commit-epilogue replay for a spill whose outputs completed
+        but whose manifest/COMPLETE never landed (crash in the
+        snapshot->manifest window). The OUTPUTS marker is written only
+        after every fetch/extract task finished, so the outputs on disk
+        are whole: replay re-registers the recorded pending side-spills
+        (deferral ranks, window overflow, link children), re-counts the
+        extracted rows from the output files, snapshots the ledger and
+        commits the manifest WITHOUT re-fetching. Re-fetching would be
+        wrong twice over: it rmtree's complete outputs and then drops
+        every row whose ledger commit DID reach the crashed snapshot
+        (recently-fetched skip) — i.e. it loses data. Ledger commits
+        that MISSED the snapshot are accepted as lost, matching the
+        reference: RISJbot's sqlite ledger syncs at spider close
+        (refetchcontrol.py:90-129), so a crash loses them there too
+        while already-shipped items stay shipped. Returns the number of
+        waves the original job consumed (1 for single waves, ``k_used``
+        for windows)."""
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+        _t0 = time.time()
+        have = {b.directory for b in self._pending_bucketed}
+        for p in payload.get("pending", []):
+            d = p["dir"]
+            if d in have or os.path.exists(os.path.join(d, "COMPLETE")):
+                continue
+            nbf = load_bucketed_frontier(d)
+            if nbf is not None:
+                nbf.parent = p.get("parent")
+                self._pending_bucketed.append(nbf)
+                have.add(d)
+        out_dirs = payload.get("out_dirs", [])
+        n_extracted = sum(
+            _pq.read_metadata(f).num_rows
+            for d in out_dirs
+            for f in _glob.glob(os.path.join(d, "*.parquet")))
+        n_scheduled = int(payload.get("scheduled", n_extracted))
+        self.metrics["scheduled_urls"] += n_scheduled
+        self.metrics["extracted_pages"] += n_extracted
+        self.metrics["fetched_rows"] += n_extracted
+        self.seen.snapshot(self.ckpt.seen_dir)
+        waves = max(1, int(payload.get("waves", 1)))
+        commit = (self.ckpt.commit_wave if primary
+                  else lambda w, m: self.ckpt.commit_wave_suffixed(
+                      w, f"b{piece}", m))
+        commit(wave + waves - 1, {
+            "wave": wave + waves - 1,
+            "mode": payload.get("mode", "bucketed"),
+            "replayed": True,
+            "waves": waves,
+            "rows_in": bf.num_rows,
+            "scheduled": n_scheduled,
+            "deferred": int(payload.get("deferred", 0)),
+            "fetched": n_extracted,
+            "extracted": n_extracted,
+            "children": 0,
+            "buckets": len(bf.bucket_files),
+            "out_dirs": out_dirs,
+            "seen_counters": self.seen.counters(),
+            "pending_bucketed": [b.to_manifest()
+                                 for b in self._pending_bucketed],
+            "wall_sec": round(time.time() - _t0, 3),
+        })
+        for d in [bf.directory] + (bf.sources or []):
+            with open(os.path.join(d, "COMPLETE"), "w") as f:
+                f.write("ok")
+        return waves
+
     def _run_bucketed_wave(self, wave: int, bf: BucketedFrontier,
                            primary: bool = True, piece: int = 0) -> pa.Table:
         """Process a bucket-partitioned article frontier: ONE Ray task per
@@ -652,6 +747,16 @@ class CrawlPipeline:
         the cutoff and spills the politeness-deferred remainder as a NEW
         bucketed frontier for the next wave — per-domain queue semantics
         with zero driver materialization."""
+        payload = self._outputs_marker_of(bf)
+        if payload is not None:
+            # the outer loop advances by ONE wave on this path, so the
+            # replayed manifest must commit at the current index even if
+            # the crashed job was a multi-wave window (LATEST must never
+            # regress behind a later commit)
+            self._replay_bucketed_commit(wave, bf,
+                                         {**payload, "waves": 1},
+                                         primary=primary, piece=piece)
+            return CHILD_SCHEMA.empty_table()
         _t0 = time.time()
         cfg = self.cfg
         now_us = _now_us(cfg)
@@ -859,6 +964,7 @@ class CrawlPipeline:
         snap = metrics.snapshot()
         n_scheduled = snap.get("bucketed_scheduled", 0) - before
         n_deferred = snap.get("bucketed_deferred", 0) - before_def
+        pend0 = len(self._pending_bucketed)
         if deferred_dirs:
             # register only the FIRST non-empty rank as pending; each rank
             # dir gets a NEXT pointer to its successor so completing one
@@ -896,6 +1002,14 @@ class CrawlPipeline:
             if lbf is not None:
                 lbf.parent = bf.directory
                 self._pending_bucketed.append(lbf)
+        self._write_outputs_marker(bf, {
+            "mode": "bucketed",
+            "scheduled": n_scheduled,
+            "deferred": n_deferred,
+            "out_dirs": [wave_dir],
+            "pending": [{"dir": b.directory, "parent": b.parent}
+                        for b in self._pending_bucketed[pend0:]],
+        })
         self.metrics["scheduled_urls"] += n_scheduled
         self.metrics["extracted_pages"] += n_extracted
         self.metrics["fetched_rows"] += n_extracted
@@ -952,7 +1066,12 @@ class CrawlPipeline:
         identity (idempotent rewrite), ONE manifest commits at the
         window's last virtual-wave index after the seen snapshot, and
         COMPLETE markers land last — a crash mid-window resumes by
-        reprocessing the whole spill."""
+        reprocessing the whole spill, or, once the OUTPUTS marker is on
+        disk (all tasks finished), by replaying just the commit
+        epilogue (see ``_replay_bucketed_commit``)."""
+        payload = self._outputs_marker_of(bf)
+        if payload is not None:
+            return self._replay_bucketed_commit(wave, bf, payload)
         cfg = self.cfg
         _t0 = time.time()
         now_us = int(time.time() * 1e6)
@@ -1149,6 +1268,7 @@ class CrawlPipeline:
         n_extracted = sum(rs["extracted"] for rs in rank_stats)
         n_overflow = delta("win_overflow")
         n_deferred = delta("win_ranked") + n_overflow
+        pend0 = len(self._pending_bucketed)
         obf = load_bucketed_frontier(overflow_dir)
         if obf is not None:
             obf.parent = bf.directory
@@ -1174,6 +1294,15 @@ class CrawlPipeline:
             if lbf is not None:
                 lbf.parent = bf.directory
                 self._pending_bucketed.append(lbf)
+        self._write_outputs_marker(bf, {
+            "mode": "bucketed-window",
+            "scheduled": n_scheduled,
+            "deferred": n_deferred,
+            "waves": k_used,
+            "out_dirs": wave_dirs[:k_used],
+            "pending": [{"dir": b.directory, "parent": b.parent}
+                        for b in self._pending_bucketed[pend0:]],
+        })
         self.metrics["scheduled_urls"] += n_scheduled
         self.metrics["extracted_pages"] += n_extracted
         self.metrics["fetched_rows"] += n_extracted
@@ -1427,7 +1556,17 @@ class CrawlPipeline:
                         continue
                 break
             if len(bucketed) > 1:
-                bucketed = [self._merge_bucketed(bucketed)]
+                # a spill whose outputs already completed in a crashed
+                # run (OUTPUTS marker) must keep its identity and go
+                # through commit replay — merging it would re-fetch rows
+                # whose ledger commit missed the crashed snapshot and
+                # duplicate their output
+                fresh = [b for b in bucketed
+                         if self._outputs_marker_of(b) is None]
+                done = [b for b in bucketed if b not in fresh]
+                if len(fresh) > 1:
+                    fresh = [self._merge_bucketed(fresh)]
+                bucketed = done + fresh
             self._pending_bucketed = []
             next_pieces: list = []
             # bucketed-only over-budget wave => windowed politeness: run

@@ -113,3 +113,94 @@ def test_resume_mid_deferral_chain(ray_session, tmp_path):
     pipe2.shutdown()
     ext = _read_out(cfg.out_dir)
     assert sorted(ext.column("url").to_pylist()) == live
+
+
+def _live_urls(expected):
+    return sorted(r["url"] for r in expected.to_pylist() if not r["dropped"])
+
+
+def _crash_on_mode(monkeypatch, mode):
+    """Patch CheckpointManager.commit_wave to raise just before the FIRST
+    manifest of the given mode lands — i.e. after outputs + OUTPUTS
+    marker + seen snapshot, the exact window where a naive reprocess
+    would rmtree complete outputs and then seen-skip every row."""
+    from risjbot_ray.state.checkpoint import CheckpointManager
+    orig = CheckpointManager.commit_wave
+    state = {"armed": True}
+
+    def boom(self, wave, manifest):
+        if state["armed"] and manifest.get("mode") == mode:
+            state["armed"] = False
+            raise RuntimeError("injected crash before manifest commit")
+        return orig(self, wave, manifest)
+
+    monkeypatch.setattr(CheckpointManager, "commit_wave", boom)
+    return state
+
+
+def _assert_replay_recovers(tmp_path, mode, monkeypatch, *,
+                            per_host_budget, n_pages, seed):
+    pages, expected, seeds, robots = gen_corpus(n_pages, seed=seed)
+    ppath = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, ppath)
+    base = dict(out_dir=str(tmp_path / "out"),
+                checkpoint_dir=str(tmp_path / "ckpt"),
+                per_host_budget=per_host_budget, num_seen_shards=2,
+                num_fetch_buckets=4, max_waves=60,
+                ray_discovery_rows=0, small_wave_rows=0,
+                equivalent_domains=EQUIVALENT_DOMAINS)
+    _crash_on_mode(monkeypatch, mode)
+    pipe = CrawlPipeline(CrawlConfig(**base), ppath,
+                         str(tmp_path / "store"), robots_bodies=robots)
+    try:
+        pipe.run(seeds=seeds)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError as e:
+        assert "injected crash" in str(e)
+    finally:
+        pipe.shutdown()
+
+    # crash state: OUTPUTS marker on disk for a spill with no COMPLETE
+    markers = glob.glob(str(tmp_path / "ckpt" / "*" / "OUTPUTS.json"))
+    crashed = [m for m in markers
+               if not os.path.exists(os.path.join(os.path.dirname(m),
+                                                  "COMPLETE"))]
+    assert crashed, "crash must land after the marker, before COMPLETE"
+    payload = json.load(open(crashed[0]))
+    assert payload["mode"] == mode
+
+    monkeypatch.undo()
+    pipe2 = CrawlPipeline(CrawlConfig(**base), ppath,
+                          str(tmp_path / "store2"), robots_bodies=robots)
+    pipe2.run(resume=True)
+    pipe2.shutdown()
+
+    ext = _read_out(base["out_dir"])
+    assert sorted(ext.column("url").to_pylist()) == _live_urls(expected)
+    replayed = [json.load(open(p))
+                for p in glob.glob(str(tmp_path / "ckpt" / "wave-*.json"))]
+    replayed = [m for m in replayed if m.get("replayed")]
+    assert replayed and replayed[0]["mode"] == mode
+    # replay must not re-fetch: the resumed run's store was never built
+    # with these pages' buckets read — the recorded schedule count must
+    # carry over from the crashed run's marker, not a second fetch pass
+    assert replayed[0]["scheduled"] == payload["scheduled"]
+
+
+def test_single_wave_epilogue_crash_replays(ray_session, tmp_path,
+                                            monkeypatch):
+    """A crash between the seen snapshot and the manifest commit of a
+    plain bucketed wave must resume via commit replay with the exact
+    live set — a destructive reprocess would seen-skip every committed
+    row after rmtree'ing its complete output."""
+    _assert_replay_recovers(tmp_path, "bucketed", monkeypatch,
+                            per_host_budget=100000, n_pages=130, seed=41)
+
+
+def test_window_epilogue_crash_replays(ray_session, tmp_path, monkeypatch):
+    """Same crash window, but for the multi-wave politeness window job
+    (_run_bucketed_window): the replayed manifest must preserve the
+    window's recorded schedule and the resumed run must finish the
+    deferral chain."""
+    _assert_replay_recovers(tmp_path, "bucketed-window", monkeypatch,
+                            per_host_budget=2, n_pages=130, seed=43)
