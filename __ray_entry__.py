@@ -251,20 +251,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
 
     def frontier_schedule(sf_dir: str):
-        """Deterministic politeness schedule over the corpus's article
-        URLs (priority = url-hash-derived)."""
+        """Deterministic politeness schedule (T7 semantics,
+        ``schedule_wave``: per-host top-budget by priority DESC,
+        canon_url ASC) over a URL table derived 1:1 from the
+        ``documents`` view — SQL-reproducible, so the driver's DuckDB
+        oracle checks the scheduler itself."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         from risjbot_ray.frontier.canon import canonicalize_batch
         from risjbot_ray.frontier.politeness import schedule_wave
-        pages_path, _ = _corpus_paths(sf_dir)
-        urls = pq.read_table(pages_path, columns=["url"])
-        rows = [{"url": u, "priority": (i * 7) % 5, "depth": 0,
+        ids = pq.read_table(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"]).column("doc_id").to_pylist()
+        rows = [{"url": f"https://news-{i % 23}.example.com/article/{i}",
+                 "priority": i % 5, "depth": 0,
                  "source_kind": "article", "meta": None}
-                for i, u in enumerate(urls.column("url").to_pylist())]
+                for i in ids]
         tbl = canonicalize_batch(pa.Table.from_pylist(rows))
-        sched, _ = schedule_wave(tbl, per_host_budget=50)
+        sched, _ = schedule_wave(tbl, per_host_budget=10)
         return sched.select(["canon_url", "host", "priority"])
 
     return {
@@ -682,5 +686,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, ROUND(cosine, 5) AS cosine
             FROM sims WHERE rk <= 10
+        """,
+        # politeness scheduler (T7): per-host top-budget by priority
+        # DESC, canon_url ASC — the same URL table the Ray query derives
+        # from documents (reference settings.py:88-94 budget semantics)
+        "frontier_schedule": """
+            WITH f AS (
+              SELECT 'https://news-' || (doc_id % 23)
+                     || '.example.com/article/' || doc_id AS canon_url,
+                     'news-' || (doc_id % 23) || '.example.com' AS host,
+                     CAST(doc_id % 5 AS BIGINT) AS priority
+              FROM documents
+            ), ranked AS (
+              SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY host
+                  ORDER BY priority DESC, canon_url ASC) AS rk
+              FROM f
+            )
+            SELECT canon_url, host, priority FROM ranked WHERE rk <= 10
         """,
     }

@@ -13,7 +13,8 @@ import pytest
 
 SF = "/root/testdata/sf0.001"
 
-NAMES = ["simhash_signatures", "doc_fingerprint", "doc_langid"]
+NAMES = ["simhash_signatures", "doc_fingerprint", "doc_langid",
+         "frontier_schedule"]
 
 
 def _vhash(df) -> str:
