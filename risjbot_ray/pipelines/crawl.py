@@ -513,9 +513,10 @@ class CrawlPipeline:
         sized by over-host row volume; driver-side below the small-wave
         threshold) gates its over-budget-host rows (dry-run — no
         counter/keysrqd mutation, identical verdicts to the real gate)
-        and returns only its LOCAL top-``budget x K`` (priority,
-        canon_url) keys per host; the driver merges
-        O(#over-hosts x #groups x budget x K) keys and
+        and returns only its LOCAL top-``budget x K + 1`` (priority,
+        canon_url) keys per host (the +1 is the witness that rank K-1
+        overflows — without it the last rank's cutoff could never emit);
+        the driver merges O(#over-hosts x #groups x budget x K) keys and
         derives each host's global cutoff keys for the next K waves
         (K = ``politeness_lookahead``): cutoffs[h][r] bounds the rows
         host h may schedule in wave now+r. Rows are totally ordered by
@@ -535,7 +536,13 @@ class CrawlPipeline:
         # when enabled (absent hosts keep the cap)
         bud_of = {h: self._budget_of(h) for h in over}
         lookahead = max(1, cfg.politeness_lookahead)
-        cap_of = {h: b * lookahead for h, b in bud_of.items()}
+        # +1 witness key per host: the r-th cutoff may only emit when a
+        # row EXISTS beyond position (r+1)*budget-1, so a cap of exactly
+        # budget*lookahead could never prove the last rank overflows —
+        # the final virtual wave would silently swallow the whole
+        # overflow tail (budget violation), and lookahead=1 would emit
+        # no cutoffs at all
+        cap_of = {h: b * lookahead + 1 for h, b in bud_of.items()}
         local_cap = max(cap_of.values()) if cap_of else 0
         over_arr = pa.array(sorted(over), type=pa.string())
         hbc = bf.host_bucket_counts
@@ -1059,7 +1066,12 @@ class CrawlPipeline:
         next driver iteration re-ranks them (merged with any newly
         discovered pieces) under a fresh pre-pass. Per-host per-wave
         budgets hold exactly (reference settings.py:88-94): each rank is
-        within budget by cutoff construction.
+        within budget by cutoff construction. AutoThrottle budgets are
+        frozen for the window's K virtual waves and re-adapt between
+        windows (the sequential path adapts per wave; the reference
+        adapts per download — both are approximations of the same
+        feedback loop, and the per-window grain is the price of paying
+        the pre-pass once).
 
         Crash consistency matches the single-wave path at window
         granularity: outputs/overflow dirs derive from the spill

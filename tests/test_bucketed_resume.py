@@ -119,19 +119,22 @@ def _live_urls(expected):
     return sorted(r["url"] for r in expected.to_pylist() if not r["dropped"])
 
 
-def _crash_on_mode(monkeypatch, mode):
-    """Patch CheckpointManager.commit_wave to raise just before the FIRST
-    manifest of the given mode lands — i.e. after outputs + OUTPUTS
-    marker + seen snapshot, the exact window where a naive reprocess
-    would rmtree complete outputs and then seen-skip every row."""
+def _crash_on_mode(monkeypatch, mode, nth=1):
+    """Patch CheckpointManager.commit_wave to raise just before the
+    ``nth`` manifest of the given mode lands — i.e. after outputs +
+    OUTPUTS marker + seen snapshot, the exact window where a naive
+    reprocess would rmtree complete outputs and then seen-skip every
+    row."""
     from risjbot_ray.state.checkpoint import CheckpointManager
     orig = CheckpointManager.commit_wave
-    state = {"armed": True}
+    state = {"left": nth}
 
     def boom(self, wave, manifest):
-        if state["armed"] and manifest.get("mode") == mode:
-            state["armed"] = False
-            raise RuntimeError("injected crash before manifest commit")
+        if state["left"] > 0 and manifest.get("mode") == mode:
+            state["left"] -= 1
+            if state["left"] == 0:
+                state["left"] = -1
+                raise RuntimeError("injected crash before manifest commit")
         return orig(self, wave, manifest)
 
     monkeypatch.setattr(CheckpointManager, "commit_wave", boom)
@@ -204,3 +207,47 @@ def test_window_epilogue_crash_replays(ray_session, tmp_path, monkeypatch):
     deferral chain."""
     _assert_replay_recovers(tmp_path, "bucketed-window", monkeypatch,
                             per_host_budget=2, n_pages=130, seed=43)
+
+
+def test_rank_wave_crash_replay_releases_next(ray_session, tmp_path,
+                                              monkeypatch):
+    """Crash at the commit of a DEFERRAL-RANK wave (NEXT-chained spill,
+    politeness_lookahead=1 forces the per-wave chain): the replay must
+    release the successor rank recorded in the OUTPUTS payload, or the
+    chain stalls and under-fetches."""
+    pages, expected, seeds, robots = gen_corpus(130, seed=47)
+    ppath = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, ppath)
+    base = dict(out_dir=str(tmp_path / "out"),
+                checkpoint_dir=str(tmp_path / "ckpt"),
+                per_host_budget=3, politeness_lookahead=1,
+                num_seen_shards=2, num_fetch_buckets=4, max_waves=80,
+                ray_discovery_rows=0, small_wave_rows=0,
+                equivalent_domains=EQUIVALENT_DOMAINS)
+    # nth=2: the first "bucketed" manifest is the over-budget article
+    # wave (creates the rank chain); the second is rank 1's wave
+    _crash_on_mode(monkeypatch, "bucketed", nth=2)
+    pipe = CrawlPipeline(CrawlConfig(**base), ppath,
+                         str(tmp_path / "store"), robots_bodies=robots)
+    try:
+        pipe.run(seeds=seeds)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError as e:
+        assert "injected crash" in str(e)
+    finally:
+        pipe.shutdown()
+
+    ranks = glob.glob(str(tmp_path / "ckpt" / "deferred-*-r*"))
+    assert ranks, "budget must have produced a rank chain"
+    crashed = [d for d in ranks
+               if os.path.exists(os.path.join(d, "OUTPUTS.json"))
+               and not os.path.exists(os.path.join(d, "COMPLETE"))]
+    assert crashed, "crash must land on a rank spill's epilogue"
+
+    monkeypatch.undo()
+    pipe2 = CrawlPipeline(CrawlConfig(**base), ppath,
+                          str(tmp_path / "store2"), robots_bodies=robots)
+    pipe2.run(resume=True)
+    pipe2.shutdown()
+    ext = _read_out(base["out_dir"])
+    assert sorted(ext.column("url").to_pylist()) == _live_urls(expected)

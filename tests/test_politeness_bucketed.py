@@ -267,3 +267,60 @@ def test_window_matches_iterated_schedule_wave(ray_session, tmp_path):
             [len(s) for s in exp_ranks]
     finally:
         pipe.shutdown()
+
+
+def test_window_last_rank_holds_budget(ray_session, tmp_path):
+    """Regression: with K equal to the full look-ahead horizon and hosts
+    whose volume exceeds K x budget, the LAST virtual wave must still be
+    budget-exact and the excess must overflow — the cutoff pre-pass used
+    to cap each host's key list at exactly budget*K, so no row could
+    prove the last rank overflowed and the final wave silently swallowed
+    the whole tail (and lookahead=1 emitted no cutoffs at all)."""
+    pages, expected, seeds, robots = gen_corpus(200, seed=11)
+    ppath = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, ppath)
+    cfg = CrawlConfig(out_dir=str(tmp_path / "out"),
+                      checkpoint_dir=str(tmp_path / "ckpt"),
+                      per_host_budget=1, num_seen_shards=2,
+                      num_fetch_buckets=4, small_wave_rows=0,
+                      equivalent_domains=EQUIVALENT_DOMAINS)
+    k = cfg.politeness_lookahead
+    pipe = CrawlPipeline(cfg, ppath, str(tmp_path / "store"),
+                         robots_bodies=robots)
+    try:
+        urls = [r["url"] for r in expected.to_pylist()]
+        rows = [{"url": u, "priority": (i * 3) % 5, "depth": 0,
+                 "source_kind": "article", "meta": None}
+                for i, u in enumerate(urls)]
+        cand = dedupe_wave(canonicalize_batch(
+            pa.Table.from_pylist(rows, schema=CHILD_SCHEMA),
+            EQUIVALENT_DOMAINS))
+        hosts = cand.column("host").to_pylist()
+        heavy = max(hosts.count(h) for h in set(hosts))
+        assert heavy > k * cfg.per_host_budget, \
+            "corpus must exceed the look-ahead horizon for this test"
+        exp_ranks, remaining = [], cand
+        for _ in range(k):
+            sched, remaining = schedule_wave(remaining,
+                                             cfg.per_host_budget,
+                                             cfg.salt_threshold)
+            exp_ranks.append(set(sched.column("canon_url").to_pylist()))
+        assert remaining.num_rows, "horizon must overflow to bind"
+
+        sdir = str(tmp_path / "ckpt" / "frontier-bucketed-heavy")
+        spill_bucketed(cand, sdir, pipe.store.num_buckets)
+        bf = load_bucketed_frontier(sdir)
+        used = pipe._run_bucketed_window(0, bf, k)
+        assert used == k
+        m = json.load(open(str(tmp_path / "ckpt" /
+                               f"wave-{k - 1:04d}.json")))
+        assert [rs["scheduled"] for rs in m["ranks"]] == \
+            [len(s) for s in exp_ranks]
+        assert m["overflow"] == remaining.num_rows
+        odirs = glob.glob(str(tmp_path / "ckpt" /
+                              "deferred-frontier-bucketed-heavy-r*"))
+        assert len(odirs) == 1
+        assert _read_spill_urls(odirs[0]) == set(
+            remaining.column("canon_url").to_pylist())
+    finally:
+        pipe.shutdown()
