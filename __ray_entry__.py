@@ -294,6 +294,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_token_stats": ts.corpus_token_stats,
         "doc_langid": ts.q_langid,
         "doc_fingerprint": ts.q_fingerprint,
+        "doc_pii_scrub": ts.q_pii_scrub,
+        "doc_repetition": ts.q_repetition,
         "minhash_dedup_clusters": dedup.minhash_dedup,
         "simhash_signatures": dedup.simhash_signatures,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -686,6 +688,60 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, ROUND(cosine, 5) AS cosine
             FROM sims WHERE rk <= 10
+        """,
+        # PII redaction: deterministic doc_id-derived injection (the
+        # corpus carries no PII, so the scrub must provably bite), then
+        # email/IPv4/phone redaction — both sides run RE2
+        "doc_pii_scrub": r"""
+            WITH inj AS (
+              SELECT doc_id,
+                     text || ' Contact user' || doc_id
+                       || '@mail.example.org or 10.' || (doc_id % 200)
+                       || '.' || ((doc_id * 7) % 200) || '.'
+                       || (doc_id % 250) || ' tel '
+                       || ((doc_id % 900) + 100) || '-'
+                       || (((doc_id * 3) % 900) + 100) || '-'
+                       || (((doc_id * 7) % 9000) + 1000) || '.' AS t
+              FROM documents
+            )
+            SELECT doc_id,
+              len(regexp_extract_all(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                  AS n_emails,
+              len(regexp_extract_all(t,
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+              len(regexp_extract_all(t,
+                  '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(t,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g'),
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                  '<IP>', 'g'),
+                '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean_text
+            FROM inj
+        """,
+        # repetition scoring: duplicate-token and top-token fractions
+        # (exact int/int doubles — no rounding on either side)
+        "doc_repetition": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\s+'))
+                       AS tok
+              FROM documents WHERE length(trim(text)) > 0
+            ), c AS (
+              SELECT doc_id, tok, COUNT(*) AS n FROM w GROUP BY 1, 2
+            ), a AS (
+              SELECT doc_id, SUM(n) AS nw, COUNT(*) AS nu, MAX(n) AS tp
+              FROM c GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(1.0 - CAST(nu AS DOUBLE) / nw, 0.0)
+                       AS dup_word_frac,
+                   COALESCE(CAST(tp AS DOUBLE) / nw, 0.0)
+                       AS top_word_frac
+            FROM documents d LEFT JOIN a USING (doc_id)
         """,
         # politeness scheduler (T7): per-host top-budget by priority
         # DESC, canon_url ASC — the same URL table the Ray query derives

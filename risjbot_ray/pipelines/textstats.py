@@ -312,3 +312,93 @@ def corpus_token_stats(sf_dir: str):
                       Sum("bpeish", alias_name="total_bpeish_tokens")))
     return pa.table({k: pa.array([v], pa.int64())
                      for k, v in sorted(agg.items())})
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (training-data redaction: emails / IPv4 / phone numbers)
+# --------------------------------------------------------------------------
+
+# RE2-compatible patterns (pyarrow.compute and DuckDB both run RE2, so the
+# Ray stage and the SQL oracle redact identical spans)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_scrub_batch(batch: pa.Table) -> pa.Table:
+    """Redact emails → <EMAIL>, IPv4s → <IP>, phones → <PHONE> (in that
+    order), returning per-doc match counts + the scrubbed text. Fully
+    vectorized: three RE2 kernels over the Arrow string column."""
+    import pyarrow.compute as pc
+    texts = batch.column("text")
+    n_emails = pc.count_substring_regex(texts, PII_EMAIL)
+    n_ips = pc.count_substring_regex(texts, PII_IPV4)
+    n_phones = pc.count_substring_regex(texts, PII_PHONE)
+    clean = pc.replace_substring_regex(texts, PII_EMAIL,
+                                       replacement="<EMAIL>")
+    clean = pc.replace_substring_regex(clean, PII_IPV4,
+                                       replacement="<IP>")
+    clean = pc.replace_substring_regex(clean, PII_PHONE,
+                                       replacement="<PHONE>")
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "n_emails": pc.cast(n_emails, pa.int64()),
+                     "n_ips": pc.cast(n_ips, pa.int64()),
+                     "n_phones": pc.cast(n_phones, pa.int64()),
+                     "clean_text": clean})
+
+
+def inject_pii_batch(batch: pa.Table) -> pa.Table:
+    """Deterministically append doc_id-derived PII to each document —
+    test scaffolding so the scrubber provably bites on a corpus that
+    carries none; the arithmetic is plain integer ops an ANSI-SQL
+    oracle reproduces verbatim."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    out = [
+        f"{t or ''} Contact user{d}@mail.example.org or "
+        f"10.{d % 200}.{(d * 7) % 200}.{d % 250} tel "
+        f"{d % 900 + 100}-{(d * 3) % 900 + 100}-{(d * 7) % 9000 + 1000}."
+        for d, t in zip(ids, texts)
+    ]
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "text": pa.array(out, pa.string())})
+
+
+def q_pii_scrub(sf_dir: str):
+    return (documents_ds(sf_dir)
+            .map_batches(inject_pii_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(pii_scrub_batch, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
+# --------------------------------------------------------------------------
+# repetition scoring (Gopher-style duplicate-token fractions)
+# --------------------------------------------------------------------------
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc repetition signals: dup_word_frac = 1 - unique/total
+    whitespace tokens, top_word_frac = most-frequent-token count /
+    total. Exact int/int doubles (same convention as quality_batch) so
+    a SQL oracle computing the same counts hashes identically."""
+    texts = batch.column("text").to_pylist()
+    dup, top = [], []
+    for t in texts:
+        toks = t.split() if t else []
+        n = len(toks)
+        if n == 0:
+            dup.append(0.0)
+            top.append(0.0)
+            continue
+        _, counts = np.unique(np.asarray(toks, dtype=object),
+                              return_counts=True)
+        dup.append(1.0 - len(counts) / n)
+        top.append(int(counts.max()) / n)
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "dup_word_frac": pa.array(dup, pa.float64()),
+                     "top_word_frac": pa.array(top, pa.float64())})
+
+
+def q_repetition(sf_dir: str):
+    return documents_ds(sf_dir).map_batches(
+        repetition_batch, batch_format="pyarrow", zero_copy_batch=True)

@@ -149,3 +149,36 @@ def test_media_features_pipeline():
                            batch_size=8, concurrency=1).to_pandas())
     assert len(frames) > 0
     assert frames["frame_ms"].min() == 0
+
+
+def test_pii_scrub_redacts_all_three_kinds():
+    import pyarrow as pa
+    from risjbot_ray.pipelines.textstats import pii_scrub_batch
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "mail a.b+c@x.co.uk and b@y.io, ip 192.168.0.1, tel 555-123-4567",
+            "no pii here",
+            "",
+        ], pa.string()),
+    })
+    out = pii_scrub_batch(batch)
+    assert out.column("n_emails").to_pylist() == [2, 0, 0]
+    assert out.column("n_ips").to_pylist() == [1, 0, 0]
+    assert out.column("n_phones").to_pylist() == [1, 0, 0]
+    assert out.column("clean_text").to_pylist()[0] == \
+        "mail <EMAIL> and <EMAIL>, ip <IP>, tel <PHONE>"
+    assert out.column("clean_text").to_pylist()[1] == "no pii here"
+
+
+def test_repetition_fractions():
+    import pyarrow as pa
+    from risjbot_ray.pipelines.textstats import repetition_batch
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a b a a c", "x y z", ""], pa.string()),
+    })
+    out = repetition_batch(batch)
+    # 5 tokens, 3 unique, top 'a' x3
+    assert out.column("dup_word_frac").to_pylist() == [1 - 3 / 5, 0.0, 0.0]
+    assert out.column("top_word_frac").to_pylist() == [3 / 5, 1 / 3, 0.0]

@@ -14,7 +14,7 @@ import pytest
 SF = "/root/testdata/sf0.001"
 
 NAMES = ["simhash_signatures", "doc_fingerprint", "doc_langid",
-         "frontier_schedule"]
+         "frontier_schedule", "doc_pii_scrub", "doc_repetition"]
 
 
 def _vhash(df) -> str:
