@@ -296,6 +296,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": ts.q_fingerprint,
         "doc_pii_scrub": ts.q_pii_scrub,
         "doc_repetition": ts.q_repetition,
+        "doc_chunks": ts.q_chunks,
+        "doc_pack_stream": ts.pack_stream,
         "minhash_dedup_clusters": dedup.minhash_dedup,
         "simhash_signatures": dedup.simhash_signatures,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -742,6 +744,59 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(CAST(tp AS DOUBLE) / nw, 0.0)
                        AS top_word_frac
             FROM documents d LEFT JOIN a USING (doc_id)
+        """,
+        # fixed-window chunking: doc -> ceil(n_tokens/64) token windows
+        # (flat_map shape; empty docs emit one empty chunk)
+        "doc_chunks": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\s+')
+                     END AS tk
+              FROM documents
+            ), g AS (
+              SELECT doc_id, tk,
+                     unnest(generate_series(
+                       0, GREATEST(CAST(ceil(len(tk) / 64.0) AS BIGINT),
+                                   1) - 1)) AS chunk_id
+              FROM toks
+            )
+            SELECT doc_id, chunk_id,
+                   LEAST(chunk_id * 64, len(tk)) AS token_start,
+                   LEAST((chunk_id + 1) * 64, len(tk)) AS token_end,
+                   array_to_string(
+                     list_slice(tk, chunk_id * 64 + 1,
+                                LEAST((chunk_id + 1) * 64, len(tk))),
+                     ' ') AS chunk_text
+            FROM g
+        """,
+        # stream packing: concatenate docs in doc_id order, cut every
+        # 1024 tokens (window prefix-sum == the distributed bucket
+        # prefix-sum the Ray side computes)
+        "doc_pack_stream": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE length(regexp_split_to_array(trim(text),
+                                                            '\s+'))
+                     END AS n
+              FROM documents
+            ), p AS (
+              SELECT doc_id, n,
+                     CAST(COALESCE(SUM(n) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS off
+              FROM t
+            )
+            SELECT doc_id, n AS n_tokens, off AS token_offset,
+                   CAST(off // 1024 AS BIGINT) AS seq_first,
+                   CAST(CASE WHEN n = 0 THEN off // 1024
+                        ELSE (off + n - 1) // 1024 END AS BIGINT)
+                       AS seq_last,
+                   CAST(off % 1024 AS BIGINT) AS offset_in_seq
+            FROM p
         """,
         # politeness scheduler (T7): per-host top-budget by priority
         # DESC, canon_url ASC — the same URL table the Ray query derives

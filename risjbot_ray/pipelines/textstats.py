@@ -402,3 +402,98 @@ def repetition_batch(batch: pa.Table) -> pa.Table:
 def q_repetition(sf_dir: str):
     return documents_ds(sf_dir).map_batches(
         repetition_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# fixed-window chunking (doc -> training-context-sized token windows)
+# --------------------------------------------------------------------------
+
+def chunk_batch(batch: pa.Table, window: int = 64) -> pa.Table:
+    """Explode each doc into fixed-size whitespace-token windows
+    (flat_map shape: one input row -> ceil(n_tokens/window) output
+    rows). Emits token offsets plus the window's text so a downstream
+    tokenizer consumes bounded inputs."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    o_id, o_ch, o_s, o_e, o_t = [], [], [], [], []
+    for d, t in zip(ids, texts):
+        toks = t.split() if t else []
+        for ci in range(0, max(1, -(-len(toks) // window))):
+            if not toks and ci == 0:
+                o_id.append(d); o_ch.append(0)
+                o_s.append(0); o_e.append(0); o_t.append("")
+                continue
+            s, e = ci * window, min((ci + 1) * window, len(toks))
+            o_id.append(d); o_ch.append(ci)
+            o_s.append(s); o_e.append(e)
+            o_t.append(" ".join(toks[s:e]))
+    return pa.table({"doc_id": pa.array(o_id, pa.int64()),
+                     "chunk_id": pa.array(o_ch, pa.int64()),
+                     "token_start": pa.array(o_s, pa.int64()),
+                     "token_end": pa.array(o_e, pa.int64()),
+                     "chunk_text": pa.array(o_t, pa.string())})
+
+
+def q_chunks(sf_dir: str, window: int = 64):
+    return documents_ds(sf_dir).map_batches(
+        lambda b: chunk_batch(b, window), batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# training-sequence stream packing (concatenate-and-cut at context size)
+# --------------------------------------------------------------------------
+
+def pack_stream(sf_dir: str, context: int = 1024,
+                bucket_size: int = 100_000):
+    """GPT-style sequence packing: documents are concatenated in doc_id
+    order and cut into ``context``-token training sequences; each doc is
+    assigned its global token offset, first/last sequence index and
+    offset within its first sequence.
+
+    Distributed prefix-sum shape (the driver never sees rows): docs
+    bucket by ``doc_id // bucket_size``; pass 1 computes per-bucket
+    token sums (tiny groupby — one row per bucket), the driver turns
+    those into bucket BASE offsets (O(#buckets) memory) and broadcasts
+    them; pass 2 computes each doc's offset locally as bucket base +
+    within-bucket cumsum (``map_groups`` per bucket, sorted by doc_id).
+    At 10^10 docs the driver holds 10^5 bucket offsets, nothing else."""
+    import pyarrow.compute as pc
+
+    toks = (documents_ds(sf_dir)
+            .map_batches(tokencount_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(
+        lambda b: b.select(["doc_id", "n_ws_tokens"]).append_column(
+            "bucket", pc.divide(b.column("doc_id"), bucket_size)),
+        batch_format="pyarrow"))
+    toks = toks.materialize()
+
+    from ray.data.aggregate import Sum
+    bucket_sums = (toks.groupby("bucket")
+                   .aggregate(Sum("n_ws_tokens", alias_name="n"))
+                   .to_pandas().sort_values("bucket"))
+    bases, run = {}, 0
+    for _, r in bucket_sums.iterrows():
+        bases[int(r["bucket"])] = run
+        run += int(r["n"])
+    base_ref = ray.put(bases)
+
+    def assign(df):
+        import pandas as pd  # noqa: F401  (map_groups hands us pandas)
+        df = df.sort_values("doc_id")
+        b = ray.get(base_ref)
+        n = df["n_ws_tokens"].to_numpy()
+        off = (b[int(df["bucket"].iloc[0])]
+               + np.concatenate(([0], np.cumsum(n)[:-1])))
+        last = np.where(n > 0, (off + n - 1) // context, off // context)
+        return df.assign(
+            token_offset=off.astype(np.int64),
+            seq_first=(off // context).astype(np.int64),
+            seq_last=last.astype(np.int64),
+            offset_in_seq=(off % context).astype(np.int64),
+        )[["doc_id", "n_ws_tokens", "token_offset", "seq_first",
+           "seq_last", "offset_in_seq"]].rename(
+            columns={"n_ws_tokens": "n_tokens"})
+
+    return toks.groupby("bucket").map_groups(assign)

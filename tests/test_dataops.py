@@ -182,3 +182,37 @@ def test_repetition_fractions():
     # 5 tokens, 3 unique, top 'a' x3
     assert out.column("dup_word_frac").to_pylist() == [1 - 3 / 5, 0.0, 0.0]
     assert out.column("top_word_frac").to_pylist() == [3 / 5, 1 / 3, 0.0]
+
+
+def test_chunk_batch_windows():
+    import pyarrow as pa
+    from risjbot_ray.pipelines.textstats import chunk_batch
+    batch = pa.table({
+        "doc_id": pa.array([7, 8], pa.int64()),
+        "text": pa.array(["a b c d e", ""], pa.string()),
+    })
+    out = chunk_batch(batch, window=2).to_pylist()
+    doc7 = [r for r in out if r["doc_id"] == 7]
+    assert [(r["chunk_id"], r["token_start"], r["token_end"],
+             r["chunk_text"]) for r in doc7] == [
+        (0, 0, 2, "a b"), (1, 2, 4, "c d"), (2, 4, 5, "e")]
+    doc8 = [r for r in out if r["doc_id"] == 8]
+    assert doc8 == [{"doc_id": 8, "chunk_id": 0, "token_start": 0,
+                     "token_end": 0, "chunk_text": ""}]
+
+
+def test_pack_stream_offsets(ray_session):
+    from risjbot_ray.pipelines.textstats import pack_stream
+    df = (pack_stream("/root/testdata/sf0.001", context=100,
+                      bucket_size=64)
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # exact prefix-sum across bucket boundaries
+    import numpy as np
+    n = df["n_tokens"].to_numpy()
+    expect_off = np.concatenate(([0], np.cumsum(n)[:-1]))
+    assert (df["token_offset"].to_numpy() == expect_off).all()
+    assert (df["seq_first"] == df["token_offset"] // 100).all()
+    assert (df["offset_in_seq"] == df["token_offset"] % 100).all()
+    last = np.where(n > 0, (expect_off + n - 1) // 100, expect_off // 100)
+    assert (df["seq_last"].to_numpy() == last).all()
+    assert (df["seq_last"] >= df["seq_first"]).all()

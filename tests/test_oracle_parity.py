@@ -14,7 +14,8 @@ import pytest
 SF = "/root/testdata/sf0.001"
 
 NAMES = ["simhash_signatures", "doc_fingerprint", "doc_langid",
-         "frontier_schedule", "doc_pii_scrub", "doc_repetition"]
+         "frontier_schedule", "doc_pii_scrub", "doc_repetition",
+         "doc_chunks", "doc_pack_stream"]
 
 
 def _vhash(df) -> str:
