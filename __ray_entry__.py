@@ -167,6 +167,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from risjbot_ray.pipelines import dedup, relational, similarity
     from risjbot_ray.pipelines import textstats as ts
+    from risjbot_ray.pipelines import webtext as wt
     from risjbot_ray.pipelines.multimodal import media_features_ds
 
     def crawl_extracted(sf_dir: str):
@@ -298,6 +299,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": ts.q_repetition,
         "doc_chunks": ts.q_chunks,
         "doc_pack_stream": ts.pack_stream,
+        # webtext curation (decontamination / substring dedup / sampling
+        # / shuffle — all SQL-checkable)
+        "doc_decontaminate": wt.decontaminate,
+        "doc_tile_dedup": wt.tile_dedup,
+        "doc_domain_sample": wt.domain_sample,
+        "doc_shuffle_rank": wt.shuffle_rank,
         "minhash_dedup_clusters": dedup.minhash_dedup,
         "simhash_signatures": dedup.simhash_signatures,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -797,6 +804,81 @@ def oracle_sql() -> dict[str, str]:
                        AS seq_last,
                    CAST(off % 1024 AS BIGINT) AS offset_in_seq
             FROM p
+        """,
+        # benchmark decontamination: docs with doc_id % 97 == 0 stand in
+        # for a held-out eval suite; count DISTINCT shared 8-grams
+        "doc_decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS a
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, array_to_string(a[i:i+7], ' ') AS g
+              FROM toks,
+                   unnest(generate_series(1, greatest(len(a) - 7, 0)))
+                     AS t(i)
+            ), bench AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+            ), hits AS (
+              SELECT g.doc_id, count(DISTINCT g.g) AS n_contaminated
+              FROM grams g JOIN bench b ON g.g = b.g
+              WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(h.n_contaminated, 0) AS n_contaminated,
+                   COALESCE(h.n_contaminated, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 97 <> 0
+        """,
+        # tile-granular exact-substring dedup: 8-token tiles survive
+        # only at their global first occurrence (doc_id, tile_no order)
+        "doc_tile_dedup": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS a
+              FROM documents WHERE trim(text) <> ''
+            ), tiles AS (
+              SELECT doc_id, t.j AS tile_no,
+                     array_to_string(
+                       a[(t.j*8+1):least((t.j+1)*8, len(a))], ' ') AS tile
+              FROM toks,
+                   unnest(generate_series(
+                     0, CAST(ceil(len(a)/8.0) AS INT) - 1)) AS t(j)
+            ), marked AS (
+              SELECT doc_id, tile_no, tile,
+                     ROW_NUMBER() OVER (PARTITION BY tile
+                                        ORDER BY doc_id, tile_no) AS rk
+              FROM tiles
+            ), rebuilt AS (
+              SELECT doc_id,
+                     COALESCE(string_agg(tile, ' ' ORDER BY tile_no)
+                              FILTER (WHERE rk = 1), '') AS text_dedup,
+                     count(*) AS n_tiles,
+                     count(*) FILTER (WHERE rk = 1) AS n_tiles_kept
+              FROM marked GROUP BY doc_id
+            )
+            SELECT d.doc_id, COALESCE(r.text_dedup, '') AS text_dedup,
+                   COALESCE(r.n_tiles, 0) AS n_tiles,
+                   COALESCE(r.n_tiles_kept, 0) AS n_tiles_kept
+            FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        # deterministic domain-mix sampling: keep iff
+        # md5(doc_id||':mix')[:8]/2^32 < rate(source), rate(srcN) =
+        # (1 + N % 9) / 10
+        "doc_domain_sample": r"""
+            SELECT doc_id, source,
+                   (('0x' || substr(md5(doc_id::VARCHAR || ':mix'), 1, 8)
+                    )::UBIGINT / 4294967296.0) AS sample_key
+            FROM documents
+            WHERE (('0x' || substr(md5(doc_id::VARCHAR || ':mix'), 1, 8)
+                   )::UBIGINT / 4294967296.0)
+                  < (1 + (CAST(substr(source, 4) AS INT) % 9)) / 10.0
+        """,
+        # deterministic global shuffle rank in md5(doc_id||':shuf') order
+        "doc_shuffle_rank": r"""
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (
+                     ORDER BY md5(doc_id::VARCHAR || ':shuf'), doc_id)
+                   - 1 AS rank
+            FROM documents
         """,
         # politeness scheduler (T7): per-host top-budget by priority
         # DESC, canon_url ASC — the same URL table the Ray query derives

@@ -216,3 +216,83 @@ def test_pack_stream_offsets(ray_session):
     last = np.where(n > 0, (expect_off + n - 1) // 100, expect_off // 100)
     assert (df["seq_last"].to_numpy() == last).all()
     assert (df["seq_last"] >= df["seq_first"]).all()
+
+
+def _write_docs(tmp_path, rows):
+    import pyarrow.parquet as pq
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array([r[2] if len(r) > 2 else "src1"
+                            for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_tile_dedup_planted(ray_session, tmp_path):
+    """First-occurrence tile semantics on planted duplicates: a repeated
+    8-token tile survives only at its (doc_id, tile_no)-minimal site; a
+    fully duplicated doc comes back empty."""
+    from risjbot_ray.pipelines.webtext import tile_dedup
+    t1 = "a b c d e f g h"            # tile shared by docs 1, 2 and 3
+    t2 = "i j k l m n o p"
+    t3 = "q r s t u v w x"
+    sf = _write_docs(tmp_path, [
+        (1, f"{t1} {t2}"),            # keeps both tiles
+        (2, f"{t1} {t3}"),            # t1 dropped, t3 kept
+        (3, f"{t1} {t2}"),            # exact dup of doc 1 -> empty
+    ])
+    df = (tile_dedup(sf).to_pandas()
+          .set_index("doc_id").sort_index())
+    assert df.loc[1, "text_dedup"] == f"{t1} {t2}"
+    assert df.loc[2, "text_dedup"] == t3
+    assert df.loc[3, "text_dedup"] == ""
+    assert df["n_tiles"].tolist() == [2, 2, 2]
+    assert df["n_tiles_kept"].tolist() == [2, 1, 0]
+
+
+def test_decontaminate_planted(ray_session, tmp_path):
+    """A doc sharing an 8-gram with the benchmark doc (doc_id % 97 == 0)
+    is flagged; an unrelated doc is not; the benchmark doc is excluded
+    from the output."""
+    from risjbot_ray.pipelines.webtext import decontaminate
+    leak = "one two three four five six seven eight"
+    sf = _write_docs(tmp_path, [
+        (0, f"prefix {leak} suffix"),                  # benchmark
+        (5, f"stolen text with {leak} inside it"),     # contaminated
+        (6, "totally fresh words nothing shared here at all ok"),
+    ])
+    df = decontaminate(sf).to_pandas().set_index("doc_id").sort_index()
+    assert list(df.index) == [5, 6]
+    assert bool(df.loc[5, "contaminated"])
+    assert df.loc[5, "n_contaminated"] >= 1
+    assert not bool(df.loc[6, "contaminated"])
+
+
+def test_domain_sample_and_shuffle_rank(ray_session, tmp_path):
+    """Hash-threshold sampling matches the per-row predicate recomputed
+    locally, and shuffle ranks are a permutation of 0..n-1 in key
+    order."""
+    from risjbot_ray.pipelines.webtext import (_mix_rate, _unit_hash,
+                                               domain_sample,
+                                               shuffle_rank)
+    rows = [(i, f"doc {i} text body", f"src{i % 20}") for i in range(64)]
+    sf = _write_docs(tmp_path, rows)
+
+    kept = set(domain_sample(sf).to_pandas()["doc_id"])
+    expect = {i for i, _, s in rows
+              if _unit_hash(i, "mix") < _mix_rate(s)}
+    assert kept == expect
+    assert 0 < len(kept) < len(rows)
+
+    df = shuffle_rank(sf).to_pandas()
+    assert sorted(df["rank"]) == list(range(64))
+    import hashlib
+    order = sorted(range(64),
+                   key=lambda i: (hashlib.md5(f"{i}:shuf".encode())
+                                  .hexdigest(), i))
+    got = df.set_index("doc_id")["rank"]
+    assert [got[i] for i in order] == list(range(64))
