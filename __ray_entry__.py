@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tile_dedup": wt.tile_dedup,
         "doc_domain_sample": wt.domain_sample,
         "doc_shuffle_rank": wt.shuffle_rank,
+        "corpus_curate_full": wt.curate_corpus,
         "minhash_dedup_clusters": dedup.minhash_dedup,
         "simhash_signatures": dedup.simhash_signatures,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -871,6 +872,92 @@ def oracle_sql() -> dict[str, str]:
             WHERE (('0x' || substr(md5(doc_id::VARCHAR || ':mix'), 1, 8)
                    )::UBIGINT / 4294967296.0)
                   < (1 + (CAST(substr(source, 4) AS INT) % 9)) / 10.0
+        """,
+        # flagship composition: fused row gates (quality + benchmark
+        # exclusion + decontamination + domain sampling) -> tile dedup
+        # over survivors -> global shuffle rank; every fragment is the
+        # already-oracled per-operator SQL, chained
+        "corpus_curate_full": rf"""
+            WITH base AS (
+              SELECT doc_id, text, source,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE length(regexp_split_to_array(trim(text),
+                                                            '\s+'))
+                     END AS n_words,
+                     CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE CAST(length(regexp_replace(text,
+                               '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                               / length(text) END AS alpha,
+                     CASE WHEN length(trim(text)) = 0 THEN 0.0
+                          ELSE CAST(length(list_filter(
+                               regexp_split_to_array(trim(lower(text)),
+                                                     '\s+'),
+                               x -> list_contains([{stop}],
+                                    trim(x, '.,;:!?''"()')))) AS DOUBLE)
+                               / length(regexp_split_to_array(trim(text),
+                                                              '\s+'))
+                     END AS stop
+              FROM documents
+            ), gated AS (
+              SELECT doc_id, text, source FROM base
+              WHERE doc_id % 97 <> 0
+                AND n_words >= 50 AND alpha >= 0.5 AND stop >= 0.02
+                AND (('0x' || substr(md5(doc_id::VARCHAR || ':mix'),
+                                     1, 8))::UBIGINT / 4294967296.0)
+                    < (1 + (CAST(substr(source, 4) AS INT) % 9)) / 10.0
+            ), toks_all AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS a
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, array_to_string(a[i:i+7], ' ') AS g
+              FROM toks_all,
+                   unnest(generate_series(1, greatest(len(a) - 7, 0)))
+                     AS t(i)
+            ), bench AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+            ), contaminated AS (
+              SELECT DISTINCT g.doc_id
+              FROM grams g JOIN bench b ON g.g = b.g
+              WHERE g.doc_id % 97 <> 0
+            ), keepdocs AS (
+              SELECT * FROM gated
+              WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+            ), toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS a
+              FROM keepdocs
+            ), tiles AS (
+              SELECT doc_id, t.j AS tile_no,
+                     array_to_string(
+                       a[(t.j*8+1):least((t.j+1)*8, len(a))], ' ') AS tile
+              FROM toks,
+                   unnest(generate_series(
+                     0, CAST(ceil(len(a)/8.0) AS INT) - 1)) AS t(j)
+            ), marked AS (
+              SELECT doc_id, tile_no, tile,
+                     ROW_NUMBER() OVER (PARTITION BY tile
+                                        ORDER BY doc_id, tile_no) AS rk
+              FROM tiles
+            ), rebuilt AS (
+              SELECT doc_id,
+                     COALESCE(string_agg(tile, ' ' ORDER BY tile_no)
+                              FILTER (WHERE rk = 1), '') AS text_final,
+                     count(*) AS n_tiles,
+                     count(*) FILTER (WHERE rk = 1) AS n_tiles_kept
+              FROM marked GROUP BY doc_id
+            )
+            SELECT k.doc_id, k.source,
+                   COALESCE(r.text_final, '') AS text_final,
+                   COALESCE(r.n_tiles, 0) AS n_tiles,
+                   COALESCE(r.n_tiles_kept, 0) AS n_tiles_kept,
+                   CASE WHEN length(trim(COALESCE(r.text_final, '')))
+                             = 0 THEN 0
+                        ELSE length(regexp_split_to_array(
+                               trim(r.text_final), '\s+'))
+                   END AS n_tokens_final,
+                   ROW_NUMBER() OVER (
+                     ORDER BY md5(k.doc_id::VARCHAR || ':shuf'),
+                              k.doc_id) - 1 AS rank
+            FROM keepdocs k LEFT JOIN rebuilt r USING (doc_id)
         """,
         # deterministic global shuffle rank in md5(doc_id||':shuf') order
         "doc_shuffle_rank": r"""

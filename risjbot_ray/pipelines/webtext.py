@@ -120,6 +120,13 @@ def tile_dedup(sf_dir: str, k: int = TILE_K):
 
     Returns (doc_id, text_dedup, n_tiles, n_tiles_kept) for every doc.
     """
+    return _tile_dedup_over(_documents(sf_dir, ["doc_id", "text"]), k)
+
+
+def _tile_dedup_over(docs_ds: "ray.data.Dataset", k: int = TILE_K,
+                     passthrough: tuple[str, ...] = ()):
+    """Tile dedup over an arbitrary (doc_id, text, *passthrough)
+    Dataset — the composition-friendly core of ``tile_dedup``."""
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -144,20 +151,31 @@ def tile_dedup(sf_dir: str, k: int = TILE_K):
         first = ~df["h"].duplicated(keep="first").to_numpy()
         return df.loc[first, ["doc_id", "tile_no"]]
 
-    keep = (_documents(sf_dir, ["doc_id", "text"])
-            .map_batches(explode, batch_format="pyarrow")
+    # docs_ds is consumed twice (explode pass + rebuild pass). It is
+    # deliberately NOT materialized: upstream stages are deterministic,
+    # and re-streaming two pruned passes beats pinning the whole text
+    # corpus in the object store at 100-TB inputs.
+    keep = (docs_ds.map_batches(
+                lambda b: explode(b.select(["doc_id", "text"])),
+                batch_format="pyarrow")
             .groupby("h").map_groups(winners, batch_format="pandas"))
 
     # Reconstruction: union winner markers (tile_no >= 0, text null)
     # with the raw docs (tile_no = -1) and re-tile per doc — the doc
     # text crosses the exchange exactly once, and there is no join.
-    docs = (_documents(sf_dir, ["doc_id", "text"])
-            .map_batches(lambda b: b.append_column(
-                "tile_no", pa.array([-1] * len(b), pa.int64())),
-                batch_format="pyarrow"))
-    marks = keep.map_batches(lambda b: b.append_column(
-        "text", pa.array([None] * len(b), pa.string())),
+    docs = docs_ds.map_batches(lambda b: b.append_column(
+        "tile_no", pa.array([-1] * len(b), pa.int64())),
         batch_format="pyarrow")
+
+    def markfill(b: pa.Table) -> pa.Table:
+        b = b.append_column("text", pa.array([None] * len(b),
+                                             pa.string()))
+        for col in passthrough:
+            b = b.append_column(col, pa.array([None] * len(b),
+                                              pa.string()))
+        return b
+
+    marks = keep.map_batches(markfill, batch_format="pyarrow")
 
     def rebuild(df):
         import pandas as pd
@@ -166,13 +184,18 @@ def tile_dedup(sf_dir: str, k: int = TILE_K):
         kept = set(df.loc[df["tile_no"] >= 0, "tile_no"].astype(int))
         tiles = _tiles(text, k)
         out = " ".join(t for j, t in enumerate(tiles) if j in kept)
-        return pd.DataFrame({
+        row = {
             "doc_id": pd.Series([int(text_rows["doc_id"].iloc[0])],
                                 dtype="int64"),
+        }
+        for col in passthrough:
+            row[col] = [text_rows[col].iloc[0]]
+        row.update({
             "text_dedup": [out],
             "n_tiles": pd.Series([len(tiles)], dtype="int64"),
             "n_tiles_kept": pd.Series([len(kept)], dtype="int64"),
         })
+        return pd.DataFrame(row)
 
     return (docs.union(marks)
             .groupby("doc_id").map_groups(rebuild, batch_format="pandas"))
@@ -228,18 +251,25 @@ def shuffle_rank(sf_dir: str):
     per-bucket counts -> driver prefix offsets (256 ints), ranks
     assigned inside ``groupby(bucket).map_groups``. Returns
     (doc_id, rank)."""
+    return _shuffle_rank_over(_documents(sf_dir, ["doc_id"]))
+
+
+def _shuffle_rank_over(ds: "ray.data.Dataset"):
+    """Append a global shuffle ``rank`` to any Dataset carrying a
+    ``doc_id`` column; all other columns pass through. The only
+    materialized artifact is the keyed dataset (needed for the
+    two-pass count-then-assign prefix sum; 256 bucket counts on the
+    driver)."""
 
     def key(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         ks = [hashlib.md5(f"{d}:shuf".encode()).hexdigest() for d in ids]
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "skey": pa.array(ks, pa.string()),
-            "bucket": pa.array([int(k[:2], 16) for k in ks], pa.int32()),
-        })
+        return (batch
+                .append_column("skey", pa.array(ks, pa.string()))
+                .append_column("bucket", pa.array(
+                    [int(k[:2], 16) for k in ks], pa.int32())))
 
-    keyed = _documents(sf_dir, ["doc_id"]).map_batches(
-        key, batch_format="pyarrow").materialize()
+    keyed = ds.map_batches(key, batch_format="pyarrow").materialize()
 
     from ray.data.aggregate import Count
     counts = (keyed.groupby("bucket").aggregate(Count())
@@ -255,9 +285,106 @@ def shuffle_rank(sf_dir: str):
                             df["skey"].to_numpy()))
         df = df.iloc[order]
         base = ray.get(base_ref)[int(df["bucket"].iloc[0])]
-        return df.assign(rank=np.arange(base, base + len(df),
-                                        dtype=np.int64))[
-            ["doc_id", "rank"]]
+        df = df.assign(rank=np.arange(base, base + len(df),
+                                      dtype=np.int64))
+        return df.drop(columns=["skey", "bucket"])
 
     return keyed.groupby("bucket").map_groups(assign,
                                               batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# flagship composition: full training-corpus curation
+# --------------------------------------------------------------------------
+
+class _CurationGate:
+    """ONE fused streaming pass applying every row-level gate before any
+    shuffle: quality (n_words >= 50, alpha_ratio >= 0.5, stopword_ratio
+    >= 0.02 — exactly ``textstats.curate_documents``), benchmark
+    exclusion (doc_id % BENCH_MOD == 0), decontamination (no 8-gram
+    shared with the benchmark set), and domain-mix sampling
+    (md5 threshold per source). Rows drop here, in-batch, so only the
+    survivors reach the tile-dedup exchange."""
+
+    def __init__(self, bench_ref, min_words: int = 50,
+                 min_alpha: float = 0.5, min_stop: float = 0.02) -> None:
+        from risjbot_ray.pipelines.textstats import _STOPWORDS
+        self.bench: frozenset[str] = ray.get(bench_ref)
+        self.min_words = min_words
+        self.min_alpha = min_alpha
+        self.min_stop = min_stop
+        self.stopwords = _STOPWORDS
+
+    def _passes(self, did: int, text: str, source: str) -> bool:
+        if did % BENCH_MOD == 0:
+            return False
+        words = text.split()
+        nw = len(words)
+        n = len(text)
+        if nw < self.min_words or n == 0:
+            return False
+        alpha = sum("A" <= c <= "Z" or "a" <= c <= "z" for c in text)
+        if alpha / n < self.min_alpha:
+            return False
+        stop = sum(w.lower().strip(".,;:!?'\"()") in self.stopwords
+                   for w in words)
+        if stop / nw < self.min_stop:
+            return False
+        if _unit_hash(did, "mix") >= _mix_rate(source):
+            return False
+        grams = {" ".join(words[i:i + NGRAM_N])
+                 for i in range(nw - NGRAM_N + 1)}
+        return not (grams & self.bench)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        mask = [self._passes(d, t or "", s)
+                for d, t, s in zip(ids, texts, srcs)]
+        return batch.filter(pa.array(mask))
+
+
+def curate_corpus(sf_dir: str):
+    """Flagship training-data curation pipeline — the composed form of
+    the individual webtext operators, end to end:
+
+      quality gate + benchmark exclusion + decontamination +
+      domain-mix sampling   (ONE fused map_batches pass, zero shuffle)
+      -> tile-granular exact-substring dedup over the survivors
+      -> deterministic global shuffle rank
+
+    Returns (doc_id, source, text_final, n_tokens_final, n_tiles,
+    n_tiles_kept, rank) for every surviving doc. At 100-TB inputs the
+    row-level gates drop most data before the only two exchanges (tile
+    winner selection over 16-byte digests; doc_id-grouped rebuild)."""
+    bench_grams: set[str] = set()
+
+    def _bench_only(b: pa.Table) -> pa.Table:
+        mask = np.mod(b.column("doc_id").to_numpy(), BENCH_MOD) == 0
+        return b.filter(pa.array(mask))
+
+    bench = (_documents(sf_dir, ["doc_id", "text"])
+             .map_batches(_bench_only, batch_format="pyarrow"))
+    for b in bench.iter_batches(batch_format="pyarrow"):
+        for t in b.column("text").to_pylist():
+            bench_grams.update(_ngrams(t or ""))
+    bench_ref = ray.put(frozenset(bench_grams))
+
+    gated = (_documents(sf_dir, ["doc_id", "text", "source"])
+             .map_batches(_CurationGate, fn_constructor_args=(bench_ref,),
+                          batch_format="pyarrow", concurrency=(1, 8)))
+
+    rebuilt = _tile_dedup_over(gated, passthrough=("source",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        texts = b.column("text_dedup").to_pylist()
+        nt = [len(t.split()) if t else 0 for t in texts]
+        b = b.append_column("n_tokens_final", pa.array(nt, pa.int64()))
+        b = b.rename_columns([
+            "text_final" if c == "text_dedup" else c
+            for c in b.column_names])
+        return b
+
+    return _shuffle_rank_over(
+        rebuilt.map_batches(finish, batch_format="pyarrow"))

@@ -16,7 +16,8 @@ SF = "/root/testdata/sf0.001"
 NAMES = ["simhash_signatures", "doc_fingerprint", "doc_langid",
          "frontier_schedule", "doc_pii_scrub", "doc_repetition",
          "doc_chunks", "doc_pack_stream", "doc_decontaminate",
-         "doc_tile_dedup", "doc_domain_sample", "doc_shuffle_rank"]
+         "doc_tile_dedup", "doc_domain_sample", "doc_shuffle_rank",
+         "corpus_curate_full"]
 
 
 def _vhash(df) -> str:
