@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -123,33 +124,77 @@ def tile_dedup(sf_dir: str, k: int = TILE_K):
     return _tile_dedup_over(_documents(sf_dir, ["doc_id", "text"]), k)
 
 
+_TILE_NO_BITS = 20  # per-doc tile index fits 20 bits (≤ 8M tokens/doc)
+
+
 def _tile_dedup_over(docs_ds: "ray.data.Dataset", k: int = TILE_K,
-                     passthrough: tuple[str, ...] = ()):
+                     passthrough: tuple[str, ...] = (),
+                     nbuckets: int = 4096):
     """Tile dedup over an arbitrary (doc_id, text, *passthrough)
-    Dataset — the composition-friendly core of ``tile_dedup``."""
+    Dataset — the composition-friendly core of ``tile_dedup``.
+
+    Winner selection shuffles on a COARSE bucket key (h_hi % nbuckets)
+    so the exchange sorts small ints, and resolves the exact 128-bit
+    first occurrence with one vectorized lexsort per bucket. Each
+    tile's site is encoded as rank = doc_id * 2^20 + tile_no (int64;
+    requires tile_no < 2^20 and doc_id < 2^43 — asserted at explode
+    time), so "first occurrence" is a run-head pick after sorting by
+    (h_hi, h_lo, rank).
+
+    The rebuild groups by ``doc_id % nbuckets`` and rebuilds all docs
+    of a bucket in one vectorized call. ``nbuckets`` bounds per-group
+    payload at ~corpus_bytes / nbuckets on BOTH exchanges: the 4096
+    default suits up to ~10^7-doc corpora; size it so a bucket's
+    payload fits a worker heap (e.g. 10^6+ at 10^10 docs)."""
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
-        o_id, o_no, o_h = [], [], []
+        o_h, o_rank = [], []
         for did, t in zip(ids, texts):
-            for j, tile in enumerate(_tiles(t or "", k)):
-                o_id.append(did)
-                o_no.append(j)
+            assert did < (1 << 43), "doc_id overflows rank encoding"
+            base = did << _TILE_NO_BITS
+            tiles = _tiles(t or "", k)
+            assert len(tiles) < (1 << _TILE_NO_BITS), \
+                "doc exceeds 2^20 tiles"
+            for j, tile in enumerate(tiles):
                 o_h.append(hashlib.md5(tile.encode("utf-8")).digest())
-        return pa.table({"doc_id": pa.array(o_id, pa.int64()),
-                         "tile_no": pa.array(o_no, pa.int64()),
-                         "h": pa.array(o_h, pa.binary(16))})
+                o_rank.append(base + j)
+        # the 128-bit digest rides the shuffle as TWO int64 columns plus
+        # a coarse bucket key: the exchange sorts ONLY by the small-int
+        # bucket (cheap), the exact 128-bit first-occurrence dedup is a
+        # vectorized lexsort inside each bucket. (Grouping by the full
+        # digest was measured 10-20x slower — Ray's sort shuffle then
+        # sorts 10^6+ unique wide keys; grouping per-digest with
+        # map_groups costs one Python call per distinct tile.)
+        hs = (np.frombuffer(b"".join(o_h), dtype=">u8")
+              .reshape(-1, 2).astype(np.uint64).view(np.int64)
+              if o_h else np.empty((0, 2), dtype=np.int64))
+        return pa.table({"h_hi": pa.array(hs[:, 0], pa.int64()),
+                         "h_lo": pa.array(hs[:, 1], pa.int64()),
+                         "hb": pa.array(hs[:, 0] % nbuckets, pa.int64()),
+                         "rank": pa.array(o_rank, pa.int64())})
 
     def winners(df):
-        # one digest per group is NOT guaranteed (groupby hash-partitions,
-        # map_groups may hand us several keys) — take min (doc_id,
-        # tile_no) per digest via a stable lexsort.
-        order = np.lexsort((df["tile_no"].to_numpy(),
-                            df["doc_id"].to_numpy()))
-        df = df.iloc[order]
-        first = ~df["h"].duplicated(keep="first").to_numpy()
-        return df.loc[first, ["doc_id", "tile_no"]]
+        # one call per bucket (nbuckets total): exact 128-bit
+        # first-occurrence selection, fully vectorized — lexsort by
+        # (h_hi, h_lo, rank) then keep each key run's head (min rank).
+        import pandas as pd
+        hi = df["h_hi"].to_numpy()
+        lo = df["h_lo"].to_numpy()
+        rank = df["rank"].to_numpy()
+        order = np.lexsort((rank, lo, hi))
+        hi, lo, rank = hi[order], lo[order], rank[order]
+        first = np.empty(len(hi), dtype=bool)
+        if len(hi):
+            first[0] = True
+            first[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+        r = rank[first]
+        return pd.DataFrame({
+            "doc_id": pd.Series(r >> _TILE_NO_BITS, dtype="int64"),
+            "tile_no": pd.Series(r & ((1 << _TILE_NO_BITS) - 1),
+                                 dtype="int64"),
+        })
 
     # docs_ds is consumed twice (explode pass + rebuild pass). It is
     # deliberately NOT materialized: upstream stages are deterministic,
@@ -158,13 +203,19 @@ def _tile_dedup_over(docs_ds: "ray.data.Dataset", k: int = TILE_K,
     keep = (docs_ds.map_batches(
                 lambda b: explode(b.select(["doc_id", "text"])),
                 batch_format="pyarrow")
-            .groupby("h").map_groups(winners, batch_format="pandas"))
+            .groupby("hb").map_groups(winners, batch_format="pandas"))
 
     # Reconstruction: union winner markers (tile_no >= 0, text null)
     # with the raw docs (tile_no = -1) and re-tile per doc — the doc
     # text crosses the exchange exactly once, and there is no join.
-    docs = docs_ds.map_batches(lambda b: b.append_column(
-        "tile_no", pa.array([-1] * len(b), pa.int64())),
+    def dbucket_of(ids: "pa.Array") -> pa.Array:
+        return pa.array(ids.to_numpy(zero_copy_only=False)
+                        % nbuckets, pa.int64())
+
+    docs = docs_ds.map_batches(
+        lambda b: b.append_column(
+            "tile_no", pa.array([-1] * len(b), pa.int64()))
+        .append_column("dbucket", dbucket_of(b.column("doc_id"))),
         batch_format="pyarrow")
 
     def markfill(b: pa.Table) -> pa.Table:
@@ -173,32 +224,44 @@ def _tile_dedup_over(docs_ds: "ray.data.Dataset", k: int = TILE_K,
         for col in passthrough:
             b = b.append_column(col, pa.array([None] * len(b),
                                               pa.string()))
-        return b
+        return b.append_column("dbucket", dbucket_of(b.column("doc_id")))
 
     marks = keep.map_batches(markfill, batch_format="pyarrow")
 
     def rebuild(df):
+        # one call per ~64k-doc bucket: kept tile_nos gathered per doc
+        # via a single sorted pass, then a per-doc re-tile loop.
         import pandas as pd
-        text_rows = df[df["tile_no"] < 0]
-        text = text_rows["text"].iloc[0] or ""
-        kept = set(df.loc[df["tile_no"] >= 0, "tile_no"].astype(int))
-        tiles = _tiles(text, k)
-        out = " ".join(t for j, t in enumerate(tiles) if j in kept)
-        row = {
-            "doc_id": pd.Series([int(text_rows["doc_id"].iloc[0])],
-                                dtype="int64"),
-        }
+        kept_rows = df[df["tile_no"] >= 0]
+        kept_by_doc: dict[int, set[int]] = {}
+        for did, tno in zip(kept_rows["doc_id"].to_numpy(),
+                            kept_rows["tile_no"].to_numpy()):
+            kept_by_doc.setdefault(int(did), set()).add(int(tno))
+        text_rows = df[df["tile_no"] < 0].sort_values("doc_id")
+        o_id, o_text, o_nt, o_nk = [], [], [], []
+        o_pass: dict[str, list] = {col: [] for col in passthrough}
+        for row in text_rows.itertuples(index=False):
+            did = int(row.doc_id)
+            tiles = _tiles(row.text or "", k)
+            kept = kept_by_doc.get(did, set())
+            o_id.append(did)
+            o_text.append(" ".join(
+                t for j, t in enumerate(tiles) if j in kept))
+            o_nt.append(len(tiles))
+            o_nk.append(len(kept))
+            for col in passthrough:
+                o_pass[col].append(getattr(row, col))
+        out = {"doc_id": pd.Series(o_id, dtype="int64")}
         for col in passthrough:
-            row[col] = [text_rows[col].iloc[0]]
-        row.update({
-            "text_dedup": [out],
-            "n_tiles": pd.Series([len(tiles)], dtype="int64"),
-            "n_tiles_kept": pd.Series([len(kept)], dtype="int64"),
-        })
-        return pd.DataFrame(row)
+            out[col] = o_pass[col]
+        out.update({"text_dedup": o_text,
+                    "n_tiles": pd.Series(o_nt, dtype="int64"),
+                    "n_tiles_kept": pd.Series(o_nk, dtype="int64")})
+        return pd.DataFrame(out)
 
     return (docs.union(marks)
-            .groupby("doc_id").map_groups(rebuild, batch_format="pandas"))
+            .groupby("dbucket").map_groups(rebuild,
+                                           batch_format="pandas"))
 
 
 # --------------------------------------------------------------------------
@@ -315,6 +378,8 @@ class _CurationGate:
         self.min_stop = min_stop
         self.stopwords = _STOPWORDS
 
+    _ALPHA_RUNS = re.compile(r"[A-Za-z]+")
+
     def _passes(self, did: int, text: str, source: str) -> bool:
         if did % BENCH_MOD == 0:
             return False
@@ -323,7 +388,8 @@ class _CurationGate:
         n = len(text)
         if nw < self.min_words or n == 0:
             return False
-        alpha = sum("A" <= c <= "Z" or "a" <= c <= "z" for c in text)
+        # identical count to the per-char [A-Za-z] loop, at C speed
+        alpha = sum(map(len, self._ALPHA_RUNS.findall(text)))
         if alpha / n < self.min_alpha:
             return False
         stop = sum(w.lower().strip(".,;:!?'\"()") in self.stopwords
@@ -371,9 +437,14 @@ def curate_corpus(sf_dir: str):
             bench_grams.update(_ngrams(t or ""))
     bench_ref = ray.put(frozenset(bench_grams))
 
+    # The gate is the expensive stage (per-doc gram sets + quality
+    # counts) and tile dedup consumes its input twice — materialize the
+    # gated SURVIVORS once (a filtered subset; the object store spills
+    # to disk at scale) instead of paying the gate twice.
     gated = (_documents(sf_dir, ["doc_id", "text", "source"])
              .map_batches(_CurationGate, fn_constructor_args=(bench_ref,),
-                          batch_format="pyarrow", concurrency=(1, 8)))
+                          batch_format="pyarrow", concurrency=(1, 8))
+             .materialize())
 
     rebuilt = _tile_dedup_over(gated, passthrough=("source",))
 
