@@ -183,6 +183,24 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             sf_dir))
         timed("events_hourly", lambda: relational.events_hourly(sf_dir))
 
+        # ---- webtext training-data operators at bench scale (the
+        # driver's documents table is tiny; generate a deterministic
+        # 100k-doc corpus — cached across runs — and time the two
+        # heavyweights end-to-end with a parquet sink)
+        from risjbot_ray.pipelines import webtext
+        from risjbot_ray.testsupport.docgen import gen_docs_corpus
+        n_docs = int(os.environ.get("GRAFT_DOCS_N", 100_000))
+        docs_root = gen_docs_corpus(n_docs)
+        for name, fn in (("tile_dedup", webtext.tile_dedup),
+                         ("curate_corpus", webtext.curate_corpus)):
+            out = f"/tmp/bench_wt_{name}"
+            shutil.rmtree(out, ignore_errors=True)
+            t0 = time.time()
+            fn(docs_root).write_parquet(out)
+            queries[name] = round(time.time() - t0, 3)
+            throughput[f"{name}_docs_per_sec"] = round(
+                n_docs / queries[name], 1)
+
         return {
             "metric": "crawl_pipeline_wall_sec",
             "value": queries["crawl_full"],

@@ -12,11 +12,13 @@ DuckDB oracle in ``__ray_entry__.oracle_sql()``:
   (real benchmark suites are ~10^5 grams regardless of corpus size) —
   built once, ``ray.put`` once, membership-probed inside ``map_batches``.
   No shuffle at all; the corpus streams through a single filter pass.
-- ``tile_dedup``: only ``(tile_md5, doc_id, tile_no)`` rides the
-  winner-selection shuffle (16-byte digest + 2 ints per tile, never the
-  tile text); reconstruction unions the winner markers with the raw doc
-  text and re-tiles inside ``groupby(doc_id).map_groups`` — one text
-  shuffle, zero joins (Ray 2.49's hash join chokes on wide payloads).
+- ``tile_dedup``: only four int64 columns per tile ride the
+  winner-selection shuffle (128-bit digest split into two int64s, a
+  coarse bucket key, an encoded site rank — never the tile text), the
+  exchange sorts small-int bucket keys only, and reconstruction unions
+  the winner markers with the raw doc text and re-tiles inside a
+  doc-bucketed ``map_groups`` — one text shuffle, zero joins (Ray
+  2.49's hash join chokes on wide payloads).
 - ``domain_sample``: stateless hash-threshold filter, zero shuffle.
 - ``shuffle_rank``: bucketed prefix-sum (same shape as
   ``textstats.pack_stream``) — 256 bucket counts on the driver, ranks
@@ -218,13 +220,18 @@ def _tile_dedup_over(docs_ds: "ray.data.Dataset", k: int = TILE_K,
         .append_column("dbucket", dbucket_of(b.column("doc_id"))),
         batch_format="pyarrow")
 
+    _UNION_COLS = ["doc_id", "text", *passthrough, "tile_no", "dbucket"]
+
     def markfill(b: pa.Table) -> pa.Table:
         b = b.append_column("text", pa.array([None] * len(b),
                                              pa.string()))
         for col in passthrough:
             b = b.append_column(col, pa.array([None] * len(b),
                                               pa.string()))
-        return b.append_column("dbucket", dbucket_of(b.column("doc_id")))
+        b = b.append_column("dbucket", dbucket_of(b.column("doc_id")))
+        # both union sides must present the SAME column order — Ray's
+        # union concatenates blocks positionally-schema'd
+        return b.select(_UNION_COLS)
 
     marks = keep.map_batches(markfill, batch_format="pyarrow")
 
@@ -335,12 +342,12 @@ def _shuffle_rank_over(ds: "ray.data.Dataset"):
     keyed = ds.map_batches(key, batch_format="pyarrow").materialize()
 
     from ray.data.aggregate import Count
-    counts = (keyed.groupby("bucket").aggregate(Count())
-              .to_pandas().sort_values("bucket"))
+    counts = keyed.groupby("bucket").aggregate(Count()).to_pandas()
     bases, run = {}, 0
-    for _, r in counts.iterrows():
-        bases[int(r["bucket"])] = run
-        run += int(r["count()"])
+    if "bucket" in counts.columns:  # empty input drops the key column
+        for _, r in counts.sort_values("bucket").iterrows():
+            bases[int(r["bucket"])] = run
+            run += int(r["count()"])
     base_ref = ray.put(bases)
 
     def assign(df):

@@ -296,3 +296,12 @@ def test_domain_sample_and_shuffle_rank(ray_session, tmp_path):
                                   .hexdigest(), i))
     got = df.set_index("doc_id")["rank"]
     assert [got[i] for i in order] == list(range(64))
+
+
+def test_curate_corpus_zero_survivors(ray_session, tmp_path):
+    """An input where every doc fails the quality gate flows through the
+    whole composed pipeline (tile dedup + shuffle rank) and yields an
+    empty result instead of crashing on empty exchanges."""
+    from risjbot_ray.pipelines.webtext import curate_corpus
+    sf = _write_docs(tmp_path, [(1, "too short"), (2, "also short")])
+    assert len(curate_corpus(sf).to_pandas()) == 0
