@@ -214,13 +214,14 @@ def _tile_dedup_over(docs_ds: "ray.data.Dataset", k: int = TILE_K,
         return pa.array(ids.to_numpy(zero_copy_only=False)
                         % nbuckets, pa.int64())
 
+    _UNION_COLS = ["doc_id", "text", *passthrough, "tile_no", "dbucket"]
+
     docs = docs_ds.map_batches(
         lambda b: b.append_column(
             "tile_no", pa.array([-1] * len(b), pa.int64()))
-        .append_column("dbucket", dbucket_of(b.column("doc_id"))),
+        .append_column("dbucket", dbucket_of(b.column("doc_id")))
+        .select(_UNION_COLS),
         batch_format="pyarrow")
-
-    _UNION_COLS = ["doc_id", "text", *passthrough, "tile_no", "dbucket"]
 
     def markfill(b: pa.Table) -> pa.Table:
         b = b.append_column("text", pa.array([None] * len(b),
@@ -429,8 +430,8 @@ def curate_corpus(sf_dir: str):
 
     Returns (doc_id, source, text_final, n_tokens_final, n_tiles,
     n_tiles_kept, rank) for every surviving doc. At 100-TB inputs the
-    row-level gates drop most data before the only two exchanges (tile
-    winner selection over 16-byte digests; doc_id-grouped rebuild)."""
+    row-level gates drop most data before the only two exchanges (the
+    int64-only tile winner shuffle; the doc-bucketed rebuild)."""
     bench_grams: set[str] = set()
 
     def _bench_only(b: pa.Table) -> pa.Table:
