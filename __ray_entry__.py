@@ -251,6 +251,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "recall_ok": pa.array([rec >= 0.6], pa.bool_()),
         })
 
+    def media_features_check(sf_dir: str):
+        """Driver-visible multimodal self-check (`crawl_vs_expected`
+        style): run the actor-pool media pipeline (decode stub + frame
+        sampler) AND recompute every expected row locally from the same
+        deterministic synth table, returning one row of mismatch
+        counters — all-zero means the Ray-side plumbing (schema, batch
+        sizing, actor state, flat_map explode) is byte-correct."""
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        from risjbot_ray.pipelines.multimodal import (FrameSampler,
+                                                      _decode_stub,
+                                                      media_features_ds,
+                                                      synth_media_table)
+
+        n, seed = 300, 42
+        src = synth_media_table(n, seed)
+        got = media_features_ds(n=n, seed=seed).to_pandas() \
+            .set_index("media_id").sort_index()
+        feat_mm = size_mm = 0
+        for row in src.to_pylist():
+            exp_feat = _decode_stub(row["payload"], row["kind"])[:32]
+            g = got.loc[row["media_id"]]
+            if not np.allclose(np.asarray(g["features"]), exp_feat):
+                feat_mm += 1
+            if int(g["payload_bytes"]) != len(row["payload"]):
+                size_mm += 1
+        frames = (ray.data.from_arrow(src)
+                  .map_batches(FrameSampler, batch_format="pyarrow",
+                               batch_size=16, concurrency=2)
+                  .to_pandas())
+        exp_frames = sum(
+            min(8, len(range(0, r["duration_ms"], 10_000)))
+            for r in src.to_pylist()
+            if r["kind"] == "video" and r["duration_ms"])
+        return pa.table({
+            "n_media": pa.array([n], pa.int64()),
+            "n_feature_mismatch": pa.array([feat_mm], pa.int64()),
+            "n_size_mismatch": pa.array([size_mm], pa.int64()),
+            "n_frames": pa.array([len(frames)], pa.int64()),
+            "n_frames_expected": pa.array([exp_frames], pa.int64()),
+            "frames_ok": pa.array([len(frames) == exp_frames],
+                                  pa.bool_()),
+        })
+
     def frontier_schedule(sf_dir: str):
         """Deterministic politeness schedule (T7 semantics,
         ``schedule_wave``: per-host top-budget by priority DESC,
@@ -312,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
         # multimodal plumbing (synthetic media, rows-only)
         "media_features": lambda sf: media_features_ds(n=300, seed=42),
+        "media_features_check": media_features_check,
         # crawl engine (hermetic corpus; rows-only here — byte-level
         # correctness is gated by the pytest golden fixtures)
         "crawl_extracted": crawl_extracted,
