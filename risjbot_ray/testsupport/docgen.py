@@ -43,29 +43,39 @@ def gen_docs_corpus(n: int, seed: int = 7, shards: int = 32,
     if os.path.exists(done):
         return root
     os.makedirs(ddir, exist_ok=True)
+    # shards are seed-independent, so generation parallelizes across
+    # processes (the serial loop costs ~50 s at 100k docs)
+    import multiprocessing as mp
+    args = [(n, seed, shards, s, ddir) for s in range(shards)]
+    # fork (not spawn): workers touch only numpy/pyarrow, and spawn
+    # would re-execute a <stdin>/REPL __main__
+    with mp.get_context("fork").Pool(min(8, shards)) as pool:
+        pool.starmap(_gen_shard, args)
+    with open(done, "w") as f:
+        f.write(str(n))
+    return root
+
+
+def _gen_shard(n: int, seed: int, shards: int, s: int,
+               ddir: str) -> None:
     v = len(_VOCAB)
     rng0 = np.random.default_rng(seed)
     templates = [" ".join(_VOCAB[i] for i in rng0.integers(0, v, 64))
                  for _ in range(500)]
     per = n // shards
-    for s in range(shards):
-        rng = np.random.default_rng(seed * 1000 + s)
-        count = per if s < shards - 1 else n - per * (shards - 1)
-        ids = np.arange(s * per, s * per + count, dtype=np.int64)
-        texts, srcs = [], []
-        for d in ids:
-            length = int(rng.integers(100, 400))
-            t = " ".join(_VOCAB[i]
-                         for i in rng.integers(0, v, length))
-            if rng.random() < 0.15:
-                t = templates[int(rng.integers(0, 500))] + " " + t
-            texts.append(t)
-            srcs.append(f"src{int(d) % 20}")
-        pq.write_table(
-            pa.table({"doc_id": ids, "text": texts,
-                      "lang": ["en"] * count, "source": srcs,
-                      "n_chars": [len(t) for t in texts]}),
-            f"{ddir}/part-{s}.parquet")
-    with open(done, "w") as f:
-        f.write(str(n))
-    return root
+    rng = np.random.default_rng(seed * 1000 + s)
+    count = per if s < shards - 1 else n - per * (shards - 1)
+    ids = np.arange(s * per, s * per + count, dtype=np.int64)
+    texts, srcs = [], []
+    for d in ids:
+        length = int(rng.integers(100, 400))
+        t = " ".join(_VOCAB[i] for i in rng.integers(0, v, length))
+        if rng.random() < 0.15:
+            t = templates[int(rng.integers(0, 500))] + " " + t
+        texts.append(t)
+        srcs.append(f"src{int(d) % 20}")
+    pq.write_table(
+        pa.table({"doc_id": ids, "text": texts,
+                  "lang": ["en"] * count, "source": srcs,
+                  "n_chars": [len(t) for t in texts]}),
+        f"{ddir}/part-{s}.parquet")
