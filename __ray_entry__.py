@@ -352,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_domain_sample": wt.domain_sample,
         "doc_shuffle_rank": wt.shuffle_rank,
         "corpus_curate_full": wt.curate_corpus,
+        "doc_length_histogram": wt.length_histogram,
         "minhash_dedup_clusters": dedup.minhash_dedup,
         "simhash_signatures": dedup.simhash_signatures,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -1005,6 +1006,20 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY md5(k.doc_id::VARCHAR || ':shuf'),
                               k.doc_id) - 1 AS rank
             FROM keepdocs k LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        # word-count histogram: 50-word bins, doc + word totals per bin
+        "doc_length_histogram": r"""
+            WITH t AS (
+              SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE length(regexp_split_to_array(trim(text),
+                                                            '\s+'))
+                     END AS nw
+              FROM documents
+            )
+            SELECT CAST((nw // 50) * 50 AS BIGINT) AS bin_lo,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(nw) AS BIGINT) AS total_words
+            FROM t GROUP BY nw // 50
         """,
         # deterministic global shuffle rank in md5(doc_id||':shuf') order
         "doc_shuffle_rank": r"""

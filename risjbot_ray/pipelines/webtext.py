@@ -365,6 +365,40 @@ def _shuffle_rank_over(ds: "ray.data.Dataset"):
 
 
 # --------------------------------------------------------------------------
+# corpus length histogram (partial aggregation)
+# --------------------------------------------------------------------------
+
+def length_histogram(sf_dir: str, bin_width: int = 50):
+    """Word-count histogram over the corpus: one row per
+    ``bin_width``-word bin with doc and word totals. Partial-aggregation
+    shape: each batch collapses to at most #bins rows via ``bincount``
+    INSIDE ``map_batches``, so the shuffle moves O(#bins x #blocks)
+    tiny rows — never documents. Returns (bin_lo, n_docs, total_words).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        nw = np.array([len(t.split()) if t else 0 for t in texts],
+                      dtype=np.int64)
+        bins = nw // bin_width
+        n_docs = np.bincount(bins)
+        words = np.bincount(bins, weights=nw).astype(np.int64)
+        nz = np.nonzero(n_docs)[0]
+        return pa.table({
+            "bin_lo": pa.array(nz * bin_width, pa.int64()),
+            "n_docs": pa.array(n_docs[nz], pa.int64()),
+            "total_words": pa.array(words[nz], pa.int64()),
+        })
+
+    return (_documents(sf_dir, ["doc_id", "text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("bin_lo")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("total_words", alias_name="total_words")))
+
+
+# --------------------------------------------------------------------------
 # flagship composition: full training-corpus curation
 # --------------------------------------------------------------------------
 
