@@ -305,3 +305,39 @@ def test_curate_corpus_zero_survivors(ray_session, tmp_path):
     from risjbot_ray.pipelines.webtext import curate_corpus
     sf = _write_docs(tmp_path, [(1, "too short"), (2, "also short")])
     assert len(curate_corpus(sf).to_pandas()) == 0
+
+
+def test_tile_dedup_property(ray_session, tmp_path):
+    """tile_dedup matches a trivial in-memory reference on an
+    adversarial corpus: tiny vocabulary + short docs force heavy tile
+    collisions, duplicate docs, empty docs, and partial tail tiles."""
+    import math
+
+    from risjbot_ray.pipelines.webtext import tile_dedup
+
+    rng = np.random.default_rng(13)
+    vocab = ["aa", "bb", "cc", "dd"]
+    rows = []
+    for i in range(60):
+        n = int(rng.integers(0, 30))
+        rows.append((i, " ".join(vocab[j]
+                                 for j in rng.integers(0, 4, n))))
+    rows.append((60, rows[5][1]))          # exact duplicate doc
+    sf = _write_docs(tmp_path, rows)
+
+    # reference: global first-occurrence per tile content
+    seen: set[str] = set()
+    expect = {}
+    for did, text in sorted(rows):
+        toks = text.split()
+        tiles = [" ".join(toks[j * 8:(j + 1) * 8])
+                 for j in range(math.ceil(len(toks) / 8))]
+        kept = [t for t in tiles if t not in seen and not seen.add(t)]
+        expect[did] = (" ".join(kept), len(tiles), len(kept))
+
+    got = tile_dedup(sf).to_pandas().set_index("doc_id").sort_index()
+    assert len(got) == len(rows)
+    for did, (txt, nt, nk) in expect.items():
+        assert got.loc[did, "text_dedup"] == txt, did
+        assert got.loc[did, "n_tiles"] == nt
+        assert got.loc[did, "n_tiles_kept"] == nk
