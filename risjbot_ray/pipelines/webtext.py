@@ -16,9 +16,10 @@ DuckDB oracle in ``__ray_entry__.oracle_sql()``:
   winner-selection shuffle (128-bit digest split into two int64s, a
   coarse bucket key, an encoded site rank — never the tile text), the
   exchange sorts small-int bucket keys only, and reconstruction unions
-  the winner markers with the raw doc text and re-tiles inside a
-  doc-bucketed ``map_groups`` — one text shuffle, zero joins (Ray
-  2.49's hash join chokes on wide payloads).
+  the DROPPED-tile markers (the dup fraction — far fewer rows than the
+  survivors) with the raw doc text inside a doc-bucketed
+  ``map_groups`` — one text shuffle, zero joins (Ray 2.49's hash join
+  chokes on wide payloads); docs with no dropped tiles skip re-tiling.
 - ``domain_sample``: stateless hash-threshold filter, zero shuffle.
 - ``shuffle_rank``: bucketed prefix-sum (same shape as
   ``textstats.pack_stream``) — 256 bucket counts on the driver, ranks
@@ -43,6 +44,25 @@ BENCH_MOD = 97      # synthetic benchmark membership: doc_id % 97 == 0
 def _documents(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=columns)
+
+
+def _coalesce(mat_ds: "ray.data.Dataset",
+              target_block_mb: int = 32) -> "ray.data.Dataset":
+    """Coalesce a MATERIALIZED dataset's blocks toward
+    ``target_block_mb`` if they are pathologically small. Selective
+    filters (the curation gate drops >50% of rows) and per-bucket
+    ``map_groups`` outputs leave hundreds of sub-MB blocks; every
+    downstream sort exchange then pays per-block-pair scheduling cost
+    quadratic in block count for no parallelism benefit. At real scale
+    blocks sit near the ~128 MB target and this is a no-op; the floor
+    of one block per 2xCPU keeps enough parallelism either way."""
+    nb = mat_ds.num_blocks()
+    size = mat_ds.size_bytes() or 0
+    want = max(int(ray.cluster_resources().get("CPU", 8)) * 2,
+               size // (target_block_mb << 20) + 1)
+    if nb > want * 2:
+        return mat_ds.repartition(want).materialize()
+    return mat_ds
 
 
 # --------------------------------------------------------------------------
@@ -177,10 +197,20 @@ def _tile_dedup_over(docs_ds: "ray.data.Dataset", k: int = TILE_K,
                          "hb": pa.array(hs[:, 0] % nbuckets, pa.int64()),
                          "rank": pa.array(o_rank, pa.int64())})
 
-    def winners(df):
+    def losers(df):
         # one call per bucket (nbuckets total): exact 128-bit
         # first-occurrence selection, fully vectorized — lexsort by
-        # (h_hi, h_lo, rank) then keep each key run's head (min rank).
+        # (h_hi, h_lo, rank), each key run's head (min rank) is the
+        # surviving site, and every NON-head row is emitted as a
+        # dropped-tile marker. Shipping losers instead of winners is
+        # deliberate: curation corpora are mostly unique, so losers
+        # (the dup fraction of tiles) are far fewer rows than winners
+        # (~96% of tiles on the bench corpus → 24x fewer marker rows
+        # through the rebuild exchange), and docs with zero losers
+        # skip re-tiling entirely at rebuild. A pathological
+        # everything-is-duplicate corpus inverts the ratio, but its
+        # marker volume is still bounded by the tile count — the same
+        # bound the winner encoding had.
         import pandas as pd
         hi = df["h_hi"].to_numpy()
         lo = df["h_lo"].to_numpy()
@@ -191,7 +221,7 @@ def _tile_dedup_over(docs_ds: "ray.data.Dataset", k: int = TILE_K,
         if len(hi):
             first[0] = True
             first[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
-        r = rank[first]
+        r = rank[~first]
         return pd.DataFrame({
             "doc_id": pd.Series(r >> _TILE_NO_BITS, dtype="int64"),
             "tile_no": pd.Series(r & ((1 << _TILE_NO_BITS) - 1),
@@ -202,14 +232,14 @@ def _tile_dedup_over(docs_ds: "ray.data.Dataset", k: int = TILE_K,
     # deliberately NOT materialized: upstream stages are deterministic,
     # and re-streaming two pruned passes beats pinning the whole text
     # corpus in the object store at 100-TB inputs.
-    keep = (docs_ds.map_batches(
+    drop = (docs_ds.map_batches(
                 lambda b: explode(b.select(["doc_id", "text"])),
                 batch_format="pyarrow")
-            .groupby("hb").map_groups(winners, batch_format="pandas"))
+            .groupby("hb").map_groups(losers, batch_format="pandas"))
 
-    # Reconstruction: union winner markers (tile_no >= 0, text null)
-    # with the raw docs (tile_no = -1) and re-tile per doc — the doc
-    # text crosses the exchange exactly once, and there is no join.
+    # Reconstruction: union dropped-tile markers (tile_no >= 0, text
+    # null) with the raw docs (tile_no = -1) and re-tile per doc — the
+    # doc text crosses the exchange exactly once, and there is no join.
     def dbucket_of(ids: "pa.Array") -> pa.Array:
         return pa.array(ids.to_numpy(zero_copy_only=False)
                         % nbuckets, pa.int64())
@@ -234,29 +264,42 @@ def _tile_dedup_over(docs_ds: "ray.data.Dataset", k: int = TILE_K,
         # union concatenates blocks positionally-schema'd
         return b.select(_UNION_COLS)
 
-    marks = keep.map_batches(markfill, batch_format="pyarrow")
+    marks = drop.map_batches(markfill, batch_format="pyarrow")
 
     def rebuild(df):
-        # one call per ~64k-doc bucket: kept tile_nos gathered per doc
-        # via a single sorted pass, then a per-doc re-tile loop.
+        # one call per ~64k-doc bucket. Dropped tile_nos are gathered
+        # per doc (only dup-carrying docs appear); the common case — a
+        # doc with no dropped tiles — takes a fast path that never
+        # enumerates tiles: its deduped text is the whitespace-
+        # normalized original (" ".join(tokens) == the join of all its
+        # tiles) and n_tiles is ceil(n_tokens / k).
         import pandas as pd
-        kept_rows = df[df["tile_no"] >= 0]
-        kept_by_doc: dict[int, set[int]] = {}
-        for did, tno in zip(kept_rows["doc_id"].to_numpy(),
-                            kept_rows["tile_no"].to_numpy()):
-            kept_by_doc.setdefault(int(did), set()).add(int(tno))
+        drop_rows = df[df["tile_no"] >= 0]
+        drop_by_doc: dict[int, set[int]] = {}
+        for did, tno in zip(drop_rows["doc_id"].to_numpy(),
+                            drop_rows["tile_no"].to_numpy()):
+            drop_by_doc.setdefault(int(did), set()).add(int(tno))
         text_rows = df[df["tile_no"] < 0].sort_values("doc_id")
         o_id, o_text, o_nt, o_nk = [], [], [], []
         o_pass: dict[str, list] = {col: [] for col in passthrough}
         for row in text_rows.itertuples(index=False):
             did = int(row.doc_id)
-            tiles = _tiles(row.text or "", k)
-            kept = kept_by_doc.get(did, set())
+            dropped = drop_by_doc.get(did)
+            toks = (row.text or "").split()
+            nt = math.ceil(len(toks) / k)
+            if dropped:
+                tiles = [" ".join(toks[j * k:(j + 1) * k])
+                         for j in range(nt)]
+                text = " ".join(t for j, t in enumerate(tiles)
+                                if j not in dropped)
+                nk = nt - len(dropped)
+            else:
+                text = " ".join(toks)
+                nk = nt
             o_id.append(did)
-            o_text.append(" ".join(
-                t for j, t in enumerate(tiles) if j in kept))
-            o_nt.append(len(tiles))
-            o_nk.append(len(kept))
+            o_text.append(text)
+            o_nt.append(nt)
+            o_nk.append(nk)
             for col in passthrough:
                 o_pass[col].append(getattr(row, col))
         out = {"doc_id": pd.Series(o_id, dtype="int64")}
@@ -340,7 +383,8 @@ def _shuffle_rank_over(ds: "ray.data.Dataset"):
                 .append_column("bucket", pa.array(
                     [int(k[:2], 16) for k in ks], pa.int32())))
 
-    keyed = ds.map_batches(key, batch_format="pyarrow").materialize()
+    keyed = _coalesce(
+        ds.map_batches(key, batch_format="pyarrow").materialize())
 
     from ray.data.aggregate import Count
     counts = keyed.groupby("bucket").aggregate(Count()).to_pandas()
@@ -483,10 +527,11 @@ def curate_corpus(sf_dir: str):
     # counts) and tile dedup consumes its input twice — materialize the
     # gated SURVIVORS once (a filtered subset; the object store spills
     # to disk at scale) instead of paying the gate twice.
-    gated = (_documents(sf_dir, ["doc_id", "text", "source"])
-             .map_batches(_CurationGate, fn_constructor_args=(bench_ref,),
-                          batch_format="pyarrow", concurrency=(1, 8))
-             .materialize())
+    gated = _coalesce(
+        _documents(sf_dir, ["doc_id", "text", "source"])
+        .map_batches(_CurationGate, fn_constructor_args=(bench_ref,),
+                     batch_format="pyarrow", concurrency=(1, 8))
+        .materialize())
 
     rebuilt = _tile_dedup_over(gated, passthrough=("source",))
 
