@@ -353,6 +353,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shuffle_rank": wt.shuffle_rank,
         "corpus_curate_full": wt.curate_corpus,
         "doc_length_histogram": wt.length_histogram,
+        "corpus_top_bigrams": wt.top_ngrams,
+        "doc_lang_balance": wt.lang_balance_sample,
+        "corpus_split": wt.corpus_split,
         "minhash_dedup_clusters": dedup.minhash_dedup,
         "simhash_signatures": dedup.simhash_signatures,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -1006,6 +1009,56 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY md5(k.doc_id::VARCHAR || ':shuf'),
                               k.doc_id) - 1 AS rank
             FROM keepdocs k LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        # exact corpus-wide top-100 bigrams, ties broken gram-ascending
+        # (DuckDB list slicing a[i:i+1] is INCLUSIVE = 2 tokens)
+        "corpus_top_bigrams": r"""
+            WITH toks AS (
+              SELECT string_split_regex(trim(text), '\s+') AS a
+              FROM documents WHERE trim(text) <> ''
+            ), grams AS (
+              SELECT array_to_string(a[i:i+1], ' ') AS gram
+              FROM toks,
+                   unnest(generate_series(1, greatest(len(a) - 1, 0)))
+                     AS t(i)
+            )
+            SELECT gram, COUNT(*) AS n_occurrences
+            FROM grams GROUP BY gram
+            ORDER BY n_occurrences DESC, gram
+            LIMIT 100
+        """,
+        # language-balanced sampling: every language downsampled to the
+        # smallest language's size via the md5 hash-threshold rule
+        "doc_lang_balance": r"""
+            WITH c AS (
+              SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+            ), m AS (SELECT MIN(cnt) AS mn FROM c)
+            SELECT d.doc_id, d.lang,
+                   (('0x' || substr(md5(d.doc_id::VARCHAR
+                                        || ':langbal'), 1, 8)
+                    )::UBIGINT / 4294967296.0) AS sample_key
+            FROM documents d JOIN c USING (lang), m
+            WHERE (('0x' || substr(md5(d.doc_id::VARCHAR
+                                       || ':langbal'), 1, 8)
+                   )::UBIGINT / 4294967296.0)
+                  < CAST(m.mn AS DOUBLE) / c.cnt
+        """,
+        # deterministic train/valid/test split; thresholds written as
+        # the same float EXPRESSIONS the Ray side computes so both
+        # sides compare against bit-identical doubles
+        "corpus_split": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     (('0x' || substr(md5(doc_id::VARCHAR || ':split'),
+                                      1, 8))::UBIGINT
+                      / 4294967296.0) AS u
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN u < (1.0 - 0.05 - 0.05) THEN 'train'
+                        WHEN u < (1.0 - 0.05) THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM u
         """,
         # word-count histogram: 50-word bins, doc + word totals per bin
         "doc_length_histogram": r"""

@@ -409,6 +409,117 @@ def _shuffle_rank_over(ds: "ray.data.Dataset"):
 
 
 # --------------------------------------------------------------------------
+# exact top-k n-gram frequencies (partial aggregation)
+# --------------------------------------------------------------------------
+
+def top_ngrams(sf_dir: str, n: int = 2, k: int = 100):
+    """Exact corpus-wide top-``k`` most frequent ``n``-grams
+    (whitespace tokens), ties broken by gram text ascending. The
+    frequency table is built with in-batch partial counting — each
+    batch collapses to (gram, partial_count) rows via a Counter before
+    the shuffle — so the exchange moves at most
+    #distinct-grams x #blocks tiny rows, never token streams. The
+    final top-k is a sort+limit over the aggregated vocabulary (at
+    web scale the vocabulary is >> k but << corpus; for a bounded
+    exchange under adversarial vocabularies, cap with a per-batch
+    local top-M pre-prune at the cost of exactness — not done here,
+    exactness is the contract). Returns (gram, n_occurrences)."""
+    from collections import Counter
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = (t or "").split()
+            c.update(" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1))
+        return pa.table({
+            "gram": pa.array(list(c.keys()), pa.string()),
+            "n_occurrences": pa.array(list(c.values()), pa.int64()),
+        })
+
+    agg = (_documents(sf_dir, ["text"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("gram")
+           .aggregate(Sum("n_occurrences", alias_name="n_occurrences")))
+    return (agg.sort(["n_occurrences", "gram"],
+                     descending=[True, False]).limit(k))
+
+
+# --------------------------------------------------------------------------
+# language-balanced sampling
+# --------------------------------------------------------------------------
+
+def lang_balance_sample(sf_dir: str):
+    """Deterministically downsample every language to the size of the
+    SMALLEST language: rate(lang) = min_count / count(lang); keep a doc
+    iff md5(doc_id || ':langbal')[:8] / 2^32 < rate(lang). Two passes:
+    a tiny count aggregation (one row per language on the driver —
+    O(#languages), not O(docs)), then a stateless broadcast-rate filter
+    identical in shape to ``domain_sample``. Reproducible on any
+    cluster size. Returns (doc_id, lang, sample_key)."""
+    from ray.data.aggregate import Count
+
+    counts = (_documents(sf_dir, ["doc_id", "lang"])
+              .groupby("lang").aggregate(Count()).to_pandas())
+    by_lang = {r["lang"]: int(r["count()"])
+               for _, r in counts.iterrows()}
+    min_count = min(by_lang.values()) if by_lang else 0
+    rates = {l: min_count / c for l, c in by_lang.items()}
+    rates_ref = ray.put(rates)
+
+    class _Sampler:
+        def __init__(self, ref) -> None:
+            self.rates: dict[str, float] = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            langs = batch.column("lang").to_pylist()
+            keys = np.array([_unit_hash(d, "langbal") for d in ids])
+            rr = np.array([self.rates[l] for l in langs])
+            m = keys < rr
+            return pa.table({
+                "doc_id": pa.array(
+                    np.asarray(ids, dtype=np.int64)[m]),
+                "lang": pa.array(
+                    np.asarray(langs, dtype=object)[m], pa.string()),
+                "sample_key": pa.array(keys[m], pa.float64()),
+            })
+
+    return (_documents(sf_dir, ["doc_id", "lang"])
+            .map_batches(_Sampler, fn_constructor_args=(rates_ref,),
+                         batch_format="pyarrow", concurrency=(1, 8)))
+
+
+# --------------------------------------------------------------------------
+# deterministic train/valid/test split
+# --------------------------------------------------------------------------
+
+def corpus_split(sf_dir: str, valid_frac: float = 0.05,
+                 test_frac: float = 0.05):
+    """Assign every doc a deterministic train/valid/test split by hash
+    threshold on md5(doc_id || ':split'): stateless, shuffle-free, and
+    stable under re-runs, re-shards and cluster resizes — the property
+    that matters when the 100-TB corpus is re-curated and the held-out
+    set must not drift into training. Returns (doc_id, split)."""
+    lo = 1.0 - valid_frac - test_frac
+    hi = 1.0 - test_frac
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        u = np.array([_unit_hash(d, "split") for d in ids])
+        split = np.where(u < lo, "train",
+                         np.where(u < hi, "valid", "test"))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "split": pa.array(split, pa.string()),
+        })
+
+    return (_documents(sf_dir, ["doc_id"])
+            .map_batches(assign, batch_format="pyarrow"))
+
+
+# --------------------------------------------------------------------------
 # corpus length histogram (partial aggregation)
 # --------------------------------------------------------------------------
 

@@ -341,3 +341,64 @@ def test_tile_dedup_property(ray_session, tmp_path):
         assert got.loc[did, "text_dedup"] == txt, did
         assert got.loc[did, "n_tiles"] == nt
         assert got.loc[did, "n_tiles_kept"] == nk
+
+
+def test_top_ngrams_exact(ray_session, tmp_path):
+    """Exact bigram counts with deterministic ties: reference Counter
+    over the same corpus; k smaller than the vocabulary so the tie
+    boundary is exercised."""
+    from collections import Counter
+
+    from risjbot_ray.pipelines.webtext import top_ngrams
+
+    rows = [(0, "a b a b c d"), (1, "a b c d"), (2, "x y"), (3, "")]
+    sf = _write_docs(tmp_path, rows)
+
+    ref: Counter = Counter()
+    for _, text in rows:
+        toks = text.split()
+        ref.update(" ".join(toks[i:i + 2])
+                   for i in range(len(toks) - 1))
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+
+    got = top_ngrams(sf, n=2, k=3).to_pandas()
+    got = list(zip(got["gram"], got["n_occurrences"]))
+    assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == want
+
+
+def test_lang_balance_and_split(ray_session, tmp_path):
+    """Language balancing caps every language near the smallest
+    language's size; the split assignment is deterministic, complete
+    and ~90/5/5."""
+    import pyarrow.parquet as pq
+
+    from risjbot_ray.pipelines.webtext import (corpus_split,
+                                               lang_balance_sample)
+
+    langs = ["en"] * 400 + ["de"] * 100 + ["fr"] * 25
+    t = pa.table({
+        "doc_id": pa.array(range(len(langs)), pa.int64()),
+        "text": pa.array(["w " * 10] * len(langs), pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(["src1"] * len(langs), pa.string()),
+        "n_chars": pa.array([20] * len(langs), pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    df = lang_balance_sample(sf).to_pandas()
+    by = df.groupby("lang")["doc_id"].count()
+    assert by["fr"] == 25                      # rate 1.0: all kept
+    # hash-threshold sampling is binomial around 25 for en/de
+    assert 5 <= by["en"] <= 50 and 5 <= by["de"] <= 50
+    assert (df["sample_key"] < 1.0).all()
+
+    sp = corpus_split(sf).to_pandas()
+    assert len(sp) == len(langs)
+    frac = sp.groupby("split")["doc_id"].count() / len(langs)
+    assert frac["train"] > 0.8
+    assert frac.get("valid", 0) < 0.12 and frac.get("test", 0) < 0.12
+    # deterministic: a second run assigns identical splits
+    sp2 = corpus_split(sf).to_pandas()
+    m = sp.merge(sp2, on="doc_id", suffixes=("", "_2"))
+    assert (m["split"] == m["split_2"]).all()

@@ -17,7 +17,8 @@ NAMES = ["simhash_signatures", "doc_fingerprint", "doc_langid",
          "frontier_schedule", "doc_pii_scrub", "doc_repetition",
          "doc_chunks", "doc_pack_stream", "doc_decontaminate",
          "doc_tile_dedup", "doc_domain_sample", "doc_shuffle_rank",
-         "corpus_curate_full", "doc_length_histogram"]
+         "corpus_curate_full", "doc_length_histogram",
+         "corpus_top_bigrams", "doc_lang_balance", "corpus_split"]
 
 
 def _vhash(df) -> str:
