@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_top_bigrams": wt.top_ngrams,
         "doc_lang_balance": wt.lang_balance_sample,
         "corpus_split": wt.corpus_split,
+        "doc_quality_rank": wt.quality_rank,
         "minhash_dedup_clusters": dedup.minhash_dedup,
         "simhash_signatures": dedup.simhash_signatures,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -1059,6 +1060,32 @@ def oracle_sql() -> dict[str, str]:
                         WHEN u < (1.0 - 0.05) THEN 'valid'
                         ELSE 'test' END AS split
             FROM u
+        """,
+        # global ORDER BY rank on quality score (alpha_ratio +
+        # stopword_ratio, the exact doc_quality expressions)
+        "doc_quality_rank": rf"""
+            WITH s AS (
+              SELECT doc_id,
+                     (CASE WHEN length(text) = 0 THEN 0.0
+                           ELSE CAST(length(regexp_replace(text,
+                                '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                                / length(text) END)
+                     + (CASE WHEN length(trim(text)) = 0 THEN 0.0
+                             ELSE CAST(length(list_filter(
+                                  regexp_split_to_array(
+                                    trim(lower(text)), '\s+'),
+                                  x -> list_contains([{stop}],
+                                       trim(x, '.,;:!?''"()'))))
+                                  AS DOUBLE)
+                                  / length(regexp_split_to_array(
+                                      trim(text), '\s+'))
+                        END) AS score
+              FROM documents
+            )
+            SELECT doc_id, score,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1
+                     AS rank
+            FROM s
         """,
         # word-count histogram: 50-word bins, doc + word totals per bin
         "doc_length_histogram": r"""

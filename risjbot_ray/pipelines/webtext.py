@@ -500,6 +500,81 @@ def lang_balance_sample(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# global quality-ordered rank (distributed ORDER BY)
+# --------------------------------------------------------------------------
+
+def quality_rank(sf_dir: str, nparts: int = 256):
+    """Global rank of every doc ordered by quality score DESC (ties by
+    doc_id ASC) — the distributed ORDER BY pattern: a stateless score
+    pass, equi-depth range-partition boundaries from a seeded sample,
+    per-partition counts -> driver prefix offsets (<= ``nparts`` ints),
+    then one vectorized per-partition sort+assign. The sample controls
+    only partition BALANCE; rank exactness never depends on it (every
+    partition holds a contiguous key range, so offset + local position
+    is the exact global position). Score = alpha_ratio +
+    stopword_ratio, the same bit-exact double arithmetic as
+    ``doc_quality``. Returns (doc_id, score, rank)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from risjbot_ray.pipelines.textstats import quality_batch
+
+    def score_batch(b: pa.Table) -> pa.Table:
+        q = quality_batch(b)
+        return pa.table({
+            "doc_id": q.column("doc_id"),
+            "score": pc.add(q.column("alpha_ratio"),
+                            q.column("stopword_ratio")),
+        })
+
+    scored = _coalesce(
+        _documents(sf_dir, ["doc_id", "text"])
+        .map_batches(score_batch, batch_format="pyarrow").materialize())
+
+    n = scored.count()
+    samp = (scored.random_sample(min(1.0, 20_000 / max(n, 1)), seed=7)
+            .to_pandas())
+    if len(samp) > 4:
+        keys = np.sort(-samp["score"].to_numpy())
+        cuts = np.linspace(0, len(keys) - 1,
+                           num=min(nparts, len(keys) // 4) + 1
+                           )[1:-1].astype(int)
+        bounds = np.unique(keys[cuts])
+    else:
+        bounds = np.empty(0, dtype=np.float64)
+    bounds_ref = ray.put(bounds)
+
+    def part_of(b: pa.Table) -> pa.Table:
+        bs = ray.get(bounds_ref)
+        p = np.searchsorted(bs, -b.column("score").to_numpy(),
+                            side="right")
+        return b.append_column("part", pa.array(p, pa.int64()))
+
+    parts = (scored.map_batches(part_of, batch_format="pyarrow")
+             .materialize())
+
+    counts = parts.groupby("part").aggregate(Count()).to_pandas()
+    bases, run = {}, 0
+    if "part" in counts.columns:    # empty input drops the key column
+        for _, r in counts.sort_values("part").iterrows():
+            bases[int(r["part"])] = run
+            run += int(r["count()"])
+    bases_ref = ray.put(bases)
+
+    def assign(df):
+        order = np.lexsort((df["doc_id"].to_numpy(),
+                            -df["score"].to_numpy()))
+        df = df.iloc[order]
+        base = ray.get(bases_ref)[int(df["part"].iloc[0])]
+        df = df.assign(rank=np.arange(base, base + len(df),
+                                      dtype=np.int64))
+        return df.drop(columns=["part"])
+
+    return parts.groupby("part").map_groups(assign,
+                                            batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
 # deterministic train/valid/test split
 # --------------------------------------------------------------------------
 

@@ -402,3 +402,34 @@ def test_lang_balance_and_split(ray_session, tmp_path):
     sp2 = corpus_split(sf).to_pandas()
     m = sp.merge(sp2, on="doc_id", suffixes=("", "_2"))
     assert (m["split"] == m["split_2"]).all()
+
+
+def test_quality_rank_exact(ray_session, tmp_path):
+    """Global ORDER BY rank matches a local argsort reference on a
+    corpus large enough to force multiple range partitions (boundary
+    rows must not collide or skip ranks)."""
+    import pyarrow.parquet as pq
+
+    from risjbot_ray.pipelines.webtext import quality_rank
+
+    rng = np.random.default_rng(5)
+    vocab = ["the", "and", "zq", "xv", "of", "kp"]
+    texts = [" ".join(vocab[j] for j in rng.integers(0, 6, 40))
+             for _ in range(3000)]
+    texts += ["", "   "]                       # degenerate docs
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["src1"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    got = (quality_rank(str(tmp_path), nparts=16).to_pandas()
+           .sort_values("rank").reset_index(drop=True))
+    assert got["rank"].tolist() == list(range(len(texts)))
+    # reference ordering: score desc, doc_id asc
+    ref = got.sort_values(["score", "doc_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+    assert (ref["rank"].to_numpy() == np.arange(len(texts))).all()

@@ -18,7 +18,8 @@ NAMES = ["simhash_signatures", "doc_fingerprint", "doc_langid",
          "doc_chunks", "doc_pack_stream", "doc_decontaminate",
          "doc_tile_dedup", "doc_domain_sample", "doc_shuffle_rank",
          "corpus_curate_full", "doc_length_histogram",
-         "corpus_top_bigrams", "doc_lang_balance", "corpus_split"]
+         "corpus_top_bigrams", "doc_lang_balance", "corpus_split",
+         "doc_quality_rank"]
 
 
 def _vhash(df) -> str:
