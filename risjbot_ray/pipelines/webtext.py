@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import re
 
 import numpy as np
@@ -692,7 +693,7 @@ class _CurationGate:
         return batch.filter(pa.array(mask))
 
 
-def curate_corpus(sf_dir: str):
+def curate_corpus(sf_dir: str, checkpoint_dir: str | None = None):
     """Flagship training-data curation pipeline — the composed form of
     the individual webtext operators, end to end:
 
@@ -704,7 +705,22 @@ def curate_corpus(sf_dir: str):
     Returns (doc_id, source, text_final, n_tokens_final, n_tiles,
     n_tiles_kept, rank) for every surviving doc. At 100-TB inputs the
     row-level gates drop most data before the only two exchanges (the
-    int64-only tile winner shuffle; the doc-bucketed rebuild)."""
+    int64-only tile winner shuffle; the doc-bucketed rebuild).
+
+    ``checkpoint_dir``: if given, the gated-survivor stage (benchmark
+    scan + fused gate — the pipeline's most expensive pass) persists to
+    ``{checkpoint_dir}/gated/`` parquet guarded by a ``COMPLETE``
+    marker, same protocol as the crawl's wave spills; a resumed run
+    with a COMPLETE marker never re-reads the input corpus for that
+    stage. Every stage is deterministic, so resume output is
+    bit-identical to a fresh run."""
+    if checkpoint_dir is not None:
+        gated_dir = os.path.join(checkpoint_dir, "gated")
+        marker = os.path.join(checkpoint_dir, "gated.COMPLETE")
+        if os.path.exists(marker):
+            gated = ray.data.read_parquet(gated_dir).materialize()
+            return _curate_tail(gated)
+
     bench_grams: set[str] = set()
 
     def _bench_only(b: pa.Table) -> pa.Table:
@@ -728,6 +744,18 @@ def curate_corpus(sf_dir: str):
                      batch_format="pyarrow", concurrency=(1, 8))
         .materialize())
 
+    if checkpoint_dir is not None:
+        os.makedirs(gated_dir, exist_ok=True)
+        gated.write_parquet(gated_dir)
+        with open(marker, "w") as f:       # marker AFTER a full write
+            f.write(str(gated.count()))
+
+    return _curate_tail(gated)
+
+
+def _curate_tail(gated: "ray.data.Dataset"):
+    """Post-gate stages of ``curate_corpus``: tile dedup over the
+    survivors, final token counts, global shuffle rank."""
     rebuilt = _tile_dedup_over(gated, passthrough=("source",))
 
     def finish(b: pa.Table) -> pa.Table:

@@ -433,3 +433,49 @@ def test_quality_rank_exact(ray_session, tmp_path):
     ref = got.sort_values(["score", "doc_id"],
                           ascending=[False, True]).reset_index(drop=True)
     assert (ref["rank"].to_numpy() == np.arange(len(texts))).all()
+
+
+def test_curate_corpus_checkpoint_resume(ray_session, tmp_path):
+    """A resumed curation run with a COMPLETE gated checkpoint never
+    re-reads the input corpus: after the first run the input parquet is
+    REPLACED WITH GARBAGE, and the resumed run still reproduces the
+    original output bit-for-bit from the checkpoint."""
+    import pyarrow.parquet as pq
+
+    from risjbot_ray.pipelines.webtext import curate_corpus
+
+    rng = np.random.default_rng(11)
+    stops = ["the", "and", "of", "to", "a"]
+    texts = [" ".join(stops[j % 5] + f"w{j}" if j % 3 else stops[j % 5]
+                      for j in rng.integers(0, 40, 60))
+             for _ in range(300)]
+    t = pa.table({
+        "doc_id": pa.array(range(300), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 300, pa.string()),
+        "source": pa.array([f"src{i % 20}" for i in range(300)],
+                           pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    docs = tmp_path / "documents.parquet"
+    pq.write_table(t, str(docs))
+    ckpt = str(tmp_path / "ckpt")
+
+    first = (curate_corpus(str(tmp_path), checkpoint_dir=ckpt)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert (tmp_path / "ckpt" / "gated.COMPLETE").exists()
+    assert len(first) > 0
+
+    # poison the input: resume MUST NOT touch it
+    poison = pa.table({
+        "doc_id": pa.array([999], pa.int64()),
+        "text": pa.array(["poisoned"], pa.string()),
+        "lang": pa.array(["xx"], pa.string()),
+        "source": pa.array(["src0"], pa.string()),
+        "n_chars": pa.array([8], pa.int64()),
+    })
+    pq.write_table(poison, str(docs))
+
+    resumed = (curate_corpus(str(tmp_path), checkpoint_dir=ckpt)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert resumed.equals(first)
