@@ -357,6 +357,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_balance": wt.lang_balance_sample,
         "corpus_split": wt.corpus_split,
         "doc_quality_rank": wt.quality_rank,
+        # HLL sketch vs exact distinct — self-checking row
+        # (within_bound), crawl_vs_expected-style; the estimate itself
+        # is not SQL-expressible
+        "corpus_hll_distinct": wt.hll_distinct,
         "minhash_dedup_clusters": dedup.minhash_dedup,
         "simhash_signatures": dedup.simhash_signatures,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,

@@ -604,6 +604,99 @@ def corpus_split(sf_dir: str, valid_frac: float = 0.05,
 
 
 # --------------------------------------------------------------------------
+# HyperLogLog distinct-text sketch
+# --------------------------------------------------------------------------
+
+_HLL_P = 12                     # 2^12 = 4096 registers, sigma ~ 1.63%
+
+
+def _hll_registers(hashes_be8: bytes, p: int = _HLL_P) -> np.ndarray:
+    """Fold big-endian 8-byte hashes into a 2^p-register HLL sketch:
+    register index = top p bits, value = max over items of
+    (leading-zero count of the remaining 64-p bits) + 1. Fully
+    vectorized — the leading-zero count comes from ``unpackbits`` +
+    argmax over the 64-p suffix bit columns."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if not hashes_be8:
+        return regs
+    h = np.frombuffer(hashes_be8, dtype=">u8").astype(np.uint64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    # big-endian byte view -> unpackbits yields the 64 bits MSB-first
+    # regardless of host endianness; drop the p index bits
+    bits = np.unpackbits(h.astype(">u8").view(np.uint8)
+                         .reshape(-1, 8), axis=1)[:, p:]
+    any_set = bits.any(axis=1)
+    rho = np.where(any_set, bits.argmax(axis=1) + 1,
+                   64 - p + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator (Flajolet et al. 2007) with the
+    small-range linear-counting correction."""
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.float64(2.0) ** -regs.astype(
+        np.float64))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    return float(est)
+
+
+def hll_distinct(sf_dir: str, p: int = _HLL_P):
+    """Approximate distinct-document count (by md5 of text) via a
+    HyperLogLog sketch, returned as ONE self-checking row alongside the
+    exact answer: (n_docs, n_distinct_exact, n_distinct_hll, rel_err,
+    within_bound). Sketch shape is the 100-TB shape: each batch folds
+    to a 4 KiB register row inside ``map_batches`` (so the exchange
+    carries #blocks x 4 KiB, never hashes), merged by elementwise max
+    on the driver. The exact side shuffles only 16-byte hash keys.
+    ``within_bound`` checks |err| <= 3 sigma, sigma = 1.04 / sqrt(2^p)
+    — a deterministic-corpus check the driver can read as pass/fail."""
+    def fold(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        hs = b"".join(hashlib.md5((t or "").encode()).digest()[:8]
+                      for t in texts)
+        regs = _hll_registers(hs, p)
+        return pa.table({"regs": pa.array([regs.tobytes()],
+                                          pa.binary())})
+
+    reg_rows = (_documents(sf_dir, ["text"])
+                .map_batches(fold, batch_format="pyarrow")
+                .take_all())                 # #blocks rows x 2^p bytes
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for r in reg_rows:
+        merged = np.maximum(merged,
+                            np.frombuffer(r["regs"], dtype=np.uint8))
+    est = _hll_estimate(merged)
+
+    def hash_only(batch: pa.Table) -> pa.Table:
+        return pa.table({"h": pa.array(
+            [hashlib.md5((t or "").encode()).hexdigest()
+             for t in batch.column("text").to_pylist()], pa.string())})
+
+    from ray.data.aggregate import Count
+    exact_ds = (_documents(sf_dir, ["text"])
+                .map_batches(hash_only, batch_format="pyarrow")
+                .groupby("h").aggregate(Count()))
+    exact = exact_ds.count()
+    n_docs = _documents(sf_dir, ["doc_id"]).count()
+
+    rel = abs(est - exact) / exact if exact else 0.0
+    sigma = 1.04 / math.sqrt(1 << p)
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "n_distinct_exact": pa.array([exact], pa.int64()),
+        "n_distinct_hll": pa.array([round(est, 2)], pa.float64()),
+        "rel_err": pa.array([round(rel, 5)], pa.float64()),
+        "within_bound": pa.array([rel <= 3 * sigma], pa.bool_()),
+    })
+
+
+# --------------------------------------------------------------------------
 # corpus length histogram (partial aggregation)
 # --------------------------------------------------------------------------
 

@@ -479,3 +479,50 @@ def test_curate_corpus_checkpoint_resume(ray_session, tmp_path):
     resumed = (curate_corpus(str(tmp_path), checkpoint_dir=ckpt)
                .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert resumed.equals(first)
+
+
+def test_hll_registers_reference():
+    """Vectorized register fold matches a per-item bit_length
+    reference on random hashes (index = top 12 bits, rho = leading
+    zeros of the 52-bit suffix + 1)."""
+    import hashlib as hl
+
+    from risjbot_ray.pipelines.webtext import _HLL_P, _hll_registers
+
+    items = [hl.md5(str(i).encode()).digest()[:8] for i in range(5000)]
+    got = _hll_registers(b"".join(items))
+
+    ref = np.zeros(1 << _HLL_P, dtype=np.uint8)
+    for it in items:
+        h = int.from_bytes(it, "big")
+        idx = h >> (64 - _HLL_P)
+        suffix = h & ((1 << (64 - _HLL_P)) - 1)
+        rho = (64 - _HLL_P) - suffix.bit_length() + 1
+        ref[idx] = max(ref[idx], rho)
+    assert (got == ref).all()
+
+
+def test_hll_distinct_bound(ray_session, tmp_path):
+    """End-to-end sketch accuracy: 5,000 distinct texts duplicated to
+    8,000 docs; the estimate must sit within the advertised 3-sigma
+    bound and the self-check row must say so."""
+    import pyarrow.parquet as pq
+
+    from risjbot_ray.pipelines.webtext import hll_distinct
+
+    texts = [f"unique document number {i} body" for i in range(5000)]
+    texts += [texts[i % 5000] for i in range(3000)]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["src1"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    row = hll_distinct(str(tmp_path)).to_pylist()[0]
+    assert row["n_docs"] == 8000
+    assert row["n_distinct_exact"] == 5000
+    assert row["within_bound"]
+    assert abs(row["n_distinct_hll"] - 5000) / 5000 <= 3 * 1.04 / 64
