@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
@@ -361,6 +362,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (within_bound), crawl_vs_expected-style; the estimate itself
         # is not SQL-expressible
         "corpus_hll_distinct": wt.hll_distinct,
+        # incremental dedup against a FRESH ledger == batch tile_dedup,
+        # so it shares that oracle; the cross-shard ledger semantics are
+        # pinned by the pytest equivalence gate
+        "doc_tile_dedup_incr": lambda sf: wt.tile_dedup_incremental(
+            sf, tempfile.mkdtemp(prefix="tile_ledger_",
+                                 dir="/tmp")),
         "minhash_dedup_clusters": dedup.minhash_dedup,
         "simhash_signatures": dedup.simhash_signatures,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -419,7 +426,7 @@ def oracle_sql() -> dict[str, str]:
             f"(s_{a}, '{a}') >= (s_{b}, '{b}')" for b in langs if b != a)
         + f" THEN (s_{a}, '{a}')" for a in langs) + " END"
 
-    return {
+    sql = {
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -1132,3 +1139,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT canon_url, host, priority FROM ranked WHERE rk <= 10
         """,
     }
+    # incremental dedup against a fresh ledger reproduces batch
+    # tile_dedup exactly — same oracle
+    sql["doc_tile_dedup_incr"] = sql["doc_tile_dedup"]
+    return sql

@@ -158,6 +158,36 @@ def tile_dedup(sf_dir: str, k: int = TILE_K):
 _TILE_NO_BITS = 20  # per-doc tile index fits 20 bits (≤ 8M tokens/doc)
 
 
+def _explode_tiles(batch: pa.Table, k: int, nbuckets: int) -> pa.Table:
+    """Explode (doc_id, text) rows into tile-hash rows (h_hi, h_lo,
+    hb, rank). The 128-bit digest rides the shuffle as TWO int64
+    columns plus a coarse bucket key: the exchange sorts ONLY by the
+    small-int bucket (cheap), the exact 128-bit first-occurrence dedup
+    is a vectorized lexsort inside each bucket. (Grouping by the full
+    digest was measured 10-20x slower — Ray's sort shuffle then sorts
+    10^6+ unique wide keys; grouping per-digest with map_groups costs
+    one Python call per distinct tile.)"""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    o_h, o_rank = [], []
+    for did, t in zip(ids, texts):
+        assert did < (1 << 43), "doc_id overflows rank encoding"
+        base = did << _TILE_NO_BITS
+        tiles = _tiles(t or "", k)
+        assert len(tiles) < (1 << _TILE_NO_BITS), \
+            "doc exceeds 2^20 tiles"
+        for j, tile in enumerate(tiles):
+            o_h.append(hashlib.md5(tile.encode("utf-8")).digest())
+            o_rank.append(base + j)
+    hs = (np.frombuffer(b"".join(o_h), dtype=">u8")
+          .reshape(-1, 2).astype(np.uint64).view(np.int64)
+          if o_h else np.empty((0, 2), dtype=np.int64))
+    return pa.table({"h_hi": pa.array(hs[:, 0], pa.int64()),
+                     "h_lo": pa.array(hs[:, 1], pa.int64()),
+                     "hb": pa.array(hs[:, 0] % nbuckets, pa.int64()),
+                     "rank": pa.array(o_rank, pa.int64())})
+
+
 def _tile_dedup_over(docs_ds: "ray.data.Dataset", k: int = TILE_K,
                      passthrough: tuple[str, ...] = (),
                      nbuckets: int = 4096):
@@ -179,32 +209,7 @@ def _tile_dedup_over(docs_ds: "ray.data.Dataset", k: int = TILE_K,
     payload fits a worker heap (e.g. 10^6+ at 10^10 docs)."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        o_h, o_rank = [], []
-        for did, t in zip(ids, texts):
-            assert did < (1 << 43), "doc_id overflows rank encoding"
-            base = did << _TILE_NO_BITS
-            tiles = _tiles(t or "", k)
-            assert len(tiles) < (1 << _TILE_NO_BITS), \
-                "doc exceeds 2^20 tiles"
-            for j, tile in enumerate(tiles):
-                o_h.append(hashlib.md5(tile.encode("utf-8")).digest())
-                o_rank.append(base + j)
-        # the 128-bit digest rides the shuffle as TWO int64 columns plus
-        # a coarse bucket key: the exchange sorts ONLY by the small-int
-        # bucket (cheap), the exact 128-bit first-occurrence dedup is a
-        # vectorized lexsort inside each bucket. (Grouping by the full
-        # digest was measured 10-20x slower — Ray's sort shuffle then
-        # sorts 10^6+ unique wide keys; grouping per-digest with
-        # map_groups costs one Python call per distinct tile.)
-        hs = (np.frombuffer(b"".join(o_h), dtype=">u8")
-              .reshape(-1, 2).astype(np.uint64).view(np.int64)
-              if o_h else np.empty((0, 2), dtype=np.int64))
-        return pa.table({"h_hi": pa.array(hs[:, 0], pa.int64()),
-                         "h_lo": pa.array(hs[:, 1], pa.int64()),
-                         "hb": pa.array(hs[:, 0] % nbuckets, pa.int64()),
-                         "rank": pa.array(o_rank, pa.int64())})
+        return _explode_tiles(batch, k, nbuckets)
 
     def losers(df):
         # one call per bucket (nbuckets total): exact 128-bit
@@ -246,9 +251,17 @@ def _tile_dedup_over(docs_ds: "ray.data.Dataset", k: int = TILE_K,
                 batch_format="pyarrow")
             .groupby("hb").map_groups(losers, batch_format="pandas"))
 
-    # Reconstruction: union dropped-tile markers (tile_no >= 0, text
-    # null) with the raw docs (tile_no = -1) and re-tile per doc — the
-    # doc text crosses the exchange exactly once, and there is no join.
+    return _rebuild_from_drops(docs_ds, drop, k, passthrough, nbuckets)
+
+
+def _rebuild_from_drops(docs_ds: "ray.data.Dataset",
+                        drop: "ray.data.Dataset", k: int,
+                        passthrough: tuple[str, ...],
+                        nbuckets: int):
+    """Rebuild deduped docs from a (doc_id, tile_no) dropped-tile
+    marker Dataset: union markers (tile_no >= 0, text null) with the
+    raw docs (tile_no = -1) and re-tile per doc-bucket — the doc text
+    crosses the exchange exactly once, and there is no join."""
     def dbucket_of(ids: "pa.Array") -> pa.Array:
         return pa.array(ids.to_numpy(zero_copy_only=False)
                         % nbuckets, pa.int64())
@@ -322,6 +335,118 @@ def _tile_dedup_over(docs_ds: "ray.data.Dataset", k: int = TILE_K,
     return (docs.union(marks)
             .groupby("dbucket").map_groups(rebuild,
                                            batch_format="pandas"))
+
+
+# --------------------------------------------------------------------------
+# incremental tile dedup against a persisted ledger
+# --------------------------------------------------------------------------
+
+def tile_dedup_incremental(sf_dir_or_ds, ledger_dir: str,
+                           k: int = TILE_K,
+                           passthrough: tuple[str, ...] = (),
+                           nbuckets: int = 4096):
+    """Dedup a NEW document shard against a persisted tile-hash ledger
+    and fold the shard's fresh tiles back into the ledger — the
+    continuous-ingestion workflow: each crawl snapshot dedups against
+    everything already curated without re-processing the old corpus.
+
+    Semantics: a tile in the new shard survives iff (a) its hash is
+    absent from the ledger AND (b) this is its first occurrence within
+    the shard (doc_id, tile_no order). Running shards A then B through
+    an empty ledger produces exactly ``tile_dedup(A union B)`` when
+    A's doc_ids precede B's — pinned by a pytest equivalence gate.
+
+    Ledger layout: ``{ledger_dir}/part={hb}/delta-*.parquet`` holding
+    distinct (h_hi, h_lo) rows, partitioned by the SAME coarse bucket
+    key the tile shuffle groups on (``ledger.json`` records nbuckets
+    and k; mismatched resumes are rejected). The ledger is therefore
+    NEVER shuffled: only the new shard's int64 tile rows move, and each
+    per-bucket task reads just its own ledger partition — the
+    side-lookup join pattern. Deltas append per run; a re-executed
+    group task can at worst re-append the same hashes, which is
+    harmless (membership is idempotent) — compacting a partition means
+    rewriting it as one file.
+
+    Returns the same schema as ``tile_dedup`` for the new shard."""
+    import json
+
+    docs_ds = (sf_dir_or_ds if not isinstance(sf_dir_or_ds, str)
+               else _documents(sf_dir_or_ds, ["doc_id", "text"]))
+
+    os.makedirs(ledger_dir, exist_ok=True)
+    meta_path = os.path.join(ledger_dir, "ledger.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta["nbuckets"] != nbuckets or meta["k"] != k:
+            raise ValueError(
+                f"ledger at {ledger_dir} was built with "
+                f"nbuckets={meta['nbuckets']} k={meta['k']}; "
+                f"got nbuckets={nbuckets} k={k}")
+    else:
+        with open(meta_path, "w") as f:
+            json.dump({"nbuckets": nbuckets, "k": k}, f)
+
+    def gate(df):
+        import glob
+        import uuid
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        hb = int(df["hb"].iloc[0])
+        part_dir = os.path.join(ledger_dir, f"part={hb}")
+        files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
+        known = (pq.read_table(files).to_pandas()
+                 if files else None)
+
+        hi = df["h_hi"].to_numpy()
+        lo = df["h_lo"].to_numpy()
+        rank = df["rank"].to_numpy()
+        order = np.lexsort((rank, lo, hi))
+        hi, lo, rank = hi[order], lo[order], rank[order]
+        first = np.empty(len(hi), dtype=bool)
+        if len(hi):
+            first[0] = True
+            first[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+
+        heads = pd.DataFrame({"h_hi": hi[first], "h_lo": lo[first]})
+        if known is not None and len(known):
+            m = heads.merge(known.drop_duplicates(),
+                            on=["h_hi", "h_lo"], how="left",
+                            indicator=True)
+            head_known = (m["_merge"] == "both").to_numpy()
+        else:
+            head_known = np.zeros(len(heads), dtype=bool)
+
+        # drops: every non-head + every head whose tile the ledger
+        # already holds
+        drop_rank = np.concatenate(
+            [rank[~first], rank[first][head_known]])
+        fresh = heads[~head_known]
+        if len(fresh):
+            os.makedirs(part_dir, exist_ok=True)
+            pq.write_table(
+                pa.table({"h_hi": pa.array(fresh["h_hi"].to_numpy(),
+                                           pa.int64()),
+                          "h_lo": pa.array(fresh["h_lo"].to_numpy(),
+                                           pa.int64())}),
+                os.path.join(part_dir,
+                             f"delta-{uuid.uuid4().hex}.parquet"))
+        return pd.DataFrame({
+            "doc_id": pd.Series(drop_rank >> _TILE_NO_BITS,
+                                dtype="int64"),
+            "tile_no": pd.Series(drop_rank & ((1 << _TILE_NO_BITS) - 1),
+                                 dtype="int64"),
+        })
+
+    drop = (docs_ds.map_batches(
+                lambda b: _explode_tiles(b.select(["doc_id", "text"]),
+                                         k, nbuckets),
+                batch_format="pyarrow")
+            .groupby("hb").map_groups(gate, batch_format="pandas"))
+
+    return _rebuild_from_drops(docs_ds, drop, k, passthrough, nbuckets)
 
 
 # --------------------------------------------------------------------------

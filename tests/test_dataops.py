@@ -526,3 +526,50 @@ def test_hll_distinct_bound(ray_session, tmp_path):
     assert row["n_distinct_exact"] == 5000
     assert row["within_bound"]
     assert abs(row["n_distinct_hll"] - 5000) / 5000 <= 3 * 1.04 / 64
+
+
+def test_tile_dedup_incremental_equivalence(ray_session, tmp_path):
+    """Incremental dedup of shard A then shard B against a fresh
+    ledger equals batch tile_dedup over A union B (A's doc_ids precede
+    B's); fresh tiles are folded into the ledger between runs, and a
+    ledger built with different parameters is rejected."""
+    import pytest as _pytest
+
+    from risjbot_ray.pipelines.webtext import (tile_dedup,
+                                               tile_dedup_incremental)
+
+    rng = np.random.default_rng(23)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    shared = " ".join(vocab[j] for j in rng.integers(0, 5, 16))
+    rows_a, rows_b = [], []
+    for i in range(50):
+        n = int(rng.integers(0, 40))
+        body = " ".join(vocab[j] for j in rng.integers(0, 5, n))
+        rows_a.append((i, (shared + " " + body) if i % 4 == 0 else body))
+    for i in range(50, 100):
+        n = int(rng.integers(0, 40))
+        body = " ".join(vocab[j] for j in rng.integers(0, 5, n))
+        # half of B's planted dups collide with A's shared span
+        rows_b.append((i, (shared + " " + body) if i % 3 == 0 else body))
+
+    for d in ("a", "b", "all"):
+        (tmp_path / d).mkdir()
+    sfa = _write_docs(tmp_path / "a", rows_a)
+    sfb = _write_docs(tmp_path / "b", rows_b)
+    sfall = _write_docs(tmp_path / "all", rows_a + rows_b)
+
+    full = (tile_dedup(sfall).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+    ledger = str(tmp_path / "ledger")
+    out_a = tile_dedup_incremental(sfa, ledger).to_pandas()
+    out_b = tile_dedup_incremental(sfb, ledger).to_pandas()
+    inc = (__import__("pandas").concat([out_a, out_b])
+           .sort_values("doc_id").reset_index(drop=True))
+
+    assert inc.equals(full)
+    # some cross-shard dup actually exercised the ledger path
+    assert (out_b["n_tiles_kept"] < out_b["n_tiles"]).any()
+
+    with _pytest.raises(ValueError):
+        tile_dedup_incremental(sfb, ledger, nbuckets=128)

@@ -19,7 +19,7 @@ NAMES = ["simhash_signatures", "doc_fingerprint", "doc_langid",
          "doc_tile_dedup", "doc_domain_sample", "doc_shuffle_rank",
          "corpus_curate_full", "doc_length_histogram",
          "corpus_top_bigrams", "doc_lang_balance", "corpus_split",
-         "doc_quality_rank"]
+         "doc_quality_rank", "doc_tile_dedup_incr"]
 
 
 def _vhash(df) -> str:
