@@ -192,7 +192,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         n_docs = int(os.environ.get("GRAFT_DOCS_N", 100_000))
         docs_root = gen_docs_corpus(n_docs)
         for name, fn in (("tile_dedup", webtext.tile_dedup),
-                         ("curate_corpus", webtext.curate_corpus)):
+                         ("curate_corpus", webtext.curate_corpus),
+                         ("quality_rank", webtext.quality_rank)):
             out = f"/tmp/bench_wt_{name}"
             shutil.rmtree(out, ignore_errors=True)
             t0 = time.time()
@@ -200,6 +201,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             queries[name] = round(time.time() - t0, 3)
             throughput[f"{name}_docs_per_sec"] = round(
                 n_docs / queries[name], 1)
+        t0 = time.time()
+        hll_row = webtext.hll_distinct(docs_root).to_pylist()[0]
+        queries["hll_distinct"] = round(time.time() - t0, 3)
+        throughput["hll_distinct_docs_per_sec"] = round(
+            n_docs / queries["hll_distinct"], 1)
+        throughput["hll_within_bound"] = bool(hll_row["within_bound"])
 
         return {
             "metric": "crawl_pipeline_wall_sec",
