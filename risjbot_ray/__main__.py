@@ -81,6 +81,31 @@ def cmd_extract(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def cmd_ingest_warc(args: argparse.Namespace) -> int:
+    ray = _ray_init()
+    try:
+        from .sources.warc import read_warc
+
+        read_warc(args.warc).write_parquet(args.out)
+        print(json.dumps({"out": args.out}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+def cmd_curate(args: argparse.Namespace) -> int:
+    ray = _ray_init()
+    try:
+        from .pipelines.webtext import curate_corpus
+
+        (curate_corpus(args.docs, checkpoint_dir=args.checkpoint)
+         .write_parquet(args.out))
+        print(json.dumps({"out": args.out}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="risjbot_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -103,6 +128,22 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--pages", required=True)
     e.add_argument("--out", required=True)
     e.set_defaults(fn=cmd_extract)
+
+    w = sub.add_parser("ingest-warc",
+                       help="WARC/.warc.gz archives -> pages parquet")
+    w.add_argument("--warc", required=True, nargs="+",
+                   help="archive files or directories")
+    w.add_argument("--out", required=True)
+    w.set_defaults(fn=cmd_ingest_warc)
+
+    u = sub.add_parser(
+        "curate", help="documents table -> curated training corpus")
+    u.add_argument("--docs", required=True,
+                   help="sf_dir containing documents.parquet")
+    u.add_argument("--out", required=True)
+    u.add_argument("--checkpoint", default=None,
+                   help="persist the gated stage; resume skips it")
+    u.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     return args.fn(args)
