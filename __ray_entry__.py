@@ -337,6 +337,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": lambda sf: similarity.ann_ivf_topk(
             sf, query_ids=[0, 1, 2], k=10),
         "ann_ivf_recall": ann_ivf_recall,
+        # iterative Lloyd's over the full embeddings table — rows-only
+        # driver row; the inertia_monotone column is the self-check
+        "embedding_kmeans": lambda sf: similarity.kmeans_embeddings(sf),
         # near-dup families (rows-only checks)
         "doc_curation": ts.curate_documents,
         "corpus_token_stats": ts.corpus_token_stats,

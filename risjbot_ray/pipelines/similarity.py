@@ -229,3 +229,94 @@ def ann_ivf_topk(sf_dir: str, query_ids: list[int] | None = None,
         "query_id": pa.array([r[0] for r in rows], pa.int64()),
         "vec_id": pa.array([r[1] for r in rows], pa.int64()),
         "cosine": pa.array([r[2] for r in rows], pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (Lloyd's) over the embeddings table
+# ---------------------------------------------------------------------------
+
+def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5,
+                      seed: int = 17):
+    """Full-corpus Lloyd's k-means over the embeddings table — the
+    iterative-algorithm pattern on Ray Data: every iteration is ONE
+    streaming ``map_batches`` pass that folds each batch to k partial
+    rows (count, vector sum, inertia contribution — the sum rides as a
+    float64 blob), reduced on the driver to k centroids (k x d floats;
+    at 10^9 vectors the driver still holds only k x d). No vector ever
+    shuffles; the corpus is re-streamed per iteration, which is the
+    deliberate trade at 100-TB scale (re-read beats pinning the table
+    in the object store, and assignment is one matmul per batch).
+
+    Deterministic: centroids init from a seeded reservoir-free sample
+    (first k of the md5-ordered vec_ids is NOT used — ordering by
+    vec_id is stable and sufficient). Returns one row per cell
+    (cell, n_vectors, inertia) plus constant self-check columns:
+    total inertia per iteration must be non-increasing
+    (``inertia_monotone`` — the driver-readable pass/fail)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"]
+                               ).materialize()
+
+    first = ds.sort("vec_id").limit(k).take_all()
+    cent = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                     for r in first])
+
+    def partials_fn(cent_ref):
+        def partials(batch: pa.Table) -> pa.Table:
+            cm = ray.get(cent_ref)
+            vecs = np.stack([np.asarray(v, dtype=np.float64)
+                             for v in
+                             batch.column("embedding").to_pylist()])
+            d2 = (np.square(vecs).sum(1)[:, None]
+                  - 2.0 * vecs @ cm.T
+                  + np.square(cm).sum(1)[None, :])
+            a = np.argmin(d2, axis=1)
+            best = d2[np.arange(len(vecs)), a]
+            cells, counts, sums, inert = [], [], [], []
+            for c in np.unique(a):
+                m = a == c
+                cells.append(int(c))
+                counts.append(int(m.sum()))
+                sums.append(vecs[m].sum(axis=0).tobytes())
+                inert.append(float(best[m].sum()))
+            return pa.table({
+                "cell": pa.array(cells, pa.int64()),
+                "count": pa.array(counts, pa.int64()),
+                "vsum": pa.array(sums, pa.binary()),
+                "inertia": pa.array(inert, pa.float64()),
+            })
+        return partials
+
+    d = cent.shape[1]
+    inertias = []
+    for _ in range(iters):
+        rows = (ds.map_batches(partials_fn(ray.put(cent)),
+                               batch_format="pyarrow").take_all())
+        counts = np.zeros(k)
+        sums = np.zeros((k, d))
+        total = 0.0
+        for r in rows:
+            c = r["cell"]
+            counts[c] += r["count"]
+            sums[c] += np.frombuffer(r["vsum"], dtype=np.float64)
+            total += r["inertia"]
+        inertias.append(total)
+        nz = counts > 0
+        cent[nz] = sums[nz] / counts[nz, None]   # empty cells keep pos
+
+    monotone = all(b <= a * (1 + 1e-9)
+                   for a, b in zip(inertias, inertias[1:]))
+    # final assignment sizes + per-cell inertia with the last centroids
+    rows = (ds.map_batches(partials_fn(ray.put(cent)),
+                           batch_format="pyarrow").take_all())
+    counts = np.zeros(k, dtype=np.int64)
+    inert = np.zeros(k)
+    for r in rows:
+        counts[r["cell"]] += r["count"]
+        inert[r["cell"]] += r["inertia"]
+    return pa.table({
+        "cell": pa.array(range(k), pa.int64()),
+        "n_vectors": pa.array(counts, pa.int64()),
+        "inertia": pa.array(np.round(inert, 6), pa.float64()),
+        "inertia_monotone": pa.array([monotone] * k, pa.bool_()),
+    })

@@ -573,3 +573,35 @@ def test_tile_dedup_incremental_equivalence(ray_session, tmp_path):
 
     with _pytest.raises(ValueError):
         tile_dedup_incremental(sfb, ledger, nbuckets=128)
+
+
+def test_kmeans_embeddings_blobs(ray_session, tmp_path):
+    """Distributed Lloyd's recovers 4 well-separated blobs exactly:
+    the final cells partition the corpus into the blob sizes and the
+    per-iteration total inertia is non-increasing."""
+    import pyarrow.parquet as pq
+
+    from risjbot_ray.pipelines.similarity import kmeans_embeddings
+
+    rng = np.random.default_rng(3)
+    centers = np.eye(4, 16) * 50.0            # far apart
+    vecs, ids = [], []
+    for b in range(4):
+        for i in range(100):
+            vecs.append((centers[b]
+                         + rng.normal(0, 0.5, 16)).astype(np.float32))
+            ids.append(b * 100 + i)
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([i // 100 for i in ids], pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+    df = kmeans_embeddings(str(tmp_path), k=4, iters=6).to_pandas()
+    assert df["inertia_monotone"].all()
+    assert sorted(df["n_vectors"].tolist()) == [100, 100, 100, 100]
+    # tight blobs: total inertia ~ n * d * sigma^2, far under the
+    # inter-blob scale
+    assert df["inertia"].sum() < 400 * 16 * 0.5 ** 2 * 2
