@@ -247,17 +247,42 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5,
     deliberate trade at 100-TB scale (re-read beats pinning the table
     in the object store, and assignment is one matmul per batch).
 
-    Deterministic: centroids init from a seeded reservoir-free sample
-    (first k of the md5-ordered vec_ids is NOT used — ordering by
-    vec_id is stable and sufficient). Returns one row per cell
+    Deterministic: centroids init from the k smallest vec_ids (stable
+    on any cluster size; found with a partial top-k, not a sort), and
+    the input stays LAZY — each iteration re-reads the pruned parquet
+    columns rather than pinning the table in the object store, the
+    right trade when the table is a large fraction of cluster memory.
+    Returns one row per cell
     (cell, n_vectors, inertia) plus constant self-check columns:
     total inertia per iteration must be non-increasing
     (``inertia_monotone`` — the driver-readable pass/fail)."""
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"]
-                               ).materialize()
+                               columns=["vec_id", "embedding"])
 
-    first = ds.sort("vec_id").limit(k).take_all()
+    # Seed centroids = the k smallest vec_ids' vectors, found WITHOUT
+    # a global sort: a per-batch partial top-k over the id column
+    # (driver merges #blocks x k ints), then one filter pass fetches
+    # exactly those k rows.
+    def min_ids(batch: pa.Table) -> pa.Table:
+        ids = np.sort(batch.column("vec_id").to_numpy(
+            zero_copy_only=False))[:k]
+        return pa.table({"vec_id": pa.array(ids, pa.int64())})
+
+    cand = (ds.select_columns(["vec_id"])
+            .map_batches(min_ids, batch_format="pyarrow").take_all())
+    seed_ids = set(np.sort(np.array([r["vec_id"] for r in cand],
+                                    dtype=np.int64))[:k].tolist())
+    seed_ref = ray.put(seed_ids)
+
+    def pick_seeds(batch: pa.Table) -> pa.Table:
+        want = ray.get(seed_ref)
+        mask = [int(v) in want
+                for v in batch.column("vec_id").to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    first = sorted(ds.map_batches(pick_seeds,
+                                  batch_format="pyarrow").take_all(),
+                   key=lambda r: r["vec_id"])
     cent = np.stack([np.asarray(r["embedding"], dtype=np.float64)
                      for r in first])
 
