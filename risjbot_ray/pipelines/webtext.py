@@ -362,12 +362,19 @@ def tile_dedup_incremental(sf_dir_or_ds, ledger_dir: str,
     and k; mismatched resumes are rejected). The ledger is therefore
     NEVER shuffled: only the new shard's int64 tile rows move, and each
     per-bucket task reads just its own ledger partition — the
-    side-lookup join pattern. Deltas append per run; a re-executed
-    group task can at worst re-append the same hashes, which is
-    harmless (membership is idempotent) — compacting a partition means
-    rewriting it as one file.
+    side-lookup join pattern. The driver SNAPSHOTS the ledger file
+    list at call time and gate tasks read only snapshot files, so the
+    result is a pure function of (shard, snapshot): re-executed or
+    re-consumed tasks never see the deltas this run appends (at worst
+    a retry re-appends the same hashes — harmless, membership is
+    idempotent; compacting a partition means rewriting it as one
+    file). ``ledger_dir`` must live on storage visible to every
+    worker AND the driver — node-local paths silently shard the
+    ledger per node on a multi-node cluster (same contract as the
+    crawl's spill/checkpoint dirs; use the cluster's shared fs).
 
     Returns the same schema as ``tile_dedup`` for the new shard."""
+    import glob as _glob
     import json
 
     docs_ds = (sf_dir_or_ds if not isinstance(sf_dir_or_ds, str)
@@ -387,8 +394,20 @@ def tile_dedup_incremental(sf_dir_or_ds, ledger_dir: str,
         with open(meta_path, "w") as f:
             json.dump({"nbuckets": nbuckets, "k": k}, f)
 
+    # driver-side snapshot: hb -> existing delta files (tiny: paths
+    # only); gates read ONLY these, never later-appended deltas
+    snapshot: dict[int, list[str]] = {}
+    for pdir in _glob.glob(os.path.join(ledger_dir, "part=*")):
+        try:
+            hb_of = int(os.path.basename(pdir).split("=", 1)[1])
+        except ValueError:
+            continue
+        fl = sorted(_glob.glob(os.path.join(pdir, "*.parquet")))
+        if fl:
+            snapshot[hb_of] = fl
+    snap_ref = ray.put(snapshot)
+
     def gate(df):
-        import glob
         import uuid
 
         import pandas as pd
@@ -396,7 +415,7 @@ def tile_dedup_incremental(sf_dir_or_ds, ledger_dir: str,
 
         hb = int(df["hb"].iloc[0])
         part_dir = os.path.join(ledger_dir, f"part={hb}")
-        files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
+        files = ray.get(snap_ref).get(hb, [])
         known = (pq.read_table(files).to_pandas()
                  if files else None)
 
@@ -963,6 +982,11 @@ def curate_corpus(sf_dir: str, checkpoint_dir: str | None = None):
         .materialize())
 
     if checkpoint_dir is not None:
+        import shutil
+        # clear any partial files from a crashed earlier attempt:
+        # write_parquet APPENDS uniquely-named files into an existing
+        # dir, and a resume would union both generations
+        shutil.rmtree(gated_dir, ignore_errors=True)
         os.makedirs(gated_dir, exist_ok=True)
         gated.write_parquet(gated_dir)
         with open(marker, "w") as f:       # marker AFTER a full write
