@@ -162,6 +162,18 @@ def entry() -> Any:
     return _run_crawl("/root/testdata/sf0.001", tag="entry")
 
 
+def _fresh_tile_ledger() -> str:
+    """Ledger dir for the doc_tile_dedup_incr query: clear previous
+    invocations' dirs first so repeated driver/bench runs don't
+    accumulate unbounded per-bucket hash ledgers under /tmp."""
+    import glob
+    import shutil
+
+    for d in glob.glob("/tmp/tile_ledger_*"):
+        shutil.rmtree(d, ignore_errors=True)
+    return tempfile.mkdtemp(prefix="tile_ledger_", dir="/tmp")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -369,8 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # so it shares that oracle; the cross-shard ledger semantics are
         # pinned by the pytest equivalence gate
         "doc_tile_dedup_incr": lambda sf: wt.tile_dedup_incremental(
-            sf, tempfile.mkdtemp(prefix="tile_ledger_",
-                                 dir="/tmp")),
+            sf, _fresh_tile_ledger()),
         "minhash_dedup_clusters": dedup.minhash_dedup,
         "simhash_signatures": dedup.simhash_signatures,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,

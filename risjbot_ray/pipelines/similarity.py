@@ -283,8 +283,14 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5,
     first = sorted(ds.map_batches(pick_seeds,
                                   batch_format="pyarrow").take_all(),
                    key=lambda r: r["vec_id"])
+    if not first:
+        raise ValueError("kmeans_embeddings: embeddings table is empty")
+    # fewer rows than requested clusters: clamp k (every vector is its
+    # own centroid) rather than indexing k-sized stats into an n-row
+    # centroid matrix
+    k = min(k, len(first))
     cent = np.stack([np.asarray(r["embedding"], dtype=np.float64)
-                     for r in first])
+                     for r in first[:k]])
 
     def partials_fn(cent_ref):
         def partials(batch: pa.Table) -> pa.Table:

@@ -9,69 +9,127 @@ raw archives into exactly the parquet page schema every other pipeline
 stage consumes.
 
 Scale shape: one WARC file is one Ray task (``read_binary_files`` +
-``flat_map``-style batch parse). Common Crawl ships ~1 GiB .warc.gz
+a generator ``map_batches`` parse). Common Crawl ships ~1 GiB .warc.gz
 files in the tens of thousands per snapshot, so file granularity IS
 the right parallelism unit; records inside a file are sequential by
 format (gzip members are concatenated per record, so a file cannot be
-split without an index). Pure-Python parser, no external deps —
-the format is line headers + Content-Length payloads.
+split without an index). The parse is STREAMING — the decompressed
+archive (4-5 GiB raw per 1 GiB .warc.gz) is never materialized: the
+gzip stream is read record by record and output tables are yielded in
+bounded chunks, so per-task memory is O(compressed file + one chunk),
+not O(raw archive). Malformed records never silently truncate the
+file: the parser resyncs at the next ``WARC/`` version line and
+counts what it skipped. Pure-Python parser, no external deps — the
+format is line headers + Content-Length payloads.
 """
 
 from __future__ import annotations
 
 import gzip
 import io
+import logging
+import zlib
 from datetime import datetime, timezone
+from typing import IO, Iterator
 
 import pyarrow as pa
 import ray
 
 _CRLF = b"\r\n"
+_log = logging.getLogger(__name__)
+
+# yield an output table once buffered bodies reach this many bytes
+_CHUNK_BYTES = 64 * 1024 * 1024
+_CHUNK_RECORDS = 4096
 
 
-def parse_warc_records(raw: bytes) -> list[dict]:
-    """Parse a (possibly gzipped) WARC byte stream into dicts for each
-    ``response`` record: url, warc_ts (epoch micros), http_status,
-    content_type, html (payload body bytes). Non-response records
-    (warcinfo / request / metadata) are skipped. Gzip is handled for
-    both whole-file and per-record-member compression (Python's gzip
-    transparently reads concatenated members)."""
-    if raw[:2] == b"\x1f\x8b":
-        raw = gzip.GzipFile(fileobj=io.BytesIO(raw)).read()
-    out: list[dict] = []
-    pos = 0
-    n = len(raw)
-    while pos < n:
-        # skip inter-record blank lines
-        while pos < n and raw[pos:pos + 2] == _CRLF:
-            pos += 2
-        if pos >= n:
-            break
-        head_end = raw.find(_CRLF + _CRLF, pos)
-        if head_end < 0:
-            break
+def iter_warc_records(stream: IO[bytes],
+                      errors: dict | None = None) -> Iterator[dict]:
+    """Stream ``response`` records from a binary WARC stream as dicts:
+    url, warc_ts (epoch micros), http_status, content_type, html
+    (decoded payload body bytes). Non-response records (warcinfo /
+    request / metadata) are skipped.
+
+    Memory is O(one record): headers are read line by line and the
+    payload with one bounded ``read``. A malformed record (missing or
+    non-integer Content-Length, header block without terminator) does
+    NOT stop the parse — the parser counts it and skims forward to the
+    next ``WARC/`` version line, so one corrupt record cannot silently
+    drop the rest of a 100k-record archive. Pass ``errors={}`` to
+    receive counters: ``bad_records`` (records abandoned mid-parse)
+    and ``skipped_lines`` (desynced lines skimmed during resync)."""
+    err = errors if errors is not None else {}
+    err.setdefault("bad_records", 0)
+    err.setdefault("skipped_lines", 0)
+    while True:
+        line = stream.readline()
+        if not line:
+            return
+        if line in (b"\r\n", b"\n") or not line.strip():
+            continue                       # inter-record blank lines
+        if not line.startswith(b"WARC/"):
+            err["skipped_lines"] += 1      # desynced: skim to resync
+            continue
         headers: dict[str, str] = {}
-        lines = raw[pos:head_end].split(_CRLF)
-        if not lines or not lines[0].startswith(b"WARC/"):
-            break                      # desynced: stop, don't loop
-        for line in lines[1:]:
-            k, _, v = line.partition(b":")
-            headers[k.strip().lower().decode("latin-1")] = \
-                v.strip().decode("latin-1")
+        terminated = False
+        while True:
+            h = stream.readline()
+            if not h:                      # EOF inside header block
+                err["bad_records"] += 1
+                return
+            if h in (b"\r\n", b"\n"):
+                terminated = True
+                break
+            k, sep, v = h.partition(b":")
+            if sep:
+                headers[k.strip().lower().decode("latin-1")] = \
+                    v.strip().decode("latin-1")
+        if not terminated:
+            err["bad_records"] += 1
+            continue
         try:
-            length = int(headers.get("content-length", "0"))
-        except ValueError:
-            break
-        body_start = head_end + 4
-        body = raw[body_start:body_start + length]
-        pos = body_start + length
+            length = int(headers["content-length"])
+            if length < 0:
+                raise ValueError
+        except (KeyError, ValueError):
+            # payload extent unknown: count it and let the outer loop
+            # skim forward to the next WARC/ line
+            err["bad_records"] += 1
+            continue
+        body = stream.read(length)
+        if len(body) < length:             # truncated archive tail
+            err["bad_records"] += 1
+            return
         if headers.get("warc-type") != "response":
             continue
         url = headers.get("warc-target-uri", "")
         ts = _warc_date_to_micros(headers.get("warc-date", ""))
         status, ctype, html = _split_http_payload(body)
-        out.append({"url": url, "warc_ts": ts, "http_status": status,
-                    "content_type": ctype, "html": html})
+        yield {"url": url, "warc_ts": ts, "http_status": status,
+               "content_type": ctype, "html": html}
+
+
+def _open_stream(raw: bytes) -> IO[bytes]:
+    """Wrap raw archive bytes as a record-streamable file object;
+    gzip (whole-file or concatenated per-record members — GzipFile
+    reads both transparently) is decompressed lazily, never as one
+    giant bytes object."""
+    if raw[:2] == b"\x1f\x8b":
+        return gzip.GzipFile(fileobj=io.BytesIO(raw))
+    return io.BytesIO(raw)
+
+
+def parse_warc_records(raw: bytes) -> list[dict]:
+    """Parse a (possibly gzipped) WARC byte string into a list of
+    ``response`` record dicts (see ``iter_warc_records``). Logs a
+    warning with counts if malformed records were skipped."""
+    errors: dict = {}
+    out = list(iter_warc_records(_open_stream(raw), errors))
+    if errors["bad_records"] or errors["skipped_lines"]:
+        _log.warning(
+            "parse_warc_records: skipped %d malformed record(s), "
+            "%d desynced line(s); %d response record(s) parsed",
+            errors["bad_records"], errors["skipped_lines"], len(out))
     return out
 
 
@@ -91,9 +149,52 @@ def _warc_date_to_micros(s: str) -> int:
     return int(dt.timestamp() * 1_000_000)
 
 
+def _dechunk(data: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer framing. Returns the input
+    unchanged if the framing is malformed (best effort — better the
+    raw bytes than dropping the page)."""
+    out = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        eol = data.find(_CRLF, pos)
+        if eol < 0:
+            return data
+        try:
+            size = int(data[pos:eol].split(b";", 1)[0], 16)
+        except ValueError:
+            return data
+        if size == 0:
+            break
+        start = eol + 2
+        if start + size > n:
+            return data
+        out.append(data[start:start + size])
+        pos = start + size + 2             # skip the chunk's CRLF
+    return b"".join(out)
+
+
+def _decompress_entity(body: bytes, encoding: str) -> bytes:
+    """Undo Content-Encoding gzip/deflate; raw bytes on failure."""
+    try:
+        if encoding in ("gzip", "x-gzip"):
+            return gzip.decompress(body)
+        if encoding == "deflate":
+            try:
+                return zlib.decompress(body)
+            except zlib.error:             # raw deflate (no zlib hdr)
+                return zlib.decompress(body, -zlib.MAX_WBITS)
+    except Exception:
+        pass
+    return body
+
+
 def _split_http_payload(body: bytes) -> tuple[int, str, bytes]:
     """A WARC response payload is an HTTP/1.x message: split status +
-    headers from the entity body. Returns (status, content_type,
+    headers from the entity body, undoing ``Transfer-Encoding:
+    chunked`` framing and ``Content-Encoding: gzip/deflate`` so the
+    html column holds markup, not framing or compressed bytes (CC
+    archives store pages as served). Returns (status, content_type,
     body). Payloads that are not HTTP (rare) pass through whole."""
     if not body.startswith(b"HTTP/"):
         return 200, "", body
@@ -106,33 +207,65 @@ def _split_http_payload(body: bytes) -> tuple[int, str, bytes]:
     except (IndexError, ValueError):
         status = 200
     ctype = ""
+    tenc = ""
+    cenc = ""
     for line in lines[1:]:
         k, _, v = line.partition(b":")
-        if k.strip().lower() == b"content-type":
+        key = k.strip().lower()
+        if key == b"content-type" and not ctype:
             ctype = v.strip().decode("latin-1")
-            break
-    return status, ctype, body[he + 4:]
+        elif key == b"transfer-encoding":
+            tenc = v.strip().lower().decode("latin-1")
+        elif key == b"content-encoding":
+            cenc = v.strip().lower().decode("latin-1")
+    entity = body[he + 4:]
+    if "chunked" in tenc:
+        entity = _dechunk(entity)
+    if cenc and cenc != "identity":
+        entity = _decompress_entity(entity, cenc)
+    return status, ctype, entity
 
 
-def _records_batch(batch: pa.Table) -> pa.Table:
-    urls, tss, sts, cts, bodies, paths = [], [], [], [], [], []
+def _records_batch(batch: pa.Table) -> Iterator[pa.Table]:
+    """Generator UDF: stream-parse each archive and yield output
+    tables every ``_CHUNK_BYTES`` of body payload, so a 1 GiB .warc.gz
+    (4-5 GiB raw) never sits fully decoded in one task's heap."""
     path_col = batch.column("path").to_pylist()
+
+    def flush(buf):
+        urls, tss, sts, cts, bodies, paths = buf
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us", tz="UTC")),
+            "http_status": pa.array(sts, pa.int32()),
+            "content_type": pa.array(cts, pa.string()),
+            "html": pa.array(bodies, pa.binary()),
+            "warc_path": pa.array(paths, pa.string()),
+        })
+
+    buf = ([], [], [], [], [], [])
+    pending_bytes = 0
     for raw, path in zip(batch.column("bytes").to_pylist(), path_col):
-        for rec in parse_warc_records(raw):
-            urls.append(rec["url"])
-            tss.append(rec["warc_ts"])
-            sts.append(rec["http_status"])
-            cts.append(rec["content_type"])
-            bodies.append(rec["html"])
-            paths.append(path)
-    return pa.table({
-        "url": pa.array(urls, pa.string()),
-        "warc_ts": pa.array(tss, pa.timestamp("us", tz="UTC")),
-        "http_status": pa.array(sts, pa.int32()),
-        "content_type": pa.array(cts, pa.string()),
-        "html": pa.array(bodies, pa.binary()),
-        "warc_path": pa.array(paths, pa.string()),
-    })
+        errors: dict = {}
+        for rec in iter_warc_records(_open_stream(raw), errors):
+            buf[0].append(rec["url"])
+            buf[1].append(rec["warc_ts"])
+            buf[2].append(rec["http_status"])
+            buf[3].append(rec["content_type"])
+            buf[4].append(rec["html"])
+            buf[5].append(path)
+            pending_bytes += len(rec["html"])
+            if (pending_bytes >= _CHUNK_BYTES
+                    or len(buf[0]) >= _CHUNK_RECORDS):
+                yield flush(buf)
+                buf = ([], [], [], [], [], [])
+                pending_bytes = 0
+        if errors.get("bad_records") or errors.get("skipped_lines"):
+            _log.warning(
+                "read_warc: %s: skipped %d malformed record(s), "
+                "%d desynced line(s)", path,
+                errors["bad_records"], errors["skipped_lines"])
+    yield flush(buf)
 
 
 def read_warc(paths: str | list[str]) -> "ray.data.Dataset":
@@ -140,9 +273,10 @@ def read_warc(paths: str | list[str]) -> "ray.data.Dataset":
     columns (url, warc_ts, http_status, content_type, html,
     warc_path) — the input shape of the extraction pipeline
     (``warc_path`` gives per-record lineage back to its archive).
-    One archive = one read task; parsing runs inside ``map_batches``
-    on the worker that read the bytes, so archive payloads never
-    concentrate on the driver."""
+    One archive = one read task; parsing streams inside a generator
+    ``map_batches`` on the worker that read the bytes, yielding
+    bounded chunks, so archive payloads never concentrate on the
+    driver or sit fully decoded in a worker heap."""
     files = ray.data.read_binary_files(paths, include_paths=True)
     return files.map_batches(_records_batch, batch_format="pyarrow",
                              batch_size=1)

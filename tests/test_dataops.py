@@ -605,3 +605,30 @@ def test_kmeans_embeddings_blobs(ray_session, tmp_path):
     # tight blobs: total inertia ~ n * d * sigma^2, far under the
     # inter-blob scale
     assert df["inertia"].sum() < 400 * 16 * 0.5 ** 2 * 2
+
+
+def test_kmeans_embeddings_small_table(ray_session, tmp_path):
+    """k larger than the table clamps to n (one centroid per vector,
+    zero inertia); an empty table raises a usable error."""
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from risjbot_ray.pipelines.similarity import kmeans_embeddings
+
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "embedding": pa.array(
+            [(np.eye(5, 8)[i] * 10.0).tolist() for i in range(5)],
+            pa.list_(pa.float32())),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    df = kmeans_embeddings(str(tmp_path), k=8, iters=3).to_pandas()
+    assert len(df) == 5
+    assert df["n_vectors"].tolist() == [1] * 5
+    assert (df["inertia"] == 0.0).all()
+
+    empty_dir = tmp_path / "empty"
+    empty_dir.mkdir()
+    pq.write_table(t.slice(0, 0), str(empty_dir / "embeddings.parquet"))
+    with _pytest.raises(ValueError, match="empty"):
+        kmeans_embeddings(str(empty_dir), k=4)

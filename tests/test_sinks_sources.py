@@ -146,10 +146,22 @@ def test_parse_warc_records_plain_and_gzip():
 
     from risjbot_ray.sources.warc import parse_warc_records
 
+    per_record_members = b"".join(
+        gz.compress(r) for r in [
+            _warc_record("warcinfo", "", "2024-01-01T00:00:00Z",
+                         b"software: test\r\n"),
+            _warc_record("response", "http://a.example/x",
+                         "2024-01-01T00:00:01Z",
+                         _http_payload(200, b"<html>alpha</html>")),
+            _warc_record("response", "http://b.example/y",
+                         "2024-02-03T04:05:06Z",
+                         _http_payload(404, b"gone",
+                                       ctype="text/plain")),
+        ])
     for raw in (_sample_warc(),
+                gz.compress(_sample_warc()),
                 # per-record gzip members, concatenated (CC layout)
-                b"".join(gz.compress(r) for r in
-                         [_sample_warc()[:0] + _sample_warc()])):
+                per_record_members):
         recs = parse_warc_records(raw)
         assert [r["url"] for r in recs] == ["http://a.example/x",
                                             "http://b.example/y"]
@@ -157,6 +169,77 @@ def test_parse_warc_records_plain_and_gzip():
         assert recs[0]["http_status"] == 200
         assert recs[1]["http_status"] == 404
         assert recs[1]["content_type"] == "text/plain"
+
+
+def test_parse_warc_resyncs_after_malformed_record():
+    """One corrupt record mid-archive must not drop the rest of the
+    file: the parser resyncs at the next WARC/ line and reports
+    counters instead of silently truncating."""
+    from risjbot_ray.sources.warc import iter_warc_records
+
+    good_a = _warc_record("response", "http://a.example/x",
+                          "2024-01-01T00:00:01Z",
+                          _http_payload(200, b"<html>alpha</html>"))
+    # record with a non-integer Content-Length
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://bad.example/\r\n"
+           b"Content-Length: oops\r\n\r\n"
+           b"junk payload line\r\nmore junk\r\n\r\n\r\n")
+    good_b = _warc_record("response", "http://b.example/y",
+                          "2024-02-03T04:05:06Z",
+                          _http_payload(404, b"gone",
+                                        ctype="text/plain"))
+    import io as _io
+    errors: dict = {}
+    recs = list(iter_warc_records(
+        _io.BytesIO(good_a + bad + good_b), errors))
+    assert [r["url"] for r in recs] == ["http://a.example/x",
+                                        "http://b.example/y"]
+    assert errors["bad_records"] == 1
+    assert errors["skipped_lines"] > 0
+
+    # record missing Content-Length entirely
+    bad2 = (b"WARC/1.0\r\nWARC-Type: response\r\n\r\n")
+    errors = {}
+    recs = list(iter_warc_records(
+        _io.BytesIO(bad2 + good_a), errors))
+    assert [r["url"] for r in recs] == ["http://a.example/x"]
+    assert errors["bad_records"] == 1
+
+
+def test_split_http_payload_transfer_and_content_encoding():
+    """As-served archives keep chunked framing and gzip bodies; the
+    html column must still come out as markup."""
+    import gzip as gz
+
+    from risjbot_ray.sources.warc import _split_http_payload
+
+    html = b"<html>chunky</html>"
+    chunked = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+               b"Transfer-Encoding: chunked\r\n\r\n"
+               + hex(len(html[:7]))[2:].encode() + b"\r\n" + html[:7]
+               + b"\r\n"
+               + hex(len(html[7:]))[2:].encode() + b"\r\n" + html[7:]
+               + b"\r\n0\r\n\r\n")
+    status, ctype, body = _split_http_payload(chunked)
+    assert (status, ctype, body) == (200, "text/html", html)
+
+    gzipped = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+               b"Content-Encoding: gzip\r\n\r\n" + gz.compress(html))
+    assert _split_http_payload(gzipped)[2] == html
+
+    import zlib as _zlib
+    deflated = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n"
+                b"\r\n" + _zlib.compress(html))
+    assert _split_http_payload(deflated)[2] == html
+    co = _zlib.compressobj(wbits=-15)
+    raw_deflate = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n"
+                   b"\r\n" + co.compress(html) + co.flush())
+    assert _split_http_payload(raw_deflate)[2] == html
+    # undecodable body passes through raw rather than crashing
+    junk = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+            b"not actually gzip")
+    assert _split_http_payload(junk)[2] == b"not actually gzip"
 
 
 def test_read_warc_dataset(ray_session, tmp_path):
