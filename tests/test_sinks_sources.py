@@ -290,3 +290,33 @@ def test_warc_to_extraction_pipeline(ray_session, tmp_path):
     live = {u: b for u, b in want.items() if u in got}
     assert len(live) == len(got) > 0
     assert got == live
+
+
+def test_warcgen_roundtrip(ray_session, tmp_path):
+    """The bench's archive synthesis (per-record gzip members, CC
+    layout) round-trips every page byte-identically through
+    read_warc, and the cache marker makes regeneration a no-op."""
+    import pyarrow.parquet as pq
+
+    from risjbot_ray.sources.warc import read_warc
+    from risjbot_ray.testsupport.pagegen import gen_pages
+    from risjbot_ray.testsupport.warcgen import gen_warc_archives
+
+    pages, _ = gen_pages(200, seed=11)
+    pdir = tmp_path / "pages.parquet"
+    pdir.mkdir()
+    pq.write_table(pages, str(pdir / "part-0.parquet"))
+    files = gen_warc_archives(str(pdir), str(tmp_path), n_archives=3)
+    assert len(files) == 3
+
+    df = read_warc(files).to_pandas()
+    assert len(df) == len(pages)
+    orig = pages.to_pandas().set_index("url")["html"].map(bytes)
+    got = df.set_index("url")["html"].map(bytes)
+    assert (orig.loc[got.index] == got).all()
+
+    import os as _os
+    mtimes = [_os.path.getmtime(p) for p in files]
+    assert gen_warc_archives(str(pdir), str(tmp_path),
+                             n_archives=3) == files
+    assert [_os.path.getmtime(p) for p in files] == mtimes
