@@ -162,16 +162,21 @@ def entry() -> Any:
     return _run_crawl("/root/testdata/sf0.001", tag="entry")
 
 
+_TILE_LEDGER_DIRS: list[str] = []
+
+
 def _fresh_tile_ledger() -> str:
-    """Ledger dir for the doc_tile_dedup_incr query: clear previous
-    invocations' dirs first so repeated driver/bench runs don't
-    accumulate unbounded per-bucket hash ledgers under /tmp."""
-    import glob
+    """Ledger dir for the doc_tile_dedup_incr query: clear only dirs
+    THIS process created (never a concurrent driver/bench process's
+    live ledger) so repeated invocations don't accumulate per-bucket
+    hash ledgers under /tmp."""
     import shutil
 
-    for d in glob.glob("/tmp/tile_ledger_*"):
-        shutil.rmtree(d, ignore_errors=True)
-    return tempfile.mkdtemp(prefix="tile_ledger_", dir="/tmp")
+    while _TILE_LEDGER_DIRS:
+        shutil.rmtree(_TILE_LEDGER_DIRS.pop(), ignore_errors=True)
+    d = tempfile.mkdtemp(prefix="tile_ledger_", dir="/tmp")
+    _TILE_LEDGER_DIRS.append(d)
+    return d
 
 
 # ---------------------------------------------------------------------------

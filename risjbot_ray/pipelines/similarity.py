@@ -270,15 +270,12 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5,
 
     cand = (ds.select_columns(["vec_id"])
             .map_batches(min_ids, batch_format="pyarrow").take_all())
-    seed_ids = set(np.sort(np.array([r["vec_id"] for r in cand],
-                                    dtype=np.int64))[:k].tolist())
-    seed_ref = ray.put(seed_ids)
+    seed_arr = np.sort(np.array([r["vec_id"] for r in cand],
+                               dtype=np.int64))[:k]
 
     def pick_seeds(batch: pa.Table) -> pa.Table:
-        want = ray.get(seed_ref)
-        mask = [int(v) in want
-                for v in batch.column("vec_id").to_pylist()]
-        return batch.filter(pa.array(mask))
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids, seed_arr)))
 
     first = sorted(ds.map_batches(pick_seeds,
                                   batch_format="pyarrow").take_all(),

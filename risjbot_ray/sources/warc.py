@@ -42,6 +42,12 @@ _log = logging.getLogger(__name__)
 _CHUNK_BYTES = 64 * 1024 * 1024
 _CHUNK_RECORDS = 4096
 
+# readline() bound: a header/version line longer than this is treated as
+# desynced bytes, so a corrupt Content-Length followed by a newline-free
+# multi-GiB binary body can never materialize in one readline() call
+# (which would defeat the O(one-record) memory guarantee).
+_MAX_LINE = 1 << 16
+
 
 def iter_warc_records(stream: IO[bytes],
                       errors: dict | None = None) -> Iterator[dict]:
@@ -62,29 +68,31 @@ def iter_warc_records(stream: IO[bytes],
     err.setdefault("bad_records", 0)
     err.setdefault("skipped_lines", 0)
     while True:
-        line = stream.readline()
+        line = stream.readline(_MAX_LINE)
         if not line:
             return
         if line in (b"\r\n", b"\n") or not line.strip():
             continue                       # inter-record blank lines
-        if not line.startswith(b"WARC/"):
+        if not line.startswith(b"WARC/") or not line.endswith(b"\n"):
             err["skipped_lines"] += 1      # desynced: skim to resync
             continue
         headers: dict[str, str] = {}
         terminated = False
         while True:
-            h = stream.readline()
+            h = stream.readline(_MAX_LINE)
             if not h:                      # EOF inside header block
                 err["bad_records"] += 1
                 return
             if h in (b"\r\n", b"\n"):
                 terminated = True
                 break
+            if not h.endswith(b"\n"):      # over-long line: desynced
+                break
             k, sep, v = h.partition(b":")
             if sep:
                 headers[k.strip().lower().decode("latin-1")] = \
                     v.strip().decode("latin-1")
-        if not terminated:
+        if not terminated:                 # abandoned on over-long line
             err["bad_records"] += 1
             continue
         try:
@@ -164,6 +172,8 @@ def _dechunk(data: bytes) -> bytes:
             size = int(data[pos:eol].split(b";", 1)[0], 16)
         except ValueError:
             return data
+        if size < 0:                       # hostile "-6\r\n" framing
+            return data
         if size == 0:
             break
         start = eol + 2
@@ -214,9 +224,9 @@ def _split_http_payload(body: bytes) -> tuple[int, str, bytes]:
         key = k.strip().lower()
         if key == b"content-type" and not ctype:
             ctype = v.strip().decode("latin-1")
-        elif key == b"transfer-encoding":
+        elif key == b"transfer-encoding" and not tenc:
             tenc = v.strip().lower().decode("latin-1")
-        elif key == b"content-encoding":
+        elif key == b"content-encoding" and not cenc:
             cenc = v.strip().lower().decode("latin-1")
     entity = body[he + 4:]
     if "chunked" in tenc:
@@ -245,6 +255,7 @@ def _records_batch(batch: pa.Table) -> Iterator[pa.Table]:
 
     buf = ([], [], [], [], [], [])
     pending_bytes = 0
+    yielded_any = False
     for raw, path in zip(batch.column("bytes").to_pylist(), path_col):
         errors: dict = {}
         for rec in iter_warc_records(_open_stream(raw), errors):
@@ -258,6 +269,7 @@ def _records_batch(batch: pa.Table) -> Iterator[pa.Table]:
             if (pending_bytes >= _CHUNK_BYTES
                     or len(buf[0]) >= _CHUNK_RECORDS):
                 yield flush(buf)
+                yielded_any = True
                 buf = ([], [], [], [], [], [])
                 pending_bytes = 0
         if errors.get("bad_records") or errors.get("skipped_lines"):
@@ -265,7 +277,10 @@ def _records_batch(batch: pa.Table) -> Iterator[pa.Table]:
                 "read_warc: %s: skipped %d malformed record(s), "
                 "%d desynced line(s)", path,
                 errors["bad_records"], errors["skipped_lines"])
-    yield flush(buf)
+    # only emit an empty (schema-bearing) block if the task produced no
+    # other output — avoids a zero-row block per archive at CC scale
+    if buf[0] or not yielded_any:
+        yield flush(buf)
 
 
 def read_warc(paths: str | list[str]) -> "ray.data.Dataset":

@@ -61,10 +61,15 @@ def gen_warc_archives(pages_path: str, root: str,
     os.makedirs(out_dir, exist_ok=True)
     files = sorted(glob.glob(os.path.join(pages_path, "*.parquet"))
                    if os.path.isdir(pages_path) else [pages_path])
-    import multiprocessing as mp
+    from concurrent.futures import ThreadPoolExecutor
+
     args = [(files, k, n_archives, paths[k]) for k in range(n_archives)]
-    with mp.get_context("fork").Pool(min(8, n_archives)) as pool:
-        pool.map(_write_archive, args)
+    # threads, not fork: the caller (bench.py) has Ray gRPC + pyarrow
+    # threadpools live, and forking a thread-holding process can
+    # deadlock the child; the work is gzip + parquet reads (both
+    # release the GIL), so threads parallelize it safely
+    with ThreadPoolExecutor(max_workers=min(8, n_archives)) as pool:
+        list(pool.map(_write_archive, args))
     with open(done, "w") as f:
         f.write(str(n_archives))
     return paths

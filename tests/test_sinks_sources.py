@@ -320,3 +320,63 @@ def test_warcgen_roundtrip(ray_session, tmp_path):
     assert gen_warc_archives(str(pdir), str(tmp_path),
                              n_archives=3) == files
     assert [_os.path.getmtime(p) for p in files] == mtimes
+
+
+def test_dechunk_rejects_negative_chunk_size():
+    """A hostile/corrupt chunked entity starting with a negative hex
+    size (e.g. b"-6\\r\\n") previously looped forever with unbounded
+    memory growth; it must fall back to the raw bytes instead."""
+    from risjbot_ray.sources.warc import _dechunk
+
+    data = b"-6\r\n" + b"A" * 50
+    assert _dechunk(data) == data
+    # sanity: well-formed framing still decodes
+    assert _dechunk(b"5\r\nhello\r\n0\r\n\r\n") == b"hello"
+
+
+def test_warc_overlong_line_bounded_and_resynced():
+    """A corrupt record followed by a newline-free multi-MB blob must
+    neither materialize the blob in one readline() nor stop the parse:
+    the parser skims it in bounded slices and resyncs at the next
+    WARC/ line."""
+    import io as _io
+
+    from risjbot_ray.sources.warc import iter_warc_records
+
+    good = _warc_record("response", "http://a.example/x",
+                        "2024-01-01T00:00:01Z",
+                        _http_payload(200, b"<html>alpha</html>"))
+    # header block whose Content-Length is garbage, then a long
+    # newline-free binary run (simulates a corrupted length + raw
+    # video bytes), then a good record
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"Content-Length: oops\r\n\r\n" + b"\xff" * (1 << 20))
+    errors: dict = {}
+    recs = list(iter_warc_records(
+        _io.BytesIO(bad + b"\r\n\r\n" + good), errors))
+    assert [r["url"] for r in recs] == ["http://a.example/x"]
+    assert errors["bad_records"] == 1
+
+    # an over-long HEADER line (no newline within the bound) abandons
+    # the record instead of buffering it whole
+    bad2 = (b"WARC/1.0\r\nX-Junk: " + b"j" * (1 << 20) + b"\r\n"
+            b"Content-Length: 4\r\n\r\nbody\r\n\r\n")
+    errors = {}
+    recs = list(iter_warc_records(_io.BytesIO(bad2 + good), errors))
+    assert [r["url"] for r in recs] == ["http://a.example/x"]
+    assert errors["bad_records"] >= 1
+
+
+def test_split_http_payload_first_header_wins():
+    """Duplicate Content-Encoding headers (proxy-appended) must not
+    skip the decompress: first occurrence wins for all three headers."""
+    import gzip as gz
+
+    from risjbot_ray.sources.warc import _split_http_payload
+
+    html = b"<html>dup</html>"
+    dup = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+           b"Content-Encoding: gzip\r\n"
+           b"Content-Encoding: identity\r\n\r\n" + gz.compress(html))
+    status, ctype, body = _split_http_payload(dup)
+    assert body == html
