@@ -315,6 +315,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                   pa.bool_()),
         })
 
+    def warc_cdx_check(sf_dir: str):
+        """Driver-visible CDX self-check (`crawl_vs_expected` style):
+        synthesize CC-layout .warc.gz archives from a deterministic
+        page corpus, build the index with ``cdx_index``, random-access
+        fetch a deterministic subset via ``read_warc_selective``, and
+        compare byte-for-byte against the source pages. One row of
+        mismatch counters — all-zero means offsets/lengths address the
+        stored bytes exactly and the ranged-fetch path reproduces
+        pages without scanning archives."""
+        import hashlib
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from risjbot_ray.sources.warc import (cdx_index,
+                                              read_warc_selective)
+        from risjbot_ray.testsupport import pagegen as PG
+        from risjbot_ray.testsupport.warcgen import gen_warc_archives
+
+        n, seed = 400, 31
+        root = f"/tmp/cdxcheck_n{n}_s{seed}"
+        pdir = os.path.join(root, "pages.parquet")
+        pfile = os.path.join(pdir, "part-0.parquet")
+        pages, _ = PG.gen_pages(n, seed=seed)
+        if not os.path.exists(pfile):
+            os.makedirs(pdir, exist_ok=True)
+            pq.write_table(pages, pfile + ".tmp")
+            os.replace(pfile + ".tmp", pfile)
+        files = gen_warc_archives(pdir, root, n_archives=4)
+
+        idx = cdx_index(files).to_pandas()
+        src = pages.to_pandas().set_index("url")
+        url_set_mismatch = int(set(idx["url"]) != set(src.index))
+        digest_mm = sum(
+            1 for u, d in zip(idx["url"], idx["digest"])
+            if hashlib.sha1(bytes(src.loc[u, "html"])).hexdigest() != d)
+
+        # deterministic subset: urls whose md5 ends in 0..4 (~1/3)
+        keep = [hashlib.md5(u.encode()).hexdigest()[-1] in "01234"
+                for u in idx["url"]]
+        sel = idx[pa.array(keep).to_pandas()]
+        got = (read_warc_selective(pa.Table.from_pandas(
+                   sel, preserve_index=False))
+               .to_pandas().set_index("url"))
+        fetch_mm = sum(
+            1 for u in got.index
+            if bytes(got.loc[u, "html"]) != bytes(src.loc[u, "html"]))
+        return pa.table({
+            "n_pages": pa.array([n], pa.int64()),
+            "n_index_rows": pa.array([len(idx)], pa.int64()),
+            "n_fetched": pa.array([len(got)], pa.int64()),
+            "n_selected": pa.array([int(sum(keep))], pa.int64()),
+            "url_set_mismatch": pa.array([url_set_mismatch], pa.int64()),
+            "digest_mismatches": pa.array([digest_mm], pa.int64()),
+            "fetch_html_mismatches": pa.array([fetch_mm], pa.int64()),
+            "fetch_count_ok": pa.array([len(got) == sum(keep)],
+                                       pa.bool_()),
+        })
+
     def frontier_schedule(sf_dir: str):
         """Deterministic politeness schedule (T7 semantics,
         ``schedule_wave``: per-host top-budget by priority DESC,
@@ -394,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (synthetic media, rows-only)
         "media_features": lambda sf: media_features_ds(n=300, seed=42),
         "media_features_check": media_features_check,
+        "warc_cdx_check": warc_cdx_check,
         # crawl engine (hermetic corpus; rows-only here — byte-level
         # correctness is gated by the pytest golden fixtures)
         "crawl_extracted": crawl_extracted,

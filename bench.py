@@ -183,6 +183,26 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             warc_bytes / 1e6 / warc_sec, 1)
         throughput["warc_pages_per_sec"] = round(bench_n / warc_sec, 1)
 
+        # ---- CDX index build + selective ranged fetch (~1/16 of the
+        # corpus): the random-access path for re-extracting a slice of
+        # a snapshot without scanning whole archives.
+        from risjbot_ray.sources.warc import cdx_index, read_warc_selective
+        t0 = time.time()
+        idx = cdx_index(warc_files).materialize()
+        n_idx = idx.count()
+        queries["warc_cdx_index"] = round(time.time() - t0, 3)
+        throughput["cdx_records_per_sec"] = round(
+            n_idx / max(queries["warc_cdx_index"], 1e-9), 1)
+        t0 = time.time()
+        import pyarrow.compute as _pc
+        sel = idx.map_batches(
+            lambda t: t.filter(_pc.equal(
+                _pc.bit_wise_and(t.column("offset"), 15), 0)),
+            batch_format="pyarrow")
+        n_fetched = read_warc_selective(sel).count()
+        queries["warc_cdx_fetch"] = round(time.time() - t0, 3)
+        throughput["cdx_fetched_pages"] = n_fetched
+
         # ---- operator suite over driver testdata tables
         from risjbot_ray.pipelines import dedup, relational, similarity
 

@@ -93,6 +93,19 @@ def cmd_ingest_warc(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def cmd_cdx(args: argparse.Namespace) -> int:
+    ray = _ray_init()
+    try:
+        from .sources.warc import cdx_index
+
+        cdx_index(args.warc if len(args.warc) > 1
+                  else args.warc[0]).write_parquet(args.out)
+        print(json.dumps({"out": args.out}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def cmd_curate(args: argparse.Namespace) -> int:
     ray = _ray_init()
     try:
@@ -135,6 +148,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="archive files or directories")
     w.add_argument("--out", required=True)
     w.set_defaults(fn=cmd_ingest_warc)
+
+    x = sub.add_parser("cdx-index",
+                       help="WARC archives -> CDX index parquet "
+                            "(url, digest, offset, length per record)")
+    x.add_argument("--warc", required=True, nargs="+",
+                   help="archive files or directories")
+    x.add_argument("--out", required=True)
+    x.set_defaults(fn=cmd_cdx)
 
     u = sub.add_parser(
         "curate", help="documents table -> curated training corpus")

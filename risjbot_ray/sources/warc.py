@@ -76,6 +76,7 @@ def iter_warc_records(stream: IO[bytes],
         if not line.startswith(b"WARC/") or not line.endswith(b"\n"):
             err["skipped_lines"] += 1      # desynced: skim to resync
             continue
+        rec_start = stream.tell() - len(line)
         headers: dict[str, str] = {}
         terminated = False
         while True:
@@ -114,7 +115,11 @@ def iter_warc_records(stream: IO[bytes],
         ts = _warc_date_to_micros(headers.get("warc-date", ""))
         status, ctype, html = _split_http_payload(body)
         yield {"url": url, "warc_ts": ts, "http_status": status,
-               "content_type": ctype, "html": html}
+               "content_type": ctype, "html": html,
+               # stream offset span of this record (version line ..
+               # end of payload), for CDX indexing of PLAIN archives;
+               # on a GzipFile stream these are decompressed offsets
+               "offset": rec_start, "length": stream.tell() - rec_start}
 
 
 def _open_stream(raw: bytes) -> IO[bytes]:
@@ -295,3 +300,215 @@ def read_warc(paths: str | list[str]) -> "ray.data.Dataset":
     files = ray.data.read_binary_files(paths, include_paths=True)
     return files.map_batches(_records_batch, batch_format="pyarrow",
                              batch_size=1)
+
+
+# ---------------------------------------------------------------------------
+# CDX indexing + random access.
+#
+# Common Crawl publishes a CDX index next to each snapshot: one row per
+# record with the archive path, the byte offset and compressed length
+# of the record's gzip member, so a consumer can fetch ONE page with a
+# ranged read + a single-member gunzip instead of scanning a 1 GiB
+# archive. The same layout powers selective re-extraction at 100-TB
+# scale: filter the (small) index with ordinary Dataset ops, then fetch
+# only the matching members, one task per archive.
+# ---------------------------------------------------------------------------
+
+_MEMBER_CHUNK = 1 << 20
+
+
+def _iter_gzip_member_spans(raw: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """Walk the concatenated gzip members of ``raw``, yielding
+    (offset, compressed_length, decompressed_bytes) per member.
+    Feeds zlib in bounded chunks so total copying is O(file), not
+    O(members x file)."""
+    n = len(raw)
+    mv = memoryview(raw)
+    pos = 0
+    while pos < n:
+        start = pos
+        d = zlib.decompressobj(wbits=31)   # single gzip member
+        out = []
+        while not d.eof:
+            chunk = mv[pos:pos + _MEMBER_CHUNK]
+            if len(chunk) == 0:
+                raise ValueError(
+                    f"truncated gzip member at offset {start}")
+            out.append(d.decompress(chunk))
+            pos += len(chunk) - len(d.unused_data)
+        yield start, pos - start, b"".join(out)
+
+
+def iter_cdx_entries(raw: bytes, warc_path: str,
+                     errors: dict | None = None) -> Iterator[dict]:
+    """Index a WARC archive: one dict per ``response`` record with the
+    byte span needed to fetch it back without scanning the file —
+    (url, warc_ts, http_status, content_type, digest, warc_path,
+    offset, length, rec_seq, compressed).
+
+    For ``.warc.gz`` in the Common Crawl layout (one gzip member per
+    record), offset/length address the record's compressed member;
+    ``rec_seq`` disambiguates the rare member holding several records.
+    For plain ``.warc``, offset/length address the record bytes
+    directly. ``digest`` is the sha1 hex of the DECODED html payload
+    (framing and content-encoding undone), so two index rows with equal
+    digests hold identical page bytes."""
+    import hashlib
+
+    if raw[:2] == b"\x1f\x8b":
+        for off, ln, data in _iter_gzip_member_spans(raw):
+            for seq, rec in enumerate(
+                    iter_warc_records(io.BytesIO(data), errors)):
+                yield {
+                    "url": rec["url"], "warc_ts": rec["warc_ts"],
+                    "http_status": rec["http_status"],
+                    "content_type": rec["content_type"],
+                    "digest": hashlib.sha1(rec["html"]).hexdigest(),
+                    "warc_path": warc_path, "offset": off,
+                    "length": ln, "rec_seq": seq, "compressed": True,
+                }
+    else:
+        for rec in iter_warc_records(io.BytesIO(raw), errors):
+            yield {
+                "url": rec["url"], "warc_ts": rec["warc_ts"],
+                "http_status": rec["http_status"],
+                "content_type": rec["content_type"],
+                "digest": hashlib.sha1(rec["html"]).hexdigest(),
+                "warc_path": warc_path, "offset": rec["offset"],
+                "length": rec["length"], "rec_seq": 0,
+                "compressed": False,
+            }
+
+
+_CDX_SCHEMA = {
+    "url": pa.string(), "warc_ts": pa.timestamp("us", tz="UTC"),
+    "http_status": pa.int32(), "content_type": pa.string(),
+    "digest": pa.string(), "warc_path": pa.string(),
+    "offset": pa.int64(), "length": pa.int64(),
+    "rec_seq": pa.int32(),
+}
+
+
+def _read_raw_bytes(path: str) -> bytes:
+    """Read a file's bytes WITHOUT codec auto-detection (pyarrow — and
+    Ray's read_binary_files on top of it — transparently gunzips
+    ``.gz`` paths, which would destroy the compressed member offsets
+    the CDX index exists to record)."""
+    from pyarrow import fs as pafs
+    try:
+        fsys, rel = pafs.FileSystem.from_uri(path)
+    except (ValueError, pa.ArrowInvalid):
+        fsys, rel = pafs.LocalFileSystem(), path
+    with fsys.open_input_stream(rel, compression=None) as f:
+        return f.read()
+
+
+def _cdx_batch(batch: pa.Table) -> Iterator[pa.Table]:
+    """Generator UDF: index each archive, yielding bounded chunks.
+    Index rows are tiny (~200 B), so chunks are record-count bound."""
+    cols: dict[str, list] = {k: [] for k in _CDX_SCHEMA}
+    yielded_any = False
+
+    def flush():
+        return pa.table({k: pa.array(v, _CDX_SCHEMA[k])
+                         for k, v in cols.items()})
+
+    paths = batch.column("path").to_pylist()
+    for path in paths:
+        raw = _read_raw_bytes(path)
+        errors: dict = {}
+        for e in iter_cdx_entries(raw, path, errors):
+            for k in cols:
+                cols[k].append(e[k])
+            if len(cols["url"]) >= 65536:
+                yield flush()
+                yielded_any = True
+                cols = {k: [] for k in _CDX_SCHEMA}
+        if errors.get("bad_records") or errors.get("skipped_lines"):
+            _log.warning(
+                "cdx_index: %s: skipped %d malformed record(s), "
+                "%d desynced line(s)", path,
+                errors["bad_records"], errors["skipped_lines"])
+    if cols["url"] or not yielded_any:
+        yield flush()
+
+
+def cdx_index(paths: str | list[str]) -> "ray.data.Dataset":
+    """Build a CDX index Dataset over WARC archives: one row per
+    response record with (url, warc_ts, http_status, content_type,
+    digest, warc_path, offset, length, rec_seq). One archive = one
+    task, same parallelism unit as ``read_warc``; the index is ~10^4x
+    smaller than the archives, so downstream filters/joins over it are
+    cheap Dataset ops. Archive bytes are opened inside each task with
+    codec detection OFF (offsets must address the file as stored)."""
+    import os
+    if isinstance(paths, str):
+        paths = [paths]
+    expanded: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            expanded.extend(os.path.join(p, f)
+                            for f in sorted(os.listdir(p)))
+        else:
+            expanded.append(p)
+    files = ray.data.from_items([{"path": p} for p in expanded],
+                                override_num_blocks=len(expanded))
+    return files.map_batches(_cdx_batch, batch_format="pyarrow",
+                             batch_size=1)
+
+
+def fetch_cdx_spans(warc_path: str,
+                    spans: list[tuple[int, int, int]]) -> list[dict]:
+    """Random-access fetch: read only the given (offset, length,
+    rec_seq) spans from one archive — a ranged read + single-member
+    gunzip per record, never a full-archive scan. Spans are read in
+    offset order (one forward pass over the file regions)."""
+    from pyarrow import fs as pafs
+    try:
+        fsys, rel = pafs.FileSystem.from_uri(warc_path)
+    except (ValueError, pa.ArrowInvalid):
+        fsys, rel = pafs.LocalFileSystem(), warc_path
+    out = []
+    with fsys.open_input_file(rel) as f:
+        for off, ln, seq in sorted(spans):
+            f.seek(off)
+            blob = f.read(ln)
+            recs = list(iter_warc_records(_open_stream(blob)))
+            if seq < len(recs):
+                rec = recs[seq]
+                rec["warc_path"] = warc_path
+                out.append(rec)
+    return out
+
+
+def read_warc_selective(cdx: "ray.data.Dataset | pa.Table"
+                        ) -> "ray.data.Dataset":
+    """Fetch exactly the records named by a (filtered) CDX index as a
+    page Dataset with the ``read_warc`` schema. Groups the index by
+    archive so each task does one open + ranged reads — the selective
+    path for re-extracting a slice of a 100-TB snapshot (the shuffle
+    moves only tiny index rows, never page bytes)."""
+    if isinstance(cdx, pa.Table):
+        cdx = ray.data.from_arrow(cdx)
+
+    def fetch_group(df):
+        import pandas as pd
+        path = df["warc_path"].iloc[0]
+        spans = list(zip(df["offset"].astype(int),
+                         df["length"].astype(int),
+                         df["rec_seq"].astype(int)))
+        recs = fetch_cdx_spans(path, spans)
+        return pd.DataFrame({
+            "url": [r["url"] for r in recs],
+            "warc_ts": pd.to_datetime(
+                [r["warc_ts"] for r in recs], unit="us", utc=True),
+            "http_status": pd.array(
+                [r["http_status"] for r in recs], dtype="int32"),
+            "content_type": [r["content_type"] for r in recs],
+            "html": [r["html"] for r in recs],
+            "warc_path": [r["warc_path"] for r in recs],
+        })
+
+    cols = ["warc_path", "offset", "length", "rec_seq"]
+    return (cdx.select_columns(cols)
+            .groupby("warc_path").map_groups(fetch_group))

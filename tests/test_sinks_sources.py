@@ -380,3 +380,113 @@ def test_split_http_payload_first_header_wins():
            b"Content-Encoding: identity\r\n\r\n" + gz.compress(html))
     status, ctype, body = _split_http_payload(dup)
     assert body == html
+
+
+def test_cdx_index_gzip_members_and_random_access(tmp_path):
+    """CC-layout archive (one gzip member per record): the index's
+    offset/length must address each member exactly, and fetching a
+    span must reproduce the record without scanning the archive."""
+    import gzip as gz
+
+    from risjbot_ray.sources.warc import (fetch_cdx_spans,
+                                          iter_cdx_entries)
+
+    recs = []
+    for i in range(7):
+        recs.append(gz.compress(_warc_record(
+            "response", f"http://ex.example/{i}",
+            "2024-01-01T00:00:01Z",
+            _http_payload(200, f"<html>page {i}</html>".encode())),
+            compresslevel=1))
+    # interleave a non-response member that must not be indexed
+    raw = b"".join(recs[:3]) + gz.compress(_warc_record(
+        "request", "http://ex.example/3", "2024-01-01T00:00:01Z",
+        b"GET /3 HTTP/1.1\r\n")) + b"".join(recs[3:])
+    p = tmp_path / "a.warc.gz"
+    p.write_bytes(raw)
+
+    entries = list(iter_cdx_entries(raw, str(p)))
+    assert [e["url"] for e in entries] == \
+        [f"http://ex.example/{i}" for i in range(7)]
+    # each offset/length must decode standalone to that exact record
+    for e in entries:
+        blob = raw[e["offset"]:e["offset"] + e["length"]]
+        assert gz.decompress(blob).startswith(b"WARC/1.0")
+    got = fetch_cdx_spans(str(p), [(e["offset"], e["length"],
+                                    e["rec_seq"])
+                                   for e in entries[::2]])
+    assert [r["html"] for r in got] == \
+        [f"<html>page {i}</html>".encode() for i in (0, 2, 4, 6)]
+    # digests identify identical payloads
+    assert len({e["digest"] for e in entries}) == 7
+
+
+def test_cdx_index_plain_and_multirecord_member(tmp_path):
+    """Plain .warc offsets address raw record bytes; a single gzip
+    member holding several records is disambiguated by rec_seq."""
+    import gzip as gz
+
+    from risjbot_ray.sources.warc import (fetch_cdx_spans,
+                                          iter_cdx_entries)
+
+    plain = _sample_warc()           # warcinfo + request + 2 responses
+    p1 = tmp_path / "plain.warc"
+    p1.write_bytes(plain)
+    entries = list(iter_cdx_entries(plain, str(p1)))
+    assert len(entries) == 2 and not entries[0]["compressed"]
+    for e in entries:
+        blob = plain[e["offset"]:e["offset"] + e["length"]]
+        assert blob.startswith(b"WARC/1.0")
+        got = fetch_cdx_spans(str(p1), [(e["offset"], e["length"], 0)])
+        assert got[0]["url"] == e["url"]
+
+    # whole-archive gzip = ONE member with both responses inside
+    p2 = tmp_path / "whole.warc.gz"
+    p2.write_bytes(gz.compress(plain))
+    entries2 = list(iter_cdx_entries(p2.read_bytes(), str(p2)))
+    assert [e["rec_seq"] for e in entries2] == [0, 1]
+    assert entries2[0]["offset"] == entries2[1]["offset"]
+    got = fetch_cdx_spans(str(p2), [(entries2[1]["offset"],
+                                     entries2[1]["length"], 1)])
+    assert got[0]["url"] == entries2[1]["url"]
+
+
+def test_cdx_selective_read_dataset(ray_session, tmp_path):
+    """End-to-end: build the CDX index as a Dataset, filter it, and
+    read back exactly the selected pages via ranged fetches."""
+    import pyarrow.parquet as pq
+
+    from risjbot_ray.sources.warc import cdx_index, read_warc_selective
+    from risjbot_ray.testsupport.pagegen import gen_pages
+    from risjbot_ray.testsupport.warcgen import gen_warc_archives
+
+    pages, _ = gen_pages(120, seed=7)
+    pdir = tmp_path / "pages.parquet"
+    pdir.mkdir()
+    pq.write_table(pages, str(pdir / "part-0.parquet"))
+    files = gen_warc_archives(str(pdir), str(tmp_path), n_archives=3)
+
+    idx = cdx_index(files)
+    # the index is small: filter on the driver-visible column set only
+    want = idx.filter(lambda r: r["url"].endswith(("0", "5")))
+    out = read_warc_selective(want).to_pandas()
+    orig = pages.to_pandas()
+    sel = orig[orig["url"].str.endswith(("0", "5"))]
+    assert sorted(out["url"]) == sorted(sel["url"])
+    om = out.set_index("url")["html"].map(bytes)
+    sm = sel.set_index("url")["html"].map(bytes)
+    assert (om.loc[sm.index] == sm).all()
+
+
+def test_warc_cdx_check_query_all_zero(ray_session):
+    """The driver-visible CDX self-check row must be all-zero
+    mismatches (offsets address stored bytes; ranged fetch reproduces
+    pages byte-identically)."""
+    import __ray_entry__ as entry
+
+    row = entry.queries()["warc_cdx_check"]("unused").to_pylist()[0]
+    assert row["url_set_mismatch"] == 0
+    assert row["digest_mismatches"] == 0
+    assert row["fetch_html_mismatches"] == 0
+    assert row["fetch_count_ok"]
+    assert row["n_index_rows"] == row["n_pages"]
