@@ -32,6 +32,7 @@ import hashlib
 import math
 import os
 import re
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -64,6 +65,25 @@ def _coalesce(mat_ds: "ray.data.Dataset",
     if nb > want * 2:
         return mat_ds.repartition(want).materialize()
     return mat_ds
+
+
+def _coalesce_for_exchange(ds: "ray.data.Dataset",
+                           floor_blocks: int = 8,
+                           target_block_mb: int = 64
+                           ) -> "ray.data.Dataset":
+    """Materialize + coalesce a dataset that is about to feed a sort
+    exchange (groupby). A sort's map x reduce fan-out is quadratic in
+    block count, so hundreds of sub-MB blocks (the shape selective
+    map stages leave behind) cost seconds of pure scheduling; the
+    exchange itself restores downstream parallelism, so the floor here
+    is lower than ``_coalesce``'s compute-stage floor. At real scale
+    blocks sit near target_block_mb and this is a no-op passthrough."""
+    mat = ds.materialize()
+    size = mat.size_bytes() or 0
+    want = max(floor_blocks, size // (target_block_mb << 20) + 1)
+    if mat.num_blocks() > want * 2:
+        return mat.repartition(want).materialize()
+    return mat
 
 
 # --------------------------------------------------------------------------
@@ -246,12 +266,22 @@ def _tile_dedup_over(docs_ds: "ray.data.Dataset", k: int = TILE_K,
     # deliberately NOT materialized: upstream stages are deterministic,
     # and re-streaming two pruned passes beats pinning the whole text
     # corpus in the object store at 100-TB inputs.
-    drop = (docs_ds.map_batches(
-                lambda b: explode(b.select(["doc_id", "text"])),
-                batch_format="pyarrow")
-            .groupby("hb").map_groups(losers, batch_format="pandas"))
+    tiles = _coalesce_for_exchange(docs_ds.map_batches(
+        lambda b: explode(b.select(["doc_id", "text"])),
+        batch_format="pyarrow"))
+    drop = tiles.groupby("hb").map_groups(losers,
+                                          batch_format="pandas")
 
     return _rebuild_from_drops(docs_ds, drop, k, passthrough, nbuckets)
+
+
+# Broadcast-rebuild cutoff: marker sets up to this many rows (~16 MB
+# as one packed int64 array) ship to every rebuild task via ray.put
+# instead of a corpus-wide exchange. Curation corpora are mostly
+# unique, so the marker set (the DUP fraction of tiles) normally sits
+# far below this; above it the union+groupby fallback keeps per-task
+# memory bounded.
+_BROADCAST_DROP_MAX = 2_000_000
 
 
 def _rebuild_from_drops(docs_ds: "ray.data.Dataset",
@@ -259,9 +289,78 @@ def _rebuild_from_drops(docs_ds: "ray.data.Dataset",
                         passthrough: tuple[str, ...],
                         nbuckets: int):
     """Rebuild deduped docs from a (doc_id, tile_no) dropped-tile
-    marker Dataset: union markers (tile_no >= 0, text null) with the
-    raw docs (tile_no = -1) and re-tile per doc-bucket — the doc text
-    crosses the exchange exactly once, and there is no join."""
+    marker Dataset.
+
+    Fast path (marker count <= _BROADCAST_DROP_MAX, the common case —
+    markers are only the DUPLICATED tiles): pack the markers into ONE
+    sorted int64 array (doc_id << 20 | tile_no), ``ray.put`` it, and
+    rebuild with a streaming ``map_batches`` over the docs — zero
+    all-to-all exchange, the corpus text never moves, each task finds
+    its docs' drops with two vectorized searchsorteds.
+
+    Fallback (dup-heavy corpora): union markers (tile_no >= 0, text
+    null) with the raw docs (tile_no = -1) and re-tile per doc-bucket
+    — the doc text crosses the exchange exactly once, no join."""
+    drop_mat = drop.materialize()
+    if drop_mat.count() <= _BROADCAST_DROP_MAX:
+        parts = [t for t in ray.get(drop_mat.to_arrow_refs())
+                 if t.num_rows]
+        if parts:
+            cat = pa.concat_tables(parts)
+            packed = ((cat.column("doc_id").to_numpy()
+                       << _TILE_NO_BITS)
+                      | cat.column("tile_no").to_numpy())
+            ranks_ref = ray.put(np.sort(packed))
+        else:
+            ranks_ref = ray.put(np.empty(0, dtype=np.int64))
+
+        def rebuild_bcast(df):
+            import pandas as pd
+            ranks = ray.get(ranks_ref)
+            ids = df["doc_id"].to_numpy().astype(np.int64)
+            base = ids << _TILE_NO_BITS
+            lo = np.searchsorted(ranks, base)
+            hi = np.searchsorted(ranks, base + (1 << _TILE_NO_BITS))
+            texts = df["text"].tolist()
+            o_text, o_nt, o_nk = [], [], []
+            mask = (1 << _TILE_NO_BITS) - 1
+            for i in range(len(ids)):
+                toks = (texts[i] or "").split()
+                nt = math.ceil(len(toks) / k)
+                if hi[i] > lo[i]:
+                    dropped = set((ranks[lo[i]:hi[i]] & mask).tolist())
+                    tiles = [" ".join(toks[j * k:(j + 1) * k])
+                             for j in range(nt)]
+                    text = " ".join(t for j, t in enumerate(tiles)
+                                    if j not in dropped)
+                    nk = nt - len(dropped)
+                else:
+                    text = " ".join(toks)
+                    nk = nt
+                o_text.append(text)
+                o_nt.append(nt)
+                o_nk.append(nk)
+            out = {"doc_id": pd.Series(ids, dtype="int64")}
+            for col in passthrough:
+                out[col] = df[col].tolist()
+            out.update({"text_dedup": o_text,
+                        "n_tiles": pd.Series(o_nt, dtype="int64"),
+                        "n_tiles_kept": pd.Series(o_nk,
+                                                  dtype="int64")})
+            return pd.DataFrame(out)
+
+        return docs_ds.map_batches(rebuild_bcast,
+                                   batch_format="pandas")
+    return _rebuild_union_path(docs_ds, drop_mat, k, passthrough,
+                               nbuckets)
+
+
+def _rebuild_union_path(docs_ds: "ray.data.Dataset",
+                        drop: "ray.data.Dataset", k: int,
+                        passthrough: tuple[str, ...],
+                        nbuckets: int):
+    """Exchange-based rebuild for dup-heavy corpora (marker set too
+    large to broadcast): see ``_rebuild_from_drops``."""
     def dbucket_of(ids: "pa.Array") -> pa.Array:
         return pa.array(ids.to_numpy(zero_copy_only=False)
                         % nbuckets, pa.int64())
@@ -459,11 +558,11 @@ def tile_dedup_incremental(sf_dir_or_ds, ledger_dir: str,
                                  dtype="int64"),
         })
 
-    drop = (docs_ds.map_batches(
-                lambda b: _explode_tiles(b.select(["doc_id", "text"]),
-                                         k, nbuckets),
-                batch_format="pyarrow")
-            .groupby("hb").map_groups(gate, batch_format="pandas"))
+    tiles = _coalesce_for_exchange(docs_ds.map_batches(
+        lambda b: _explode_tiles(b.select(["doc_id", "text"]),
+                                 k, nbuckets),
+        batch_format="pyarrow"))
+    drop = tiles.groupby("hb").map_groups(gate, batch_format="pandas")
 
     return _rebuild_from_drops(docs_ds, drop, k, passthrough, nbuckets)
 
@@ -536,16 +635,27 @@ def _shuffle_rank_over(ds: "ray.data.Dataset"):
                 .append_column("bucket", pa.array(
                     [int(k[:2], 16) for k in ks], pa.int32())))
 
-    keyed = _coalesce(
-        ds.map_batches(key, batch_format="pyarrow").materialize())
+    keyed = _coalesce_for_exchange(
+        ds.map_batches(key, batch_format="pyarrow"))
 
-    from ray.data.aggregate import Count
-    counts = keyed.groupby("bucket").aggregate(Count()).to_pandas()
+    # per-bucket totals via in-batch partial counts + a driver merge of
+    # (#blocks x 256) tiny rows — no sort exchange just to count
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        b, n = np.unique(
+            batch.column("bucket").to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"bucket": pa.array(b, pa.int32()),
+                         "n": pa.array(n, pa.int64())})
+
+    cdf = (keyed.select_columns(["bucket"])
+           .map_batches(partial_counts, batch_format="pyarrow")
+           .to_pandas())
     bases, run = {}, 0
-    if "bucket" in counts.columns:  # empty input drops the key column
-        for _, r in counts.sort_values("bucket").iterrows():
-            bases[int(r["bucket"])] = run
-            run += int(r["count()"])
+    if len(cdf):
+        for b, n in (cdf.groupby("bucket")["n"].sum()
+                     .sort_index().items()):
+            bases[int(b)] = run
+            run += int(n)
     base_ref = ray.put(bases)
 
     def assign(df):
@@ -578,7 +688,11 @@ def top_ngrams(sf_dir: str, n: int = 2, k: int = 100):
     local top-M pre-prune at the cost of exactness — not done here,
     exactness is the contract). Returns (gram, n_occurrences)."""
     from collections import Counter
-    from ray.data.aggregate import Sum
+
+    _NB = 512   # gram-hash buckets: the exchange sorts small ints,
+    #             never gram strings; a gram lives in exactly ONE
+    #             bucket, so per-bucket top-k is globally exact and
+    #             the final merge handles <= _NB x k tiny rows
 
     def partial(batch: pa.Table) -> pa.Table:
         c: Counter = Counter()
@@ -586,15 +700,28 @@ def top_ngrams(sf_dir: str, n: int = 2, k: int = 100):
             toks = (t or "").split()
             c.update(" ".join(toks[i:i + n])
                      for i in range(len(toks) - n + 1))
+        grams = list(c.keys())
+        # crc32, not hash(): deterministic across worker processes
+        gb = [zlib.crc32(g.encode("utf-8")) % _NB for g in grams]
         return pa.table({
-            "gram": pa.array(list(c.keys()), pa.string()),
+            "gram": pa.array(grams, pa.string()),
             "n_occurrences": pa.array(list(c.values()), pa.int64()),
+            "gb": pa.array(gb, pa.int64()),
         })
 
-    agg = (_documents(sf_dir, ["text"])
-           .map_batches(partial, batch_format="pyarrow")
-           .groupby("gram")
-           .aggregate(Sum("n_occurrences", alias_name="n_occurrences")))
+    def bucket_topk(df):
+        s = (df.groupby("gram")["n_occurrences"].sum()
+             .reset_index()
+             .sort_values(["n_occurrences", "gram"],
+                          ascending=[False, True], kind="mergesort")
+             .head(k))
+        return s[["gram", "n_occurrences"]]
+
+    agg = (_coalesce_for_exchange(
+               _documents(sf_dir, ["text"])
+               .map_batches(partial, batch_format="pyarrow"))
+           .groupby("gb").map_groups(bucket_topk,
+                                     batch_format="pandas"))
     return (agg.sort(["n_occurrences", "gram"],
                      descending=[True, False]).limit(k))
 
@@ -611,12 +738,19 @@ def lang_balance_sample(sf_dir: str):
     O(#languages), not O(docs)), then a stateless broadcast-rate filter
     identical in shape to ``domain_sample``. Reproducible on any
     cluster size. Returns (doc_id, lang, sample_key)."""
-    from ray.data.aggregate import Count
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        langs, n = np.unique(
+            np.asarray(batch.column("lang").to_pylist(), dtype=object),
+            return_counts=True)
+        return pa.table({"lang": pa.array(langs.tolist(), pa.string()),
+                         "n": pa.array(n, pa.int64())})
 
-    counts = (_documents(sf_dir, ["doc_id", "lang"])
-              .groupby("lang").aggregate(Count()).to_pandas())
-    by_lang = {r["lang"]: int(r["count()"])
-               for _, r in counts.iterrows()}
+    cdf = (_documents(sf_dir, ["lang"])
+           .map_batches(partial_counts, batch_format="pyarrow")
+           .to_pandas())
+    by_lang = ({str(l): int(n) for l, n in
+                cdf.groupby("lang")["n"].sum().items()}
+               if len(cdf) else {})
     min_count = min(by_lang.values()) if by_lang else 0
     rates = {l: min_count / c for l, c in by_lang.items()}
     rates_ref = ray.put(rates)
@@ -698,12 +832,24 @@ def quality_rank(sf_dir: str, nparts: int = 256):
     parts = (scored.map_batches(part_of, batch_format="pyarrow")
              .materialize())
 
-    counts = parts.groupby("part").aggregate(Count()).to_pandas()
+    # per-partition totals via in-batch partial counts + driver merge
+    # (#blocks x nparts tiny rows) — no sort exchange just to count
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        p, n = np.unique(
+            batch.column("part").to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"part": pa.array(p, pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+
+    cdf = (parts.select_columns(["part"])
+           .map_batches(partial_counts, batch_format="pyarrow")
+           .to_pandas())
     bases, run = {}, 0
-    if "part" in counts.columns:    # empty input drops the key column
-        for _, r in counts.sort_values("part").iterrows():
-            bases[int(r["part"])] = run
-            run += int(r["count()"])
+    if len(cdf):
+        for p_, n_ in (cdf.groupby("part")["n"].sum()
+                       .sort_index().items()):
+            bases[int(p_)] = run
+            run += int(n_)
     bases_ref = ray.put(bases)
 
     def assign(df):
@@ -817,16 +963,34 @@ def hll_distinct(sf_dir: str, p: int = _HLL_P):
                             np.frombuffer(r["regs"], dtype=np.uint8))
     est = _hll_estimate(merged)
 
-    def hash_only(batch: pa.Table) -> pa.Table:
-        return pa.table({"h": pa.array(
-            [hashlib.md5((t or "").encode()).hexdigest()
-             for t in batch.column("text").to_pylist()], pa.string())})
+    # exact distinct count for the check: shuffle 128-bit digests as
+    # two int64 columns bucketed by a coarse key (sorting raw md5
+    # STRINGS in the exchange is pathologically slow), then one
+    # vectorized per-bucket unique count
+    _NB = 1024
 
-    from ray.data.aggregate import Count
-    exact_ds = (_documents(sf_dir, ["text"])
-                .map_batches(hash_only, batch_format="pyarrow")
-                .groupby("h").aggregate(Count()))
-    exact = exact_ds.count()
+    def hash_only(batch: pa.Table) -> pa.Table:
+        hs = (np.frombuffer(
+            b"".join(hashlib.md5((t or "").encode()).digest()
+                     for t in batch.column("text").to_pylist()),
+            dtype=">u8").reshape(-1, 2).astype(np.uint64)
+            .view(np.int64)
+            if len(batch) else np.empty((0, 2), dtype=np.int64))
+        return pa.table({"h_hi": pa.array(hs[:, 0], pa.int64()),
+                         "h_lo": pa.array(hs[:, 1], pa.int64()),
+                         "hb": pa.array(hs[:, 0] % _NB, pa.int64())})
+
+    def uniq(df):
+        import pandas as pd
+        u = len(df[["h_hi", "h_lo"]].drop_duplicates())
+        return pd.DataFrame({"n": pd.Series([u], dtype="int64")})
+
+    hashed = _coalesce_for_exchange(
+        _documents(sf_dir, ["text"])
+        .map_batches(hash_only, batch_format="pyarrow"))
+    exact = int(hashed.groupby("hb")
+                .map_groups(uniq, batch_format="pandas")
+                .to_pandas()["n"].sum())
     n_docs = _documents(sf_dir, ["doc_id"]).count()
 
     rel = abs(est - exact) / exact if exact else 0.0

@@ -632,3 +632,31 @@ def test_kmeans_embeddings_small_table(ray_session, tmp_path):
     pq.write_table(t.slice(0, 0), str(empty_dir / "embeddings.parquet"))
     with _pytest.raises(ValueError, match="empty"):
         kmeans_embeddings(str(empty_dir), k=4)
+
+
+def test_tile_dedup_union_fallback_matches_broadcast(
+        ray_session, tmp_path, monkeypatch):
+    """The dup-heavy fallback (union + doc-bucket rebuild) must
+    produce exactly what the broadcast fast path produces; force it by
+    zeroing the broadcast cutoff on the same adversarial corpus."""
+    import math
+
+    from risjbot_ray.pipelines import webtext
+    from risjbot_ray.pipelines.webtext import tile_dedup
+
+    rng = np.random.default_rng(29)
+    vocab = ["aa", "bb", "cc", "dd"]
+    rows = []
+    for i in range(50):
+        n = int(rng.integers(0, 30))
+        rows.append((i, " ".join(vocab[j]
+                                 for j in rng.integers(0, 4, n))))
+    rows.append((50, rows[7][1]))          # exact duplicate doc
+    sf = _write_docs(tmp_path, rows)
+
+    fast = (tile_dedup(sf).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    monkeypatch.setattr(webtext, "_BROADCAST_DROP_MAX", -1)
+    slow = (tile_dedup(sf).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert fast.equals(slow[fast.columns])
