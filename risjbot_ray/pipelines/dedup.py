@@ -165,6 +165,15 @@ def _norm_pairs(b: pa.Table) -> pa.Table:
     return b.select(["a", "b"]).cast(_PAIR_SCHEMA)
 
 
+# pair-broadcast cutoff for the signature fetch-back: 200k pairs x
+# (64-perm x 8 B) signatures ~ 200 MB driver-side worst case
+_BROADCAST_PAIRS_MAX = 200_000
+
+# text fetch-back bound for the jaccard fast path: the pulled texts
+# must fit comfortably in the object store as ONE broadcast value
+_BROADCAST_TEXT_MAX_BYTES = 256 << 20
+
+
 def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64,
                             bands: int = 16, threshold: float = 0.7,
                             num_partitions: int | None = None):
@@ -172,8 +181,11 @@ def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64,
 
     Three stages, all narrow: (1) signatures once per doc (actor pool);
     (2) band-hash shuffle of 20-byte rows -> colliding pairs, deduped;
-    (3) signatures hash-join back onto the LSH-bounded pair set and the
-    per-pair estimate is one vectorized row-equality mean."""
+    (3) the pair set's signatures come back via a broadcast-ids filter
+    pass when the pair set is small (the LSH design case; see
+    ``_BROADCAST_PAIRS_MAX``) or a distributed hash join past the
+    cutoff, and the per-pair estimate is one vectorized row-equality
+    mean."""
     rows_per_band = num_perm // bands
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
@@ -182,9 +194,10 @@ def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64,
     sigs = ds.map_batches(MinHasher, batch_format="pyarrow",
                           fn_constructor_kwargs={"num_perm": num_perm},
                           concurrency=(1, 8)).materialize()
-    exploded = sigs.map_batches(
+    from risjbot_ray.pipelines.webtext import _coalesce_for_exchange
+    exploded = _coalesce_for_exchange(sigs.map_batches(
         lambda b: _explode_bands_light(b, bands, rows_per_band),
-        batch_format="pyarrow")
+        batch_format="pyarrow"))
     cands = exploded.groupby("band").map_groups(
         _band_cands, batch_format="pandas")
     # a pair can collide in several bands — dedupe on (a, b)
@@ -200,6 +213,49 @@ def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64,
             .select_columns(["a", "b"])
             .map_batches(_norm_pairs, batch_format="pyarrow")
             .materialize().repartition(1))
+
+    # FAST PATH (the design case): the pair set is LSH-bounded small,
+    # so instead of two distributed hash joins, broadcast the needed
+    # doc_ids, pull just those signatures with one streaming filter
+    # pass, and compute every per-pair estimate in one vectorized
+    # call. Each signature is num_perm x 8 bytes, so the cutoff keeps
+    # the pulled subset ~O(100 MB). Past the cutoff, fall back to the
+    # join plan (the big side stays fully partitioned).
+    pair_tbl = pa.concat_tables(
+        [t for t in ray.get(uniq.to_arrow_refs()) if t.num_rows]
+        or [_PAIR_SCHEMA.empty_table()])
+    if pair_tbl.num_rows <= _BROADCAST_PAIRS_MAX:
+        a_ids = pair_tbl.column("a").to_numpy()
+        b_ids = pair_tbl.column("b").to_numpy()
+        if not len(a_ids):
+            return ray.data.from_arrow(pa.table({
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "est_jaccard": pa.array([], pa.float64())}))
+        need_ref = ray.put(np.unique(np.concatenate([a_ids, b_ids])))
+
+        def pick(b: pa.Table) -> pa.Table:
+            need = ray.get(need_ref)
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(np.isin(ids, need)))
+
+        sub = pa.concat_tables(
+            [t for t in ray.get(
+                sigs.map_batches(pick, batch_format="pyarrow")
+                .to_arrow_refs()) if t.num_rows])
+        sig_by_id = dict(zip(
+            sub.column("doc_id").to_numpy(),
+            (np.frombuffer(s, dtype=np.uint64)
+             for s in sub.column("sig").to_pylist())))
+        sa = np.stack([sig_by_id[i] for i in a_ids])
+        sb = np.stack([sig_by_id[i] for i in b_ids])
+        e = (sa == sb).mean(axis=1)
+        keep = e >= threshold
+        return ray.data.from_arrow(pa.table({
+            "a": pa.array(a_ids[keep], pa.int64()),
+            "b": pa.array(b_ids[keep], pa.int64()),
+            "est_jaccard": pa.array(e[keep], pa.float64())}))
+
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(2, min(32, cpus // 2))
@@ -251,21 +307,27 @@ def _norm_labels(b: pa.Table) -> pa.Table:
     return b.select(["node", "label"]).cast(_LABEL_SCHEMA)
 
 
+_LP_NB = 256  # label-propagation node buckets: exchanges sort this
+#               small int, and each per-bucket call is vectorized
+#               pandas — never one Python call per node
+
+
 def label_propagation_clusters(edges, max_rounds: int = 64):
     """Distributed connected components by iterated min-label
     propagation, entirely as Dataset ops (no driver-side edge loop):
     each round unions the current (node, label) set with both edge
-    directions, a groupby(node) emits each node's min label to itself
-    and every neighbor, and a second groupby(node).min(label) folds the
-    messages — new_label(v) = min(label(v), min_{u in N(v)} label(u)).
-    Labels are non-increasing, so convergence is detected by an
-    unchanged Sum(label) aggregate (a driver scalar, never the rows).
-    Rounds needed = max cluster diameter; ``max_rounds`` bounds
-    pathological chains. Returns a Dataset of (node, label=min reachable
-    node id)."""
+    directions, groups by node bucket (node % _LP_NB — all of a node's
+    rows share a bucket, so per-node mins inside a bucket are exact),
+    emits each node's min label to itself and every neighbor, and a
+    second bucket-grouped pass folds the messages — new_label(v) =
+    min(label(v), min_{u in N(v)} label(u)). Both exchanges shuffle
+    small-int bucket keys and the per-bucket work is one vectorized
+    pandas groupby, not a Python call per node. Labels are
+    non-increasing, so convergence is detected by an unchanged sum of
+    labels (a driver scalar, never the rows). Rounds needed = max
+    cluster diameter; ``max_rounds`` bounds pathological chains.
+    Returns a Dataset of (node, label=min reachable node id)."""
     import pandas as pd
-
-    from ray.data.aggregate import Min, Sum
 
     edges = (edges.map_batches(_norm_pairs, batch_format="pyarrow")
              .materialize())
@@ -275,57 +337,93 @@ def label_propagation_clusters(edges, max_rounds: int = 64):
     def as_msgs(direction: str):
         def f(b: pa.Table) -> pa.Table:
             src, dst = (("a", "b") if direction == "fwd" else ("b", "a"))
+            node = b.column(src).cast(pa.int64())
             return pa.table({
-                "node": b.column(src).cast(pa.int64()),
+                "node": node,
                 "nbr": b.column(dst).cast(pa.int64()),
                 "label": pa.nulls(b.num_rows, pa.int64()),
+                "nb": pa.array(node.to_numpy(zero_copy_only=False)
+                               % _LP_NB, pa.int64()),
             })
         return f
 
-    edge_msgs = (edges.map_batches(as_msgs("fwd"), batch_format="pyarrow")
-                 .union(edges.map_batches(as_msgs("rev"),
-                                          batch_format="pyarrow"))
-                 .materialize())
+    from risjbot_ray.pipelines.webtext import _coalesce_for_exchange
 
-    def init_labels(b: pa.Table) -> pa.Table:
-        return pa.table({"node": b.column("node"),
-                         "label": b.column("node")})
+    edge_msgs = _coalesce_for_exchange(
+        edges.map_batches(as_msgs("fwd"), batch_format="pyarrow")
+        .union(edges.map_batches(as_msgs("rev"),
+                                 batch_format="pyarrow")))
 
-    labels = (edge_msgs.select_columns(["node"])
-              .groupby("node").aggregate(Min("node", alias_name="m"))
-              .select_columns(["node"])
-              .map_batches(init_labels, batch_format="pyarrow")
+    def init_labels(df) -> "pd.DataFrame":
+        nodes = np.unique(df["node"].to_numpy())
+        return pd.DataFrame({"node": pd.Series(nodes, dtype="int64"),
+                             "label": pd.Series(nodes, dtype="int64")})
+
+    labels = (edge_msgs.groupby("nb")
+              .map_groups(init_labels, batch_format="pandas")
+              .map_batches(_norm_labels, batch_format="pyarrow")
               .materialize())
 
     def with_nbr(b: pa.Table) -> pa.Table:
-        return pa.table({"node": b.column("node"),
-                         "nbr": pa.nulls(b.num_rows, pa.int64()),
-                         "label": b.column("label")})
+        node = b.column("node")
+        return pa.table({
+            "node": node,
+            "nbr": pa.nulls(b.num_rows, pa.int64()),
+            "label": b.column("label"),
+            "nb": pa.array(node.to_numpy(zero_copy_only=False)
+                           % _LP_NB, pa.int64()),
+        })
 
-    def propagate(group) -> "pd.DataFrame":
-        lab = group["label"].dropna()
-        if lab.empty:  # isolated message rows (no label row) — impossible
-            return pd.DataFrame({"node": pd.Series(dtype="int64"),
-                                 "label": pd.Series(dtype="int64")})
-        m = int(lab.min())
-        nodes = group["nbr"].dropna().astype("int64").tolist()
-        nodes.append(int(group["node"].iloc[0]))
-        return pd.DataFrame({"node": pd.Series(nodes, dtype="int64"),
-                             "label": pd.Series([m] * len(nodes),
+    def propagate(df) -> "pd.DataFrame":
+        # vectorized over the whole bucket: per-node min label from
+        # the label rows, broadcast to every neighbor row + the node
+        lab = df[df["label"].notna()]
+        mins = lab.groupby("node")["label"].min()
+        nbr = df[df["nbr"].notna()]
+        out_node = np.concatenate([
+            nbr["nbr"].to_numpy(dtype=np.int64),
+            mins.index.to_numpy(dtype=np.int64)])
+        out_label = np.concatenate([
+            mins.reindex(nbr["node"]).to_numpy(dtype=np.int64),
+            mins.to_numpy(dtype=np.int64)])
+        return pd.DataFrame({"node": pd.Series(out_node, dtype="int64"),
+                             "label": pd.Series(out_label,
                                                 dtype="int64")})
+
+    def fold(df) -> "pd.DataFrame":
+        m = df.groupby("node")["label"].min()
+        return pd.DataFrame({
+            "node": pd.Series(m.index.to_numpy(dtype=np.int64),
+                              dtype="int64"),
+            "label": pd.Series(m.to_numpy(dtype=np.int64),
+                               dtype="int64")})
+
+    def add_nb(b: pa.Table) -> pa.Table:
+        return b.append_column("nb", pa.array(
+            b.column("node").to_numpy(zero_copy_only=False) % _LP_NB,
+            pa.int64()))
 
     prev_sum = None
     for _ in range(max_rounds):
         msgs = (labels.map_batches(with_nbr, batch_format="pyarrow")
                 .union(edge_msgs)
-                .groupby("node")
+                .groupby("nb")
                 .map_groups(propagate, batch_format="pandas")
-                .map_batches(_norm_labels, batch_format="pyarrow"))
-        labels = (msgs.groupby("node")
-                  .aggregate(Min("label", alias_name="label"))
+                .map_batches(_norm_labels, batch_format="pyarrow")
+                .map_batches(add_nb, batch_format="pyarrow"))
+        labels = (_coalesce_for_exchange(msgs)
+                  .groupby("nb")
+                  .map_groups(fold, batch_format="pandas")
                   .map_batches(_norm_labels, batch_format="pyarrow")
                   .materialize())
-        cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
+
+        def lsum(b: pa.Table) -> pa.Table:
+            return pa.table({"s": pa.array(
+                [int(b.column("label").to_numpy(
+                    zero_copy_only=False).sum())], pa.int64())})
+
+        cur = int(labels.map_batches(lsum, batch_format="pyarrow")
+                  .to_pandas()["s"].sum())
         if cur == prev_sum:
             break
         prev_sum = cur
@@ -490,6 +588,67 @@ def ngram_jaccard_pairs(sf_dir: str, shingle_k: int = 3,
              .materialize().repartition(1))
     if not cands.take(1):
         return _JACCARD_SCHEMA.empty_table()
+
+    # FAST PATH (LSH-bounded pair sets): skip both distributed joins —
+    # broadcast the needed doc_ids, pull just those texts with one
+    # streaming filter pass, broadcast the (pair-bounded) text map, and
+    # verify the pairs with a distributed map over the pair table. The
+    # shingle work stays in Ray tasks; only pair ids + their texts
+    # touch the driver, both bounded by the cutoffs.
+    pair_tbl = pa.concat_tables(
+        [t for t in ray.get(cands.to_arrow_refs()) if t.num_rows])
+    if pair_tbl.num_rows <= _BROADCAST_PAIRS_MAX:
+        a_ids = pair_tbl.column("a").to_numpy()
+        b_ids = pair_tbl.column("b").to_numpy()
+        need_ref = ray.put(np.unique(np.concatenate([a_ids, b_ids])))
+
+        def pick(b: pa.Table) -> pa.Table:
+            need = ray.get(need_ref)
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(np.isin(ids, need)))
+
+        docs0 = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        sub = pa.concat_tables(
+            [t for t in ray.get(
+                docs0.map_batches(pick, batch_format="pyarrow")
+                .to_arrow_refs()) if t.num_rows])
+        if sub.nbytes <= _BROADCAST_TEXT_MAX_BYTES:
+            text_ref = ray.put(dict(zip(
+                sub.column("doc_id").to_pylist(),
+                sub.column("text").to_pylist())))
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            nparts = max(1, min(cpus, pair_tbl.num_rows // 64 + 1))
+            pairs_ds = (ray.data.from_arrow(pair_tbl)
+                        .repartition(nparts))
+
+            def verify_bcast(batch: pa.Table) -> pa.Table:
+                texts = ray.get(text_ref)
+                a_o, b_o, j_o = [], [], []
+                for ai, bi in zip(batch.column("a").to_pylist(),
+                                  batch.column("b").to_pylist()):
+                    sa = _shingle_hashes(texts.get(ai) or "", shingle_k)
+                    sb = _shingle_hashes(texts.get(bi) or "", shingle_k)
+                    inter = len(np.intersect1d(sa, sb,
+                                               assume_unique=True))
+                    union = len(sa) + len(sb) - inter
+                    if union == 0:
+                        continue
+                    j = inter / union
+                    if j >= threshold:
+                        a_o.append(ai)
+                        b_o.append(bi)
+                        j_o.append(j)
+                return pa.table({"a": pa.array(a_o, pa.int64()),
+                                 "b": pa.array(b_o, pa.int64()),
+                                 "jaccard": pa.array(j_o,
+                                                     pa.float64())})
+
+            out = (pairs_ds.map_batches(verify_bcast,
+                                        batch_format="pyarrow")
+                   .materialize())
+            return _finish_jaccard(out)
+
     if num_partitions is None:
         # two chained joins spawn 2x num_partitions aggregator actors —
         # size to the cluster or they deadlock on small CPU counts
@@ -541,6 +700,12 @@ def ngram_jaccard_pairs(sf_dir: str, shingle_k: int = 3,
                          "jaccard": pa.array(j_o, pa.float64())})
 
     out = j2.map_batches(verify, batch_format="pyarrow").materialize()
+    return _finish_jaccard(out)
+
+
+def _finish_jaccard(out) -> pa.Table:
+    """Collect, sort and round the (small, threshold-filtered) verified
+    pair set."""
     parts = [t.cast(_JACCARD_SCHEMA) for t in
              (ray.get(r) for r in out.to_arrow_refs()) if t.num_rows]
     if not parts:

@@ -660,3 +660,20 @@ def test_tile_dedup_union_fallback_matches_broadcast(
     slow = (tile_dedup(sf).to_pandas()
             .sort_values("doc_id").reset_index(drop=True))
     assert fast.equals(slow[fast.columns])
+
+
+def test_minhash_pairs_join_fallback_matches_broadcast(
+        ray_session, monkeypatch):
+    """The distributed-join fallback for large pair sets must produce
+    exactly what the broadcast fast path produces; force it by zeroing
+    the broadcast cutoff."""
+    from risjbot_ray.pipelines import dedup
+    from risjbot_ray.pipelines.dedup import minhash_candidate_pairs
+
+    fast = (minhash_candidate_pairs(SF).to_pandas()
+            .sort_values(["a", "b"]).reset_index(drop=True))
+    monkeypatch.setattr(dedup, "_BROADCAST_PAIRS_MAX", -1)
+    slow = (minhash_candidate_pairs(SF).to_pandas()
+            .sort_values(["a", "b"]).reset_index(drop=True))
+    assert fast.equals(slow[fast.columns])
+    assert len(fast) > 0

@@ -125,3 +125,17 @@ def test_ngram_jaccard_accepts_candidate_pairs(ray_session, planted_dir):
                                    "b": pa.array([], pa.int64())}))
     assert empty.num_rows == 0
     assert empty.schema.equals(dedup._JACCARD_SCHEMA)
+
+
+def test_jaccard_join_fallback_matches_broadcast(
+        ray_session, monkeypatch):
+    """ngram_jaccard_pairs' distributed-join fallback must match the
+    broadcast fast path exactly; force it by zeroing both cutoffs."""
+    from risjbot_ray.pipelines import dedup
+    from risjbot_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    sf = "/root/testdata/sf0.001"
+    fast = ngram_jaccard_pairs(sf).to_pandas()
+    monkeypatch.setattr(dedup, "_BROADCAST_PAIRS_MAX", -1)
+    slow = ngram_jaccard_pairs(sf).to_pandas()
+    assert fast.equals(slow[fast.columns])
