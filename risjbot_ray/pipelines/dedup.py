@@ -799,20 +799,70 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.95,
         return pd.DataFrame({"a": pd.Series(ids[ia], dtype="int64"),
                              "b": pd.Series(ids[ib], dtype="int64")})
 
-    # units are consumed by the bucket explode AND both pair-side joins
+    # units are consumed by the bucket explode AND the pair fetch-back
     units = ds.map_batches(unitize, batch_format="pyarrow",
                            zero_copy_batch=True).materialize()
-    cand = (units.map_batches(bucketize, batch_format="pyarrow")
+    from risjbot_ray.pipelines.webtext import _coalesce_for_exchange
+    cand = (_coalesce_for_exchange(
+                units.map_batches(bucketize, batch_format="pyarrow"))
             .groupby("bucket").map_groups(bucket_pairs,
                                           batch_format="pandas"))
     from ray.data.aggregate import Count
-    uniq = (cand.groupby(["a", "b"])
+    uniq = (_coalesce_for_exchange(
+                cand.map_batches(_norm_pairs, batch_format="pyarrow"))
+            .groupby(["a", "b"])
             .aggregate(Count(alias_name="n_hits"))
             .select_columns(["a", "b"])
             .map_batches(_norm_pairs, batch_format="pyarrow")
             .materialize().repartition(1))
     if not uniq.take(1):
         return _NEARDUP_SCHEMA.empty_table()
+
+    # FAST PATH (LSH-bounded pair sets): broadcast the needed vec_ids,
+    # pull just those unit vectors with one streaming filter pass, and
+    # take every exact cosine in one vectorized einsum — no joins.
+    # Bounded by the pair cutoff AND the pulled-bytes cutoff (a unit
+    # vector is dim x 8 B); past either, the join plan applies.
+    pair_tbl = pa.concat_tables(
+        [t for t in ray.get(uniq.to_arrow_refs()) if t.num_rows])
+    if pair_tbl.num_rows <= _BROADCAST_PAIRS_MAX:
+        a_ids = pair_tbl.column("a").to_numpy()
+        b_ids = pair_tbl.column("b").to_numpy()
+        need = np.unique(np.concatenate([a_ids, b_ids]))
+        if len(need) * dim * 8 <= _BROADCAST_TEXT_MAX_BYTES:
+            need_ref = ray.put(need)
+
+            def pick(b: pa.Table) -> pa.Table:
+                ids = b.column("vec_id").to_numpy(
+                    zero_copy_only=False)
+                return b.filter(pa.array(
+                    np.isin(ids, ray.get(need_ref))))
+
+            sub = pa.concat_tables(
+                [t for t in ray.get(
+                    units.map_batches(pick, batch_format="pyarrow")
+                    .to_arrow_refs()) if t.num_rows])
+            unit_by_id = dict(zip(
+                sub.column("vec_id").to_numpy(),
+                (np.frombuffer(u, dtype=np.float64)
+                 for u in sub.column("unit").to_pylist())))
+            ua = np.stack([unit_by_id[i] for i in a_ids])
+            ub = np.stack([unit_by_id[i] for i in b_ids])
+            cos = np.einsum("ij,ij->i", ua, ub)
+            keep = cos >= threshold
+            tbl = pa.table({
+                "a": pa.array(a_ids[keep], pa.int64()),
+                "b": pa.array(b_ids[keep], pa.int64()),
+                "cosine": pa.array(cos[keep], pa.float64()),
+            }).cast(_NEARDUP_SCHEMA)
+            if tbl.num_rows == 0:
+                return _NEARDUP_SCHEMA.empty_table()
+            idx = pc.sort_indices(tbl, sort_keys=[
+                ("a", "ascending"), ("b", "ascending")])
+            tbl = tbl.take(idx)
+            return tbl.set_column(2, "cosine",
+                                  pc.round(tbl.column("cosine"), 5))
+
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(2, min(32, cpus // 2))

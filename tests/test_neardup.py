@@ -139,3 +139,15 @@ def test_jaccard_join_fallback_matches_broadcast(
     monkeypatch.setattr(dedup, "_BROADCAST_PAIRS_MAX", -1)
     slow = ngram_jaccard_pairs(sf).to_pandas()
     assert fast.equals(slow[fast.columns])
+
+
+def test_embedding_neardup_join_fallback_matches_broadcast(
+        ray_session, planted_dir, monkeypatch):
+    """The join fallback for large pair sets must reproduce the
+    broadcast fast path's (a, b, cosine) table exactly."""
+    root, _, _, _ = planted_dir
+    fast = dedup.embedding_neardup_pairs(root, threshold=0.95)
+    monkeypatch.setattr(dedup, "_BROADCAST_PAIRS_MAX", -1)
+    slow = dedup.embedding_neardup_pairs(root, threshold=0.95)
+    assert fast.equals(slow)
+    assert fast.num_rows > 0
