@@ -54,27 +54,46 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
 # exact dedup
 # --------------------------------------------------------------------------
 
-def md5_batch(batch: pa.Table) -> pa.Table:
-    texts = batch.column("text").to_pylist()
-    h = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
-    return pa.table({"doc_id": batch.column("doc_id"),
-                     "text_md5": pa.array(h, pa.string())})
+_EXACT_NB = 1024
 
 
 def exact_dedup(sf_dir: str):
     """One row per distinct text: (doc_id = min id in group, n_dups).
-    Hash inside map_batches (vectorized), shuffle only (hash, id)."""
+    Hash inside map_batches (vectorized); the shuffle moves (h_hi,
+    h_lo, hb, doc_id) int64 rows grouped on the coarse ``hb`` bucket —
+    never text, and never md5 STRINGS (sort exchanges on wide string
+    keys are pathologically slow); the per-bucket reduction is one
+    vectorized pandas groupby."""
     import pandas as pd
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    hashed = ds.map_batches(md5_batch, batch_format="pyarrow",
-                            zero_copy_batch=True)
-    from ray.data.aggregate import Count, Min
-    return (hashed.groupby("text_md5")
-            .aggregate(Min("doc_id", alias_name="doc_id"),
-                       Count(alias_name="n_dups"))
-            .select_columns(["doc_id", "n_dups"]))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        hs = (np.frombuffer(
+            b"".join(hashlib.md5((t or "").encode("utf-8")).digest()
+                     for t in batch.column("text").to_pylist()),
+            dtype=">u8").reshape(-1, 2).astype(np.uint64)
+            .view(np.int64)
+            if batch.num_rows else np.empty((0, 2), dtype=np.int64))
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "h_hi": pa.array(hs[:, 0], pa.int64()),
+            "h_lo": pa.array(hs[:, 1], pa.int64()),
+            "hb": pa.array(hs[:, 0] % _EXACT_NB, pa.int64()),
+        })
+
+    def reduce_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby(["h_hi", "h_lo"], sort=False)["doc_id"]
+        out = pd.DataFrame({"doc_id": g.min(), "n_dups": g.size()})
+        return out.reset_index(drop=True)
+
+    from risjbot_ray.pipelines.webtext import _coalesce_for_exchange
+    hashed = _coalesce_for_exchange(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    return (hashed.groupby("hb")
+            .map_groups(reduce_bucket, batch_format="pandas"))
 
 
 # --------------------------------------------------------------------------

@@ -142,19 +142,31 @@ def events_hourly(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def sessionize_events(sf_dir: str, gap_minutes: int = 30):
+def sessionize_events(sf_dir: str, gap_minutes: int = 30,
+                      nbuckets: int = 1024):
     """Session windows per user: sort within user, split on ts gaps >
-    ``gap_minutes`` (stream-shaped groupby(key).map_groups pattern).
-    Returns per-session (user_id, session_start, n_events, total_value).
-    """
+    ``gap_minutes``. The exchange groups on a coarse ``user_id %
+    nbuckets`` key (all of a user's events share a bucket) and each
+    per-bucket call sessionizes EVERY user in the bucket with one
+    vectorized sort + gap/boundary scan — never one Python call per
+    user (billions of users at design scale). Returns per-session
+    (user_id, session_start, n_events, total_value)."""
+    import pyarrow as pa
+
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts", "value"])
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("ts", kind="mergesort")
-        new_sess = df["ts"].diff().gt(gap).cumsum()
-        g = df.groupby(new_sess)
+    def add_ub(batch: "pa.Table") -> "pa.Table":
+        ub = batch.column("user_id").to_numpy(
+            zero_copy_only=False) % nbuckets
+        return batch.append_column("ub", pa.array(ub, pa.int64()))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        user_break = df["user_id"].ne(df["user_id"].shift())
+        new_sess = user_break | df["ts"].diff().gt(gap)
+        g = df.groupby(new_sess.cumsum())
         out = pd.DataFrame({
             "user_id": g["user_id"].first(),
             "session_start": g["ts"].min(),
@@ -163,4 +175,8 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30):
         })
         return out.reset_index(drop=True)
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    from risjbot_ray.pipelines.webtext import _coalesce_for_exchange
+    keyed = _coalesce_for_exchange(
+        ds.map_batches(add_ub, batch_format="pyarrow"))
+    return keyed.groupby("ub").map_groups(per_bucket,
+                                          batch_format="pandas")

@@ -275,18 +275,33 @@ def curate_documents(sf_dir: str, min_words: int = 50,
             if alpha / n < min_alpha or stop / nw < min_stop:
                 continue
             out_id.append(i)
-            out_md5.append(hashlib.md5(t.encode("utf-8")).hexdigest())
+            out_md5.append(hashlib.md5(t.encode("utf-8")).digest())
             out_nw.append(nw)
+        hs = (np.frombuffer(b"".join(out_md5), dtype=">u8")
+              .reshape(-1, 2).astype(np.uint64).view(np.int64)
+              if out_md5 else np.empty((0, 2), dtype=np.int64))
         return pa.table({"doc_id": pa.array(out_id, pa.int64()),
-                         "text_md5": pa.array(out_md5, pa.string()),
+                         "h_hi": pa.array(hs[:, 0], pa.int64()),
+                         "h_lo": pa.array(hs[:, 1], pa.int64()),
+                         "hb": pa.array(hs[:, 0] % 1024, pa.int64()),
                          "n_words": pa.array(out_nw, pa.int64())})
 
-    from ray.data.aggregate import Max, Min
-    return (ds.map_batches(prep, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby("text_md5")
-            .aggregate(Min("doc_id", alias_name="doc_id"),
-                       Max("n_words", alias_name="n_words"))
+    def reduce_bucket(df):
+        import pandas as pd
+        # the digest rides as two int64 columns bucketed on hb (string
+        # md5 keys sort pathologically in the exchange); one vectorized
+        # groupby per bucket resolves min-id / max-words per digest
+        g = df.groupby(["h_hi", "h_lo"], sort=False)
+        out = pd.DataFrame({"doc_id": g["doc_id"].min(),
+                            "n_words": g["n_words"].max()})
+        return out.reset_index(drop=True)
+
+    from risjbot_ray.pipelines.webtext import _coalesce_for_exchange
+    return (_coalesce_for_exchange(
+                ds.map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True))
+            .groupby("hb")
+            .map_groups(reduce_bucket, batch_format="pandas")
             .select_columns(["doc_id", "n_words"]))
 
 
