@@ -69,18 +69,15 @@ def exact_dedup(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
+    from risjbot_ray.functions.digests import bucket_of, md5_pack
+
     def prep(batch: pa.Table) -> pa.Table:
-        hs = (np.frombuffer(
-            b"".join(hashlib.md5((t or "").encode("utf-8")).digest()
-                     for t in batch.column("text").to_pylist()),
-            dtype=">u8").reshape(-1, 2).astype(np.uint64)
-            .view(np.int64)
-            if batch.num_rows else np.empty((0, 2), dtype=np.int64))
+        hs = md5_pack(batch.column("text").to_pylist())
         return pa.table({
             "doc_id": batch.column("doc_id").cast(pa.int64()),
             "h_hi": pa.array(hs[:, 0], pa.int64()),
             "h_lo": pa.array(hs[:, 1], pa.int64()),
-            "hb": pa.array(hs[:, 0] % _EXACT_NB, pa.int64()),
+            "hb": pa.array(bucket_of(hs[:, 0], _EXACT_NB), pa.int64()),
         })
 
     def reduce_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
@@ -193,6 +190,39 @@ _BROADCAST_PAIRS_MAX = 200_000
 _BROADCAST_TEXT_MAX_BYTES = 256 << 20
 
 
+def _collect_pairs(pairs_ds) -> pa.Table:
+    """Materialized (a, b) Dataset -> one driver-side Arrow table
+    (callers gate on _BROADCAST_PAIRS_MAX before using it)."""
+    parts = [t for t in ray.get(pairs_ds.to_arrow_refs()) if t.num_rows]
+    return (pa.concat_tables(parts) if parts
+            else _PAIR_SCHEMA.empty_table())
+
+
+def _broadcast_fetch(ds, id_col: str, need: np.ndarray,
+                     value_col: str) -> dict:
+    """The fetch-back half of every broadcast fast path: ship the
+    needed ids once (ray.put), pull the matching (id, value) rows with
+    ONE streaming filter pass over ``ds`` — the big side never
+    shuffles — and return {id: value}. Ids absent from ``ds`` are
+    simply absent from the map (callers decide whether that drops the
+    pair or errors). Safe on zero matches."""
+    need_ref = ray.put(np.asarray(need))
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(np.isin(ids, ray.get(need_ref))))
+
+    out: dict = {}
+    for t in ray.get(ds.map_batches(pick, batch_format="pyarrow")
+                     .to_arrow_refs()):
+        if t.num_rows:
+            out.update(zip(
+                t.column(id_col).to_numpy(zero_copy_only=False)
+                .tolist(),
+                t.column(value_col).to_pylist()))
+    return out
+
+
 def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64,
                             bands: int = 16, threshold: float = 0.7,
                             num_partitions: int | None = None):
@@ -240,9 +270,7 @@ def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64,
     # call. Each signature is num_perm x 8 bytes, so the cutoff keeps
     # the pulled subset ~O(100 MB). Past the cutoff, fall back to the
     # join plan (the big side stays fully partitioned).
-    pair_tbl = pa.concat_tables(
-        [t for t in ray.get(uniq.to_arrow_refs()) if t.num_rows]
-        or [_PAIR_SCHEMA.empty_table()])
+    pair_tbl = _collect_pairs(uniq)
     if pair_tbl.num_rows <= _BROADCAST_PAIRS_MAX:
         a_ids = pair_tbl.column("a").to_numpy()
         b_ids = pair_tbl.column("b").to_numpy()
@@ -251,21 +279,11 @@ def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64,
                 "a": pa.array([], pa.int64()),
                 "b": pa.array([], pa.int64()),
                 "est_jaccard": pa.array([], pa.float64())}))
-        need_ref = ray.put(np.unique(np.concatenate([a_ids, b_ids])))
-
-        def pick(b: pa.Table) -> pa.Table:
-            need = ray.get(need_ref)
-            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-            return b.filter(pa.array(np.isin(ids, need)))
-
-        sub = pa.concat_tables(
-            [t for t in ray.get(
-                sigs.map_batches(pick, batch_format="pyarrow")
-                .to_arrow_refs()) if t.num_rows])
-        sig_by_id = dict(zip(
-            sub.column("doc_id").to_numpy(),
-            (np.frombuffer(s, dtype=np.uint64)
-             for s in sub.column("sig").to_pylist())))
+        raw = _broadcast_fetch(
+            sigs, "doc_id",
+            np.unique(np.concatenate([a_ids, b_ids])), "sig")
+        sig_by_id = {i: np.frombuffer(s, dtype=np.uint64)
+                     for i, s in raw.items()}
         sa = np.stack([sig_by_id[i] for i in a_ids])
         sb = np.stack([sig_by_id[i] for i in b_ids])
         e = (sa == sb).mean(axis=1)
@@ -614,28 +632,18 @@ def ngram_jaccard_pairs(sf_dir: str, shingle_k: int = 3,
     # verify the pairs with a distributed map over the pair table. The
     # shingle work stays in Ray tasks; only pair ids + their texts
     # touch the driver, both bounded by the cutoffs.
-    pair_tbl = pa.concat_tables(
-        [t for t in ray.get(cands.to_arrow_refs()) if t.num_rows])
+    pair_tbl = _collect_pairs(cands)
     if pair_tbl.num_rows <= _BROADCAST_PAIRS_MAX:
         a_ids = pair_tbl.column("a").to_numpy()
         b_ids = pair_tbl.column("b").to_numpy()
-        need_ref = ray.put(np.unique(np.concatenate([a_ids, b_ids])))
-
-        def pick(b: pa.Table) -> pa.Table:
-            need = ray.get(need_ref)
-            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-            return b.filter(pa.array(np.isin(ids, need)))
-
         docs0 = ray.data.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        sub = pa.concat_tables(
-            [t for t in ray.get(
-                docs0.map_batches(pick, batch_format="pyarrow")
-                .to_arrow_refs()) if t.num_rows])
-        if sub.nbytes <= _BROADCAST_TEXT_MAX_BYTES:
-            text_ref = ray.put(dict(zip(
-                sub.column("doc_id").to_pylist(),
-                sub.column("text").to_pylist())))
+        texts_by_id = _broadcast_fetch(
+            docs0, "doc_id",
+            np.unique(np.concatenate([a_ids, b_ids])), "text")
+        sub_bytes = sum(len(t or "") for t in texts_by_id.values())
+        if sub_bytes <= _BROADCAST_TEXT_MAX_BYTES:
+            text_ref = ray.put(texts_by_id)
             cpus = int(ray.cluster_resources().get("CPU", 8))
             nparts = max(1, min(cpus, pair_tbl.num_rows // 64 + 1))
             pairs_ds = (ray.data.from_arrow(pair_tbl)
@@ -842,29 +850,15 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.95,
     # take every exact cosine in one vectorized einsum — no joins.
     # Bounded by the pair cutoff AND the pulled-bytes cutoff (a unit
     # vector is dim x 8 B); past either, the join plan applies.
-    pair_tbl = pa.concat_tables(
-        [t for t in ray.get(uniq.to_arrow_refs()) if t.num_rows])
+    pair_tbl = _collect_pairs(uniq)
     if pair_tbl.num_rows <= _BROADCAST_PAIRS_MAX:
         a_ids = pair_tbl.column("a").to_numpy()
         b_ids = pair_tbl.column("b").to_numpy()
         need = np.unique(np.concatenate([a_ids, b_ids]))
         if len(need) * dim * 8 <= _BROADCAST_TEXT_MAX_BYTES:
-            need_ref = ray.put(need)
-
-            def pick(b: pa.Table) -> pa.Table:
-                ids = b.column("vec_id").to_numpy(
-                    zero_copy_only=False)
-                return b.filter(pa.array(
-                    np.isin(ids, ray.get(need_ref))))
-
-            sub = pa.concat_tables(
-                [t for t in ray.get(
-                    units.map_batches(pick, batch_format="pyarrow")
-                    .to_arrow_refs()) if t.num_rows])
-            unit_by_id = dict(zip(
-                sub.column("vec_id").to_numpy(),
-                (np.frombuffer(u, dtype=np.float64)
-                 for u in sub.column("unit").to_pylist())))
+            raw = _broadcast_fetch(units, "vec_id", need, "unit")
+            unit_by_id = {i: np.frombuffer(u, dtype=np.float64)
+                          for i, u in raw.items()}
             ua = np.stack([unit_by_id[i] for i in a_ids])
             ub = np.stack([unit_by_id[i] for i in b_ids])
             cos = np.einsum("ij,ij->i", ua, ub)

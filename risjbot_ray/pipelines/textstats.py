@@ -277,13 +277,14 @@ def curate_documents(sf_dir: str, min_words: int = 50,
             out_id.append(i)
             out_md5.append(hashlib.md5(t.encode("utf-8")).digest())
             out_nw.append(nw)
-        hs = (np.frombuffer(b"".join(out_md5), dtype=">u8")
-              .reshape(-1, 2).astype(np.uint64).view(np.int64)
-              if out_md5 else np.empty((0, 2), dtype=np.int64))
+        from risjbot_ray.functions.digests import (bucket_of,
+                                                   pack_digests)
+        hs = pack_digests(b"".join(out_md5))
         return pa.table({"doc_id": pa.array(out_id, pa.int64()),
                          "h_hi": pa.array(hs[:, 0], pa.int64()),
                          "h_lo": pa.array(hs[:, 1], pa.int64()),
-                         "hb": pa.array(hs[:, 0] % 1024, pa.int64()),
+                         "hb": pa.array(bucket_of(hs[:, 0]),
+                                        pa.int64()),
                          "n_words": pa.array(out_nw, pa.int64())})
 
     def reduce_bucket(df):

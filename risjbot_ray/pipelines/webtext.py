@@ -67,6 +67,38 @@ def _coalesce(mat_ds: "ray.data.Dataset",
     return mat_ds
 
 
+def _counts_by(ds: "ray.data.Dataset", col: str) -> dict:
+    """Per-value totals of ``col`` via in-batch partial counts + a
+    driver merge of (#blocks x #distinct) tiny rows — never a sort
+    exchange just to count. Null-safe: None is its own group (matching
+    SQL GROUP BY), via Counter on non-integer columns."""
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = batch.column(col)
+        if pa.types.is_integer(arr.type):
+            v, n = np.unique(arr.to_numpy(zero_copy_only=False),
+                             return_counts=True)
+            vals = v.tolist()
+        else:
+            from collections import Counter
+            c = Counter(arr.to_pylist())
+            vals, n = list(c.keys()), list(c.values())
+        return pa.table({col: pa.array(vals, arr.type),
+                         "n": pa.array(np.asarray(n, dtype=np.int64),
+                                       pa.int64())})
+
+    sch = ds.schema(fetch_if_missing=True)
+    if sch is None or col not in sch.names:
+        return {}          # empty upstream loses its schema entirely
+    out: dict = {}
+    for t in ray.get(ds.select_columns([col])
+                     .map_batches(partial, batch_format="pyarrow")
+                     .to_arrow_refs()):
+        for v, n in zip(t.column(col).to_pylist(),
+                        t.column("n").to_pylist()):
+            out[v] = out.get(v, 0) + int(n)
+    return out
+
+
 def _coalesce_for_exchange(ds: "ray.data.Dataset",
                            floor_blocks: int = 8,
                            target_block_mb: int = 64
@@ -199,12 +231,12 @@ def _explode_tiles(batch: pa.Table, k: int, nbuckets: int) -> pa.Table:
         for j, tile in enumerate(tiles):
             o_h.append(hashlib.md5(tile.encode("utf-8")).digest())
             o_rank.append(base + j)
-    hs = (np.frombuffer(b"".join(o_h), dtype=">u8")
-          .reshape(-1, 2).astype(np.uint64).view(np.int64)
-          if o_h else np.empty((0, 2), dtype=np.int64))
+    from risjbot_ray.functions.digests import bucket_of, pack_digests
+    hs = pack_digests(b"".join(o_h))
     return pa.table({"h_hi": pa.array(hs[:, 0], pa.int64()),
                      "h_lo": pa.array(hs[:, 1], pa.int64()),
-                     "hb": pa.array(hs[:, 0] % nbuckets, pa.int64()),
+                     "hb": pa.array(bucket_of(hs[:, 0], nbuckets),
+                                    pa.int64()),
                      "rank": pa.array(o_rank, pa.int64())})
 
 
@@ -638,24 +670,11 @@ def _shuffle_rank_over(ds: "ray.data.Dataset"):
     keyed = _coalesce_for_exchange(
         ds.map_batches(key, batch_format="pyarrow"))
 
-    # per-bucket totals via in-batch partial counts + a driver merge of
-    # (#blocks x 256) tiny rows — no sort exchange just to count
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        b, n = np.unique(
-            batch.column("bucket").to_numpy(zero_copy_only=False),
-            return_counts=True)
-        return pa.table({"bucket": pa.array(b, pa.int32()),
-                         "n": pa.array(n, pa.int64())})
-
-    cdf = (keyed.select_columns(["bucket"])
-           .map_batches(partial_counts, batch_format="pyarrow")
-           .to_pandas())
+    # per-bucket totals -> prefix-sum bases, no sort exchange to count
     bases, run = {}, 0
-    if len(cdf):
-        for b, n in (cdf.groupby("bucket")["n"].sum()
-                     .sort_index().items()):
-            bases[int(b)] = run
-            run += int(n)
+    for b, n in sorted(_counts_by(keyed, "bucket").items()):
+        bases[int(b)] = run
+        run += n
     base_ref = ray.put(bases)
 
     def assign(df):
@@ -738,19 +757,7 @@ def lang_balance_sample(sf_dir: str):
     O(#languages), not O(docs)), then a stateless broadcast-rate filter
     identical in shape to ``domain_sample``. Reproducible on any
     cluster size. Returns (doc_id, lang, sample_key)."""
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        langs, n = np.unique(
-            np.asarray(batch.column("lang").to_pylist(), dtype=object),
-            return_counts=True)
-        return pa.table({"lang": pa.array(langs.tolist(), pa.string()),
-                         "n": pa.array(n, pa.int64())})
-
-    cdf = (_documents(sf_dir, ["lang"])
-           .map_batches(partial_counts, batch_format="pyarrow")
-           .to_pandas())
-    by_lang = ({str(l): int(n) for l, n in
-                cdf.groupby("lang")["n"].sum().items()}
-               if len(cdf) else {})
+    by_lang = _counts_by(_documents(sf_dir, ["lang"]), "lang")
     min_count = min(by_lang.values()) if by_lang else 0
     rates = {l: min_count / c for l, c in by_lang.items()}
     rates_ref = ray.put(rates)
@@ -794,7 +801,6 @@ def quality_rank(sf_dir: str, nparts: int = 256):
     stopword_ratio, the same bit-exact double arithmetic as
     ``doc_quality``. Returns (doc_id, score, rank)."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count
 
     from risjbot_ray.pipelines.textstats import quality_batch
 
@@ -832,24 +838,11 @@ def quality_rank(sf_dir: str, nparts: int = 256):
     parts = (scored.map_batches(part_of, batch_format="pyarrow")
              .materialize())
 
-    # per-partition totals via in-batch partial counts + driver merge
-    # (#blocks x nparts tiny rows) — no sort exchange just to count
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        p, n = np.unique(
-            batch.column("part").to_numpy(zero_copy_only=False),
-            return_counts=True)
-        return pa.table({"part": pa.array(p, pa.int64()),
-                         "n": pa.array(n, pa.int64())})
-
-    cdf = (parts.select_columns(["part"])
-           .map_batches(partial_counts, batch_format="pyarrow")
-           .to_pandas())
+    # per-partition totals -> prefix-sum bases, no sort exchange
     bases, run = {}, 0
-    if len(cdf):
-        for p_, n_ in (cdf.groupby("part")["n"].sum()
-                       .sort_index().items()):
-            bases[int(p_)] = run
-            run += int(n_)
+    for p_, n_ in sorted(_counts_by(parts, "part").items()):
+        bases[int(p_)] = run
+        run += n_
     bases_ref = ray.put(bases)
 
     def assign(df):
@@ -970,15 +963,12 @@ def hll_distinct(sf_dir: str, p: int = _HLL_P):
     _NB = 1024
 
     def hash_only(batch: pa.Table) -> pa.Table:
-        hs = (np.frombuffer(
-            b"".join(hashlib.md5((t or "").encode()).digest()
-                     for t in batch.column("text").to_pylist()),
-            dtype=">u8").reshape(-1, 2).astype(np.uint64)
-            .view(np.int64)
-            if len(batch) else np.empty((0, 2), dtype=np.int64))
+        from risjbot_ray.functions.digests import bucket_of, md5_pack
+        hs = md5_pack(batch.column("text").to_pylist())
         return pa.table({"h_hi": pa.array(hs[:, 0], pa.int64()),
                          "h_lo": pa.array(hs[:, 1], pa.int64()),
-                         "hb": pa.array(hs[:, 0] % _NB, pa.int64())})
+                         "hb": pa.array(bucket_of(hs[:, 0], _NB),
+                                        pa.int64())})
 
     def uniq(df):
         import pandas as pd

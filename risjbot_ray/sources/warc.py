@@ -316,12 +316,23 @@ def read_warc(paths: str | list[str]) -> "ray.data.Dataset":
 
 _MEMBER_CHUNK = 1 << 20
 
+# a single decompressed gzip member larger than this is not the CC
+# per-record layout — switch to whole-file streaming entries rather
+# than buffering the member (which could be the entire raw archive)
+_MEMBER_MAX_BYTES = 64 << 20
+
+
+class _MemberTooLarge(Exception):
+    pass
+
 
 def _iter_gzip_member_spans(raw: bytes) -> Iterator[tuple[int, int, bytes]]:
     """Walk the concatenated gzip members of ``raw``, yielding
     (offset, compressed_length, decompressed_bytes) per member.
     Feeds zlib in bounded chunks so total copying is O(file), not
-    O(members x file)."""
+    O(members x file). Raises ValueError on a truncated member,
+    zlib.error on corrupt bytes, and _MemberTooLarge when one member
+    decompresses past _MEMBER_MAX_BYTES (whole-file-gzip layout)."""
     n = len(raw)
     mv = memoryview(raw)
     pos = 0
@@ -329,14 +340,41 @@ def _iter_gzip_member_spans(raw: bytes) -> Iterator[tuple[int, int, bytes]]:
         start = pos
         d = zlib.decompressobj(wbits=31)   # single gzip member
         out = []
+        size = 0
         while not d.eof:
             chunk = mv[pos:pos + _MEMBER_CHUNK]
             if len(chunk) == 0:
                 raise ValueError(
                     f"truncated gzip member at offset {start}")
-            out.append(d.decompress(chunk))
+            piece = d.decompress(chunk)
+            out.append(piece)
+            size += len(piece)
+            if size > _MEMBER_MAX_BYTES:
+                raise _MemberTooLarge(str(start))
             pos += len(chunk) - len(d.unused_data)
         yield start, pos - start, b"".join(out)
+
+
+def _whole_file_entries(raw: bytes, warc_path: str,
+                        errors: dict | None) -> Iterator[dict]:
+    """Fallback CDX entries for an archive that is NOT per-record gzip
+    members (whole-file gzip): every record addresses the full file
+    (offset 0, length = file size) with a global ``rec_seq`` — a fetch
+    decompresses the archive once and picks the seq'th record, which is
+    the only random access such a layout permits. Streams via GzipFile;
+    the raw archive is never held decompressed."""
+    import hashlib
+
+    for seq, rec in enumerate(
+            iter_warc_records(_open_stream(raw), errors)):
+        yield {
+            "url": rec["url"], "warc_ts": rec["warc_ts"],
+            "http_status": rec["http_status"],
+            "content_type": rec["content_type"],
+            "digest": hashlib.sha1(rec["html"]).hexdigest(),
+            "warc_path": warc_path, "offset": 0,
+            "length": len(raw), "rec_seq": seq, "compressed": True,
+        }
 
 
 def iter_cdx_entries(raw: bytes, warc_path: str,
@@ -349,24 +387,42 @@ def iter_cdx_entries(raw: bytes, warc_path: str,
     For ``.warc.gz`` in the Common Crawl layout (one gzip member per
     record), offset/length address the record's compressed member;
     ``rec_seq`` disambiguates the rare member holding several records.
-    For plain ``.warc``, offset/length address the record bytes
+    A whole-file-gzipped archive (one giant member) falls back to
+    whole-file entries (offset 0, global rec_seq) WITHOUT buffering the
+    raw archive; a truncated/corrupt member tail stops that archive's
+    walk with ``errors['bad_members']`` counted instead of failing the
+    task. For plain ``.warc``, offset/length address the record bytes
     directly. ``digest`` is the sha1 hex of the DECODED html payload
     (framing and content-encoding undone), so two index rows with equal
     digests hold identical page bytes."""
     import hashlib
 
+    err = errors if errors is not None else {}
+    err.setdefault("bad_members", 0)
     if raw[:2] == b"\x1f\x8b":
-        for off, ln, data in _iter_gzip_member_spans(raw):
-            for seq, rec in enumerate(
-                    iter_warc_records(io.BytesIO(data), errors)):
-                yield {
-                    "url": rec["url"], "warc_ts": rec["warc_ts"],
-                    "http_status": rec["http_status"],
-                    "content_type": rec["content_type"],
-                    "digest": hashlib.sha1(rec["html"]).hexdigest(),
-                    "warc_path": warc_path, "offset": off,
-                    "length": ln, "rec_seq": seq, "compressed": True,
-                }
+        emitted = False
+        try:
+            for off, ln, data in _iter_gzip_member_spans(raw):
+                for seq, rec in enumerate(
+                        iter_warc_records(io.BytesIO(data), errors)):
+                    emitted = True
+                    yield {
+                        "url": rec["url"], "warc_ts": rec["warc_ts"],
+                        "http_status": rec["http_status"],
+                        "content_type": rec["content_type"],
+                        "digest": hashlib.sha1(rec["html"]).hexdigest(),
+                        "warc_path": warc_path, "offset": off,
+                        "length": ln, "rec_seq": seq,
+                        "compressed": True,
+                    }
+        except _MemberTooLarge:
+            if not emitted:
+                # whole-file gzip layout: stream it instead
+                yield from _whole_file_entries(raw, warc_path, errors)
+            else:                          # giant member mid-file
+                err["bad_members"] += 1
+        except (ValueError, zlib.error):   # truncated/corrupt tail
+            err["bad_members"] += 1
     else:
         for rec in iter_warc_records(io.BytesIO(raw), errors):
             yield {
@@ -424,11 +480,13 @@ def _cdx_batch(batch: pa.Table) -> Iterator[pa.Table]:
                 yield flush()
                 yielded_any = True
                 cols = {k: [] for k in _CDX_SCHEMA}
-        if errors.get("bad_records") or errors.get("skipped_lines"):
+        if (errors.get("bad_records") or errors.get("skipped_lines")
+                or errors.get("bad_members")):
             _log.warning(
                 "cdx_index: %s: skipped %d malformed record(s), "
-                "%d desynced line(s)", path,
-                errors["bad_records"], errors["skipped_lines"])
+                "%d desynced line(s), %d bad gzip member(s)", path,
+                errors["bad_records"], errors["skipped_lines"],
+                errors.get("bad_members", 0))
     if cols["url"] or not yielded_any:
         yield flush()
 
@@ -447,10 +505,17 @@ def cdx_index(paths: str | list[str]) -> "ray.data.Dataset":
     expanded: list[str] = []
     for p in paths:
         if os.path.isdir(p):
-            expanded.extend(os.path.join(p, f)
-                            for f in sorted(os.listdir(p)))
+            # archives only: skip subdirectories and marker/sidecar
+            # files (e.g. warcgen's .complete)
+            expanded.extend(
+                fp for f in sorted(os.listdir(p))
+                if os.path.isfile(fp := os.path.join(p, f))
+                and f.endswith((".warc", ".warc.gz", ".gz", ".arc")))
         else:
             expanded.append(p)
+    if not expanded:
+        return ray.data.from_arrow(pa.table(
+            {k: pa.array([], t) for k, t in _CDX_SCHEMA.items()}))
     files = ray.data.from_items([{"path": p} for p in expanded],
                                 override_num_blocks=len(expanded))
     return files.map_batches(_cdx_batch, batch_format="pyarrow",
@@ -458,26 +523,39 @@ def cdx_index(paths: str | list[str]) -> "ray.data.Dataset":
 
 
 def fetch_cdx_spans(warc_path: str,
-                    spans: list[tuple[int, int, int]]) -> list[dict]:
+                    spans: list[tuple[int, int, int]],
+                    errors: dict | None = None) -> list[dict]:
     """Random-access fetch: read only the given (offset, length,
     rec_seq) spans from one archive — a ranged read + single-member
     gunzip per record, never a full-archive scan. Spans are read in
-    offset order (one forward pass over the file regions)."""
+    offset order (one forward pass over the file regions). A span
+    whose bytes no longer parse to ``rec_seq`` records (stale index
+    after an archive rewrite) is counted in ``errors['missing_spans']``
+    and logged — never silently dropped."""
     from pyarrow import fs as pafs
     try:
         fsys, rel = pafs.FileSystem.from_uri(warc_path)
     except (ValueError, pa.ArrowInvalid):
         fsys, rel = pafs.LocalFileSystem(), warc_path
+    err = errors if errors is not None else {}
+    err.setdefault("missing_spans", 0)
     out = []
     with fsys.open_input_file(rel) as f:
         for off, ln, seq in sorted(spans):
             f.seek(off)
             blob = f.read(ln)
-            recs = list(iter_warc_records(_open_stream(blob)))
+            recs = list(iter_warc_records(_open_stream(blob), err))
             if seq < len(recs):
                 rec = recs[seq]
                 rec["warc_path"] = warc_path
                 out.append(rec)
+            else:
+                err["missing_spans"] += 1
+    if err["missing_spans"]:
+        _log.warning(
+            "fetch_cdx_spans: %s: %d requested span(s) did not parse "
+            "to their rec_seq (stale index?)", warc_path,
+            err["missing_spans"])
     return out
 
 
@@ -492,21 +570,25 @@ def read_warc_selective(cdx: "ray.data.Dataset | pa.Table"
         cdx = ray.data.from_arrow(cdx)
 
     def fetch_group(df):
-        import pandas as pd
         path = df["warc_path"].iloc[0]
         spans = list(zip(df["offset"].astype(int),
                          df["length"].astype(int),
                          df["rec_seq"].astype(int)))
         recs = fetch_cdx_spans(path, spans)
-        return pd.DataFrame({
-            "url": [r["url"] for r in recs],
-            "warc_ts": pd.to_datetime(
-                [r["warc_ts"] for r in recs], unit="us", utc=True),
-            "http_status": pd.array(
-                [r["http_status"] for r in recs], dtype="int32"),
-            "content_type": [r["content_type"] for r in recs],
-            "html": [r["html"] for r in recs],
-            "warc_path": [r["warc_path"] for r in recs],
+        # explicit Arrow table so warc_ts stays timestamp[us, tz=UTC]
+        # — byte-identical to read_warc's schema (a pandas build would
+        # widen it to ns and break unions/concats with read_warc)
+        return pa.table({
+            "url": pa.array([r["url"] for r in recs], pa.string()),
+            "warc_ts": pa.array([r["warc_ts"] for r in recs],
+                                pa.timestamp("us", tz="UTC")),
+            "http_status": pa.array([r["http_status"] for r in recs],
+                                    pa.int32()),
+            "content_type": pa.array([r["content_type"] for r in recs],
+                                     pa.string()),
+            "html": pa.array([r["html"] for r in recs], pa.binary()),
+            "warc_path": pa.array([r["warc_path"] for r in recs],
+                                  pa.string()),
         })
 
     cols = ["warc_path", "offset", "length", "rec_seq"]

@@ -490,3 +490,38 @@ def test_warc_cdx_check_query_all_zero(ray_session):
     assert row["fetch_html_mismatches"] == 0
     assert row["fetch_count_ok"]
     assert row["n_index_rows"] == row["n_pages"]
+
+
+def test_cdx_whole_file_gzip_fallback(tmp_path, monkeypatch):
+    """An archive that is one giant gzip member (whole-file gzip) must
+    fall back to whole-file entries (offset 0, global rec_seq) without
+    buffering the raw archive, and a truncated tail must be counted,
+    not raised."""
+    import gzip as gz
+
+    from risjbot_ray.sources import warc as W
+
+    plain = _sample_warc()          # 2 response records
+    raw = gz.compress(plain)
+    monkeypatch.setattr(W, "_MEMBER_MAX_BYTES", 64)  # force fallback
+    errors: dict = {}
+    entries = list(W.iter_cdx_entries(raw, "whole.warc.gz", errors))
+    assert [e["rec_seq"] for e in entries] == [0, 1]
+    assert all(e["offset"] == 0 and e["length"] == len(raw)
+               for e in entries)
+
+    p = tmp_path / "whole.warc.gz"
+    p.write_bytes(raw)
+    got = W.fetch_cdx_spans(str(p), [(0, len(raw), 1)])
+    assert got[0]["url"] == entries[1]["url"]
+
+    # truncated tail after a good member: counted, not raised
+    good = gz.compress(_warc_record(
+        "response", "http://a.example/x", "2024-01-01T00:00:01Z",
+        _http_payload(200, b"<html>alpha</html>")), compresslevel=1)
+    monkeypatch.setattr(W, "_MEMBER_MAX_BYTES", 64 << 20)
+    errors = {}
+    entries = list(W.iter_cdx_entries(good + good[:25],
+                                      "trunc.warc.gz", errors))
+    assert [e["url"] for e in entries] == ["http://a.example/x"]
+    assert errors["bad_members"] == 1
