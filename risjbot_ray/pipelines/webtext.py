@@ -160,6 +160,32 @@ class _ContaminationProbe:
         })
 
 
+def _bench_gram_ref(sf_dir: str):
+    """Build the benchmark n-gram set DISTRIBUTED and return its
+    ``ray.put`` ref: the gram tuples (the expensive per-doc zip work)
+    are built inside ``map_batches`` with per-batch dedup; the driver
+    only unions the already-distinct joined-gram strings and re-splits
+    them to tuples (tokens are whitespace-split, so the join/split
+    round-trip is exact). The previous driver-side iter_batches loop
+    serialized the whole scan."""
+    def _gram_strings(b: pa.Table) -> pa.Table:
+        mask = np.mod(b.column("doc_id").to_numpy(), BENCH_MOD) == 0
+        grams: set[str] = set()
+        for t in b.filter(pa.array(mask)).column("text").to_pylist():
+            grams.update(" ".join(g) for g in _ngrams(t or ""))
+        return pa.table({"gram": pa.array(sorted(grams), pa.string())})
+
+    strings: set[str] = set()
+    for t in ray.get(_documents(sf_dir, ["doc_id", "text"])
+                     .map_batches(_gram_strings,
+                                  batch_format="pyarrow")
+                     .to_arrow_refs()):
+        # zero-row upstream blocks can surface schemaless
+        if t.num_rows and "gram" in t.column_names:
+            strings.update(t.column("gram").to_pylist())
+    return ray.put(frozenset(tuple(s.split()) for s in strings))
+
+
 def decontaminate(sf_dir: str):
     """Flag every non-benchmark document that shares any ``NGRAM_N``-gram
     with the benchmark set (docs with ``doc_id % BENCH_MOD == 0`` stand
@@ -168,17 +194,7 @@ def decontaminate(sf_dir: str):
 
     Returns (doc_id, n_contaminated, contaminated) for all non-benchmark
     docs. ``n_contaminated`` counts DISTINCT matched grams."""
-    def _bench_only(b: pa.Table) -> pa.Table:
-        mask = np.mod(b.column("doc_id").to_numpy(), BENCH_MOD) == 0
-        return b.filter(pa.array(mask))
-
-    bench_grams: set[str] = set()
-    bench = (_documents(sf_dir, ["doc_id", "text"])
-             .map_batches(_bench_only, batch_format="pyarrow"))
-    for b in bench.iter_batches(batch_format="pyarrow"):
-        for t in b.column("text").to_pylist():
-            bench_grams.update(_ngrams(t or ""))
-    bench_ref = ray.put(frozenset(bench_grams))
+    bench_ref = _bench_gram_ref(sf_dir)
 
     return (_documents(sf_dir, ["doc_id", "text"])
             .map_batches(_ContaminationProbe,
@@ -1053,7 +1069,12 @@ class _CurationGate:
     _ALPHA_RUNS = re.compile(r"[A-Za-z]+")
 
     def _passes(self, did: int, text: str, source: str) -> bool:
+        # cheapest-first conjunction (order does not change the AND):
+        # the two hash gates drop ~half the docs before any per-char
+        # or per-gram work runs
         if did % BENCH_MOD == 0:
+            return False
+        if _unit_hash(did, "mix") >= _mix_rate(source):
             return False
         words = text.split()
         nw = len(words)
@@ -1067,8 +1088,6 @@ class _CurationGate:
         stop = sum(w.lower().strip(".,;:!?'\"()") in self.stopwords
                    for w in words)
         if stop / nw < self.min_stop:
-            return False
-        if _unit_hash(did, "mix") >= _mix_rate(source):
             return False
         if nw < NGRAM_N:
             return True
@@ -1112,18 +1131,7 @@ def curate_corpus(sf_dir: str, checkpoint_dir: str | None = None):
             gated = ray.data.read_parquet(gated_dir).materialize()
             return _curate_tail(gated)
 
-    bench_grams: set[str] = set()
-
-    def _bench_only(b: pa.Table) -> pa.Table:
-        mask = np.mod(b.column("doc_id").to_numpy(), BENCH_MOD) == 0
-        return b.filter(pa.array(mask))
-
-    bench = (_documents(sf_dir, ["doc_id", "text"])
-             .map_batches(_bench_only, batch_format="pyarrow"))
-    for b in bench.iter_batches(batch_format="pyarrow"):
-        for t in b.column("text").to_pylist():
-            bench_grams.update(_ngrams(t or ""))
-    bench_ref = ray.put(frozenset(bench_grams))
+    bench_ref = _bench_gram_ref(sf_dir)
 
     # The gate is the expensive stage (per-doc gram sets + quality
     # counts) and tile dedup consumes its input twice — materialize the
@@ -1132,7 +1140,12 @@ def curate_corpus(sf_dir: str, checkpoint_dir: str | None = None):
     gated = _coalesce(
         _documents(sf_dir, ["doc_id", "text", "source"])
         .map_batches(_CurationGate, fn_constructor_args=(bench_ref,),
-                     batch_format="pyarrow", concurrency=(1, 8))
+                     batch_format="pyarrow",
+                     # the gate is the most expensive Python pass of
+                     # the whole pipeline — let the pool use the node
+                     concurrency=(1, max(
+                         8, int(ray.cluster_resources()
+                                .get("CPU", 8)) - 2)))
         .materialize())
 
     if checkpoint_dir is not None:
