@@ -451,6 +451,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": dedup.simhash_signatures,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
+        # SemDedup: n_cells=1 is the oracle-checkable exact case (the
+        # within-cell rule degenerates to global all-pairs SQL);
+        # eps=0.4 exercises real drops on this corpus (max pair cosine
+        # ~0.51 — at the semantic default 0.95 every row is kept)
+        "embedding_semdedup": lambda sf: dedup.embedding_semdedup(
+            sf, eps=0.4, n_cells=1),
+        # clustered scale path, self-checking (check_mismatch == 0
+        # against an independent raw-vector recompute)
+        "embedding_semdedup_clustered":
+            lambda sf: dedup.embedding_semdedup_clustered(
+                sf, eps=0.4, n_cells=8),
         # multimodal plumbing (synthetic media, rows-only)
         "media_features": lambda sf: media_features_ds(n=300, seed=42),
         "media_features_check": media_features_check,
@@ -678,6 +689,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])) >= 0.95
+        """,
+        # SemDedup flat case: drop j iff some smaller vec_id i has
+        # cosine >= eps (0.4 for this corpus); dup_of = the smallest
+        # such i, dup_cosine its cosine (5dp), kept rows (-1, 0.0)
+        "embedding_semdedup": """
+            WITH d AS (
+              SELECT b.vec_id AS j, MIN(a.vec_id) AS dup_of
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(
+                        CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])) >= 0.4
+              GROUP BY b.vec_id
+            )
+            SELECT e.vec_id,
+                   CAST(0 AS BIGINT) AS cell,
+                   d.j IS NULL AS kept,
+                   COALESCE(d.dup_of, -1) AS dup_of,
+                   COALESCE(ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(o.embedding AS DOUBLE[])), 5), 0.0)
+                     AS dup_cosine
+            FROM embeddings e
+            LEFT JOIN d ON e.vec_id = d.j
+            LEFT JOIN embeddings o ON o.vec_id = d.dup_of
         """,
         # exact all-pairs 3-token-shingle Jaccard (same tokenizer/padding
         # as dedup._shingle_hashes); LSH candidate recall at J>=0.5 is

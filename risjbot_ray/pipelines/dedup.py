@@ -921,3 +921,199 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.95,
                                           ("b", "ascending")])
     tbl = tbl.take(idx)
     return tbl.set_column(2, "cosine", pc.round(tbl.column("cosine"), 5))
+
+
+# ---------------------------------------------------------------------------
+# SemDedup: semantic dedup via k-means cells + within-cell cosine pruning
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_SCHEMA = pa.schema([
+    ("vec_id", pa.int64()), ("cell", pa.int64()), ("kept", pa.bool_()),
+    ("dup_of", pa.int64()), ("dup_cosine", pa.float64())])
+
+
+def semdedup_assignments(sf_dir: str, eps: float = 0.95, n_cells: int = 8,
+                         seed: int = 5, chunk: int = 2048):
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space coarsely, then prune near-duplicates WITHIN each
+    cluster by exact cosine — the quadratic work is bounded per cell,
+    never global. Returns a ``ray.data.Dataset`` with one row per
+    vector: (vec_id, cell, kept, dup_of, dup_cosine).
+
+    Keep rule (deterministic, order-free): a vector ``j`` is dropped
+    iff some SMALLER vec_id ``i`` in the same cell has
+    ``cosine(i, j) >= eps``; ``dup_of`` is the smallest such ``i``
+    (``-1`` and cosine ``0.0`` for kept rows). With ``n_cells=1`` this
+    is exact greedy-free global semantic dedup, expressible as
+    all-pairs SQL — the driver oracle checks that case; the clustered
+    path is pinned by ``embedding_semdedup_clustered``'s independent
+    recompute counters and the planted-duplicate pytest gate.
+
+    Scale shape: reuses :class:`~risjbot_ray.pipelines.similarity.IVFIndex`
+    — sample-only centroid fit, one ``map_batches`` assign pass writing
+    CELL-PARTITIONED unit-vector parquet — then ONE Ray task per cell
+    reads only its own cell's files (zero shuffle; the same
+    partition-once layout the fetch join and IVF search use). Within a
+    cell the pairwise pass runs in ``chunk x chunk`` tiles ascending by
+    vec_id, so memory is O(chunk^2) regardless of cell size and the
+    first qualifying tile short-circuits later columns. Cell size is
+    the operator's documented partitioning assumption: pick
+    ``n_cells ~ n / target_cell_rows`` so a cell's tile sweep stays
+    cheap (the SemDedup paper's trade, made explicit)."""
+    from .similarity import IVFIndex
+
+    index = IVFIndex(sf_dir, n_cells=n_cells, seed=seed)
+    index_dir = index.index_dir
+
+    def cell_dedup(batch: pa.Table) -> pa.Table:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq_
+
+        out: list[pa.Table] = []
+        for c in batch.column("cell").to_pylist():
+            parts = sorted(glob.glob(os.path.join(
+                index_dir, f"cell={int(c):04d}", "part-*.parquet")))
+            if not parts:
+                continue
+            t = pa.concat_tables([pq_.read_table(p) for p in parts])
+            ids = np.asarray(t.column("vec_id").to_pylist(),
+                             dtype=np.int64)
+            unit = np.stack([np.asarray(v, dtype=np.float64)
+                             for v in t.column("unit").to_pylist()])
+            order = np.argsort(ids, kind="stable")
+            ids, unit = ids[order], unit[order]
+            m = len(ids)
+            kept = np.ones(m, dtype=bool)
+            dup_of = np.full(m, -1, dtype=np.int64)
+            dcos = np.zeros(m, dtype=np.float64)
+            for j0 in range(0, m, chunk):
+                j1 = min(j0 + chunk, m)
+                rows = unit[j0:j1]
+                gidx = np.arange(j0, j1)
+                found = np.zeros(j1 - j0, dtype=bool)
+                # ascending column tiles => first hit IS the smallest id
+                for c0 in range(0, j1, chunk):
+                    c1 = min(c0 + chunk, j1)
+                    sims = rows @ unit[c0:c1].T
+                    mask = (np.arange(c0, c1)[None, :]
+                            < gidx[:, None]) & ~found[:, None]
+                    hits = (sims >= eps) & mask
+                    anyh = hits.any(axis=1)
+                    if anyh.any():
+                        rsel = np.nonzero(anyh)[0]
+                        first = hits[rsel].argmax(axis=1)
+                        kept[gidx[rsel]] = False
+                        dup_of[gidx[rsel]] = ids[c0 + first]
+                        dcos[gidx[rsel]] = sims[rsel, first]
+                        found |= anyh
+                    if found.all():
+                        break
+            out.append(pa.table({
+                "vec_id": pa.array(ids, pa.int64()),
+                "cell": pa.array(np.full(m, int(c)), pa.int64()),
+                "kept": pa.array(kept),
+                "dup_of": pa.array(dup_of, pa.int64()),
+                "dup_cosine": pa.array(np.round(dcos, 5), pa.float64()),
+            }))
+        if not out:
+            return _SEMDEDUP_SCHEMA.empty_table()
+        return pa.concat_tables(out)
+
+    cells = ray.data.from_items([{"cell": c} for c in range(n_cells)],
+                                override_num_blocks=n_cells)
+    return cells.map_batches(cell_dedup, batch_format="pyarrow",
+                             batch_size=1)
+
+
+def embedding_semdedup(sf_dir: str, eps: float = 0.95,
+                       n_cells: int = 1, seed: int = 5) -> pa.Table:
+    """Driver/table form of :func:`semdedup_assignments`, sorted by
+    vec_id. The default ``n_cells=1`` is the oracle-checkable exact
+    case (all vectors in one cell == global all-pairs rule); at scale
+    call ``semdedup_assignments`` with a real cell count and consume
+    the Dataset with ``write_parquet``."""
+    ds = semdedup_assignments(sf_dir, eps=eps, n_cells=n_cells, seed=seed)
+    tbl = pa.concat_tables(
+        [t.cast(_SEMDEDUP_SCHEMA) for t in
+         (ray.get(r) for r in ds.to_arrow_refs()) if t.num_rows]
+        or [_SEMDEDUP_SCHEMA.empty_table()])
+    return tbl.take(pc.sort_indices(tbl, sort_keys=[("vec_id",
+                                                     "ascending")]))
+
+
+def embedding_semdedup_clustered(sf_dir: str, eps: float = 0.95,
+                                 n_cells: int = 8,
+                                 seed: int = 5) -> pa.Table:
+    """Clustered SemDedup with a driver-visible independent check, in
+    the ``media_features_check`` style: the distributed per-cell result
+    is recomputed from the RAW embeddings parquet + the index's
+    centroids (a different code path from the unit-vector cell spill)
+    and compared row-for-row. Returns one row per cell
+    (cell, n_vectors, n_kept, n_dropped) with constant self-check
+    columns: ``check_mismatch`` must be 0 and ``checked_n`` must equal
+    the corpus size. The O(n^2/n_cells) recompute is driver-side and
+    exists for checkable scales only — the operator itself is the
+    distributed path."""
+    import pyarrow.parquet as pq_
+
+    from .similarity import IVFIndex
+
+    res = embedding_semdedup(sf_dir, eps=eps, n_cells=n_cells, seed=seed)
+
+    # independent recompute: raw vectors -> unitize -> centroid argmax
+    # (the assign formula, from centroids.npy, NOT the cell spill) ->
+    # per-cell smallest-earlier-id rule
+    index = IVFIndex(sf_dir, n_cells=n_cells, seed=seed)
+    raw = pq_.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    ids = np.asarray(raw.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in raw.column("embedding").to_pylist()])
+    unit = vecs / np.maximum(
+        np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    cells = np.argmax(unit @ index.centroids.T, axis=1)
+
+    order = np.argsort(ids, kind="stable")
+    ids, unit, cells = ids[order], unit[order], cells[order]
+    exp_kept = np.ones(len(ids), dtype=bool)
+    exp_dup = np.full(len(ids), -1, dtype=np.int64)
+    exp_cos = np.zeros(len(ids), dtype=np.float64)
+    for c in np.unique(cells):
+        sel = np.nonzero(cells == c)[0]
+        s = unit[sel] @ unit[sel].T
+        hits = np.tril(s >= eps, k=-1)
+        anyh = hits.any(axis=1)
+        first = hits.argmax(axis=1)
+        exp_kept[sel[anyh]] = False
+        exp_dup[sel[anyh]] = ids[sel[first[anyh]]]
+        exp_cos[sel[anyh]] = s[np.arange(len(sel))[anyh], first[anyh]]
+
+    got = {int(v): (bool(k), int(d), float(dc))
+           for v, k, d, dc in zip(res.column("vec_id").to_pylist(),
+                                  res.column("kept").to_pylist(),
+                                  res.column("dup_of").to_pylist(),
+                                  res.column("dup_cosine").to_pylist())}
+    mism = sum(
+        1 for i, v in enumerate(ids)
+        if got.get(int(v)) != (bool(exp_kept[i]), int(exp_dup[i]),
+                               float(np.round(exp_cos[i], 5))))
+    mism += abs(len(got) - len(ids))
+
+    cell_col = np.asarray(res.column("cell").to_pylist(), dtype=np.int64)
+    kept_col = np.asarray(res.column("kept").to_pylist(), dtype=bool)
+    rows = []
+    for c in sorted(set(cell_col.tolist())):
+        m = cell_col == c
+        rows.append((int(c), int(m.sum()), int(kept_col[m].sum()),
+                     int((~kept_col[m]).sum())))
+    return pa.table({
+        "cell": pa.array([r[0] for r in rows], pa.int64()),
+        "n_vectors": pa.array([r[1] for r in rows], pa.int64()),
+        "n_kept": pa.array([r[2] for r in rows], pa.int64()),
+        "n_dropped": pa.array([r[3] for r in rows], pa.int64()),
+        "eps": pa.array([eps] * len(rows), pa.float64()),
+        "check_mismatch": pa.array([mism] * len(rows), pa.int64()),
+        "checked_n": pa.array([len(ids)] * len(rows), pa.int64()),
+    })

@@ -19,7 +19,8 @@ NAMES = ["simhash_signatures", "doc_fingerprint", "doc_langid",
          "doc_tile_dedup", "doc_domain_sample", "doc_shuffle_rank",
          "corpus_curate_full", "doc_length_histogram",
          "corpus_top_bigrams", "doc_lang_balance", "corpus_split",
-         "doc_quality_rank", "doc_tile_dedup_incr"]
+         "doc_quality_rank", "doc_tile_dedup_incr",
+         "embedding_semdedup"]
 
 
 def _vhash(df) -> str:
@@ -38,6 +39,8 @@ def test_oracle_matches_query(ray_session, name):
     con = duckdb.connect()
     con.execute("CREATE VIEW documents AS "
                 f"SELECT * FROM '{SF}/documents.parquet'")
+    con.execute("CREATE VIEW embeddings AS "
+                f"SELECT * FROM '{SF}/embeddings.parquet'")
     odf = con.execute(entry.oracle_sql()[name]).df()
     assert len(df) == len(odf)
     assert sorted(df.columns) == sorted(odf.columns)
