@@ -414,6 +414,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": lambda sf: similarity.ann_ivf_topk(
             sf, query_ids=[0, 1, 2], k=10),
         "ann_ivf_recall": ann_ivf_recall,
+        # BM25 text retrieval (two-pass broadcast: stats -> idf ->
+        # score + partial top-k); exact SQL oracle
+        "doc_bm25_topk": lambda sf: similarity.bm25_topk(
+            sf, query="vector hash join stream", k=20),
         # iterative Lloyd's over the full embeddings table — rows-only
         # driver row; the inertia_monotone column is the self-check
         "embedding_kmeans": lambda sf: similarity.kmeans_embeddings(sf),
@@ -689,6 +693,42 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])) >= 0.95
+        """,
+        # Okapi BM25 (Lucene idf), k1=1.2 b=0.75, same [a-z0-9]+
+        # tokenizer as the Ray side; candidates = docs with >=1 query
+        # term; ties break by doc_id
+        "doc_bm25_topk": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents
+            ),
+            dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+            stats AS (SELECT COUNT(*) AS n,
+                             AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+            tf AS (
+              SELECT doc_id, x AS term, COUNT(*) AS f
+              FROM (SELECT doc_id, unnest(t) AS x FROM toks)
+              WHERE x IN ('vector', 'hash', 'join', 'stream')
+              GROUP BY doc_id, x
+            ),
+            df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            scores AS (
+              SELECT tf.doc_id,
+                     SUM(LN(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                         * tf.f * 2.2
+                         / (tf.f + 1.2 * (0.25 + 0.75 * dl.dl
+                                          / s.avgdl))) AS score
+              FROM tf
+              JOIN df USING (term)
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats s
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, ROUND(score, 5) AS score
+            FROM scores
+            ORDER BY ROUND(score, 5) DESC, doc_id
+            LIMIT 20
         """,
         # SemDedup flat case: drop j iff some smaller vec_id i has
         # cosine >= eps (0.4 for this corpus); dup_of = the smallest

@@ -348,3 +348,103 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5,
         "inertia": pa.array(np.round(inert, 6), pa.float64()),
         "inertia_monotone": pa.array([monotone] * k, pa.bool_()),
     })
+
+
+# ---------------------------------------------------------------------------
+# BM25 text retrieval: distributed scoring + partial top-k
+# ---------------------------------------------------------------------------
+
+def bm25_topk(sf_dir: str, query: str = "vector hash join stream",
+              k: int = 20, k1: float = 1.2, b: float = 0.75) -> pa.Table:
+    """Okapi BM25 top-k retrieval over the documents table (Lucene idf
+    variant: ``ln(1 + (N - df + 0.5)/(df + 0.5))``) — the text-side
+    counterpart of :func:`ann_topk`, same two-pass broadcast shape:
+
+    1. STATS pass: one streaming ``map_batches`` folds each batch to a
+       single partial row (n_docs, total token length, per-query-term
+       document frequencies) — the driver reduces #blocks tiny rows to
+       N / avgdl / idf, never seeing a document.
+    2. SCORE pass: per-batch tf scoring against the broadcast idf
+       table, folded to a per-batch partial top-k; the driver merges
+       #blocks x k candidates (the ``ann_topk`` pre-aggregation
+       pattern — the full score column never materializes).
+
+    Only documents containing >= 1 query term are candidates. Ranking
+    uses the 5dp-ROUNDED score with ascending-doc_id tiebreak — the
+    oracle orders by the same rounded value, so the top-k cut is
+    reproducible across engines despite last-ulp f64 differences."""
+    import heapq
+    import re as _re
+
+    terms = list(dict.fromkeys(
+        _re.findall(r"[a-z0-9]+", query.lower())))
+    if not terms:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    T = len(terms)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        total_dl = 0
+        df = np.zeros(T, dtype=np.int64)
+        for t in texts:
+            toks = _re.findall(r"[a-z0-9]+", (t or "").lower())
+            total_dl += len(toks)
+            seen = set(toks)
+            for i, q in enumerate(terms):
+                if q in seen:
+                    df[i] += 1
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "total_dl": pa.array([total_dl], pa.int64()),
+                         "df": pa.array([df.tobytes()], pa.binary())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    parts = ds.map_batches(stats, batch_format="pyarrow").take_all()
+    n_docs = sum(r["n"] for r in parts)
+    if n_docs == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    avgdl = sum(r["total_dl"] for r in parts) / n_docs
+    df = np.zeros(T, dtype=np.int64)
+    for r in parts:
+        df += np.frombuffer(r["df"], dtype=np.int64)
+    idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_s = [], []
+        for did, t in zip(ids, texts):
+            toks = _re.findall(r"[a-z0-9]+", (t or "").lower())
+            dl = len(toks)
+            s = 0.0
+            hit = False
+            for i, q in enumerate(terms):
+                f = toks.count(q)
+                if f:
+                    hit = True
+                    s += idf[i] * f * (k1 + 1) / (
+                        f + k1 * (1 - b + b * dl / avgdl))
+            if hit:
+                out_id.append(did)
+                # rank on the 5dp-ROUNDED score: raw f64 sums differ in
+                # the last ulp between engines (summation order, libm
+                # ln), and corpus scores cluster tightly — an unrounded
+                # top-k cut is not reproducible across engines
+                out_s.append(round(s, 5))
+        if len(out_id) > k:          # partial top-k inside the batch
+            order = sorted(range(len(out_id)),
+                           key=lambda j: (-out_s[j], out_id[j]))[:k]
+            out_id = [out_id[j] for j in order]
+            out_s = [out_s[j] for j in order]
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    cand = ds.map_batches(score_topk, batch_format="pyarrow").take_all()
+    top = heapq.nsmallest(k, cand,
+                          key=lambda r: (-r["score"], r["doc_id"]))
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in top], pa.int64()),
+        "score": pa.array([r["score"] for r in top], pa.float64())})

@@ -677,3 +677,53 @@ def test_minhash_pairs_join_fallback_matches_broadcast(
             .sort_values(["a", "b"]).reset_index(drop=True))
     assert fast.equals(slow[fast.columns])
     assert len(fast) > 0
+
+
+def test_bm25_planted_relevance(ray_session, tmp_path):
+    """A document stuffed with the query terms must outrank documents
+    that mention them once among filler; docs with no query term never
+    appear. Scores re-derived with an in-test BM25 of the same
+    (Lucene-idf, k1=1.2, b=0.75) formula."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from risjbot_ray.pipelines.similarity import bm25_topk
+
+    filler = "alpha beta gamma delta " * 30
+    docs = {
+        0: "vector hash join stream " * 10,          # dense in all terms
+        1: filler + " vector hash",                   # two terms, once
+        2: filler + " stream",                        # one term, once
+        3: filler,                                    # no term
+        4: filler + " join join join",                # one term, thrice
+    }
+    d = tmp_path / "bm"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values())),
+    }), d / "documents.parquet")
+
+    res = bm25_topk(str(d), query="vector hash join stream", k=10)
+    ids = res.column("doc_id").to_pylist()
+    scores = res.column("score").to_pylist()
+
+    assert 3 not in ids                  # no query term -> not candidate
+    assert ids[0] == 0                   # stuffed doc ranks first
+    assert set(ids) == {0, 1, 2, 4}
+    assert scores == sorted(scores, reverse=True)
+
+    # independent recompute of doc 2's score (single term 'stream')
+    toks = {i: __import__("re").findall(r"[a-z0-9]+", t.lower())
+            for i, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = sum(1 for t in toks.values() if "stream" in t)
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    f = toks[2].count("stream")
+    dl = len(toks[2])
+    exp = idf * f * 2.2 / (f + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    got = dict(zip(ids, scores))[2]
+    assert got == pytest.approx(round(exp, 5), abs=1e-9)
