@@ -271,17 +271,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def media_features_check(sf_dir: str):
         """Driver-visible multimodal self-check (`crawl_vs_expected`
-        style): run the actor-pool media pipeline (decode stub + frame
-        sampler) AND recompute every expected row locally from the same
-        deterministic synth table, returning one row of mismatch
+        style): run the actor-pool media pipeline (REAL pure-numpy
+        decode for BMP/PPM/WAV/y4m payloads, declared stub for
+        JPEG/MP4) AND recompute every expected row locally from the
+        same deterministic synth table, returning one row of mismatch
         counters — all-zero means the Ray-side plumbing (schema, batch
-        sizing, actor state, flat_map explode) is byte-correct."""
+        sizing, actor state, flat_map explode) is byte-correct, and
+        ``n_decoded_real`` shows how many rows took the real-codec
+        path (4/5 of the corpus by construction)."""
         import numpy as np
         import pyarrow as pa
         import ray
 
+        from risjbot_ray.media import codecs
         from risjbot_ray.pipelines.multimodal import (FrameSampler,
-                                                      _decode_stub,
+                                                      decode_features,
                                                       media_features_ds,
                                                       synth_media_table)
 
@@ -289,26 +293,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         src = synth_media_table(n, seed)
         got = media_features_ds(n=n, seed=seed).to_pandas() \
             .set_index("media_id").sort_index()
-        feat_mm = size_mm = 0
+        feat_mm = size_mm = dec_mm = meta_mm = 0
         for row in src.to_pylist():
-            exp_feat = _decode_stub(row["payload"], row["kind"])[:32]
+            exp_feat, exp_dec, exp_w, exp_h, exp_dur = decode_features(
+                row["payload"], row["kind"])
             g = got.loc[row["media_id"]]
-            if not np.allclose(np.asarray(g["features"]), exp_feat):
+            if not np.allclose(np.asarray(g["features"]), exp_feat[:32]):
                 feat_mm += 1
             if int(g["payload_bytes"]) != len(row["payload"]):
                 size_mm += 1
+            if bool(g["decoded"]) != exp_dec:
+                dec_mm += 1
+            for col, exp in (("width", exp_w), ("height", exp_h),
+                             ("duration_ms", exp_dur)):
+                gv = g[col]
+                gv = None if gv is None or (
+                    isinstance(gv, float) and np.isnan(gv)) else int(gv)
+                if gv != exp:
+                    meta_mm += 1
+                    break
         frames = (ray.data.from_arrow(src)
                   .map_batches(FrameSampler, batch_format="pyarrow",
                                batch_size=16, concurrency=2)
                   .to_pandas())
-        exp_frames = sum(
-            min(8, len(range(0, r["duration_ms"], 10_000)))
-            for r in src.to_pylist()
-            if r["kind"] == "video" and r["duration_ms"])
+        # expected frame counts: y4m clips sample real frames until the
+        # offset passes the REAL stream duration (always >= 1 frame);
+        # stub containers derive offsets from metadata duration_ms
+        exp_frames = 0
+        for r in src.to_pylist():
+            if r["kind"] != "video":
+                continue
+            if codecs.sniff(r["payload"]) == "y4m":
+                info = codecs.parse_y4m(r["payload"])
+                exp_frames += max(1, min(
+                    8, -(-info.duration_ms // 10_000)))
+            elif r["duration_ms"]:
+                exp_frames += min(8, len(range(0, r["duration_ms"],
+                                               10_000)))
         return pa.table({
             "n_media": pa.array([n], pa.int64()),
+            "n_decoded_real": pa.array(
+                [int(got["decoded"].sum())], pa.int64()),
             "n_feature_mismatch": pa.array([feat_mm], pa.int64()),
             "n_size_mismatch": pa.array([size_mm], pa.int64()),
+            "n_decode_flag_mismatch": pa.array([dec_mm], pa.int64()),
+            "n_metadata_mismatch": pa.array([meta_mm], pa.int64()),
             "n_frames": pa.array([len(frames)], pa.int64()),
             "n_frames_expected": pa.array([exp_frames], pa.int64()),
             "frames_ok": pa.array([len(frames) == exp_frames],

@@ -1,0 +1,247 @@
+"""Pure-numpy media codecs: round-trip exactness, hostile-input
+rejection, and the real-decode feature path through the Ray stages."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from risjbot_ray.media import codecs
+
+
+def _img(h, w, seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+def test_bmp_roundtrip_exact_including_padded_widths():
+    # widths 3, 5 exercise the 4-byte row padding; 4 exercises pad=0
+    for h, w in [(5, 3), (7, 4), (2, 5), (1, 1), (33, 31)]:
+        img = _img(h, w, seed=h * 100 + w)
+        assert (codecs.decode_bmp(codecs.encode_bmp(img)) == img).all()
+
+
+def test_bmp_sniff_and_32bit_and_topdown():
+    import struct
+    img = _img(6, 4)
+    data = codecs.encode_bmp(img)
+    assert codecs.sniff(data) == "bmp"
+    # hand-build a 32-bit TOP-DOWN bmp of the same pixels
+    h, w = img.shape[:2]
+    bgra = np.zeros((h, w, 4), np.uint8)
+    bgra[:, :, :3] = img[:, :, ::-1]
+    px = bgra.tobytes()                    # top-down: no flip
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 32, 0,
+                       len(px), 0, 0, 0, 0)
+    assert (codecs.decode_bmp(hdr + info + px) == img).all()
+
+
+def test_bmp_rejects_garbage_and_truncation():
+    with pytest.raises(ValueError):
+        codecs.decode_bmp(b"not a bmp at all" * 10)
+    data = codecs.encode_bmp(_img(8, 8))
+    with pytest.raises(ValueError):
+        codecs.decode_bmp(data[: len(data) // 2])
+
+
+# ---------------------------------------------------------------------------
+# PPM / PGM
+# ---------------------------------------------------------------------------
+
+def test_ppm_roundtrip_and_comment_header():
+    img = _img(9, 5)
+    data = codecs.encode_ppm(img)
+    assert codecs.sniff(data) == "ppm"
+    assert (codecs.decode_ppm(data) == img).all()
+    # netpbm allows comments anywhere between header tokens
+    commented = (b"P6\n# a comment\n5 # trailing\n9\n# more\n255\n"
+                 + img.tobytes())
+    assert (codecs.decode_ppm(commented) == img).all()
+
+
+def test_pgm_decode_and_image_dispatch():
+    g = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    data = b"P5\n6 4\n255\n" + g.tobytes()
+    assert (codecs.decode_pgm(data) == g).all()
+    rgb = codecs.decode_image(data)
+    assert rgb.shape == (4, 6, 3)
+    assert (rgb[:, :, 0] == g).all() and (rgb[:, :, 2] == g).all()
+    assert codecs.decode_image(b"\xff\xd8\xff junk jpeg") is None
+
+
+# ---------------------------------------------------------------------------
+# WAV
+# ---------------------------------------------------------------------------
+
+def test_wav_roundtrip_mono_and_stereo():
+    rng = np.random.default_rng(3)
+    for ch in (1, 2):
+        sig = rng.uniform(-1, 1, size=(200, ch)).astype(np.float32)
+        data = codecs.encode_wav(sig, 8000)
+        assert codecs.sniff(data) == "wav"
+        out, sr = codecs.decode_wav(data)
+        assert sr == 8000 and out.shape == (200, ch)
+        # PCM16 bound: scale skew (x*32767/32768) + rounding half-step
+        assert np.abs(out - sig).max() <= 1.5 / 32768
+
+
+def test_wav_chunk_walk_tolerates_metadata_chunks():
+    import struct
+    sig = np.linspace(-1, 1, 64, dtype=np.float32)
+    data = codecs.encode_wav(sig, 16000)
+    # splice a LIST chunk between WAVE and fmt
+    lst = struct.pack("<4sI", b"LIST", 10) + b"INFOabcdef"
+    hacked = data[:12] + lst + data[12:]
+    hacked = hacked[:4] + struct.pack(
+        "<I", len(hacked) - 8) + hacked[8:]
+    out, sr = codecs.decode_wav(hacked)
+    assert sr == 16000 and len(out) == 64
+
+
+def test_wav_8bit_and_rejects():
+    import struct
+    # hand-built 8-bit mono wav: values 0..255 -> [-1, 1)
+    raw = bytes(range(0, 256, 8))
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 8000, 1, 8)
+    data_ck = struct.pack("<4sI", b"data", len(raw)) + raw
+    wav = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data_ck),
+                      b"WAVE") + fmt + data_ck
+    out, sr = codecs.decode_wav(wav)
+    assert out.shape == (32, 1)
+    assert abs(out[0, 0] - (-1.0)) < 1e-6
+    with pytest.raises(ValueError):
+        codecs.decode_wav(b"RIFFxxxxWAVE")       # no chunks
+
+
+# ---------------------------------------------------------------------------
+# y4m
+# ---------------------------------------------------------------------------
+
+def test_y4m_roundtrip_and_random_access():
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, size=(7, 12, 16), dtype=np.uint8)
+    data = codecs.encode_y4m(frames, fps_num=30, fps_den=1)
+    assert codecs.sniff(data) == "y4m"
+    info = codecs.parse_y4m(data)
+    assert (info.width, info.height, info.n_frames) == (16, 12, 7)
+    assert info.fps_num == 30
+    assert info.duration_ms == int(7 * 1000 / 30)
+    # random access == the stored frame, for every frame, out of order
+    for i in [6, 0, 3, 5, 1]:
+        assert (codecs.y4m_frame_luma(data, info, i) == frames[i]).all()
+    with pytest.raises(IndexError):
+        codecs.y4m_frame_luma(data, info, 7)
+
+
+def test_y4m_rejects_parameterized_frames_and_truncation():
+    frames = np.zeros((2, 4, 4), np.uint8)
+    data = codecs.encode_y4m(frames)
+    hacked = data.replace(b"FRAME\n", b"FRAME Ixyz\n", 1)
+    with pytest.raises(ValueError):
+        codecs.parse_y4m(hacked)
+    with pytest.raises(ValueError):
+        codecs.parse_y4m(b"YUV4MPEG2 W4 H4 F25:1\n")   # no frames
+
+
+# ---------------------------------------------------------------------------
+# resize / thumbnail
+# ---------------------------------------------------------------------------
+
+def test_resize_nearest_known_values():
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    out = codecs.resize_nearest(img, 2, 2)
+    assert (out == [[0, 2], [8, 10]]).all()
+    up = codecs.resize_nearest(img, 8, 8)
+    assert up.shape == (8, 8) and up[0, 0] == 0 and up[7, 7] == 15
+
+
+def test_thumbnail_mean_is_exact_area_average():
+    img = np.arange(16, dtype=np.float64).reshape(4, 4)
+    thumb = codecs.thumbnail_mean(img, 2, 2)
+    # each 2x2 cell's true mean
+    assert np.allclose(thumb, [[2.5, 4.5], [10.5, 12.5]])
+    # non-divisible edges still cover every pixel exactly once
+    img2 = np.ones((5, 7))
+    assert np.allclose(codecs.thumbnail_mean(img2, 2, 2), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# decode -> features through the Ray stages
+# ---------------------------------------------------------------------------
+
+def test_media_pipeline_real_decode_flags_and_metadata():
+    import ray
+
+    from risjbot_ray.pipelines.multimodal import (media_features_ds,
+                                                  synth_media_table)
+
+    src = synth_media_table(60, seed=42).to_pylist()
+    out = media_features_ds(n=60, seed=42).to_pandas() \
+        .set_index("media_id").sort_index()
+    for row in src:
+        g = out.loc[row["media_id"]]
+        is_stub = row["media_id"] % 5 == 4
+        assert bool(g["decoded"]) == (not is_stub)
+        if not is_stub and row["kind"] == "image":
+            # decoded dimensions must equal the synthesized metadata
+            assert int(g["width"]) == row["width"]
+            assert int(g["height"]) == row["height"]
+        if not is_stub and row["kind"] == "audio":
+            assert int(g["duration_ms"]) == row["duration_ms"]
+        if not is_stub and row["kind"] == "video":
+            assert int(g["duration_ms"]) == row["duration_ms"]
+    assert all(len(f) == 32 for f in out["features"])
+
+
+def test_frame_sampler_real_y4m_frames():
+    import ray
+
+    from risjbot_ray.media import codecs as cd
+    from risjbot_ray.pipelines.multimodal import (FrameSampler,
+                                                  frame_features)
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, size=(60, 8, 8), dtype=np.uint8)
+    payload = cd.encode_y4m(frames, fps_num=25, fps_den=1)  # 2400 ms
+    batch = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "kind": pa.array(["video"], pa.string()),
+        "payload": pa.array([payload], pa.binary()),
+        "duration_ms": pa.array([2400], pa.int32()),
+    })
+    out = FrameSampler(every_ms=1000, max_frames=8)(batch).to_pylist()
+    # offsets 0/1000/2000 ms -> frames 0/25/50 at 25 fps
+    assert [r["frame_ms"] for r in out] == [0, 1000, 2000]
+    assert all(r["decoded"] for r in out)
+    for r, idx in zip(out, [0, 25, 50]):
+        exp = frame_features(frames[idx])
+        assert np.allclose(np.asarray(r["features"], np.float32), exp)
+
+
+def test_image_features_constant_color_exact():
+    from risjbot_ray.pipelines.multimodal import image_features
+    img = np.full((10, 10, 3), 200, np.uint8)
+    f = image_features(img)
+    assert np.allclose(f[0:3], 200 / 255)
+    assert f[3] == 0.0                       # zero luma variance
+    assert np.isclose(f[4:16].sum(), 1.0)    # histogram sums to 1
+    hist = f[4:16]
+    assert hist[int(200 // (256 / 12))] == 1.0
+    assert np.allclose(f[16:32], 200 / 255)  # flat thumbnail
+
+
+def test_audio_features_pure_tone_centroid():
+    from risjbot_ray.pipelines.multimodal import audio_features
+    sr = 8000
+    t = np.arange(4096) / sr
+    tone = np.sin(2 * np.pi * 1000 * t).astype(np.float32)[:, None]
+    f = audio_features(tone, sr)
+    assert np.isclose(f[0], 4096 / sr)
+    assert np.isclose(f[1], np.sqrt(0.5), atol=1e-3)   # sine RMS
+    # centroid of a 1 kHz tone ~ 1000/4000 of Nyquist
+    assert abs(f[3] - 0.25) < 0.02
+    assert np.isclose(f[4:32].sum(), 1.0, atol=1e-5)
