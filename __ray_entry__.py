@@ -344,6 +344,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                   pa.bool_()),
         })
 
+    def media_phash_check(sf_dir: str):
+        """Perceptual near-dup self-check: run the banded aHash
+        pipeline over a corpus with 40 planted near-duplicates, then
+        compare its pair set against a local BRUTE-FORCE O(n^2) ground
+        truth over the same hashes — n_missing/n_extra must be zero
+        (recall 1.0 is guaranteed by pigeonhole for hamming <= 3 with
+        4 bands; precision 1.0 by the exact popcount verify)."""
+        import numpy as np
+        import pyarrow as pa
+
+        from risjbot_ray.pipelines.multimodal import (
+            _payload_luma, ahash64, media_phash_pairs,
+            synth_media_with_neardups)
+
+        tbl, planted = synth_media_with_neardups(300, seed=42,
+                                                 n_planted=40)
+        got_df = media_phash_pairs(table=tbl).to_pandas()
+        got = {(int(r.a), int(r.b)) for r in got_df.itertuples()}
+
+        hashes = {}
+        for row in tbl.to_pylist():
+            luma = _payload_luma(row["payload"])
+            if luma is not None:
+                hashes[row["media_id"]] = ahash64(luma)
+        ids = sorted(hashes)
+        arr = np.array([hashes[i] for i in ids], dtype=np.uint64)
+        exp = set()
+        for i in range(len(ids)):
+            x = arr[i + 1:] ^ arr[i]
+            ham = np.array([bin(v).count("1") for v in x], int)
+            for off in np.nonzero(ham <= 3)[0]:
+                exp.add((ids[i], ids[i + 1 + off]))
+        planted_found = sum(
+            1 for (a, b) in planted
+            if a in hashes and b in hashes
+            and bin(hashes[a] ^ hashes[b]).count("1") <= 3
+            and (min(a, b), max(a, b)) in got)
+        return pa.table({
+            "n_hashed": pa.array([len(ids)], pa.int64()),
+            "n_pairs": pa.array([len(got)], pa.int64()),
+            "n_expected": pa.array([len(exp)], pa.int64()),
+            "n_missing": pa.array([len(exp - got)], pa.int64()),
+            "n_extra": pa.array([len(got - exp)], pa.int64()),
+            "n_planted": pa.array([len(planted)], pa.int64()),
+            "n_planted_found": pa.array([planted_found], pa.int64()),
+            "exact_match": pa.array([got == exp], pa.bool_()),
+        })
+
     def warc_cdx_check(sf_dir: str):
         """Driver-visible CDX self-check (`crawl_vs_expected` style):
         synthesize CC-layout .warc.gz archives from a deterministic
@@ -498,6 +546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (synthetic media, rows-only)
         "media_features": lambda sf: media_features_ds(n=300, seed=42),
         "media_features_check": media_features_check,
+        "media_phash_check": media_phash_check,
         "warc_cdx_check": warc_cdx_check,
         # crawl engine (hermetic corpus; rows-only here — byte-level
         # correctness is gated by the pytest golden fixtures)

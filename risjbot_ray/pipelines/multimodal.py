@@ -46,12 +46,24 @@ FEATURE_DIM = 32
 def _synth_image(rng: np.random.Generator) -> tuple[bytes, str, int, int]:
     h = int(rng.integers(16, 64))
     w = int(rng.integers(16, 64))
-    yy, xx = np.mgrid[0:h, 0:w]
-    base = ((yy * 255 // max(h - 1, 1))[..., None]
-            * np.array([1.0, 0.5, 0.25]))
-    grad = (xx * 255 // max(w - 1, 1))[..., None] * 0.3
-    noise = rng.integers(0, 32, size=(h, w, 3))
-    img = np.clip(base + grad + noise, 0, 255).astype(np.uint8)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    # per-image random sinusoidal texture: random orientation, spatial
+    # frequency and phase per channel, so the corpus is perceptually
+    # DIVERSE (distinct images land far apart in aHash space — the
+    # near-dup self-checks rely on non-planted pairs being rare)
+    img = np.empty((h, w, 3))
+    for c in range(3):
+        fy, fx = rng.uniform(0.5, 4.0, 2)
+        phase = rng.uniform(0, 2 * np.pi)
+        img[:, :, c] = 127 + 80 * np.sin(
+            2 * np.pi * (fy * yy / h + fx * xx / w) + phase)
+    # a random 8x8 block pattern per image dominates the aHash grid,
+    # so distinct images are far apart in hash space (smooth sinusoids
+    # alone cluster into a handful of coarse sign patterns)
+    coarse = rng.integers(-60, 61, size=(8, 8)).astype(np.float64)
+    img += codecs.resize_nearest(coarse, h, w)[:, :, None]
+    img += rng.integers(0, 32, size=(h, w, 3))
+    img = np.clip(img, 0, 255).astype(np.uint8)
     if int(rng.integers(0, 2)):
         return codecs.encode_bmp(img), "image/bmp", w, h
     return codecs.encode_ppm(img), "image/x-portable-pixmap", w, h
@@ -75,8 +87,13 @@ def _synth_video(rng: np.random.Generator) -> tuple[bytes, str, int, int, int]:
     w = int(rng.integers(8, 16)) * 2
     n_frames = int(rng.integers(3, 11))
     yy = np.mgrid[0:h, 0:w][0]
+    # per-video random block identity (same reason as _synth_image:
+    # keep distinct videos far apart in frame-0 aHash space), constant
+    # across the clip's frames; the i*12 ramp adds inter-frame motion
+    ident = codecs.resize_nearest(
+        rng.integers(-100, 101, size=(8, 8)).astype(np.int64), h, w)
     frames = np.stack([
-        np.clip(yy * 255 // max(h - 1, 1) + i * 12
+        np.clip(yy * 160 // max(h - 1, 1) + ident + 50 + i * 12
                 + rng.integers(0, 16, size=(h, w)), 0, 255)
         for i in range(n_frames)
     ]).astype(np.uint8)
@@ -299,3 +316,171 @@ def media_features_ds(n: int = 300, seed: int = 42,
     ds = ray.data.from_arrow(synth_media_table(n, seed))
     return ds.map_batches(MediaFeatures, batch_format="pyarrow",
                           batch_size=16, concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# perceptual near-dup over decoded pixels (aHash + banded pigeonhole)
+# ---------------------------------------------------------------------------
+
+def ahash64(luma: np.ndarray) -> int:
+    """64-bit average-hash of an HxW luma plane: 8x8 area-mean
+    thumbnail, one bit per cell (cell > thumbnail mean). Invariant to
+    global brightness shifts (both sides of the strict compare move
+    together) and to lossless re-encoding (BMP vs PPM of the same
+    pixels hash identically), which is exactly what makes it a
+    near-dup key."""
+    thumb = codecs.thumbnail_mean(luma, 8, 8)
+    bits = (thumb > thumb.mean()).ravel()
+    return int.from_bytes(np.packbits(bits).tobytes(), "big")
+
+
+def _payload_luma(payload: bytes) -> np.ndarray | None:
+    """Luma plane a perceptual hash can be computed from: decoded
+    pixels for stills, frame 0 for y4m video, None for audio and
+    codec-library formats (those rows are excluded from hashing)."""
+    kind = codecs.sniff(payload)
+    if kind in ("bmp", "ppm", "pgm"):
+        img = codecs.decode_image(payload)
+        return img.astype(np.float32) @ np.float32([0.299, 0.587, 0.114])
+    if kind == "y4m":
+        info = codecs.parse_y4m(payload)
+        return codecs.y4m_frame_luma(payload, info, 0)
+    return None
+
+
+class MediaPHash:
+    """Actor-pool stage: payload -> 64-bit perceptual hash. Rows whose
+    payload cannot be pixel-decoded are dropped here (never ride the
+    shuffle); only (media_id, phash) leaves the stage — the MB-scale
+    payload bytes stay inside the map."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_id, out_h = [], []
+        for mid, p in zip(ids, payloads):
+            luma = _payload_luma(p or b"")
+            if luma is None:
+                continue
+            out_id.append(mid)
+            # store as signed int64 (Arrow has no uint64 arithmetic
+            # downstream); the bit pattern is what matters
+            out_h.append(np.uint64(ahash64(luma)).astype(np.int64))
+        return pa.table({"media_id": pa.array(out_id, pa.int64()),
+                         "phash": pa.array(out_h, pa.int64())})
+
+
+def media_phash_pairs(n: int = 300, seed: int = 42,
+                      max_hamming: int = 3, bands: int = 4,
+                      table: pa.Table | None = None):
+    """Near-duplicate media pairs within Hamming<=max_hamming of their
+    perceptual hashes, via banded pigeonhole bucketing + exact popcount
+    verify — the same scale shape as ``dedup.simhash_near_pairs``: a
+    pair within distance d < ``bands`` shares at least one exact
+    (64/bands)-bit band, so recall is 1.0 for d <= bands-1; only
+    (media_id, band, key, phash) rows — never pixels — enter the
+    exchange, and the groupby key is the small band id with vectorized
+    per-bucket work inside."""
+    import pandas as pd
+
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole recall needs max_hamming < bands")
+    band_bits = 64 // bands
+    mask = np.uint64((1 << band_bits) - 1)
+
+    src = (ray.data.from_arrow(table) if table is not None
+           else ray.data.from_arrow(synth_media_table(n, seed)))
+    sigs = src.map_batches(MediaPHash, batch_format="pyarrow",
+                           batch_size=16, concurrency=(1, 8))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("media_id").to_pylist(), np.int64)
+        ph = np.asarray(batch.column("phash").to_pylist(),
+                        np.int64).astype(np.uint64)
+        n_rows = len(ids)
+        out_id = np.repeat(ids, bands)
+        out_band = np.tile(np.arange(bands, dtype=np.int32), n_rows)
+        shifts = np.tile(np.arange(bands, dtype=np.uint64) *
+                         np.uint64(band_bits), n_rows)
+        out_key = ((np.repeat(ph, bands) >> shifts) & mask)
+        return pa.table({
+            "media_id": pa.array(out_id, pa.int64()),
+            "band": pa.array(out_band, pa.int32()),
+            "key": pa.array(out_key.astype(np.int64), pa.int64()),
+            "phash": pa.array(np.repeat(ph, bands).astype(np.int64),
+                              pa.int64()),
+        })
+
+    def pairs(group) -> "pd.DataFrame":
+        hot = group[group.duplicated("key", keep=False)]
+        a_o, b_o, h_o = [], [], []
+        for _, bucket in hot.groupby("key", sort=False):
+            ids = bucket["media_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            ph = (bucket["phash"].to_numpy()[order]
+                  .astype(np.int64).astype(np.uint64))
+            for i in range(len(ids)):
+                x = ph[i + 1:] ^ ph[i]
+                ham = np.array([bin(v).count("1") for v in x], int)
+                for off in np.nonzero(ham <= max_hamming)[0]:
+                    a_o.append(int(ids[i]))
+                    b_o.append(int(ids[i + 1 + off]))
+                    h_o.append(int(ham[off]))
+        return pd.DataFrame({"a": pd.Series(a_o, dtype="int64"),
+                             "b": pd.Series(b_o, dtype="int64"),
+                             "hamming": pd.Series(h_o, dtype="int64")})
+
+    from ray.data.aggregate import Min
+    exploded = sigs.map_batches(explode, batch_format="pyarrow")
+    p = exploded.groupby("band").map_groups(pairs, batch_format="pandas")
+    return p.groupby(["a", "b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+
+
+def synth_media_with_neardups(n: int = 300, seed: int = 42,
+                              n_planted: int = 40) -> tuple[
+                                  pa.Table, list[tuple[int, int]]]:
+    """Base synth corpus + ``n_planted`` planted near-duplicate rows
+    (ids n, n+1, ...), each a perceptual variant of a decodable base
+    row: lossless format re-encode (hamming 0 by construction),
+    global brightness shift (hamming 0 unless clipping bites), or mild
+    seeded pixel noise (small hamming). Returns (table, planted pairs
+    as (base_id, dup_id))."""
+    rng = np.random.default_rng(seed + 1)
+    base = synth_media_table(n, seed)
+    rows = base.to_pylist()
+    decodable = [r for r in rows
+                 if codecs.sniff(r["payload"]) in ("bmp", "ppm")]
+    planted: list[tuple[int, int]] = []
+    extra = []
+    for j in range(n_planted):
+        src = decodable[int(rng.integers(0, len(decodable)))]
+        img = codecs.decode_image(src["payload"])
+        mode = j % 3
+        if mode == 0:                       # lossless re-encode
+            var = img
+            payload = (codecs.encode_ppm(var)
+                       if src["mime"] == "image/bmp"
+                       else codecs.encode_bmp(var))
+        elif mode == 1:                     # brightness shift
+            var = np.clip(img.astype(np.int16) + 12,
+                          0, 255).astype(np.uint8)
+            payload = codecs.encode_bmp(var)
+        else:                               # mild noise
+            noise = rng.integers(-6, 7, size=img.shape)
+            var = np.clip(img.astype(np.int16) + noise,
+                          0, 255).astype(np.uint8)
+            payload = codecs.encode_bmp(var)
+        new_id = n + j
+        planted.append((src["media_id"], new_id))
+        extra.append({
+            "media_id": new_id, "kind": "image", "payload": payload,
+            "mime": ("image/bmp" if payload[:2] == b"BM"
+                     else "image/x-portable-pixmap"),
+            "width": var.shape[1], "height": var.shape[0],
+            "duration_ms": None,
+        })
+    tbl = pa.concat_tables(
+        [base, pa.Table.from_pylist(extra, schema=MEDIA_SCHEMA)])
+    return tbl, planted

@@ -234,6 +234,58 @@ def test_image_features_constant_color_exact():
     assert np.allclose(f[16:32], 200 / 255)  # flat thumbnail
 
 
+def test_ahash_invariances():
+    from risjbot_ray.pipelines.multimodal import ahash64
+    rng = np.random.default_rng(9)
+    # keep pixels clear of 255 so the brightness shift never clips
+    img = rng.integers(20, 200, size=(24, 24, 3), dtype=np.uint8)
+    luma = img.astype(np.float32) @ np.float32([0.299, 0.587, 0.114])
+    h0 = ahash64(luma)
+    assert 0 <= h0 < (1 << 64)
+    # lossless re-encode -> identical pixels -> identical hash
+    from risjbot_ray.media.codecs import decode_ppm, encode_ppm
+    rt = decode_ppm(encode_ppm(img))
+    assert ahash64(rt.astype(np.float32)
+                   @ np.float32([0.299, 0.587, 0.114])) == h0
+    # global brightness shift (no clipping) -> identical hash
+    assert ahash64(luma + 30.0) == h0
+    # heavy structural change -> different hash
+    assert ahash64(luma[::-1].copy()) != h0 or (luma == luma[::-1]).all()
+
+
+def test_media_phash_pairs_planted_ground_truth():
+    import ray  # noqa: F401  (session fixture owns the cluster)
+
+    from risjbot_ray.pipelines.multimodal import (_payload_luma, ahash64,
+                                                  media_phash_pairs,
+                                                  synth_media_with_neardups)
+
+    tbl, planted = synth_media_with_neardups(120, seed=7, n_planted=18)
+    got_df = media_phash_pairs(table=tbl, max_hamming=3).to_pandas()
+    got = {(int(r.a), int(r.b)): int(r.hamming)
+           for r in got_df.itertuples()}
+
+    hashes = {}
+    for row in tbl.to_pylist():
+        luma = _payload_luma(row["payload"])
+        if luma is not None:
+            hashes[row["media_id"]] = ahash64(luma)
+    ids = sorted(hashes)
+    exp = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = bin(hashes[a] ^ hashes[b]).count("1")
+            if ham <= 3:
+                exp[(a, b)] = ham
+    # exact pair-set AND per-pair hamming equality vs brute force
+    assert got == exp
+    # the planted lossless re-encodes (mode 0) are hamming-0 and MUST
+    # all be present
+    zero_plants = [(min(a, b), max(a, b))
+                   for j, (a, b) in enumerate(planted) if j % 3 == 0]
+    assert zero_plants and all(got.get(p) == 0 for p in zero_plants)
+
+
 def test_audio_features_pure_tone_centroid():
     from risjbot_ray.pipelines.multimodal import audio_features
     sr = 8000
