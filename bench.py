@@ -245,6 +245,33 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             n_docs / queries["hll_distinct"], 1)
         throughput["hll_within_bound"] = bool(hll_row["within_bound"])
 
+        # ---- multimodal operators over a real-encoded media corpus
+        # (BMP/PPM/WAV/y4m payloads; decode is real, see media/codecs)
+        from risjbot_ray.pipelines.multimodal import (media_features_ds,
+                                                      media_phash_pairs)
+        from risjbot_ray.testsupport.mediagen import gen_media_corpus
+        n_media = int(os.environ.get("GRAFT_MEDIA_N", 100_000))
+        mdir = gen_media_corpus(n_media)
+        media_mb = sum(
+            os.path.getsize(os.path.join(mdir, f))
+            for f in os.listdir(mdir)) / 1e6
+        out = "/tmp/bench_media_features"
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.time()
+        media_features_ds(path=mdir, concurrency=(1, 24),
+                          batch_size=256).write_parquet(out)
+        queries["media_features"] = round(time.time() - t0, 3)
+        throughput["media_decode_rows_per_sec"] = round(
+            n_media / queries["media_features"], 1)
+        throughput["media_decode_mb_per_sec"] = round(
+            media_mb / queries["media_features"], 1)
+        t0 = time.time()
+        n_pairs = media_phash_pairs(path=mdir, batch_size=256).count()
+        queries["media_phash_pairs"] = round(time.time() - t0, 3)
+        throughput["media_phash_rows_per_sec"] = round(
+            n_media / queries["media_phash_pairs"], 1)
+        throughput["media_neardup_pairs"] = int(n_pairs)
+
         return {
             "metric": "crawl_pipeline_wall_sec",
             "value": queries["crawl_full"],

@@ -101,15 +101,21 @@ def _synth_video(rng: np.random.Generator) -> tuple[bytes, str, int, int, int]:
     return payload, "video/x-yuv4mpeg", w, h, n_frames * 40
 
 
-def synth_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic media rows with REAL encoded payloads (BMP/PPM
-    images, PCM WAV audio, y4m video). Every 5th row carries an opaque
-    payload under a codec-library mime (JPEG/MP4) to exercise the
-    declared stub fallback path."""
-    rng = np.random.default_rng(seed)
+def synth_media_rows(ids, seed: int = 42) -> pa.Table:
+    """Deterministic media rows for the given ids, with REAL encoded
+    payloads (BMP/PPM images, PCM WAV audio, y4m video). Every 5th row
+    carries an opaque payload under a codec-library mime (JPEG/MP4) to
+    exercise the declared stub fallback path.
+
+    Each row is seeded by (seed, media_id) so generation is
+    embarrassingly parallel — `testsupport/mediagen.py` fans this out
+    over ``ray.data.range(n)`` to build bench-scale parquet corpora
+    that are row-for-row identical to the driver-side table."""
     rows = []
     kinds = ["image", "audio", "video"]
-    for i in range(n):
+    for i in ids:
+        i = int(i)
+        rng = np.random.default_rng((seed, i))
         kind = kinds[i % 3]
         width = height = duration_ms = None
         if i % 5 == 4:                      # undecodable: stub path
@@ -135,6 +141,11 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
             "duration_ms": duration_ms,
         })
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+def synth_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Driver-side convenience wrapper over ``synth_media_rows``."""
+    return synth_media_rows(range(n), seed)
 
 
 # ---------------------------------------------------------------------------
@@ -310,17 +321,115 @@ class FrameSampler:
         })
 
 
+def _media_source(n: int, seed: int, path: str | None,
+                  columns: list[str] | None = None):
+    """Media Dataset: a parquet corpus when ``path`` is given (the
+    at-scale shape — payload bytes stream from storage in small blocks,
+    never through the driver, and only the stage's ``columns`` leave
+    the row groups), else the tiny driver-side synth table the 300-row
+    self-checks use."""
+    if path is not None:
+        return ray.data.read_parquet(path, columns=columns)
+    tbl = synth_media_table(n, seed)
+    return ray.data.from_arrow(tbl.select(columns) if columns else tbl)
+
+
 def media_features_ds(n: int = 300, seed: int = 42,
-                      concurrency: int = 2):
-    """End-to-end media pipeline over a synthesized table."""
-    ds = ray.data.from_arrow(synth_media_table(n, seed))
+                      concurrency=2, path: str | None = None,
+                      batch_size: int = 16):
+    """End-to-end media decode + feature pipeline.
+
+    ``batch_size`` trades scheduling overhead against per-batch heap:
+    16 (default) suits MB-scale payloads; raise it toward ~64 MB of
+    payload per batch for small-object corpora (KB-scale thumbnails /
+    clips) so the actor pool isn't task-launch-bound."""
+    ds = _media_source(n, seed, path, ["media_id", "kind", "payload"])
     return ds.map_batches(MediaFeatures, batch_format="pyarrow",
-                          batch_size=16, concurrency=concurrency)
+                          batch_size=batch_size, concurrency=concurrency)
 
 
 # ---------------------------------------------------------------------------
 # perceptual near-dup over decoded pixels (aHash + banded pigeonhole)
 # ---------------------------------------------------------------------------
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 has no
+    ``bitwise_count``)."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = ((x & np.uint64(0x3333333333333333))
+         + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333)))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101))
+            >> np.uint64(56)).astype(np.int64)
+
+
+_BRUTE_MAX = 512      # leaf size below which all-pairs popcount is cheap
+_PAIR_DEDUP_CUTOFF = 2_000_000   # single-block pair dedup below this
+
+
+def _dedup_pairs_min(df):
+    """Vectorized (a, b) dedup keeping the minimum hamming — the
+    single-block fast path for bounded pair sets."""
+    import pandas as pd
+    if not len(df):
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "hamming": pd.Series(dtype="int64")})
+    a = df["a"].to_numpy()
+    b = df["b"].to_numpy()
+    h = df["hamming"].to_numpy()
+    order = np.lexsort((h, b, a))
+    a, b, h = a[order], b[order], h[order]
+    first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    return pd.DataFrame({"a": pd.Series(a[first], dtype="int64"),
+                         "b": pd.Series(b[first], dtype="int64"),
+                         "hamming": pd.Series(h[first], dtype="int64")})
+
+
+def _ham_pairs_recursive(ids: np.ndarray, ph: np.ndarray, max_h: int,
+                         free_mask: int, out: list) -> None:
+    """Exact Hamming<=max_h pairs within a candidate set, by recursive
+    pigeonhole: split the still-free bits into ``max_h + 1`` disjoint
+    chunks — a qualifying pair differs in <= max_h free bits, so it
+    matches at least one whole chunk and lands together in that
+    chunk's sub-bucket. Recurse per sub-bucket with the chunk's bits
+    pinned; brute-force small leaves. Duplicated emissions (a pair can
+    match several chunks) are deduped by the caller's (a, b) groupby.
+
+    This is what keeps HOT LSH buckets from going quadratic: a
+    structured corpus routinely puts 10-15% of all items in one
+    16-bit band bucket (saturated thumbnail rows), and an all-pairs
+    sweep there is O(bucket^2) popcounts. Sets that stay large with
+    no free bits left ARE near-identical — their pairs are real
+    output, so the brute-force floor is the true cost.
+    """
+    n = len(ids)
+    if n < 2:
+        return
+    free_bits = [b for b in range(64) if (free_mask >> b) & 1]
+    if n <= _BRUTE_MAX or len(free_bits) < 2 * (max_h + 1):
+        ai, aj = np.triu_indices(n, 1)
+        ham = _popcount64(ph[ai] ^ ph[aj])
+        keep = ham <= max_h
+        a, b = ids[ai[keep]], ids[aj[keep]]
+        out.append((np.minimum(a, b), np.maximum(a, b), ham[keep]))
+        return
+    n_chunks = max_h + 1
+    for c in range(n_chunks):
+        chunk_bits = free_bits[c::n_chunks]
+        cmask = np.uint64(sum(1 << b for b in chunk_bits))
+        vals = ph & cmask
+        order = np.argsort(vals, kind="stable")
+        v_s = vals[order]
+        starts = np.flatnonzero(np.r_[True, v_s[1:] != v_s[:-1]])
+        ends = np.r_[starts[1:], n]
+        for s, e in zip(starts, ends):
+            if e - s > 1:
+                sub = order[s:e]
+                _ham_pairs_recursive(ids[sub], ph[sub], max_h,
+                                     free_mask & ~int(cmask), out)
+
 
 def ahash64(luma: np.ndarray) -> int:
     """64-bit average-hash of an HxW luma plane: 8x8 area-mean
@@ -372,7 +481,9 @@ class MediaPHash:
 
 def media_phash_pairs(n: int = 300, seed: int = 42,
                       max_hamming: int = 3, bands: int = 4,
-                      table: pa.Table | None = None):
+                      table: pa.Table | None = None,
+                      path: str | None = None,
+                      batch_size: int = 64):
     """Near-duplicate media pairs within Hamming<=max_hamming of their
     perceptual hashes, via banded pigeonhole bucketing + exact popcount
     verify — the same scale shape as ``dedup.simhash_near_pairs``: a
@@ -388,10 +499,11 @@ def media_phash_pairs(n: int = 300, seed: int = 42,
     band_bits = 64 // bands
     mask = np.uint64((1 << band_bits) - 1)
 
-    src = (ray.data.from_arrow(table) if table is not None
-           else ray.data.from_arrow(synth_media_table(n, seed)))
+    src = (ray.data.from_arrow(table.select(["media_id", "payload"]))
+           if table is not None
+           else _media_source(n, seed, path, ["media_id", "payload"]))
     sigs = src.map_batches(MediaPHash, batch_format="pyarrow",
-                           batch_size=16, concurrency=(1, 8))
+                           batch_size=batch_size, concurrency=(1, 16))
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("media_id").to_pylist(), np.int64)
@@ -412,29 +524,91 @@ def media_phash_pairs(n: int = 300, seed: int = 42,
         })
 
     def pairs(group) -> "pd.DataFrame":
-        hot = group[group.duplicated("key", keep=False)]
-        a_o, b_o, h_o = [], [], []
-        for _, bucket in hot.groupby("key", sort=False):
-            ids = bucket["media_id"].to_numpy()
-            order = np.argsort(ids)
-            ids = ids[order]
-            ph = (bucket["phash"].to_numpy()[order]
+        # fully vectorized within-band pair enumeration: sort by
+        # (key, id), find equal-key runs, emit every within-run pair
+        # via triu indices batched per run LENGTH (a handful of
+        # distinct lengths), then one SWAR popcount pass — no Python
+        # loop over the ~min(n, 2^band_bits) buckets (the loop version
+        # cost ~8 s/band at 100k items; this is ~60 ms)
+        ids_all = group["media_id"].to_numpy().astype(np.int64)
+        keys_all = group["key"].to_numpy().astype(np.int64)
+        ph_all = (group["phash"].to_numpy()
                   .astype(np.int64).astype(np.uint64))
-            for i in range(len(ids)):
-                x = ph[i + 1:] ^ ph[i]
-                ham = np.array([bin(v).count("1") for v in x], int)
-                for off in np.nonzero(ham <= max_hamming)[0]:
-                    a_o.append(int(ids[i]))
-                    b_o.append(int(ids[i + 1 + off]))
-                    h_o.append(int(ham[off]))
-        return pd.DataFrame({"a": pd.Series(a_o, dtype="int64"),
-                             "b": pd.Series(b_o, dtype="int64"),
-                             "hamming": pd.Series(h_o, dtype="int64")})
+        order = np.lexsort((ids_all, keys_all))
+        ids_s, keys_s, ph_s = (ids_all[order], keys_all[order],
+                               ph_all[order])
+        starts = np.flatnonzero(np.r_[True, keys_s[1:] != keys_s[:-1]])
+        counts = np.diff(np.r_[starts, len(keys_s)])
+        band_id = int(group["band"].iloc[0]) if len(group) else 0
+        band_mask = int(mask) << (band_id * band_bits)
 
+        a_parts, b_parts = [], []
+        found: list = []
+        for length in np.unique(counts[counts > 1]):
+            s = starts[counts == length]
+            if length > _BRUTE_MAX:
+                # HOT bucket: an all-pairs sweep is O(bucket^2) — use
+                # exact recursive pigeonhole sub-banding on the bits
+                # outside this band instead
+                for s0 in s:
+                    sub = slice(s0, s0 + int(length))
+                    _ham_pairs_recursive(
+                        ids_s[sub], ph_s[sub], max_hamming,
+                        ((1 << 64) - 1) & ~band_mask, found)
+                continue
+            ti, tj = np.triu_indices(int(length), 1)
+            a_parts.append((s[:, None] + ti[None, :]).ravel())
+            b_parts.append((s[:, None] + tj[None, :]).ravel())
+        if a_parts:
+            ai = np.concatenate(a_parts)
+            bi = np.concatenate(b_parts)
+            ham = _popcount64(ph_s[ai] ^ ph_s[bi])
+            keep = ham <= max_hamming
+            found.append((ids_s[ai[keep]], ids_s[bi[keep]], ham[keep]))
+        if not found:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "hamming": pd.Series(dtype="int64")})
+        a_all = np.concatenate([f[0] for f in found])
+        b_all = np.concatenate([f[1] for f in found])
+        h_all = np.concatenate([f[2] for f in found])
+        # the recursion can emit a pair once per matching chunk;
+        # dedupe locally so duplicates never ride the exchange
+        # (lexsort, not 32-bit id packing — ids are full int64)
+        order2 = np.lexsort((b_all, a_all))
+        a_s2, b_s2, h_s2 = a_all[order2], b_all[order2], h_all[order2]
+        first = np.r_[True, (a_s2[1:] != a_s2[:-1])
+                      | (b_s2[1:] != b_s2[:-1])]
+        return pd.DataFrame({
+            "a": pd.Series(a_s2[first], dtype="int64"),
+            "b": pd.Series(b_s2[first], dtype="int64"),
+            "hamming": pd.Series(h_s2[first].astype(np.int64),
+                                 dtype="int64")})
+
+    from risjbot_ray.pipelines.webtext import _coalesce_for_exchange
+
+    # coalesce before the band exchange: the explode leaves one sub-MB
+    # block per upstream read task, and a sort's map x reduce fan-out
+    # is quadratic in block count (the fragmented shape cost ~25 s of
+    # pure scheduling/split overhead at 100k items; coalesced it's
+    # ~1 s). ``bands`` output groups also caps map_groups invocations.
+    exploded = _coalesce_for_exchange(
+        sigs.map_batches(explode, batch_format="pyarrow"),
+        floor_blocks=bands)
+    p = (exploded.groupby("band")
+         .map_groups(pairs, batch_format="pandas")
+         .materialize())
+
+    # cross-band dedup (keep min hamming per pair). The verified pair
+    # set is output-bounded and tiny next to the corpus; below the
+    # cutoff a single-block vectorized dedup avoids a full groupby
+    # exchange (which costs ~5 s of pure scheduling on a kilorow
+    # result); above it, fall back to the distributed aggregate.
+    if p.count() <= _PAIR_DEDUP_CUTOFF:
+        return (p.repartition(1)
+                .map_batches(_dedup_pairs_min, batch_format="pandas"))
     from ray.data.aggregate import Min
-    exploded = sigs.map_batches(explode, batch_format="pyarrow")
-    p = exploded.groupby("band").map_groups(pairs, batch_format="pandas")
-    return p.groupby(["a", "b"]).aggregate(
+    return _coalesce_for_exchange(p).groupby(["a", "b"]).aggregate(
         Min("hamming", alias_name="hamming"))
 
 
