@@ -1,0 +1,132 @@
+"""Shared Hamming-distance kernels for the banded near-dup pipelines
+(text SimHash in ``pipelines/dedup.py``, perceptual media hashes in
+``pipelines/multimodal.py``).
+
+The exported pieces are:
+
+- ``popcount64``: vectorized 64-bit popcount (SWAR; numpy<2 has no
+  ``bitwise_count``).
+- ``ham_pairs_recursive``: exact Hamming<=k pairs within one LSH
+  bucket via recursive pigeonhole sub-banding — the defense against
+  HOT buckets, where an all-pairs sweep is O(bucket^2).
+- ``band_run_pairs``: the per-band driver — vectorized run-length
+  bucket detection, batched triu pair enumeration for small buckets,
+  recursion for hot ones, local (a, b) dedup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+#: leaf size below which all-pairs popcount is cheap
+BRUTE_MAX = 512
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR)."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = ((x & np.uint64(0x3333333333333333))
+         + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333)))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101))
+            >> np.uint64(56)).astype(np.int64)
+
+
+def ham_pairs_recursive(ids: np.ndarray, sig: np.ndarray, max_h: int,
+                        free_mask: int, out: list) -> None:
+    """Exact Hamming<=max_h pairs within a candidate set, by recursive
+    pigeonhole: split the still-free bits into ``max_h + 1`` disjoint
+    chunks — a qualifying pair differs in <= max_h free bits, so it
+    matches at least one whole chunk and lands together in that
+    chunk's sub-bucket. Recurse per sub-bucket with the chunk's bits
+    pinned; brute-force small leaves. Duplicated emissions (a pair can
+    match several chunks) are deduped by the caller.
+
+    This is what keeps HOT LSH buckets from going quadratic: a
+    structured corpus routinely puts 10-15% of all items in one band
+    bucket, and an all-pairs sweep there is O(bucket^2) popcounts.
+    Sets that stay large with no free bits left ARE near-identical —
+    their pairs are real output, so the brute-force floor is the true
+    cost.
+    """
+    n = len(ids)
+    if n < 2:
+        return
+    free_bits = [b for b in range(64) if (free_mask >> b) & 1]
+    if n <= BRUTE_MAX or len(free_bits) < 2 * (max_h + 1):
+        ai, aj = np.triu_indices(n, 1)
+        ham = popcount64(sig[ai] ^ sig[aj])
+        keep = ham <= max_h
+        a, b = ids[ai[keep]], ids[aj[keep]]
+        out.append((np.minimum(a, b), np.maximum(a, b), ham[keep]))
+        return
+    n_chunks = max_h + 1
+    for c in range(n_chunks):
+        chunk_bits = free_bits[c::n_chunks]
+        cmask = np.uint64(sum(1 << b for b in chunk_bits))
+        vals = sig & cmask
+        order = np.argsort(vals, kind="stable")
+        v_s = vals[order]
+        starts = np.flatnonzero(np.r_[True, v_s[1:] != v_s[:-1]])
+        ends = np.r_[starts[1:], n]
+        for s, e in zip(starts, ends):
+            if e - s > 1:
+                sub = order[s:e]
+                ham_pairs_recursive(ids[sub], sig[sub], max_h,
+                                    free_mask & ~int(cmask), out)
+
+
+def band_run_pairs(ids: np.ndarray, keys: np.ndarray, sig: np.ndarray,
+                   max_h: int, band_mask: int
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All (a, b, hamming) pairs with equal ``keys`` and Hamming(sig)
+    <= max_h, fully vectorized. ``band_mask`` is the 64-bit mask of
+    the bits the band key was sliced from (already equal within a
+    bucket, so excluded from the recursion's free set).
+
+    Small buckets take a batched-triu + SWAR-popcount path (one numpy
+    pass per distinct bucket LENGTH); buckets over ``BRUTE_MAX`` rows
+    go through ``ham_pairs_recursive``. Output is (a, b)-deduplicated
+    and a < b.
+    """
+    order = np.lexsort((ids, keys))
+    ids_s, keys_s, sig_s = ids[order], keys[order], sig[order]
+    n = len(ids_s)
+    empty = (np.empty(0, np.int64),) * 3
+    if n < 2:
+        return empty
+    starts = np.flatnonzero(np.r_[True, keys_s[1:] != keys_s[:-1]])
+    counts = np.diff(np.r_[starts, n])
+
+    found: list = []
+    a_parts, b_parts = [], []
+    for length in np.unique(counts[counts > 1]):
+        s = starts[counts == length]
+        if length > BRUTE_MAX:
+            for s0 in s:
+                sub = slice(s0, s0 + int(length))
+                ham_pairs_recursive(ids_s[sub], sig_s[sub], max_h,
+                                    ((1 << 64) - 1) & ~band_mask, found)
+            continue
+        ti, tj = np.triu_indices(int(length), 1)
+        a_parts.append((s[:, None] + ti[None, :]).ravel())
+        b_parts.append((s[:, None] + tj[None, :]).ravel())
+    if a_parts:
+        ai = np.concatenate(a_parts)
+        bi = np.concatenate(b_parts)
+        ham = popcount64(sig_s[ai] ^ sig_s[bi])
+        keep = ham <= max_h
+        found.append((ids_s[ai[keep]], ids_s[bi[keep]], ham[keep]))
+    if not found:
+        return empty
+    a_all = np.concatenate([f[0] for f in found]).astype(np.int64)
+    b_all = np.concatenate([f[1] for f in found]).astype(np.int64)
+    h_all = np.concatenate([f[2] for f in found]).astype(np.int64)
+    # the recursion can emit a pair once per matching chunk; dedupe
+    # locally so duplicates never ride the exchange (lexsort, not id
+    # packing — ids are full int64)
+    order2 = np.lexsort((b_all, a_all))
+    a_s, b_s, h_s = a_all[order2], b_all[order2], h_all[order2]
+    first = np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
+    return a_s[first], b_s[first], h_s[first]

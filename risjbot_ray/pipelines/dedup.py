@@ -565,25 +565,22 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 3):
                          "simhash": pa.array(out_sig, pa.int64())})
 
     def pairs(group) -> "pd.DataFrame":
-        # one BAND per group; only duplicated 16-bit keys can collide
-        hot = group[group.duplicated("key", keep=False)]
-        a_o, b_o, h_o = [], [], []
-        for _, bucket in hot.groupby("key", sort=False):
-            ids = bucket["doc_id"].to_numpy()
-            order = np.argsort(ids)
-            ids = ids[order]
-            sh = (bucket["simhash"].to_numpy()[order]
-                  .astype(np.int64).astype(np.uint64))
-            for i in range(len(ids)):
-                x = sh[i + 1:] ^ sh[i]
-                ham = np.array([bin(v).count("1") for v in x], dtype=int)
-                for off in np.nonzero(ham <= max_hamming)[0]:
-                    a_o.append(int(ids[i]))
-                    b_o.append(int(ids[i + 1 + off]))
-                    h_o.append(int(ham[off]))
-        return pd.DataFrame({"a": pd.Series(a_o, dtype="int64"),
-                             "b": pd.Series(b_o, dtype="int64"),
-                             "hamming": pd.Series(h_o, dtype="int64")})
+        # one BAND per group: vectorized run-length bucket pairing +
+        # SWAR popcount, with exact recursive pigeonhole sub-banding
+        # for HOT buckets — the shared kernel in functions/hamming.py
+        # (the per-bucket Python loop this replaces goes quadratic
+        # when a skewed corpus concentrates in one 16-bit band value)
+        from risjbot_ray.functions.hamming import band_run_pairs
+        band_id = int(group["band"].iloc[0]) if len(group) else 0
+        a, b, h = band_run_pairs(
+            group["doc_id"].to_numpy().astype(np.int64),
+            group["key"].to_numpy().astype(np.int64),
+            group["simhash"].to_numpy().astype(np.int64)
+            .astype(np.uint64),
+            max_hamming, 0xFFFF << (band_id * 16))
+        return pd.DataFrame({"a": pd.Series(a, dtype="int64"),
+                             "b": pd.Series(b, dtype="int64"),
+                             "hamming": pd.Series(h, dtype="int64")})
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
     p = exploded.groupby("band").map_groups(pairs, batch_format="pandas")

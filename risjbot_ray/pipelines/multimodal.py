@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+from risjbot_ray.functions.hamming import band_run_pairs
 from risjbot_ray.media import codecs
 
 MEDIA_SCHEMA = pa.schema([
@@ -352,19 +353,6 @@ def media_features_ds(n: int = 300, seed: int = 42,
 # perceptual near-dup over decoded pixels (aHash + banded pigeonhole)
 # ---------------------------------------------------------------------------
 
-def _popcount64(x: np.ndarray) -> np.ndarray:
-    """Vectorized 64-bit popcount (SWAR; numpy<2 has no
-    ``bitwise_count``)."""
-    x = x.astype(np.uint64, copy=True)
-    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
-    x = ((x & np.uint64(0x3333333333333333))
-         + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333)))
-    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
-    return ((x * np.uint64(0x0101010101010101))
-            >> np.uint64(56)).astype(np.int64)
-
-
-_BRUTE_MAX = 512      # leaf size below which all-pairs popcount is cheap
 _PAIR_DEDUP_CUTOFF = 2_000_000   # single-block pair dedup below this
 
 
@@ -385,50 +373,6 @@ def _dedup_pairs_min(df):
     return pd.DataFrame({"a": pd.Series(a[first], dtype="int64"),
                          "b": pd.Series(b[first], dtype="int64"),
                          "hamming": pd.Series(h[first], dtype="int64")})
-
-
-def _ham_pairs_recursive(ids: np.ndarray, ph: np.ndarray, max_h: int,
-                         free_mask: int, out: list) -> None:
-    """Exact Hamming<=max_h pairs within a candidate set, by recursive
-    pigeonhole: split the still-free bits into ``max_h + 1`` disjoint
-    chunks — a qualifying pair differs in <= max_h free bits, so it
-    matches at least one whole chunk and lands together in that
-    chunk's sub-bucket. Recurse per sub-bucket with the chunk's bits
-    pinned; brute-force small leaves. Duplicated emissions (a pair can
-    match several chunks) are deduped by the caller's (a, b) groupby.
-
-    This is what keeps HOT LSH buckets from going quadratic: a
-    structured corpus routinely puts 10-15% of all items in one
-    16-bit band bucket (saturated thumbnail rows), and an all-pairs
-    sweep there is O(bucket^2) popcounts. Sets that stay large with
-    no free bits left ARE near-identical — their pairs are real
-    output, so the brute-force floor is the true cost.
-    """
-    n = len(ids)
-    if n < 2:
-        return
-    free_bits = [b for b in range(64) if (free_mask >> b) & 1]
-    if n <= _BRUTE_MAX or len(free_bits) < 2 * (max_h + 1):
-        ai, aj = np.triu_indices(n, 1)
-        ham = _popcount64(ph[ai] ^ ph[aj])
-        keep = ham <= max_h
-        a, b = ids[ai[keep]], ids[aj[keep]]
-        out.append((np.minimum(a, b), np.maximum(a, b), ham[keep]))
-        return
-    n_chunks = max_h + 1
-    for c in range(n_chunks):
-        chunk_bits = free_bits[c::n_chunks]
-        cmask = np.uint64(sum(1 << b for b in chunk_bits))
-        vals = ph & cmask
-        order = np.argsort(vals, kind="stable")
-        v_s = vals[order]
-        starts = np.flatnonzero(np.r_[True, v_s[1:] != v_s[:-1]])
-        ends = np.r_[starts[1:], n]
-        for s, e in zip(starts, ends):
-            if e - s > 1:
-                sub = order[s:e]
-                _ham_pairs_recursive(ids[sub], ph[sub], max_h,
-                                     free_mask & ~int(cmask), out)
 
 
 def ahash64(luma: np.ndarray) -> int:
@@ -524,66 +468,19 @@ def media_phash_pairs(n: int = 300, seed: int = 42,
         })
 
     def pairs(group) -> "pd.DataFrame":
-        # fully vectorized within-band pair enumeration: sort by
-        # (key, id), find equal-key runs, emit every within-run pair
-        # via triu indices batched per run LENGTH (a handful of
-        # distinct lengths), then one SWAR popcount pass — no Python
-        # loop over the ~min(n, 2^band_bits) buckets (the loop version
-        # cost ~8 s/band at 100k items; this is ~60 ms)
-        ids_all = group["media_id"].to_numpy().astype(np.int64)
-        keys_all = group["key"].to_numpy().astype(np.int64)
-        ph_all = (group["phash"].to_numpy()
-                  .astype(np.int64).astype(np.uint64))
-        order = np.lexsort((ids_all, keys_all))
-        ids_s, keys_s, ph_s = (ids_all[order], keys_all[order],
-                               ph_all[order])
-        starts = np.flatnonzero(np.r_[True, keys_s[1:] != keys_s[:-1]])
-        counts = np.diff(np.r_[starts, len(keys_s)])
+        # one band per group: vectorized run-length bucket pairing +
+        # SWAR popcount, with exact recursive pigeonhole sub-banding
+        # for HOT buckets (shared kernel; see functions/hamming.py)
         band_id = int(group["band"].iloc[0]) if len(group) else 0
-        band_mask = int(mask) << (band_id * band_bits)
-
-        a_parts, b_parts = [], []
-        found: list = []
-        for length in np.unique(counts[counts > 1]):
-            s = starts[counts == length]
-            if length > _BRUTE_MAX:
-                # HOT bucket: an all-pairs sweep is O(bucket^2) — use
-                # exact recursive pigeonhole sub-banding on the bits
-                # outside this band instead
-                for s0 in s:
-                    sub = slice(s0, s0 + int(length))
-                    _ham_pairs_recursive(
-                        ids_s[sub], ph_s[sub], max_hamming,
-                        ((1 << 64) - 1) & ~band_mask, found)
-                continue
-            ti, tj = np.triu_indices(int(length), 1)
-            a_parts.append((s[:, None] + ti[None, :]).ravel())
-            b_parts.append((s[:, None] + tj[None, :]).ravel())
-        if a_parts:
-            ai = np.concatenate(a_parts)
-            bi = np.concatenate(b_parts)
-            ham = _popcount64(ph_s[ai] ^ ph_s[bi])
-            keep = ham <= max_hamming
-            found.append((ids_s[ai[keep]], ids_s[bi[keep]], ham[keep]))
-        if not found:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                 "b": pd.Series(dtype="int64"),
-                                 "hamming": pd.Series(dtype="int64")})
-        a_all = np.concatenate([f[0] for f in found])
-        b_all = np.concatenate([f[1] for f in found])
-        h_all = np.concatenate([f[2] for f in found])
-        # the recursion can emit a pair once per matching chunk;
-        # dedupe locally so duplicates never ride the exchange
-        # (lexsort, not 32-bit id packing — ids are full int64)
-        order2 = np.lexsort((b_all, a_all))
-        a_s2, b_s2, h_s2 = a_all[order2], b_all[order2], h_all[order2]
-        first = np.r_[True, (a_s2[1:] != a_s2[:-1])
-                      | (b_s2[1:] != b_s2[:-1])]
-        return pd.DataFrame({
-            "a": pd.Series(a_s2[first], dtype="int64"),
-            "b": pd.Series(b_s2[first], dtype="int64"),
-            "hamming": pd.Series(h_s2[first].astype(np.int64),
-                                 dtype="int64")})
+        a, b, h = band_run_pairs(
+            group["media_id"].to_numpy().astype(np.int64),
+            group["key"].to_numpy().astype(np.int64),
+            group["phash"].to_numpy().astype(np.int64)
+            .astype(np.uint64),
+            max_hamming, int(mask) << (band_id * band_bits))
+        return pd.DataFrame({"a": pd.Series(a, dtype="int64"),
+                             "b": pd.Series(b, dtype="int64"),
+                             "hamming": pd.Series(h, dtype="int64")})
 
     from risjbot_ray.pipelines.webtext import _coalesce_for_exchange
 
