@@ -186,7 +186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from risjbot_ray.pipelines import dedup, relational, similarity
     from risjbot_ray.pipelines import textstats as ts
     from risjbot_ray.pipelines import webtext as wt
-    from risjbot_ray.pipelines.multimodal import media_features_ds
+    from risjbot_ray.pipelines.multimodal import (media_features_ds,
+                                                  media_resize_ds)
 
     def crawl_extracted(sf_dir: str):
         return _run_crawl(sf_dir, tag="extract")
@@ -547,6 +548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": lambda sf: media_features_ds(n=300, seed=42),
         "media_features_check": media_features_check,
         "media_phash_check": media_phash_check,
+        "media_resize": lambda sf: media_resize_ds(n=300, seed=42),
         "warc_cdx_check": warc_cdx_check,
         # crawl engine (hermetic corpus; rows-only here — byte-level
         # correctness is gated by the pytest golden fixtures)

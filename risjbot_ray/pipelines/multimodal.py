@@ -272,6 +272,68 @@ class MediaFeatures:
         })
 
 
+class MediaResize:
+    """Actor-pool stage: decode -> resize -> re-encode still images.
+
+    Real work end-to-end for decodable payloads (BMP/PPM/PGM in, BMP
+    out): nearest-neighbor for upscale, area-mean for downscale (the
+    anti-aliased reduction a thumbnail needs). Non-image or
+    codec-library payloads pass through with ``resized=False`` and a
+    null output payload — the stage never drops rows, so it composes
+    with downstream joins on media_id. Output payloads are the only
+    bytes that leave; inputs stay inside the map."""
+
+    def __init__(self, out_h: int = 64, out_w: int = 64):
+        self.out_h = out_h
+        self.out_w = out_w
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        h, w = img.shape[:2]
+        if h <= self.out_h and w <= self.out_w:
+            return codecs.resize_nearest(img, self.out_h, self.out_w)
+        planes = [codecs.thumbnail_mean(img[:, :, c],
+                                        self.out_h, self.out_w)
+                  for c in range(3)]
+        return np.clip(np.stack(planes, axis=2).round(),
+                       0, 255).astype(np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_p, out_ok = [], []
+        for p in payloads:
+            img = codecs.decode_image(p or b"")
+            if img is None:
+                out_p.append(None)
+                out_ok.append(False)
+            else:
+                out_p.append(codecs.encode_bmp(self._resize(img)))
+                out_ok.append(True)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "resized": pa.array(out_ok, pa.bool_()),
+            "payload": pa.array(out_p, pa.binary()),
+            "width": pa.array(
+                [self.out_w if ok else None for ok in out_ok],
+                pa.int32()),
+            "height": pa.array(
+                [self.out_h if ok else None for ok in out_ok],
+                pa.int32()),
+        })
+
+
+def media_resize_ds(n: int = 300, seed: int = 42, out_h: int = 64,
+                    out_w: int = 64, concurrency=2,
+                    path: str | None = None, batch_size: int = 16):
+    """Decode -> resize -> re-encode pipeline over a media corpus."""
+    ds = _media_source(n, seed, path, ["media_id", "payload"])
+    return ds.map_batches(MediaResize,
+                          fn_constructor_args=(out_h, out_w),
+                          batch_format="pyarrow",
+                          batch_size=batch_size,
+                          concurrency=concurrency)
+
+
 class FrameSampler:
     """Video frame sampling: one output row per sampled frame offset.
 

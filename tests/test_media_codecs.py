@@ -286,6 +286,39 @@ def test_media_phash_pairs_planted_ground_truth():
     assert zero_plants and all(got.get(p) == 0 for p in zero_plants)
 
 
+def test_media_resize_stage_roundtrip_and_passthrough():
+    import ray
+
+    from risjbot_ray.media.codecs import decode_bmp
+    from risjbot_ray.pipelines.multimodal import (MediaResize,
+                                                  media_resize_ds)
+
+    # kernel: downscale of a known 2x-block image is exact area means
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[:4, :4] = 100
+    img[4:, 4:] = 200
+    small = MediaResize(2, 2)._resize(img)
+    assert (small[0, 0] == 100).all() and (small[1, 1] == 200).all()
+    assert (small[0, 1] == 0).all() and (small[1, 0] == 0).all()
+    # upscale path keeps exact pixels (nearest)
+    up = MediaResize(16, 16)._resize(img)
+    assert up.shape == (16, 16, 3) and up[0, 0, 0] == 100
+
+    out = media_resize_ds(n=60, seed=42, out_h=32, out_w=32) \
+        .to_pandas().set_index("media_id").sort_index()
+    assert len(out) == 60
+    for mid, row in out.iterrows():
+        if row["resized"]:
+            dec = decode_bmp(row["payload"])
+            assert dec.shape == (32, 32, 3)
+            assert int(row["width"]) == 32
+        else:
+            # audio/video/stub rows pass through with null payloads
+            assert row["payload"] is None
+    # images are 1/3 of rows minus the stub fifths
+    assert int(out["resized"].sum()) == 16
+
+
 def test_audio_features_pure_tone_centroid():
     from risjbot_ray.pipelines.multimodal import audio_features
     sr = 8000
