@@ -393,6 +393,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "exact_match": pa.array([got == exp], pa.bool_()),
         })
 
+    def audio_fingerprint_check(sf_dir: str):
+        """Audio near-dup self-check, mirroring `media_phash_check`:
+        run the banded fingerprint pipeline (modality='audio') over a
+        corpus with 30 planted volume-scaled / noised WAV copies, and
+        compare against a local brute-force ground truth over the
+        same fingerprints — exact match required."""
+        import numpy as np
+        import pyarrow as pa
+
+        from risjbot_ray.media import codecs
+        from risjbot_ray.pipelines.multimodal import (
+            audio_fingerprint64, media_phash_pairs,
+            synth_audio_with_neardups)
+
+        tbl, planted = synth_audio_with_neardups(300, seed=42,
+                                                 n_planted=30)
+        got_df = media_phash_pairs(table=tbl,
+                                   modality="audio").to_pandas()
+        got = {(int(r.a), int(r.b)) for r in got_df.itertuples()}
+
+        fps = {}
+        for row in tbl.to_pylist():
+            if codecs.sniff(row["payload"]) == "wav":
+                samples, sr = codecs.decode_wav(row["payload"])
+                fps[row["media_id"]] = audio_fingerprint64(samples, sr)
+        ids = sorted(fps)
+        arr = np.array([fps[i] for i in ids], dtype=np.uint64)
+        exp = set()
+        for i in range(len(ids)):
+            x = arr[i + 1:] ^ arr[i]
+            ham = np.array([bin(v).count("1") for v in x], int)
+            for off in np.nonzero(ham <= 3)[0]:
+                exp.add((ids[i], ids[i + 1 + off]))
+        planted_found = sum(
+            1 for (a, b) in planted
+            if a in fps and b in fps
+            and bin(fps[a] ^ fps[b]).count("1") <= 3
+            and (min(a, b), max(a, b)) in got)
+        planted_within = sum(
+            1 for (a, b) in planted
+            if a in fps and b in fps
+            and bin(fps[a] ^ fps[b]).count("1") <= 3)
+        return pa.table({
+            "n_hashed": pa.array([len(ids)], pa.int64()),
+            "n_pairs": pa.array([len(got)], pa.int64()),
+            "n_expected": pa.array([len(exp)], pa.int64()),
+            "n_missing": pa.array([len(exp - got)], pa.int64()),
+            "n_extra": pa.array([len(got - exp)], pa.int64()),
+            "n_planted": pa.array([len(planted)], pa.int64()),
+            "n_planted_within_radius": pa.array([planted_within],
+                                                pa.int64()),
+            "n_planted_found": pa.array([planted_found], pa.int64()),
+            "exact_match": pa.array([got == exp], pa.bool_()),
+        })
+
     def warc_cdx_check(sf_dir: str):
         """Driver-visible CDX self-check (`crawl_vs_expected` style):
         synthesize CC-layout .warc.gz archives from a deterministic
@@ -548,6 +603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": lambda sf: media_features_ds(n=300, seed=42),
         "media_features_check": media_features_check,
         "media_phash_check": media_phash_check,
+        "audio_fingerprint_check": audio_fingerprint_check,
         "media_resize": lambda sf: media_resize_ds(n=300, seed=42),
         "warc_cdx_check": warc_cdx_check,
         # crawl engine (hermetic corpus; rows-only here — byte-level

@@ -75,10 +75,18 @@ def _synth_audio(rng: np.random.Generator) -> tuple[bytes, str, int]:
     dur_s = float(rng.uniform(0.05, 0.5))
     n = max(int(sr * dur_s), 16)
     t = np.arange(n) / sr
-    freq = float(rng.uniform(100, 2000))
-    sig = (0.6 * np.sin(2 * np.pi * freq * t)
-           + 0.1 * rng.standard_normal(n)).astype(np.float32)
-    sig = np.clip(sig, -1.0, 1.0)
+    # 2-4 tones, each gated by a random 8-segment on/off envelope, so
+    # distinct clips land far apart in the 8x8 time-frequency
+    # fingerprint grid (a single steady sine gives every clip nearly
+    # the same one-hot-band grid)
+    sig = np.zeros(n)
+    for _ in range(int(rng.integers(2, 5))):
+        freq = float(rng.uniform(100, 3500))
+        env = rng.random(8).round()          # per-segment gate
+        env_t = env[np.minimum((np.arange(n) * 8) // max(n, 1), 7)]
+        sig += 0.3 * env_t * np.sin(2 * np.pi * freq * t)
+    sig = np.clip(sig + 0.05 * rng.standard_normal(n),
+                  -1.0, 1.0).astype(np.float32)
     return (codecs.encode_wav(sig, sr), "audio/wav",
             int(round(n * 1000 / sr)))
 
@@ -449,6 +457,35 @@ def ahash64(luma: np.ndarray) -> int:
     return int.from_bytes(np.packbits(bits).tobytes(), "big")
 
 
+def audio_fingerprint64(samples: np.ndarray, sr: int) -> int:
+    """64-bit audio fingerprint: an 8x8 time-frequency energy grid
+    (8 equal time segments x 8 log-spaced rFFT bands), one bit per
+    cell (cell energy > grid median). Invariant to volume scaling
+    (every energy scales together, so comparisons to the median are
+    unchanged) and stable under mild additive noise — the audio
+    counterpart of ``ahash64``."""
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    n = len(mono)
+    if n < 16:
+        return 0
+    seg_len = n // 8
+    grid = np.zeros((8, 8), np.float64)
+    for t in range(8):
+        seg = mono[t * seg_len:(t + 1) * seg_len]
+        spec = np.abs(np.fft.rfft(seg))[1:]  # drop DC: tracks offset
+        m = len(spec)
+        if m == 0:
+            continue
+        # log-spaced band start indices over the segment spectrum
+        # (duplicates collapse for short segments -> fewer bands)
+        starts = np.unique(np.clip(
+            np.geomspace(1, m, num=9)[:-1].astype(int) - 1, 0, m - 1))
+        bands = np.add.reduceat(spec * spec, starts)
+        grid[t, :min(8, len(bands))] = bands[:8]
+    bits = (grid > np.median(grid)).ravel()
+    return int.from_bytes(np.packbits(bits).tobytes(), "big")
+
+
 def _payload_luma(payload: bytes) -> np.ndarray | None:
     """Luma plane a perceptual hash can be computed from: decoded
     pixels for stills, frame 0 for y4m video, None for audio and
@@ -464,23 +501,41 @@ def _payload_luma(payload: bytes) -> np.ndarray | None:
 
 
 class MediaPHash:
-    """Actor-pool stage: payload -> 64-bit perceptual hash. Rows whose
-    payload cannot be pixel-decoded are dropped here (never ride the
-    shuffle); only (media_id, phash) leaves the stage — the MB-scale
-    payload bytes stay inside the map."""
+    """Actor-pool stage: payload -> 64-bit perceptual hash of one
+    modality ('visual': aHash of decoded pixels / y4m frame 0;
+    'audio': time-frequency fingerprint of decoded WAV). Rows outside
+    the modality, or whose payload cannot be decoded, are dropped here
+    (never ride the shuffle); only (media_id, phash) leaves the stage
+    — the MB-scale payload bytes stay inside the map. Modalities are
+    kept in separate pair spaces on purpose: a visual hash landing
+    within hamming-3 of an audio hash would be a meaningless pair."""
+
+    def __init__(self, modality: str = "visual"):
+        if modality not in ("visual", "audio"):
+            raise ValueError(f"unknown modality {modality!r}")
+        self.modality = modality
+
+    def _hash(self, payload: bytes) -> int | None:
+        if self.modality == "visual":
+            luma = _payload_luma(payload)
+            return None if luma is None else ahash64(luma)
+        if codecs.sniff(payload) != "wav":
+            return None
+        samples, sr = codecs.decode_wav(payload)
+        return audio_fingerprint64(samples, sr)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
         payloads = batch.column("payload").to_pylist()
         out_id, out_h = [], []
         for mid, p in zip(ids, payloads):
-            luma = _payload_luma(p or b"")
-            if luma is None:
+            h = self._hash(p or b"")
+            if h is None:
                 continue
             out_id.append(mid)
             # store as signed int64 (Arrow has no uint64 arithmetic
             # downstream); the bit pattern is what matters
-            out_h.append(np.uint64(ahash64(luma)).astype(np.int64))
+            out_h.append(np.uint64(h).astype(np.int64))
         return pa.table({"media_id": pa.array(out_id, pa.int64()),
                          "phash": pa.array(out_h, pa.int64())})
 
@@ -489,7 +544,8 @@ def media_phash_pairs(n: int = 300, seed: int = 42,
                       max_hamming: int = 3, bands: int = 4,
                       table: pa.Table | None = None,
                       path: str | None = None,
-                      batch_size: int = 64):
+                      batch_size: int = 64,
+                      modality: str = "visual"):
     """Near-duplicate media pairs within Hamming<=max_hamming of their
     perceptual hashes, via banded pigeonhole bucketing + exact popcount
     verify — the same scale shape as ``dedup.simhash_near_pairs``: a
@@ -508,7 +564,9 @@ def media_phash_pairs(n: int = 300, seed: int = 42,
     src = (ray.data.from_arrow(table.select(["media_id", "payload"]))
            if table is not None
            else _media_source(n, seed, path, ["media_id", "payload"]))
-    sigs = src.map_batches(MediaPHash, batch_format="pyarrow",
+    sigs = src.map_batches(MediaPHash,
+                           fn_constructor_args=(modality,),
+                           batch_format="pyarrow",
                            batch_size=batch_size, concurrency=(1, 16))
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -613,6 +671,39 @@ def synth_media_with_neardups(n: int = 300, seed: int = 42,
                      else "image/x-portable-pixmap"),
             "width": var.shape[1], "height": var.shape[0],
             "duration_ms": None,
+        })
+    tbl = pa.concat_tables(
+        [base, pa.Table.from_pylist(extra, schema=MEDIA_SCHEMA)])
+    return tbl, planted
+
+
+def synth_audio_with_neardups(n: int = 300, seed: int = 42,
+                              n_planted: int = 30) -> tuple[
+                                  pa.Table, list[tuple[int, int]]]:
+    """Base synth corpus + ``n_planted`` planted audio near-duplicates
+    (ids n, n+1, ...): volume-scaled or mildly-noised re-encodes of
+    decodable WAV rows. Returns (table, planted (base_id, dup_id))."""
+    rng = np.random.default_rng(seed + 2)
+    base = synth_media_table(n, seed)
+    rows = base.to_pylist()
+    wavs = [r for r in rows if codecs.sniff(r["payload"]) == "wav"]
+    planted: list[tuple[int, int]] = []
+    extra = []
+    for j in range(n_planted):
+        src = wavs[int(rng.integers(0, len(wavs)))]
+        samples, sr = codecs.decode_wav(src["payload"])
+        if j % 2 == 0:                      # volume scale
+            var = samples * 0.6
+        else:                               # mild noise
+            var = np.clip(samples + 0.01 * rng.standard_normal(
+                samples.shape), -1.0, 1.0)
+        new_id = n + j
+        planted.append((src["media_id"], new_id))
+        extra.append({
+            "media_id": new_id, "kind": "audio",
+            "payload": codecs.encode_wav(var, sr),
+            "mime": "audio/wav", "width": None, "height": None,
+            "duration_ms": src["duration_ms"],
         })
     tbl = pa.concat_tables(
         [base, pa.Table.from_pylist(extra, schema=MEDIA_SCHEMA)])

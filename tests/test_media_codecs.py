@@ -319,6 +319,43 @@ def test_media_resize_stage_roundtrip_and_passthrough():
     assert int(out["resized"].sum()) == 16
 
 
+def test_audio_fingerprint_invariances_and_planted_pairs():
+    import ray  # noqa: F401
+
+    from risjbot_ray.media.codecs import decode_wav
+    from risjbot_ray.pipelines.multimodal import (audio_fingerprint64,
+                                                  media_phash_pairs,
+                                                  synth_audio_with_neardups)
+
+    # volume invariance on float samples is EXACT
+    rng = np.random.default_rng(4)
+    sig = rng.uniform(-0.8, 0.8, size=(4000, 1)).astype(np.float32)
+    f0 = audio_fingerprint64(sig, 8000)
+    assert audio_fingerprint64(sig * 0.25, 8000) == f0
+    assert 0 <= f0 < (1 << 64)
+    # structural change -> different fingerprint
+    assert audio_fingerprint64(sig[::-1].copy(), 8000) != f0
+
+    tbl, planted = synth_audio_with_neardups(90, seed=7, n_planted=12)
+    got_df = media_phash_pairs(table=tbl, modality="audio").to_pandas()
+    got = {(int(r.a), int(r.b)) for r in got_df.itertuples()}
+    fps = {}
+    for row in tbl.to_pylist():
+        if row["mime"] == "audio/wav":
+            samples, sr = decode_wav(row["payload"])
+            fps[row["media_id"]] = audio_fingerprint64(samples, sr)
+    ids = sorted(fps)
+    exp = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+           if bin(fps[a] ^ fps[b]).count("1") <= 3}
+    assert got == exp
+    # every planted pair inside the radius must be found; most plants
+    # survive quantization (volume-scaled ones are near-exact)
+    within = [(min(a, b), max(a, b)) for a, b in planted
+              if bin(fps[a] ^ fps[b]).count("1") <= 3]
+    assert len(within) >= len(planted) // 2
+    assert all(p in got for p in within)
+
+
 def test_audio_features_pure_tone_centroid():
     from risjbot_ray.pipelines.multimodal import audio_features
     sr = 8000
