@@ -119,6 +119,35 @@ def cmd_curate(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def cmd_media_features(args: argparse.Namespace) -> int:
+    ray = _ray_init()
+    try:
+        from .pipelines.multimodal import media_features_ds
+
+        (media_features_ds(path=args.media, batch_size=args.batch_size,
+                           concurrency=(1, args.concurrency))
+         .write_parquet(args.out))
+        print(json.dumps({"out": args.out}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+def cmd_media_neardup(args: argparse.Namespace) -> int:
+    ray = _ray_init()
+    try:
+        from .pipelines.multimodal import media_phash_pairs
+
+        (media_phash_pairs(path=args.media, modality=args.modality,
+                           max_hamming=args.max_hamming,
+                           batch_size=args.batch_size)
+         .write_parquet(args.out))
+        print(json.dumps({"out": args.out}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="risjbot_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -165,6 +194,31 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--checkpoint", default=None,
                    help="persist the gated stage; resume skips it")
     u.set_defaults(fn=cmd_curate)
+
+    m = sub.add_parser(
+        "media-features",
+        help="media parquet -> decoded feature vectors (real "
+             "BMP/PPM/WAV/y4m codecs; JPEG/MP4 rows flagged stub)")
+    m.add_argument("--media", required=True,
+                   help="parquet dir with (media_id, kind, payload)")
+    m.add_argument("--out", required=True)
+    m.add_argument("--batch-size", type=int, default=16,
+                   help="rows per batch; keep payload bytes per batch "
+                        "well under worker heap")
+    m.add_argument("--concurrency", type=int, default=16)
+    m.set_defaults(fn=cmd_media_features)
+
+    d = sub.add_parser(
+        "media-neardup",
+        help="media parquet -> perceptual near-dup pairs "
+             "(visual aHash or audio fingerprint, banded pigeonhole)")
+    d.add_argument("--media", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument("--modality", choices=["visual", "audio"],
+                   default="visual")
+    d.add_argument("--max-hamming", type=int, default=3)
+    d.add_argument("--batch-size", type=int, default=64)
+    d.set_defaults(fn=cmd_media_neardup)
 
     args = p.parse_args(argv)
     return args.fn(args)
