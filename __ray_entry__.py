@@ -448,6 +448,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "exact_match": pa.array([got == exp], pa.bool_()),
         })
 
+    def video_fingerprint_check(sf_dir: str):
+        """Temporal-video near-dup self-check, mirroring
+        `media_phash_check`: banded pipeline (modality='video') over a
+        corpus with 24 planted brightness-shifted / noised y4m copies
+        vs local brute-force ground truth — exact match required."""
+        import numpy as np
+        import pyarrow as pa
+
+        from risjbot_ray.pipelines.multimodal import (
+            media_phash_pairs, synth_video_with_neardups,
+            video_fingerprint64)
+
+        tbl, planted = synth_video_with_neardups(300, seed=42,
+                                                 n_planted=24)
+        got_df = media_phash_pairs(table=tbl,
+                                   modality="video").to_pandas()
+        got = {(int(r.a), int(r.b)) for r in got_df.itertuples()}
+        fps = {}
+        for row in tbl.to_pylist():
+            h = video_fingerprint64(row["payload"])
+            if h is not None:
+                fps[row["media_id"]] = h
+        ids = sorted(fps)
+        arr = np.array([fps[i] for i in ids], dtype=np.uint64)
+        exp = set()
+        for i in range(len(ids)):
+            x = arr[i + 1:] ^ arr[i]
+            ham = np.array([bin(v).count("1") for v in x], int)
+            for off in np.nonzero(ham <= 3)[0]:
+                exp.add((ids[i], ids[i + 1 + off]))
+        planted_within = [
+            (min(a, b), max(a, b)) for a, b in planted
+            if bin(fps[a] ^ fps[b]).count("1") <= 3]
+        planted_found = sum(1 for p in planted_within if p in got)
+        return pa.table({
+            "n_hashed": pa.array([len(ids)], pa.int64()),
+            "n_pairs": pa.array([len(got)], pa.int64()),
+            "n_expected": pa.array([len(exp)], pa.int64()),
+            "n_missing": pa.array([len(exp - got)], pa.int64()),
+            "n_extra": pa.array([len(got - exp)], pa.int64()),
+            "n_planted": pa.array([len(planted)], pa.int64()),
+            "n_planted_within_radius": pa.array(
+                [len(planted_within)], pa.int64()),
+            "n_planted_found": pa.array([planted_found], pa.int64()),
+            "exact_match": pa.array([got == exp], pa.bool_()),
+        })
+
     def warc_cdx_check(sf_dir: str):
         """Driver-visible CDX self-check (`crawl_vs_expected` style):
         synthesize CC-layout .warc.gz archives from a deterministic
@@ -604,6 +651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features_check": media_features_check,
         "media_phash_check": media_phash_check,
         "audio_fingerprint_check": audio_fingerprint_check,
+        "video_fingerprint_check": video_fingerprint_check,
         "media_resize": lambda sf: media_resize_ds(n=300, seed=42),
         "warc_cdx_check": warc_cdx_check,
         # crawl engine (hermetic corpus; rows-only here — byte-level

@@ -214,7 +214,7 @@ def main(argv: list[str] | None = None) -> int:
              "(visual aHash or audio fingerprint, banded pigeonhole)")
     d.add_argument("--media", required=True)
     d.add_argument("--out", required=True)
-    d.add_argument("--modality", choices=["visual", "audio"],
+    d.add_argument("--modality", choices=["visual", "audio", "video"],
                    default="visual")
     d.add_argument("--max-hamming", type=int, default=3)
     d.add_argument("--batch-size", type=int, default=64)

@@ -96,13 +96,16 @@ def _synth_video(rng: np.random.Generator) -> tuple[bytes, str, int, int, int]:
     w = int(rng.integers(8, 16)) * 2
     n_frames = int(rng.integers(3, 11))
     yy = np.mgrid[0:h, 0:w][0]
-    # per-video random block identity (same reason as _synth_image:
-    # keep distinct videos far apart in frame-0 aHash space), constant
-    # across the clip's frames; the i*12 ramp adds inter-frame motion
-    ident = codecs.resize_nearest(
-        rng.integers(-100, 101, size=(8, 8)).astype(np.int64), h, w)
+    # per-FRAME random block identity (same reason as _synth_image:
+    # keep distinct videos far apart in hash space) — varying it
+    # frame-to-frame gives each clip real temporal structure, so the
+    # temporal fingerprint has full entropy; the i*12 ramp adds a
+    # global brightness drift on top
     frames = np.stack([
-        np.clip(yy * 160 // max(h - 1, 1) + ident + 50 + i * 12
+        np.clip(yy * 160 // max(h - 1, 1) + 50 + i * 12
+                + codecs.resize_nearest(
+                    rng.integers(-100, 101, size=(8, 8)).astype(np.int64),
+                    h, w)
                 + rng.integers(0, 16, size=(h, w)), 0, 255)
         for i in range(n_frames)
     ]).astype(np.uint8)
@@ -486,6 +489,30 @@ def audio_fingerprint64(samples: np.ndarray, sr: int) -> int:
     return int.from_bytes(np.packbits(bits).tobytes(), "big")
 
 
+def video_fingerprint64(payload: bytes) -> int | None:
+    """64-bit TEMPORAL video fingerprint over a y4m payload: 8 evenly
+    sampled frames x 8 difference bits (2x5 area-mean luma grid,
+    cell[r,c] > cell[r,c+1] -> 2 rows x 4 horizontal comparisons).
+    Difference bits are exactly brightness-shift invariant and —
+    unlike a median/mean threshold — immune to global gradients
+    (sky-on-top composition) that would otherwise collapse a whole
+    corpus onto one hash; even sampling makes the hash track the
+    clip's temporal structure, which the frame-0-only 'visual'
+    modality cannot see. Frames are fetched by O(1) seek, so cost is
+    8 frames regardless of clip length. Returns None for non-y4m
+    payloads."""
+    if codecs.sniff(payload) != "y4m":
+        return None
+    info = codecs.parse_y4m(payload)
+    bits = np.empty(64, bool)
+    for k in range(8):
+        idx = (k * info.n_frames) // 8
+        luma = codecs.y4m_frame_luma(payload, info, idx)
+        cells = codecs.thumbnail_mean(luma, 2, 5)
+        bits[k * 8:(k + 1) * 8] = (cells[:, :-1] > cells[:, 1:]).ravel()
+    return int.from_bytes(np.packbits(bits).tobytes(), "big")
+
+
 def _payload_luma(payload: bytes) -> np.ndarray | None:
     """Luma plane a perceptual hash can be computed from: decoded
     pixels for stills, frame 0 for y4m video, None for audio and
@@ -503,15 +530,16 @@ def _payload_luma(payload: bytes) -> np.ndarray | None:
 class MediaPHash:
     """Actor-pool stage: payload -> 64-bit perceptual hash of one
     modality ('visual': aHash of decoded pixels / y4m frame 0;
-    'audio': time-frequency fingerprint of decoded WAV). Rows outside
-    the modality, or whose payload cannot be decoded, are dropped here
+    'audio': time-frequency fingerprint of decoded WAV; 'video':
+    temporal 8-frame fingerprint of y4m clips). Rows outside the
+    modality, or whose payload cannot be decoded, are dropped here
     (never ride the shuffle); only (media_id, phash) leaves the stage
     — the MB-scale payload bytes stay inside the map. Modalities are
     kept in separate pair spaces on purpose: a visual hash landing
     within hamming-3 of an audio hash would be a meaningless pair."""
 
     def __init__(self, modality: str = "visual"):
-        if modality not in ("visual", "audio"):
+        if modality not in ("visual", "audio", "video"):
             raise ValueError(f"unknown modality {modality!r}")
         self.modality = modality
 
@@ -519,6 +547,8 @@ class MediaPHash:
         if self.modality == "visual":
             luma = _payload_luma(payload)
             return None if luma is None else ahash64(luma)
+        if self.modality == "video":
+            return video_fingerprint64(payload)
         if codecs.sniff(payload) != "wav":
             return None
         samples, sr = codecs.decode_wav(payload)
@@ -671,6 +701,47 @@ def synth_media_with_neardups(n: int = 300, seed: int = 42,
                      else "image/x-portable-pixmap"),
             "width": var.shape[1], "height": var.shape[0],
             "duration_ms": None,
+        })
+    tbl = pa.concat_tables(
+        [base, pa.Table.from_pylist(extra, schema=MEDIA_SCHEMA)])
+    return tbl, planted
+
+
+def synth_video_with_neardups(n: int = 300, seed: int = 42,
+                              n_planted: int = 24) -> tuple[
+                                  pa.Table, list[tuple[int, int]]]:
+    """Base synth corpus + ``n_planted`` planted video near-duplicates
+    (ids n, n+1, ...): brightness-shifted or mildly-noised re-encodes
+    of y4m rows, same frame count/rate (the temporal fingerprint keys
+    on frame structure). Returns (table, planted (base_id, dup_id))."""
+    rng = np.random.default_rng(seed + 3)
+    base = synth_media_table(n, seed)
+    rows = base.to_pylist()
+    clips = [r for r in rows if codecs.sniff(r["payload"]) == "y4m"]
+    planted: list[tuple[int, int]] = []
+    extra = []
+    for j in range(n_planted):
+        src = clips[int(rng.integers(0, len(clips)))]
+        info = codecs.parse_y4m(src["payload"])
+        frames = np.stack([
+            codecs.y4m_frame_luma(src["payload"], info, i)
+            for i in range(info.n_frames)])
+        if j % 2 == 0:                      # brightness shift
+            var = np.clip(frames.astype(np.int16) + 10,
+                          0, 255).astype(np.uint8)
+        else:                               # mild per-pixel noise
+            noise = rng.integers(-4, 5, size=frames.shape)
+            var = np.clip(frames.astype(np.int16) + noise,
+                          0, 255).astype(np.uint8)
+        new_id = n + j
+        planted.append((src["media_id"], new_id))
+        extra.append({
+            "media_id": new_id, "kind": "video",
+            "payload": codecs.encode_y4m(var, info.fps_num,
+                                         info.fps_den),
+            "mime": "video/x-yuv4mpeg",
+            "width": info.width, "height": info.height,
+            "duration_ms": info.duration_ms,
         })
     tbl = pa.concat_tables(
         [base, pa.Table.from_pylist(extra, schema=MEDIA_SCHEMA)])

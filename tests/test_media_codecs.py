@@ -356,6 +356,45 @@ def test_audio_fingerprint_invariances_and_planted_pairs():
     assert all(p in got for p in within)
 
 
+def test_video_fingerprint_invariances_and_planted_pairs():
+    import ray  # noqa: F401
+
+    from risjbot_ray.media.codecs import encode_y4m
+    from risjbot_ray.pipelines.multimodal import (media_phash_pairs,
+                                                  synth_video_with_neardups,
+                                                  video_fingerprint64)
+
+    rng = np.random.default_rng(6)
+    # pixels clear of the clip range so the brightness shift is exact
+    frames = rng.integers(30, 200, size=(20, 12, 16), dtype=np.uint8)
+    f0 = video_fingerprint64(encode_y4m(frames))
+    assert f0 is not None and 0 <= f0 < (1 << 64)
+    # adjacent-cell difference bits are exactly brightness-shift invariant
+    shifted = (frames.astype(np.int16) + 25).astype(np.uint8)
+    assert video_fingerprint64(encode_y4m(shifted)) == f0
+    # temporal reordering changes the hash (frame 0 stays in place so
+    # the 'visual' modality would NOT see this)
+    assert video_fingerprint64(encode_y4m(frames[::-1].copy())) != f0
+    assert video_fingerprint64(b"RIFF....WAVE") is None
+
+    tbl, planted = synth_video_with_neardups(90, seed=7, n_planted=10)
+    got_df = media_phash_pairs(table=tbl, modality="video").to_pandas()
+    got = {(int(r.a), int(r.b)) for r in got_df.itertuples()}
+    fps = {}
+    for row in tbl.to_pylist():
+        h = video_fingerprint64(row["payload"])
+        if h is not None:
+            fps[row["media_id"]] = h
+    ids = sorted(fps)
+    exp = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+           if bin(fps[a] ^ fps[b]).count("1") <= 3}
+    assert got == exp
+    within = [(min(a, b), max(a, b)) for a, b in planted
+              if bin(fps[a] ^ fps[b]).count("1") <= 3]
+    assert len(within) >= len(planted) // 2
+    assert all(p in got for p in within)
+
+
 def test_audio_features_pure_tone_centroid():
     from risjbot_ray.pipelines.multimodal import audio_features
     sr = 8000
