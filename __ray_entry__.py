@@ -183,6 +183,7 @@ def _fresh_tile_ledger() -> str:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from risjbot_ray.pipelines import bpe as bpe_mod
     from risjbot_ray.pipelines import dedup, relational, similarity
     from risjbot_ray.pipelines import textstats as ts
     from risjbot_ray.pipelines import webtext as wt
@@ -495,6 +496,100 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "exact_match": pa.array([got == exp], pa.bool_()),
         })
 
+    def bpe_check(sf_dir: str):
+        """BPE self-check, `crawl_vs_expected`-style: the distributed
+        trainer (combiner map + one word groupby + incremental driver
+        merge loop) must produce EXACTLY the merges of a from-scratch
+        local recount over the same parquet, and the distributed
+        apply stage must reproduce a training-order replay encode on
+        every document."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from risjbot_ray.pipelines.bpe import (EOW, bpe_tokencount,
+                                               train_bpe)
+        from risjbot_ray.pipelines.textstats import _BPEISH_RE
+
+        n_merges = 128
+        merges = train_bpe(sf_dir, n_merges=n_merges)
+
+        # independent local reference: naive recount trainer
+        texts = pq.read_table(f"{sf_dir}/documents.parquet",
+                              columns=["text"]).column("text").to_pylist()
+        freqs: dict[str, int] = {}
+        for t in texts:
+            for w in _BPEISH_RE.findall(t or ""):
+                freqs[w] = freqs.get(w, 0) + 1
+        seqs = {w: tuple(list(w) + [EOW]) for w in freqs}
+        exp_merges = []
+        for _ in range(n_merges):
+            counts: dict[tuple[str, str], int] = {}
+            for w, seq in seqs.items():
+                c = freqs[w]
+                for p in zip(seq, seq[1:]):
+                    counts[p] = counts.get(p, 0) + c
+            if not counts:
+                break
+            best = min(counts, key=lambda p: (-counts[p], p))
+            exp_merges.append(best)
+            for w, seq in seqs.items():
+                out, j = [], 0
+                while j < len(seq):
+                    if (j + 1 < len(seq) and seq[j] == best[0]
+                            and seq[j + 1] == best[1]):
+                        out.append(best[0] + best[1])
+                        j += 2
+                    else:
+                        out.append(seq[j])
+                        j += 1
+                seqs[w] = tuple(out)
+        merges_match = merges == exp_merges
+
+        # independent apply reference: training-order replay encode
+        def replay_len(word: str) -> int:
+            seq = list(word) + [EOW]
+            for a, b in merges:
+                out, j = [], 0
+                while j < len(seq):
+                    if j + 1 < len(seq) and seq[j] == a and seq[j + 1] == b:
+                        out.append(a + b)
+                        j += 2
+                    else:
+                        out.append(seq[j])
+                        j += 1
+                seq = out
+            return len(seq)
+
+        got = bpe_tokencount(sf_dir, merges=merges).to_pandas()
+        tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+        wl_cache: dict[str, int] = {}
+
+        def doc_len(t: str) -> int:
+            n = 0
+            for w in _BPEISH_RE.findall(t or ""):
+                if w not in wl_cache:
+                    wl_cache[w] = replay_len(w)
+                n += wl_cache[w]
+            return n
+
+        exp = {did: doc_len(t)
+               for did, t in zip(tbl.column("doc_id").to_pylist(),
+                                 tbl.column("text").to_pylist())}
+        mismatched = sum(
+            1 for did, n in zip(got["doc_id"], got["n_bpe_tokens"])
+            if exp.get(int(did)) != int(n))
+        return pa.table({
+            "n_merges": pa.array([len(merges)], pa.int64()),
+            "merges_match": pa.array([merges_match], pa.bool_()),
+            "n_docs": pa.array([len(got)], pa.int64()),
+            "n_docs_expected": pa.array([len(exp)], pa.int64()),
+            "n_mismatched_docs": pa.array([mismatched], pa.int64()),
+            "exact_match": pa.array(
+                [merges_match and mismatched == 0
+                 and len(got) == len(exp)], pa.bool_()),
+        })
+
     def warc_cdx_check(sf_dir: str):
         """Driver-visible CDX self-check (`crawl_vs_expected` style):
         synthesize CC-layout .warc.gz archives from a deterministic
@@ -654,6 +749,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_fingerprint_check": video_fingerprint_check,
         "media_resize": lambda sf: media_resize_ds(n=300, seed=42),
         "warc_cdx_check": warc_cdx_check,
+        # BPE vocabulary training + application (iterative merge loop —
+        # not SQL-expressible; bpe_check is the exact driver-visible
+        # gate vs independent local reference implementations)
+        "bpe_vocab": lambda sf: bpe_mod.vocab_table(
+            bpe_mod.train_bpe(sf, n_merges=128)),
+        "doc_bpe_tokencount": lambda sf: bpe_mod.bpe_tokencount(
+            sf, n_merges=128),
+        "bpe_check": bpe_check,
         # crawl engine (hermetic corpus; rows-only here — byte-level
         # correctness is gated by the pytest golden fixtures)
         "crawl_extracted": crawl_extracted,

@@ -148,6 +148,26 @@ def cmd_media_neardup(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def cmd_bpe(args: argparse.Namespace) -> int:
+    ray = _ray_init()
+    try:
+        from .pipelines.bpe import bpe_tokencount, train_bpe, vocab_table
+        import os
+        import pyarrow.parquet as pq
+
+        os.makedirs(args.out, exist_ok=True)
+        merges = train_bpe(args.docs, n_merges=args.merges,
+                           min_count=args.min_count,
+                           max_words=args.max_words)
+        pq.write_table(vocab_table(merges), f"{args.out}/vocab.parquet")
+        bpe_tokencount(args.docs, merges=merges).write_parquet(
+            f"{args.out}/token_counts")
+        print(json.dumps({"out": args.out, "n_merges": len(merges)}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="risjbot_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -219,6 +239,20 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--max-hamming", type=int, default=3)
     d.add_argument("--batch-size", type=int, default=64)
     d.set_defaults(fn=cmd_media_neardup)
+
+    b = sub.add_parser(
+        "bpe", help="train a BPE vocabulary on documents.parquet and "
+                    "write vocab + per-doc token counts")
+    b.add_argument("--docs", required=True,
+                   help="sf_dir containing documents.parquet")
+    b.add_argument("--out", required=True)
+    b.add_argument("--merges", type=int, default=512)
+    b.add_argument("--min-count", type=int, default=1,
+                   help="prune words rarer than this before training")
+    b.add_argument("--max-words", type=int, default=None,
+                   help="cap the driver-side frequency table "
+                        "(top-by-count) — the 100-TB scale knob")
+    b.set_defaults(fn=cmd_bpe)
 
     args = p.parse_args(argv)
     return args.fn(args)
