@@ -238,6 +238,21 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             queries[name] = round(time.time() - t0, 3)
             throughput[f"{name}_docs_per_sec"] = round(
                 n_docs / queries[name], 1)
+        # BPE: train on the corpus (one combiner groupby + driver merge
+        # loop), then the actor-pool apply with a parquet sink
+        from risjbot_ray.pipelines import bpe
+        t0 = time.time()
+        merges = bpe.train_bpe(docs_root, n_merges=512)
+        queries["bpe_train"] = round(time.time() - t0, 3)
+        out = "/tmp/bench_bpe_apply"
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.time()
+        bpe.bpe_tokencount(docs_root, merges=merges).write_parquet(out)
+        queries["bpe_apply"] = round(time.time() - t0, 3)
+        throughput["bpe_apply_docs_per_sec"] = round(
+            n_docs / queries["bpe_apply"], 1)
+        throughput["bpe_n_merges"] = len(merges)
+
         t0 = time.time()
         hll_row = webtext.hll_distinct(docs_root).to_pylist()[0]
         queries["hll_distinct"] = round(time.time() - t0, 3)
