@@ -184,6 +184,7 @@ def _fresh_tile_ledger() -> str:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from risjbot_ray.pipelines import bpe as bpe_mod
+    from risjbot_ray.pipelines import lm as lm_mod
     from risjbot_ray.pipelines import dedup, relational, similarity
     from risjbot_ray.pipelines import textstats as ts
     from risjbot_ray.pipelines import webtext as wt
@@ -701,6 +702,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_token_stats": ts.corpus_token_stats,
         "doc_langid": ts.q_langid,
         "doc_fingerprint": ts.q_fingerprint,
+        # CCNet-style perplexity under an add-one bigram LM trained on
+        # the doc_id%10 reference slice (broadcast model, zero-exchange
+        # scoring) — exact DuckDB oracle below
+        "doc_perplexity": lambda sf: lm_mod.perplexity_score(sf),
         "doc_pii_scrub": ts.q_pii_scrub,
         "doc_repetition": ts.q_repetition,
         "doc_chunks": ts.q_chunks,
@@ -853,6 +858,39 @@ def oracle_sql() -> dict[str, str]:
                                                           '\s+'))
                    END AS wordcount
             FROM documents
+        """,
+        "doc_perplexity": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+            ref_uni AS (
+              SELECT w, COUNT(*) AS c FROM (
+                SELECT unnest(t) AS w FROM toks WHERE doc_id % 10 = 0)
+              GROUP BY w),
+            vsize AS (SELECT COUNT(*) AS v FROM ref_uni),
+            ref_bi AS (
+              SELECT w1, w2, COUNT(*) AS c FROM (
+                SELECT unnest(t[1:len(t)-1]) AS w1,
+                       unnest(t[2:len(t)]) AS w2
+                FROM toks WHERE doc_id % 10 = 0 AND len(t) >= 2)
+              GROUP BY w1, w2),
+            big AS (
+              SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+                     unnest(t[2:len(t)]) AS w2
+              FROM toks WHERE len(t) >= 2),
+            doc_nll AS (
+              SELECT b.doc_id, COUNT(*) AS n_bigrams,
+                     AVG(ln(COALESCE(cu.c, 0) + (SELECT v FROM vsize))
+                         - ln(COALESCE(cb.c, 0) + 1)) AS log_ppl
+              FROM big b
+              LEFT JOIN ref_uni cu ON b.w1 = cu.w
+              LEFT JOIN ref_bi cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+              GROUP BY b.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(n.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(n.log_ppl, 0.0) AS log_ppl
+            FROM documents d LEFT JOIN doc_nll n ON d.doc_id = n.doc_id
         """,
         "doc_tokencount": r"""
             SELECT doc_id,

@@ -148,6 +148,19 @@ def cmd_media_neardup(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def cmd_perplexity(args: argparse.Namespace) -> int:
+    ray = _ray_init()
+    try:
+        from .pipelines.lm import perplexity_score
+
+        perplexity_score(args.docs,
+                         ref_mod=args.ref_mod).write_parquet(args.out)
+        print(json.dumps({"out": args.out}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def cmd_bpe(args: argparse.Namespace) -> int:
     ray = _ray_init()
     try:
@@ -253,6 +266,16 @@ def main(argv: list[str] | None = None) -> int:
                    help="cap the driver-side frequency table "
                         "(top-by-count) — the 100-TB scale knob")
     b.set_defaults(fn=cmd_bpe)
+
+    x = sub.add_parser(
+        "perplexity",
+        help="score each document's bigram-LM perplexity (CCNet-style; "
+             "LM trained on the doc_id%%ref_mod reference slice)")
+    x.add_argument("--docs", required=True,
+                   help="sf_dir containing documents.parquet")
+    x.add_argument("--out", required=True)
+    x.add_argument("--ref-mod", type=int, default=10)
+    x.set_defaults(fn=cmd_perplexity)
 
     args = p.parse_args(argv)
     return args.fn(args)
