@@ -161,6 +161,19 @@ def cmd_perplexity(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def cmd_dsir(args: argparse.Namespace) -> int:
+    ray = _ray_init()
+    try:
+        from .pipelines.lm import dsir_score
+
+        dsir_score(args.docs, ref_mod=args.ref_mod,
+                   n_buckets=args.buckets or None).write_parquet(args.out)
+        print(json.dumps({"out": args.out}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def cmd_bpe(args: argparse.Namespace) -> int:
     ray = _ray_init()
     try:
@@ -276,6 +289,18 @@ def main(argv: list[str] | None = None) -> int:
     x.add_argument("--out", required=True)
     x.add_argument("--ref-mod", type=int, default=10)
     x.set_defaults(fn=cmd_perplexity)
+
+    ds = sub.add_parser(
+        "dsir",
+        help="DSIR importance weights (bigram likelihood ratio vs the "
+             "doc_id%%ref_mod target slice)")
+    ds.add_argument("--docs", required=True)
+    ds.add_argument("--out", required=True)
+    ds.add_argument("--ref-mod", type=int, default=10)
+    ds.add_argument("--buckets", type=int, default=10_000,
+                    help="hashed feature buckets (DSIR default 10k); "
+                         "0 = exact bigram features")
+    ds.set_defaults(fn=cmd_dsir)
 
     args = p.parse_args(argv)
     return args.fn(args)

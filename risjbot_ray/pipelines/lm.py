@@ -183,3 +183,163 @@ def perplexity_score(sf_dir: str, ref_mod: int = 10,
                                  columns=["doc_id", "text"])
     return docs.map_batches(PerplexityScorer, fn_constructor_args=(ref,),
                             batch_format="pyarrow", concurrency=(1, 8))
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weighting (Xie et al., "Data Selection for Language
+# Models via Importance Resampling", NeurIPS 2023 — public method)
+# --------------------------------------------------------------------------
+#
+# Each document gets a log importance weight: the bag-of-bigram
+# log-likelihood ratio between a TARGET distribution (the reference
+# slice — DSIR's "formal text" side) and the RAW corpus distribution,
+#
+#   log w(doc) = sum_f [ ln p_tgt(f) - ln p_raw(f) ]
+#
+# with add-one smoothing, p(f) = (C(f) + 1) / (N + V).
+#
+# Two feature spaces:
+#  * n_buckets=None — features are EXACT bigrams. SQL-expressible
+#    (the `doc_dsir_weight` oracle), but the model is bounded by the
+#    raw corpus's bigram vocabulary: a TEST/ORACLE configuration.
+#  * n_buckets=B — DSIR's real formulation: bigrams hashed into B
+#    buckets, model = two dense length-B int arrays regardless of
+#    corpus size. This is the 100-TB path (the paper uses B=10k);
+#    gated by exact parity with a local numpy reference in pytest.
+
+
+def _dsir_count_batch(batch: pa.Table, ref_mod: int) -> pa.Table:
+    """Combiner: per-batch bigram counts split into raw/target columns
+    so ONE groupby serves both distributions (target is a subset of
+    raw, so raw rows always dominate the exchange)."""
+    raw: dict[str, int] = {}
+    tgt: dict[str, int] = {}
+    for did, t in zip(batch.column("doc_id").to_pylist(),
+                      batch.column("text").to_pylist()):
+        ws = _words(t)
+        is_tgt = did % ref_mod == 0
+        for a, b in zip(ws, ws[1:]):
+            g = a + " " + b
+            raw[g] = raw.get(g, 0) + 1
+            if is_tgt:
+                tgt[g] = tgt.get(g, 0) + 1
+    grams = sorted(raw)
+    return pa.table({
+        "gram": pa.array(grams, pa.string()),
+        "n_raw": pa.array([raw[g] for g in grams], pa.int64()),
+        "n_tgt": pa.array([tgt.get(g, 0) for g in grams], pa.int64()),
+    })
+
+
+class DSIRModel:
+    """Packed likelihood-ratio model. Exact mode: sorted uint64 bigram
+    hashes with aligned (c_tgt, c_raw). Bucketed mode: two dense
+    length-B count arrays (direct indexing, no searchsorted)."""
+
+    def __init__(self, counts: dict[str, tuple[int, int]],
+                 n_buckets: int | None = None):
+        self.n_buckets = n_buckets
+        self.v = n_buckets if n_buckets else len(counts)
+        self.n_tgt = sum(t for t, _ in counts.values())
+        self.n_raw = sum(r for _, r in counts.values())
+        cache: dict[str, int] = {}
+
+        def gh(g: str) -> np.uint64:
+            a, b = g.split(" ")
+            return (np.uint64(_token_h64(a, cache)) * _GRAM_MULT
+                    + np.uint64(_token_h64(b, cache)))
+
+        if n_buckets:
+            ct = np.zeros(n_buckets, np.int64)
+            cr = np.zeros(n_buckets, np.int64)
+            for g, (t, r) in counts.items():
+                i = int(gh(g) % np.uint64(n_buckets))
+                ct[i] += t
+                cr[i] += r
+            self.h, self.c_tgt, self.c_raw = None, ct, cr
+        else:
+            h = np.fromiter((gh(g) for g in counts), dtype=np.uint64,
+                            count=len(counts))
+            ct = np.fromiter((t for t, _ in counts.values()),
+                             dtype=np.int64, count=len(counts))
+            cr = np.fromiter((r for _, r in counts.values()),
+                             dtype=np.int64, count=len(counts))
+            o = np.argsort(h, kind="stable")
+            self.h, self.c_tgt, self.c_raw = h[o], ct[o], cr[o]
+
+    def packed(self) -> tuple:
+        return (self.n_buckets, self.v, self.n_tgt, self.n_raw,
+                self.h, self.c_tgt, self.c_raw)
+
+
+def train_dsir(sf_dir: str, ref_mod: int = 10,
+               n_buckets: int | None = None) -> DSIRModel:
+    from ray.data.aggregate import Sum
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    partial = docs.map_batches(_dsir_count_batch, batch_format="pyarrow",
+                               zero_copy_batch=True,
+                               fn_kwargs={"ref_mod": ref_mod})
+    agg = _coalesce_for_exchange(partial).groupby("gram").aggregate(
+        Sum("n_tgt", alias_name="n_tgt"), Sum("n_raw", alias_name="n_raw"))
+    counts: dict[str, tuple[int, int]] = {}
+    for t in ray.get(agg.to_arrow_refs()):
+        for g, nt, nr in zip(t.column("gram").to_pylist(),
+                             t.column("n_tgt").to_pylist(),
+                             t.column("n_raw").to_pylist()):
+            counts[g] = (nt, nr)
+    return DSIRModel(counts, n_buckets=n_buckets)
+
+
+class DSIRScorer:
+    """Actor-pool stage: (doc_id, text) -> (doc_id, n_feats,
+    log_weight); model read zero-copy from plasma once per actor."""
+
+    def __init__(self, model_ref):
+        (self.n_buckets, self.v, self.n_tgt, self.n_raw,
+         self.h, self.c_tgt, self.c_raw) = ray.get(model_ref)
+        # constant per-feature offset: ln(N_raw + V) - ln(N_tgt + V)
+        self.offset = (np.log(self.n_raw + float(self.v))
+                       - np.log(self.n_tgt + float(self.v)))
+        self.cache: dict[str, int] = {}
+
+    def _doc(self, text: str | None) -> tuple[int, float]:
+        ws = _words(text)
+        m = len(ws)
+        if m < 2:
+            return 0, 0.0
+        if len(self.cache) >= _TOKEN_CACHE_MAX:
+            self.cache.clear()
+        th = np.fromiter((_token_h64(w, self.cache) for w in ws),
+                         dtype=np.uint64, count=m)
+        gh = th[:-1] * _GRAM_MULT + th[1:]
+        if self.n_buckets:
+            idx = (gh % np.uint64(self.n_buckets)).astype(np.int64)
+            ct, cr = self.c_tgt[idx], self.c_raw[idx]
+        else:
+            ct = _lookup(self.h, self.c_tgt, gh)
+            cr = _lookup(self.h, self.c_raw, gh)
+        lr = np.log(ct + 1.0) - np.log(cr + 1.0) + self.offset
+        return m - 1, float(lr.sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        res = [self._doc(t) for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_feats": pa.array([r[0] for r in res], pa.int64()),
+            "log_weight": pa.array([r[1] for r in res], pa.float64()),
+        })
+
+
+def dsir_score(sf_dir: str, ref_mod: int = 10,
+               n_buckets: int | None = None,
+               model: DSIRModel | None = None) -> "ray.data.Dataset":
+    """Train the likelihood-ratio model (unless given), broadcast once,
+    score every document with its DSIR log importance weight."""
+    if model is None:
+        model = train_dsir(sf_dir, ref_mod=ref_mod, n_buckets=n_buckets)
+    ref = ray.put(model.packed())
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return docs.map_batches(DSIRScorer, fn_constructor_args=(ref,),
+                            batch_format="pyarrow", concurrency=(1, 8))

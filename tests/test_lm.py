@@ -91,6 +91,78 @@ def test_model_packing_roundtrip():
     assert int(un.sum()) == 6 and int(bn.sum()) == 3
 
 
+def test_dsir_bucketed_matches_local_reference(ray_session):
+    """Hashed-bucket scale path == local numpy reference with the same
+    hashing (catches bucket-fold and packing bugs)."""
+    import math
+
+    from risjbot_ray.pipelines.lm import (_GRAM_MULT, _token_h64,
+                                          dsir_score)
+    B = 64
+    got = dsir_score(SF, n_buckets=B).to_pandas()
+    tbl = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"])
+    cache = {}
+    ct = np.zeros(B, np.int64)
+    cr = np.zeros(B, np.int64)
+
+    def buckets(t):
+        ws = _words(t)
+        th = np.fromiter((_token_h64(w, cache) for w in ws),
+                         dtype=np.uint64, count=len(ws))
+        if len(ws) < 2:
+            return np.empty(0, np.int64)
+        return ((th[:-1] * _GRAM_MULT + th[1:])
+                % np.uint64(B)).astype(np.int64)
+
+    docs = list(zip(tbl.column("doc_id").to_pylist(),
+                    tbl.column("text").to_pylist()))
+    for did, t in docs:
+        bs = buckets(t)
+        np.add.at(cr, bs, 1)
+        if did % 10 == 0:
+            np.add.at(ct, bs, 1)
+    off = math.log(cr.sum() + float(B)) - math.log(ct.sum() + float(B))
+    exp = {}
+    for did, t in docs:
+        bs = buckets(t)
+        exp[did] = (len(bs), float((np.log(ct[bs] + 1.0)
+                                    - np.log(cr[bs] + 1.0) + off).sum())
+                    if len(bs) else 0.0)
+    for did, nf, lw in zip(got["doc_id"], got["n_feats"],
+                           got["log_weight"]):
+        enf, elw = exp[int(did)]
+        assert enf == int(nf)
+        assert abs(elw - float(lw)) < 1e-9
+
+
+def test_dsir_ranks_target_like_docs_higher():
+    """A doc made of target-slice bigrams must outweigh a doc of
+    bigrams that appear only off-target."""
+    from risjbot_ray.pipelines.lm import DSIRModel, DSIRScorer
+    tgt_text = "solar panels convert sunlight into clean energy " * 5
+    raw_text = "casino bonus spins win jackpot deposit now " * 5
+    counts = {}
+    for text, is_tgt in ((tgt_text, True), (raw_text, False)):
+        ws = _words(text)
+        for a, b in zip(ws, ws[1:]):
+            g = a + " " + b
+            t0, r0 = counts.get(g, (0, 0))
+            counts[g] = (t0 + (1 if is_tgt else 0), r0 + 1)
+    for n_buckets in (None, 32):
+        model = DSIRModel(counts, n_buckets=n_buckets)
+        s = DSIRScorer.__new__(DSIRScorer)
+        (s.n_buckets, s.v, s.n_tgt, s.n_raw,
+         s.h, s.c_tgt, s.c_raw) = model.packed()
+        s.offset = (np.log(s.n_raw + float(s.v))
+                    - np.log(s.n_tgt + float(s.v)))
+        s.cache = {}
+        _, w_tgt = s._doc("solar panels convert sunlight")
+        _, w_raw = s._doc("casino bonus spins win")
+        assert w_tgt > w_raw
+        assert s._doc("") == (0, 0.0)
+
+
 def test_train_bigram_lm_counts(ray_session):
     lm = train_bigram_lm(SF, ref_mod=10)
     tbl = pq.read_table(f"{SF}/documents.parquet",
