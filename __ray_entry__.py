@@ -710,6 +710,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-checkable configuration; hashed-bucket scale path is
         # pytest-gated)
         "doc_dsir_weight": lambda sf: lm_mod.dsir_score(sf),
+        # Gumbel-top-k importance resampling over the DSIR weights
+        # (deterministic hash-based uniforms -> SQL-expressible)
+        "doc_dsir_resample": lambda sf: lm_mod.dsir_resample(sf, k=100),
         "doc_pii_scrub": ts.q_pii_scrub,
         "doc_repetition": ts.q_repetition,
         "doc_chunks": ts.q_chunks,
@@ -921,6 +924,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(s.n_feats, 0) AS n_feats,
                    COALESCE(s.log_weight, 0.0) AS log_weight
             FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        """,
+        "doc_dsir_resample": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+            big AS (
+              SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+                     unnest(t[2:len(t)]) AS w2
+              FROM toks WHERE len(t) >= 2),
+            raw AS (
+              SELECT w1, w2, COUNT(*) AS c_raw,
+                     COUNT(*) FILTER (WHERE doc_id % 10 = 0) AS c_tgt
+              FROM big GROUP BY w1, w2),
+            consts AS (SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt,
+                              COUNT(*) AS v FROM raw),
+            scored AS (
+              SELECT b.doc_id,
+                     SUM(ln(r.c_tgt + 1) - ln(r.c_raw + 1)
+                         + ln(k.n_raw + k.v) - ln(k.n_tgt + k.v))
+                         AS log_weight
+              FROM big b JOIN raw r ON b.w1 = r.w1 AND b.w2 = r.w2
+              CROSS JOIN consts k GROUP BY b.doc_id),
+            weights AS (
+              SELECT d.doc_id,
+                     COALESCE(s.log_weight, 0.0) AS log_weight
+              FROM documents d
+              LEFT JOIN scored s ON d.doc_id = s.doc_id),
+            keyed AS (
+              SELECT doc_id, log_weight,
+                     log_weight - ln(-ln(
+                       ((((doc_id % 1048573) * 2654435761 + 12345)
+                         % 4294967296) + 0.5) / 4294967296.0))
+                       AS sample_key
+              FROM weights)
+            SELECT doc_id, log_weight, sample_key FROM keyed
+            ORDER BY sample_key DESC, doc_id LIMIT 100
         """,
         "doc_tokencount": r"""
             SELECT doc_id,

@@ -244,16 +244,19 @@ class DSIRModel:
         self.n_raw = sum(r for _, r in counts.values())
         cache: dict[str, int] = {}
 
-        def gh(g: str) -> np.uint64:
+        def gh(g: str) -> int:
+            # Python-int arithmetic masked to 64 bits: same wraparound
+            # as the vectorized uint64 Horner, without numpy's scalar
+            # overflow warnings
             a, b = g.split(" ")
-            return (np.uint64(_token_h64(a, cache)) * _GRAM_MULT
-                    + np.uint64(_token_h64(b, cache)))
+            return ((_token_h64(a, cache) * int(_GRAM_MULT)
+                     + _token_h64(b, cache)) & 0xFFFFFFFFFFFFFFFF)
 
         if n_buckets:
             ct = np.zeros(n_buckets, np.int64)
             cr = np.zeros(n_buckets, np.int64)
             for g, (t, r) in counts.items():
-                i = int(gh(g) % np.uint64(n_buckets))
+                i = gh(g) % n_buckets
                 ct[i] += t
                 cr[i] += r
             self.h, self.c_tgt, self.c_raw = None, ct, cr
@@ -343,3 +346,37 @@ def dsir_score(sf_dir: str, ref_mod: int = 10,
                                  columns=["doc_id", "text"])
     return docs.map_batches(DSIRScorer, fn_constructor_args=(ref,),
                             batch_format="pyarrow", concurrency=(1, 8))
+
+
+def dsir_resample(sf_dir: str, k: int = 100, ref_mod: int = 10,
+                  n_buckets: int | None = None,
+                  model: DSIRModel | None = None) -> "ray.data.Dataset":
+    """Importance RESAMPLING via the Gumbel-top-k trick (sampling k
+    docs without replacement with probability proportional to their
+    importance weight == taking the top k of ``log_weight + Gumbel
+    noise``). The per-doc Gumbel variate is derived from a
+    deterministic integer-hash uniform of ``doc_id`` — reproducible
+    across runs and expressible in the SQL oracle (no RNG state).
+
+    Scale shape: each batch keeps only its local top-k, so the final
+    exact sort+limit sees at most k rows per block, never the corpus."""
+
+    def _key_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x = ((ids % 1048573) * 2654435761 + 12345) % 4294967296
+        u = (x.astype(np.float64) + 0.5) / 4294967296.0
+        key = (batch.column("log_weight").to_numpy(zero_copy_only=False)
+               - np.log(-np.log(u)))
+        t = batch.append_column("sample_key",
+                                pa.array(key, pa.float64()))
+        if t.num_rows > k:
+            t = t.take(np.argsort(-key, kind="stable")[:k])
+        return t
+
+    scores = dsir_score(sf_dir, ref_mod=ref_mod, n_buckets=n_buckets,
+                        model=model)
+    part = scores.select_columns(["doc_id", "log_weight"]).map_batches(
+        _key_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return part.sort(["sample_key", "doc_id"],
+                     descending=[True, False]).limit(k)
