@@ -253,6 +253,26 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             n_docs / queries["bpe_apply"], 1)
         throughput["bpe_n_merges"] = len(merges)
 
+        # LM curation signals: CCNet perplexity + bucketed DSIR (both
+        # train a broadcast model then run a zero-exchange scoring map)
+        from risjbot_ray.pipelines import lm
+        out = "/tmp/bench_perplexity"
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.time()
+        lm.perplexity_score(docs_root,
+                            concurrency=(1, 24)).write_parquet(out)
+        queries["perplexity"] = round(time.time() - t0, 3)
+        throughput["perplexity_docs_per_sec"] = round(
+            n_docs / queries["perplexity"], 1)
+        out = "/tmp/bench_dsir"
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.time()
+        lm.dsir_score(docs_root, n_buckets=10_000,
+                      concurrency=(1, 24)).write_parquet(out)
+        queries["dsir_bucketed"] = round(time.time() - t0, 3)
+        throughput["dsir_docs_per_sec"] = round(
+            n_docs / queries["dsir_bucketed"], 1)
+
         t0 = time.time()
         hll_row = webtext.hll_distinct(docs_root).to_pylist()[0]
         queries["hll_distinct"] = round(time.time() - t0, 3)

@@ -25,7 +25,6 @@ more than the pruned vocabulary in one place.
 from __future__ import annotations
 
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray
 
 from .textstats import _BPEISH_RE
@@ -246,7 +245,8 @@ class BPEApply:
 
 
 def bpe_tokencount(sf_dir: str, n_merges: int = DEFAULT_MERGES,
-                   merges: list[tuple[str, str]] | None = None
+                   merges: list[tuple[str, str]] | None = None,
+                   concurrency: tuple[int, int] = (1, 8)
                    ) -> "ray.data.Dataset":
     """Train on the corpus (unless ``merges`` given), then count BPE
     tokens per document with the learned vocabulary."""
@@ -255,4 +255,4 @@ def bpe_tokencount(sf_dir: str, n_merges: int = DEFAULT_MERGES,
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     return docs.map_batches(BPEApply, fn_constructor_args=(merges,),
-                            batch_format="pyarrow", concurrency=(1, 8))
+                            batch_format="pyarrow", concurrency=concurrency)

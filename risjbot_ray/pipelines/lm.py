@@ -16,12 +16,15 @@ with V = distinct reference unigrams; a document's score is
 tokens). Simple enough to admit an EXACT DuckDB oracle, real enough to
 rank fluent text above gibberish.
 
-Scale shape: training is one combiner-pre-aggregated groupby per gram
-order over the bounded reference slice; the packed model (sorted
-uint64 gram-hash arrays + int64 counts — md5-grade hashing, same
-exactness class as the decontamination gram set) is ``ray.put`` ONCE
-and read zero-copy from plasma by every scoring actor; scoring itself
-is an embarrassingly parallel ``map_batches`` with no exchange at all.
+Scale shape: training is a vectorized per-batch gram-hash combiner
+followed by a tree-combine (distributed merge over coalesced blocks,
+driver final merge — NO shuffle; the merged table is the broadcast
+model, bounded by the reference vocabulary, so it must fit on the
+driver regardless); the packed model (sorted uint64 gram-hash arrays
++ int64 counts — md5-grade hashing, same exactness class as the
+decontamination gram set) is ``ray.put`` ONCE and read zero-copy from
+plasma by every scoring actor; scoring itself is an embarrassingly
+parallel whole-batch-vectorized ``map_batches`` with no exchange.
 """
 
 from __future__ import annotations
@@ -42,30 +45,126 @@ def _words(text: str | None) -> list[str]:
     return _WORD_RE.findall(text.lower()) if text else []
 
 
+def _batch_token_hashes(texts, cache: dict
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized batch tokenizer: all word-token hashes flattened
+    across the batch plus per-doc token counts. Tokenization is
+    Arrow-side (lower + RE2 split on ``[^a-z0-9]+`` == the `_words`
+    findall, modulo boundary empties which are dropped); md5 hashing
+    touches only the per-batch DICTIONARY (unique tokens), never the
+    token stream — the hot loop is all numpy takes."""
+    import pyarrow.compute as pc
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(texts, "")), "[^a-z0-9]+")
+    lens = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    empty = pc.equal(pc.utf8_length(flat), 0)
+    emp_np = empty.to_numpy(zero_copy_only=False)
+    if emp_np.any():
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        lens = lens - np.bincount(doc_idx[emp_np], minlength=len(lens))
+        flat = flat.filter(pc.invert(empty))
+    if len(flat) == 0:
+        return np.empty(0, np.uint64), lens
+    de = flat.dictionary_encode()
+    if len(cache) >= _TOKEN_CACHE_MAX:
+        cache.clear()
+    vocab_h = np.fromiter(
+        (_token_h64(w, cache) for w in de.dictionary.to_pylist()),
+        dtype=np.uint64, count=len(de.dictionary))
+    return vocab_h[de.indices.to_numpy(zero_copy_only=False)], lens
+
+
+def _batch_bigram_hashes(th: np.ndarray, lens: np.ndarray
+                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(bigram Horner hashes, owning doc index, first-token hashes)
+    for a flattened token stream — pairs that straddle a document
+    boundary are dropped."""
+    if len(th) < 2:
+        e = np.empty(0, np.uint64)
+        return e, np.empty(0, np.int64), e
+    doc_idx = np.repeat(np.arange(len(lens)), lens)
+    valid = doc_idx[:-1] == doc_idx[1:]
+    w1 = th[:-1][valid]
+    return ((th[:-1] * _GRAM_MULT + th[1:])[valid],
+            doc_idx[:-1][valid], w1)
+
+
 # --------------------------------------------------------------------------
 # training: reference-slice gram counts -> packed broadcast model
 # --------------------------------------------------------------------------
 
+_GRAM_CACHE: dict = {}
+
+
+def _merge_counts(batch: pa.Table, key_col: str,
+                  count_cols: tuple[str, ...]) -> pa.Table:
+    """Vectorized combine of partial (key, counts...) tables:
+    np.unique on the key + bincount sums — no sort-based groupby.
+    Exact: int64 counts summed in float64 stay exact below 2^53."""
+    k = batch.column(key_col).to_numpy(zero_copy_only=False)
+    u, inv = np.unique(k, return_inverse=True)
+    cols = {key_col: pa.array(u, pa.int64())}
+    for c in count_cols:
+        n = batch.column(c).to_numpy(zero_copy_only=False)
+        cols[c] = pa.array(
+            np.bincount(inv, weights=n, minlength=len(u)).astype(
+                np.int64), pa.int64())
+    return pa.table(cols)
+
+
+def _agg_count_partials(partial: "ray.data.Dataset", merge_fn
+                        ) -> pa.Table | None:
+    """Tree-combine partial count tables: one distributed merge pass
+    over the coalesced blocks (whole-block batches), then a driver
+    final merge. Replaces a groupby exchange — the merged table is
+    the broadcast model's contents, bounded by the reference / bucket
+    vocabulary, so it must fit on the driver regardless; the
+    intermediate level bounds what the driver ingests to
+    ~n_coalesced_blocks x vocab rows."""
+    comb = _coalesce_for_exchange(partial).map_batches(
+        merge_fn, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None)
+    parts = [t for t in ray.get(comb.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return None
+    return merge_fn(pa.concat_tables(parts))
+
+
 def _gram_count_batch(batch: pa.Table) -> pa.Table:
     """Combiner: per-batch unigram and bigram counts, emitted as
-    (order, gram, n) rows — bigrams space-joined (word tokens cannot
-    contain spaces). Pre-aggregation bounds the shuffle by the batch
-    vocabulary, not the token count."""
-    uni: dict[str, int] = {}
-    bi: dict[str, int] = {}
-    for t in batch.column("text").to_pylist():
-        ws = _words(t)
-        for w in ws:
-            uni[w] = uni.get(w, 0) + 1
-        for a, b in zip(ws, ws[1:]):
-            g = a + " " + b
-            bi[g] = bi.get(g, 0) + 1
-    orders = [1] * len(uni) + [2] * len(bi)
-    grams = sorted(uni) + sorted(bi)
-    ns = [uni[g] for g in sorted(uni)] + [bi[g] for g in sorted(bi)]
-    return pa.table({"ord": pa.array(orders, pa.int8()),
-                     "gram": pa.array(grams, pa.string()),
-                     "n": pa.array(ns, pa.int64())})
+    (order, gram-HASH, n) rows — the md5/Horner hashes the packed
+    model keys on anyway, so the exchange never carries strings and
+    the hashing work is already done when rows reach the driver.
+    Pre-aggregation bounds the shuffle by the batch vocabulary, not
+    the token count. Hashes ride as int64 views (same bits)."""
+    th, lens = _batch_token_hashes(batch.column("text"), _GRAM_CACHE)
+    uh, un = np.unique(th, return_counts=True)
+    gh, _, _ = _batch_bigram_hashes(th, lens)
+    bh, bn = np.unique(gh, return_counts=True)
+    return pa.table({
+        "ord": pa.array([1] * len(uh) + [2] * len(bh), pa.int8()),
+        "gh": pa.array(np.concatenate(
+            [uh.view(np.int64), bh.view(np.int64)]), pa.int64()),
+        "n": pa.array(np.concatenate([un, bn]), pa.int64()),
+    })
+
+
+def _merge_gram_counts(batch: pa.Table) -> pa.Table:
+    """Per-order merge of (ord, gh, n) partials — unigram and bigram
+    hash namespaces are kept separate, as the groupby on (ord, gh)
+    they replace did."""
+    ords = batch.column("ord").to_numpy(zero_copy_only=False)
+    out = []
+    for o in (1, 2):
+        sub = batch.filter(pa.array(ords == o))
+        m = _merge_counts(sub, "gh", ("n",))
+        out.append(m.add_column(0, "ord", pa.array(
+            np.full(m.num_rows, o, np.int8), pa.int8())))
+    return pa.concat_tables(out)
 
 
 class BigramLM:
@@ -91,6 +190,20 @@ class BigramLM:
         o = np.argsort(bh, kind="stable")
         self.bi_h, self.bi_n = bh[o], bn[o]
 
+    @classmethod
+    def from_hashed(cls, uni_h: np.ndarray, uni_n: np.ndarray,
+                    bi_h: np.ndarray, bi_n: np.ndarray) -> "BigramLM":
+        """Build directly from (hash, count) arrays — the distributed
+        trainer's path; V = distinct unigram hashes (== distinct
+        words at md5-64 collision odds)."""
+        m = cls.__new__(cls)
+        m.v = len(uni_h)
+        o = np.argsort(uni_h, kind="stable")
+        m.uni_h, m.uni_n = uni_h[o], uni_n[o]
+        o = np.argsort(bi_h, kind="stable")
+        m.bi_h, m.bi_n = bi_h[o], bi_n[o]
+        return m
+
     def packed(self) -> tuple:
         return (self.v, self.uni_h, self.uni_n, self.bi_h, self.bi_n)
 
@@ -108,9 +221,9 @@ def _lookup(sorted_h: np.ndarray, sorted_n: np.ndarray,
 
 
 def train_bigram_lm(sf_dir: str, ref_mod: int = 10) -> BigramLM:
-    """Count grams over the reference slice (one combiner groupby) and
-    pack the model on the driver (bounded by the reference vocab)."""
-    from ray.data.aggregate import Sum
+    """Count grams over the reference slice (vectorized combiner +
+    tree-combine, no shuffle) and pack the model on the driver
+    (bounded by the reference vocab)."""
 
     def _ref_slice(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -121,16 +234,14 @@ def train_bigram_lm(sf_dir: str, ref_mod: int = 10) -> BigramLM:
     ).map_batches(_ref_slice, batch_format="pyarrow", zero_copy_batch=True)
     partial = docs.map_batches(_gram_count_batch, batch_format="pyarrow",
                                zero_copy_batch=True)
-    agg = _coalesce_for_exchange(partial).groupby(["ord", "gram"]) \
-        .aggregate(Sum("n", alias_name="n"))
-    uni: dict[str, int] = {}
-    bi: dict[str, int] = {}
-    for t in ray.get(agg.to_arrow_refs()):
-        for o, g, n in zip(t.column("ord").to_pylist(),
-                           t.column("gram").to_pylist(),
-                           t.column("n").to_pylist()):
-            (uni if o == 1 else bi)[g] = n
-    return BigramLM(uni, bi)
+    t = _agg_count_partials(partial, _merge_gram_counts)
+    if t is None:
+        return BigramLM({}, {})
+    ords = t.column("ord").to_numpy(zero_copy_only=False)
+    gh = t.column("gh").to_numpy(zero_copy_only=False).view(np.uint64)
+    n = t.column("n").to_numpy(zero_copy_only=False)
+    u = ords == 1
+    return BigramLM.from_hashed(gh[u], n[u], gh[~u], n[~u])
 
 
 # --------------------------------------------------------------------------
@@ -164,25 +275,41 @@ class PerplexityScorer:
         return m - 1, float(nll.mean())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        res = [self._doc(t) for t in batch.column("text").to_pylist()]
+        """Whole-batch vectorized scoring: one tokenize pass, one
+        bigram-hash pass, two searchsorted lookups over the batch's
+        entire bigram stream, then per-doc segment sums via bincount —
+        no per-document Python loop."""
+        th, lens = _batch_token_hashes(batch.column("text"), self.cache)
+        gh, doc_idx, w1 = _batch_bigram_hashes(th, lens)
+        ndocs = len(lens)
+        cu = _lookup(self.uni_h, self.uni_n, w1)
+        cb = _lookup(self.bi_h, self.bi_n, gh)
+        nll = np.log(cu + float(self.v)) - np.log(cb + 1.0)
+        n_bi = np.bincount(doc_idx, minlength=ndocs)
+        tot = np.bincount(doc_idx, weights=nll, minlength=ndocs)
+        log_ppl = np.divide(tot, n_bi, out=np.zeros(ndocs, np.float64),
+                            where=n_bi > 0)
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "n_bigrams": pa.array([r[0] for r in res], pa.int64()),
-            "log_ppl": pa.array([r[1] for r in res], pa.float64()),
+            "n_bigrams": pa.array(n_bi.astype(np.int64), pa.int64()),
+            "log_ppl": pa.array(log_ppl, pa.float64()),
         })
 
 
 def perplexity_score(sf_dir: str, ref_mod: int = 10,
-                     model: BigramLM | None = None) -> "ray.data.Dataset":
+                     model: BigramLM | None = None,
+                     concurrency: tuple[int, int] = (1, 8)
+                     ) -> "ray.data.Dataset":
     """Train on the reference slice (unless ``model`` given), broadcast
-    once, score every document."""
+    once, score every document. ``concurrency`` sizes the autoscaling
+    scorer pool — raise the cap on larger clusters."""
     if model is None:
         model = train_bigram_lm(sf_dir, ref_mod=ref_mod)
     ref = ray.put(model.packed())
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     return docs.map_batches(PerplexityScorer, fn_constructor_args=(ref,),
-                            batch_format="pyarrow", concurrency=(1, 8))
+                            batch_format="pyarrow", concurrency=concurrency)
 
 
 # --------------------------------------------------------------------------
@@ -208,26 +335,30 @@ def perplexity_score(sf_dir: str, ref_mod: int = 10,
 #    gated by exact parity with a local numpy reference in pytest.
 
 
-def _dsir_count_batch(batch: pa.Table, ref_mod: int) -> pa.Table:
-    """Combiner: per-batch bigram counts split into raw/target columns
-    so ONE groupby serves both distributions (target is a subset of
-    raw, so raw rows always dominate the exchange)."""
-    raw: dict[str, int] = {}
-    tgt: dict[str, int] = {}
-    for did, t in zip(batch.column("doc_id").to_pylist(),
-                      batch.column("text").to_pylist()):
-        ws = _words(t)
-        is_tgt = did % ref_mod == 0
-        for a, b in zip(ws, ws[1:]):
-            g = a + " " + b
-            raw[g] = raw.get(g, 0) + 1
-            if is_tgt:
-                tgt[g] = tgt.get(g, 0) + 1
-    grams = sorted(raw)
+def _dsir_count_batch(batch: pa.Table, ref_mod: int,
+                      n_buckets: int | None) -> pa.Table:
+    """Combiner: per-batch bigram-HASH counts split into raw/target
+    columns so ONE combine pass serves both distributions (target is
+    a subset of raw, so raw rows always dominate). Fully vectorized:
+    tokenize once, np.unique for raw, bincount of the inverse for the
+    target subset. In bucketed mode the hash is folded to its bucket
+    HERE, so every partial is bounded by B rows — the 100-TB path
+    never materializes the raw bigram vocabulary anywhere."""
+    th, lens = _batch_token_hashes(batch.column("text"), _GRAM_CACHE)
+    gh, doc_idx, _ = _batch_bigram_hashes(th, lens)
+    if n_buckets:
+        gh = gh % np.uint64(n_buckets)
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    uniq, inv, n_raw = np.unique(gh, return_inverse=True,
+                                 return_counts=True)
+    tgt_pair = (ids % ref_mod == 0)[doc_idx] if len(gh) \
+        else np.empty(0, bool)
+    n_tgt = np.bincount(inv[tgt_pair], minlength=len(uniq)) \
+        if len(uniq) else np.empty(0, np.int64)
     return pa.table({
-        "gram": pa.array(grams, pa.string()),
-        "n_raw": pa.array([raw[g] for g in grams], pa.int64()),
-        "n_tgt": pa.array([tgt.get(g, 0) for g in grams], pa.int64()),
+        "gh": pa.array(uniq.view(np.int64), pa.int64()),
+        "n_raw": pa.array(n_raw.astype(np.int64), pa.int64()),
+        "n_tgt": pa.array(n_tgt.astype(np.int64), pa.int64()),
     })
 
 
@@ -270,6 +401,29 @@ class DSIRModel:
             o = np.argsort(h, kind="stable")
             self.h, self.c_tgt, self.c_raw = h[o], ct[o], cr[o]
 
+    @classmethod
+    def from_hashed(cls, h: np.ndarray, c_tgt: np.ndarray,
+                    c_raw: np.ndarray,
+                    n_buckets: int | None = None) -> "DSIRModel":
+        """Build directly from (bigram-hash, target-count, raw-count)
+        arrays — the distributed trainer's path."""
+        m = cls.__new__(cls)
+        m.n_buckets = n_buckets
+        m.v = n_buckets if n_buckets else len(h)
+        m.n_tgt = int(c_tgt.sum())
+        m.n_raw = int(c_raw.sum())
+        if n_buckets:
+            ct = np.zeros(n_buckets, np.int64)
+            cr = np.zeros(n_buckets, np.int64)
+            idx = (h % np.uint64(n_buckets)).astype(np.int64)
+            np.add.at(ct, idx, c_tgt)
+            np.add.at(cr, idx, c_raw)
+            m.h, m.c_tgt, m.c_raw = None, ct, cr
+        else:
+            o = np.argsort(h, kind="stable")
+            m.h, m.c_tgt, m.c_raw = h[o], c_tgt[o], c_raw[o]
+        return m
+
     def packed(self) -> tuple:
         return (self.n_buckets, self.v, self.n_tgt, self.n_raw,
                 self.h, self.c_tgt, self.c_raw)
@@ -277,21 +431,20 @@ class DSIRModel:
 
 def train_dsir(sf_dir: str, ref_mod: int = 10,
                n_buckets: int | None = None) -> DSIRModel:
-    from ray.data.aggregate import Sum
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
-    partial = docs.map_batches(_dsir_count_batch, batch_format="pyarrow",
-                               zero_copy_batch=True,
-                               fn_kwargs={"ref_mod": ref_mod})
-    agg = _coalesce_for_exchange(partial).groupby("gram").aggregate(
-        Sum("n_tgt", alias_name="n_tgt"), Sum("n_raw", alias_name="n_raw"))
-    counts: dict[str, tuple[int, int]] = {}
-    for t in ray.get(agg.to_arrow_refs()):
-        for g, nt, nr in zip(t.column("gram").to_pylist(),
-                             t.column("n_tgt").to_pylist(),
-                             t.column("n_raw").to_pylist()):
-            counts[g] = (nt, nr)
-    return DSIRModel(counts, n_buckets=n_buckets)
+    partial = docs.map_batches(
+        _dsir_count_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"ref_mod": ref_mod, "n_buckets": n_buckets})
+    t = _agg_count_partials(
+        partial, lambda b: _merge_counts(b, "gh", ("n_tgt", "n_raw")))
+    if t is None:
+        return DSIRModel({}, n_buckets=n_buckets)
+    return DSIRModel.from_hashed(
+        t.column("gh").to_numpy(zero_copy_only=False).view(np.uint64),
+        t.column("n_tgt").to_numpy(zero_copy_only=False),
+        t.column("n_raw").to_numpy(zero_copy_only=False),
+        n_buckets=n_buckets)
 
 
 class DSIRScorer:
@@ -326,17 +479,33 @@ class DSIRScorer:
         return m - 1, float(lr.sum())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        res = [self._doc(t) for t in batch.column("text").to_pylist()]
+        """Whole-batch vectorized scoring (same shape as
+        PerplexityScorer.__call__): one tokenize pass, batched count
+        lookups, per-doc segment sums — no per-document Python loop."""
+        th, lens = _batch_token_hashes(batch.column("text"), self.cache)
+        gh, doc_idx, _ = _batch_bigram_hashes(th, lens)
+        ndocs = len(lens)
+        if self.n_buckets:
+            idx = (gh % np.uint64(self.n_buckets)).astype(np.int64)
+            ct, cr = self.c_tgt[idx], self.c_raw[idx]
+        else:
+            ct = _lookup(self.h, self.c_tgt, gh)
+            cr = _lookup(self.h, self.c_raw, gh)
+        lr = np.log(ct + 1.0) - np.log(cr + 1.0) + self.offset
+        n_feats = np.bincount(doc_idx, minlength=ndocs)
+        log_w = np.bincount(doc_idx, weights=lr, minlength=ndocs)
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "n_feats": pa.array([r[0] for r in res], pa.int64()),
-            "log_weight": pa.array([r[1] for r in res], pa.float64()),
+            "n_feats": pa.array(n_feats.astype(np.int64), pa.int64()),
+            "log_weight": pa.array(log_w, pa.float64()),
         })
 
 
 def dsir_score(sf_dir: str, ref_mod: int = 10,
                n_buckets: int | None = None,
-               model: DSIRModel | None = None) -> "ray.data.Dataset":
+               model: DSIRModel | None = None,
+               concurrency: tuple[int, int] = (1, 8)
+               ) -> "ray.data.Dataset":
     """Train the likelihood-ratio model (unless given), broadcast once,
     score every document with its DSIR log importance weight."""
     if model is None:
@@ -345,7 +514,7 @@ def dsir_score(sf_dir: str, ref_mod: int = 10,
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     return docs.map_batches(DSIRScorer, fn_constructor_args=(ref,),
-                            batch_format="pyarrow", concurrency=(1, 8))
+                            batch_format="pyarrow", concurrency=concurrency)
 
 
 def dsir_resample(sf_dir: str, k: int = 100, ref_mod: int = 10,
