@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from risjbot_ray.pipelines import bpe as bpe_mod
     from risjbot_ray.pipelines import lm as lm_mod
     from risjbot_ray.pipelines import dedup, relational, similarity
+    from risjbot_ray.pipelines import sketch as sk
     from risjbot_ray.pipelines import textstats as ts
     from risjbot_ray.pipelines import webtext as wt
     from risjbot_ray.pipelines.multimodal import (media_features_ds,
@@ -393,6 +394,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "n_planted": pa.array([len(planted)], pa.int64()),
             "n_planted_found": pa.array([planted_found], pa.int64()),
             "exact_match": pa.array([got == exp], pa.bool_()),
+        })
+
+    def heavy_hitters_check(sf_dir: str):
+        """Misra-Gries contract check, `crawl_vs_expected`-style: run
+        the distributed sketch, recompute exact token counts locally,
+        and verify (a) every estimate undercounts its true count by at
+        most N/(m+1), (b) every token with true count > N/(m+1) is
+        retained, (c) the sketch's exact total N matches."""
+        from collections import Counter
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq2
+
+        # m is set BELOW the corpus vocabulary so compression (the
+        # thing the bound protects against) actually triggers — with
+        # m >= vocab the sketch is trivially exact and the check
+        # proves nothing
+        m = 16
+        got = sk.heavy_hitters(sf_dir, m=m)
+        tbl = pq2.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["text"])
+        true: Counter = Counter()
+        for t in tbl.column("text").to_pylist():
+            true.update((t or "").split())
+        n = sum(true.values())
+        est = dict(zip(got.column("gram").to_pylist(),
+                       got.column("est").to_pylist()))
+        bound = n / (m + 1)
+        max_under = max((c - est.get(tok, 0) for tok, c in true.items()),
+                        default=0)
+        overcount = any(est.get(tok, 0) > c for tok, c in true.items())
+        heavy = [tok for tok, c in true.items() if c > bound]
+        found = sum(1 for tok in heavy if tok in est)
+        n_sketch_total = (got.column("n_total").to_pylist() or [0])[0]
+        return pa.table({
+            "m": pa.array([m], pa.int64()),
+            "n_total": pa.array([n], pa.int64()),
+            "total_match": pa.array([n_sketch_total == n], pa.bool_()),
+            "n_counters": pa.array([got.num_rows], pa.int64()),
+            "max_undercount": pa.array([int(max_under)], pa.int64()),
+            "n_true_heavy": pa.array([len(heavy)], pa.int64()),
+            "n_true_heavy_found": pa.array([found], pa.int64()),
+            "within_bound": pa.array(
+                [max_under <= bound and not overcount
+                 and found == len(heavy)], pa.bool_()),
         })
 
     def audio_fingerprint_check(sf_dir: str):
@@ -733,6 +779,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (within_bound), crawl_vs_expected-style; the estimate itself
         # is not SQL-expressible
         "corpus_hll_distinct": wt.hll_distinct,
+        # exact discrete quantiles via a value-counts tree-combine (no
+        # shuffle) — quantile_disc semantics, exact DuckDB oracle
+        "doc_wordcount_quantiles": sk.wordcount_quantiles,
+        # Misra-Gries frequent-tokens sketch vs exact counts —
+        # self-checking row (undercount <= N/(m+1), all true-heavy
+        # tokens retained); the sketch values are not SQL-expressible
+        "heavy_hitters_check": heavy_hitters_check,
         # incremental dedup against a FRESH ledger == batch tile_dedup,
         # so it shares that oracle; the cross-shard ledger semantics are
         # pinned by the pytest equivalence gate
@@ -1661,6 +1714,21 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs,
                    CAST(SUM(nw) AS BIGINT) AS total_words
             FROM t GROUP BY nw // 50
+        """,
+        # exact discrete word-count quantiles (quantile_disc =
+        # sorted[floor((n-1)*q)]; two unnests zip positionally)
+        "doc_wordcount_quantiles": r"""
+            WITH t AS (
+              SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE length(regexp_split_to_array(trim(text),
+                                                            '\s+'))
+                     END AS nw
+              FROM documents
+            )
+            SELECT unnest([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+                   unnest(quantile_disc(nw,
+                     [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99])) AS value
+            FROM t
         """,
         # deterministic global shuffle rank in md5(doc_id||':shuf') order
         "doc_shuffle_rank": r"""

@@ -1,0 +1,187 @@
+"""Mergeable-summary operators: bounded-memory corpus statistics that
+tree-combine instead of shuffling.
+
+At 100 TB the interesting aggregations are the ones whose STATE stays
+small no matter how big the input gets. Two families here:
+
+* ``wordcount_quantiles`` — exact distributed quantiles of per-doc
+  word counts. Word counts live in a small DISCRETE domain (distinct
+  lengths << corpus rows), so an exact mergeable summary exists: each
+  batch collapses to (value, n_docs) value-counts, partials
+  tree-combine (the same no-shuffle path the LM trainers use), and the
+  driver walks the cumulative distribution. Semantics match DuckDB's
+  ``quantile_disc``: result = sorted_values[floor((n-1) * q)] — which
+  makes the operator exactly SQL-checkable.
+
+* ``heavy_hitters`` — Misra-Gries frequent-tokens sketch, the
+  bounded-memory companion to webtext.top_ngrams (which is exact but
+  needs the full vocabulary to survive the exchange). An MG summary
+  with m counters guarantees, after any sequence of MERGES (Agarwal et
+  al., "Mergeable Summaries", PODS 2012 — public result):
+
+      0 <= true_count(x) - est(x) <= N / (m + 1)   for every token x
+      (absent tokens have est = 0)
+
+  so every token with true frequency > N/(m+1) is RETAINED. Each batch
+  counts exactly then compresses to m counters; partials tree-combine
+  (sum counters, subtract the (m+1)-th largest, drop <= 0); the driver
+  holds only m counters + the exact total N. The guarantee is
+  driver-checkable against exact counts at small scale — the
+  ``heavy_hitters_check`` query does exactly that.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .lm import _agg_count_partials, _merge_counts
+
+_QS_DEFAULT = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+# --------------------------------------------------------------------------
+# exact discrete quantiles
+# --------------------------------------------------------------------------
+
+def _wc_value_counts(batch: pa.Table) -> pa.Table:
+    """Per-batch (wordcount value, n_docs) — len(text.split()), the
+    tokenization doc_wordcount's oracle pins."""
+    wc = np.array([len(t.split()) if t else 0
+                   for t in batch.column("text").to_pylist()],
+                  dtype=np.int64)
+    vals, n = np.unique(wc, return_counts=True)
+    return pa.table({"val": pa.array(vals, pa.int64()),
+                     "n": pa.array(n.astype(np.int64), pa.int64())})
+
+
+def quantiles_from_value_counts(vals: np.ndarray, counts: np.ndarray,
+                                qs) -> np.ndarray:
+    """quantile_disc over a (sorted value, count) summary:
+    sorted_stream[floor((n-1) * q)] without expanding the stream."""
+    order = np.argsort(vals, kind="stable")
+    vals, counts = vals[order], counts[order]
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    ranks = np.floor((n - 1) * np.asarray(qs, np.float64)).astype(np.int64)
+    idx = np.searchsorted(cum, ranks, side="right")
+    return vals[idx]
+
+
+def wordcount_quantiles(sf_dir: str, qs=_QS_DEFAULT) -> pa.Table:
+    """Exact corpus-wide word-count quantiles. Shuffle-free: value
+    counts tree-combine; the driver sees one row per distinct length."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+    partial = docs.map_batches(_wc_value_counts, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    t = _agg_count_partials(
+        partial, lambda b: _merge_counts(b, "val", ("n",)))
+    if t is None:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.int64())})
+    v = quantiles_from_value_counts(
+        t.column("val").to_numpy(zero_copy_only=False),
+        t.column("n").to_numpy(zero_copy_only=False), qs)
+    return pa.table({"q": pa.array(list(qs), pa.float64()),
+                     "value": pa.array(v, pa.int64())})
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# --------------------------------------------------------------------------
+
+_MG_TOTAL_KEY = ""   # tokens are whitespace-split, so "" never collides
+
+
+def mg_compress(grams: list[str], counts: np.ndarray, m: int
+                ) -> tuple[list[str], np.ndarray]:
+    """Keep the top ``m`` counters, subtracting the (m+1)-th largest
+    count from each survivor (the MG merge step); exact if there are
+    <= m counters."""
+    if len(grams) <= m:
+        return grams, counts
+    order = np.argsort(-counts, kind="stable")
+    cut = counts[order[m]]
+    keep = order[:m]
+    kept = counts[keep] - cut
+    nz = kept > 0
+    return [grams[i] for i in keep[nz]], kept[nz]
+
+
+def _mg_partial(batch: pa.Table, m: int) -> pa.Table:
+    """Exact per-batch token counts compressed to an m-counter MG
+    summary, plus one total row (gram='') carrying the batch's exact
+    token count N."""
+    from collections import Counter
+    c: Counter = Counter()
+    total = 0
+    for t in batch.column("text").to_pylist():
+        toks = (t or "").split()
+        total += len(toks)
+        c.update(toks)
+    grams = list(c.keys())
+    counts = np.fromiter(c.values(), np.int64, len(grams))
+    grams, counts = mg_compress(grams, counts, m)
+    return pa.table({
+        "gram": pa.array(grams + [_MG_TOTAL_KEY], pa.string()),
+        "est": pa.array(np.append(counts, total), pa.int64()),
+        "is_total": pa.array([0] * len(grams) + [1], pa.int8()),
+    })
+
+
+def _mg_merge(batch: pa.Table, m: int) -> pa.Table:
+    """Merge MG partials: sum counters per gram (vectorized via
+    dictionary-encode + bincount), then compress back to m; totals sum
+    exactly."""
+    is_total = batch.column("is_total").to_numpy(zero_copy_only=False)
+    est = batch.column("est").to_numpy(zero_copy_only=False)
+    total = int(est[is_total == 1].sum())
+    gcol = batch.column("gram")
+    if isinstance(gcol, pa.ChunkedArray):
+        gcol = gcol.combine_chunks()
+    sub = gcol.filter(pa.array(is_total == 0)).dictionary_encode()
+    idx = sub.indices.to_numpy(zero_copy_only=False)
+    summed = np.bincount(idx, weights=est[is_total == 0],
+                         minlength=len(sub.dictionary)).astype(np.int64)
+    grams, counts = mg_compress(sub.dictionary.to_pylist(), summed, m)
+    return pa.table({
+        "gram": pa.array(grams + [_MG_TOTAL_KEY], pa.string()),
+        "est": pa.array(np.append(counts, total), pa.int64()),
+        "is_total": pa.array([0] * len(grams) + [1], pa.int8()),
+    })
+
+
+def heavy_hitters(sf_dir: str, m: int = 64) -> pa.Table:
+    """Misra-Gries frequent tokens over the corpus: returns
+    (gram, est, n_total, bound) sorted by est desc / gram asc, where
+    every token with true count > bound = N/(m+1) is guaranteed
+    present and est undercounts by at most bound. State is m counters
+    at every level — batch, combine, driver — regardless of corpus or
+    vocabulary size (top_ngrams is the exact-count alternative when
+    the vocabulary fits the exchange)."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+    partial = docs.map_batches(_mg_partial, batch_format="pyarrow",
+                               zero_copy_batch=True, fn_kwargs={"m": m})
+    t = _agg_count_partials(partial, lambda b: _mg_merge(b, m))
+    if t is None:
+        return pa.table({"gram": pa.array([], pa.string()),
+                         "est": pa.array([], pa.int64()),
+                         "n_total": pa.array([], pa.int64()),
+                         "bound": pa.array([], pa.int64())})
+    is_total = t.column("is_total").to_numpy(zero_copy_only=False)
+    est = t.column("est").to_numpy(zero_copy_only=False)
+    total = int(est[is_total == 1].sum())
+    grams = t.filter(pa.array(is_total == 0)).column("gram").to_pylist()
+    counts = est[is_total == 0]
+    order = sorted(range(len(grams)),
+                   key=lambda i: (-int(counts[i]), grams[i]))
+    bound = total // (m + 1)
+    return pa.table({
+        "gram": pa.array([grams[i] for i in order], pa.string()),
+        "est": pa.array(counts[order], pa.int64()),
+        "n_total": pa.array([total] * len(order), pa.int64()),
+        "bound": pa.array([bound] * len(order), pa.int64()),
+    })

@@ -21,7 +21,8 @@ NAMES = ["simhash_signatures", "doc_fingerprint", "doc_langid",
          "corpus_top_bigrams", "doc_lang_balance", "corpus_split",
          "doc_quality_rank", "doc_tile_dedup_incr",
          "embedding_semdedup", "doc_bm25_topk", "doc_perplexity",
-         "doc_dsir_weight", "doc_dsir_resample"]
+         "doc_dsir_weight", "doc_dsir_resample",
+         "doc_wordcount_quantiles"]
 
 
 def _vhash(df) -> str:

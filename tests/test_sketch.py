@@ -1,0 +1,138 @@
+"""Gates for the mergeable-summary operators: exact-quantile parity
+with a brute-force reference (and with DuckDB's quantile_disc), and
+the Misra-Gries undercount guarantee on adversarial streams."""
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from risjbot_ray.pipelines.sketch import (heavy_hitters, mg_compress,
+                                          quantiles_from_value_counts,
+                                          wordcount_quantiles)
+
+SF = "/root/testdata/sf0.001"
+QS = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def _disc_quantiles(stream: np.ndarray, qs) -> np.ndarray:
+    """Brute-force quantile_disc: sorted[floor((n-1) * q)]."""
+    s = np.sort(stream)
+    return s[np.floor((len(s) - 1) * np.asarray(qs)).astype(int)]
+
+
+def test_quantiles_from_value_counts_matches_bruteforce():
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        stream = rng.integers(0, 50, size=int(rng.integers(1, 400)))
+        vals, counts = np.unique(stream, return_counts=True)
+        # shuffle summary order: the function must not assume sorted
+        p = rng.permutation(len(vals))
+        got = quantiles_from_value_counts(vals[p], counts[p], QS)
+        assert np.array_equal(got, _disc_quantiles(stream, QS))
+
+
+def test_quantiles_match_duckdb_semantics():
+    import duckdb
+    rng = np.random.default_rng(7)
+    stream = rng.integers(0, 30, size=257)
+    vals, counts = np.unique(stream, return_counts=True)
+    got = quantiles_from_value_counts(vals, counts, QS)
+    exp = duckdb.sql(
+        "SELECT quantile_disc(x, " + str(list(QS)) + ") FROM "
+        "(SELECT unnest(" + str(stream.tolist()) + ") AS x)"
+    ).fetchone()[0]
+    assert list(got) == list(exp)
+
+
+def test_wordcount_quantiles_e2e(ray_session):
+    got = wordcount_quantiles(SF, qs=QS)
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    wc = np.array([len(t.split()) if t else 0
+                   for t in tbl.column("text").to_pylist()])
+    exp = _disc_quantiles(wc, QS)
+    assert got.column("value").to_pylist() == list(exp)
+    assert got.column("q").to_pylist() == list(QS)
+
+
+def _mg_reference_check(stream, m, grams, est):
+    """The MG contract: every estimate undercounts its true count by
+    at most N/(m+1); absent tokens have true count <= N/(m+1)."""
+    from collections import Counter
+    true = Counter(stream)
+    n = len(stream)
+    bound = n / (m + 1)
+    got = dict(zip(grams, est))
+    for tok, c in true.items():
+        e = got.get(tok, 0)
+        assert 0 <= e <= c
+        assert c - e <= bound, (tok, c, e, bound)
+
+
+def test_mg_compress_guarantee_single_pass():
+    rng = np.random.default_rng(11)
+    # zipf-ish stream with a few giants and a long tail
+    toks = ([f"h{i}" for i in range(3) for _ in range(500)]
+            + [f"t{int(x)}" for x in rng.integers(0, 5000, 4000)])
+    rng.shuffle(toks)
+    from collections import Counter
+    c = Counter(toks)
+    grams, counts = mg_compress(
+        list(c.keys()), np.fromiter(c.values(), np.int64, len(c)), 16)
+    _mg_reference_check(toks, 16, grams, counts)
+    # the three giants (500 each > N/17 ~ 324) must be retained
+    assert {"h0", "h1", "h2"} <= set(grams)
+
+
+def test_mg_merge_guarantee_across_splits():
+    """Simulate the distributed shape: split an adversarial stream
+    into uneven batches, compress each, merge in stages — the bound
+    must hold for the FINAL summary (mergeability, not just one
+    pass)."""
+    import pyarrow as pa
+
+    from risjbot_ray.pipelines.sketch import _mg_merge, _mg_partial
+    rng = np.random.default_rng(13)
+    m = 8
+    # adversarial: m+2 tokens with near-identical counts + one giant
+    toks = (["giant"] * 400
+            + [f"w{i}" for i in range(10) for _ in range(95)]
+            + [f"r{int(x)}" for x in rng.integers(0, 300, 500)])
+    rng.shuffle(toks)
+    docs = [" ".join(toks[i:i + 37]) for i in range(0, len(toks), 37)]
+    parts = []
+    for lo in range(0, len(docs), 7):
+        batch = pa.table({"text": pa.array(docs[lo:lo + 7])})
+        parts.append(_mg_partial(batch, m))
+    # two-stage merge like the tree-combine
+    mid = len(parts) // 2
+    stage = [_mg_merge(pa.concat_tables(parts[:mid]), m),
+             _mg_merge(pa.concat_tables(parts[mid:]), m)]
+    final = _mg_merge(pa.concat_tables(stage), m)
+    is_total = final.column("is_total").to_numpy(zero_copy_only=False)
+    est = final.column("est").to_numpy(zero_copy_only=False)
+    assert int(est[is_total == 1].sum()) == len(toks)
+    grams = final.filter(pa.array(is_total == 0)) \
+        .column("gram").to_pylist()
+    _mg_reference_check(toks, m, grams, est[is_total == 0])
+    assert "giant" in grams  # 400 > N/(m+1) ~ 205
+
+
+def test_heavy_hitters_e2e(ray_session):
+    m = 32
+    got = heavy_hitters(SF, m=m)
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    from collections import Counter
+    true = Counter()
+    for t in tbl.column("text").to_pylist():
+        true.update((t or "").split())
+    n = sum(true.values())
+    assert got.column("n_total").to_pylist()[0] == n
+    est = dict(zip(got.column("gram").to_pylist(),
+                   got.column("est").to_pylist()))
+    bound = n / (m + 1)
+    for tok, c in true.items():
+        e = est.get(tok, 0)
+        assert 0 <= e <= c and c - e <= bound
+    # every true-heavy token is present
+    for tok, c in true.items():
+        if c > bound:
+            assert tok in est
