@@ -184,6 +184,7 @@ def _fresh_tile_ledger() -> str:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from risjbot_ray.pipelines import bpe as bpe_mod
+    from risjbot_ray.pipelines import graph as gr
     from risjbot_ray.pipelines import lm as lm_mod
     from risjbot_ray.pipelines import dedup, relational, similarity
     from risjbot_ray.pipelines import sketch as sk
@@ -786,6 +787,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # self-checking row (undercount <= N/(m+1), all true-heavy
         # tokens retained); the sketch values are not SQL-expressible
         "heavy_hitters_check": heavy_hitters_check,
+        # host-graph PageRank by power iteration (streamed edges,
+        # broadcast dense rank vector, tree-combined contributions) —
+        # exact DuckDB oracle with the iteration unrolled as CTEs
+        "doc_pagerank": gr.doc_link_pagerank,
         # incremental dedup against a FRESH ledger == batch tile_dedup,
         # so it shares that oracle; the cross-shard ledger semantics are
         # pinned by the pytest equivalence gate
@@ -854,6 +859,52 @@ def oracle_sql() -> dict[str, str]:
     _B, _MOD, _W = 1_000_003, (1 << 61) - 1, 16
     powlist = ("[" + ",".join(f"{pow(_B, k, _MOD)}::HUGEINT"
                               for k in range(_W)) + "]")
+
+    # ---- pagerank: power iteration unrolled as chained CTEs (r0..rK);
+    # per-level: dangling mass dK over rK, contributions cK+1 =
+    # SUM(rank/outdeg) per dst, rank update with damping — the same
+    # float64 expressions the Ray side evaluates (1 - 0.85 is computed,
+    # not a literal, so both sides share the 0.15000000000000002 bits).
+    from risjbot_ray.pipelines.graph import (_DANGLE_MOD, _EDGE_RULES,
+                                             PAGERANK_ITERS)
+    pr_edges = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * {a} + {b}) % "
+        f"(SELECT ni FROM nn) AS dst FROM documents "
+        f"WHERE doc_id % {_DANGLE_MOD} <> 0"
+        for a, b in _EDGE_RULES)
+    pr_levels = []
+    for k in range(PAGERANK_ITERS):
+        pr_levels.append(f"""
+            d{k} AS (
+              SELECT COALESCE(SUM(r.rank), 0) AS m
+              FROM r{k} r LEFT JOIN outdeg o USING (node)
+              WHERE o.node IS NULL),
+            c{k + 1} AS (
+              SELECT e.dst AS node, SUM(r.rank / o.deg) AS s
+              FROM edges e
+              JOIN r{k} r ON r.node = e.src
+              JOIN outdeg o ON o.node = e.src
+              GROUP BY e.dst),
+            r{k + 1} AS (
+              SELECT nd.node,
+                     (1 - 0.85) / (SELECT n FROM nn)
+                     + 0.85 * (COALESCE(c.s, 0)
+                               + (SELECT m FROM d{k})
+                                 / (SELECT n FROM nn)) AS rank
+              FROM nodes nd LEFT JOIN c{k + 1} c USING (node))""")
+    pagerank_sql = f"""
+        WITH nn AS (SELECT COUNT(*)::DOUBLE AS n, COUNT(*)::BIGINT AS ni
+                    FROM documents),
+        edges AS ({pr_edges}),
+        outdeg AS (SELECT src AS node, COUNT(*)::DOUBLE AS deg
+                   FROM edges GROUP BY src),
+        nodes AS (SELECT row_number() OVER () - 1 AS node
+                  FROM documents),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank
+               FROM nodes),
+        {",".join(pr_levels)}
+        SELECT node, rank FROM r{PAGERANK_ITERS}
+    """
 
     # ---- langid: trigram-profile scores; replace() deletes the same
     # non-overlapping occurrences str.count counts, and the + chain is
@@ -1715,6 +1766,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(nw) AS BIGINT) AS total_words
             FROM t GROUP BY nw // 50
         """,
+        # PageRank over the deterministic doc_id-derived edge set —
+        # iteration unrolled as chained CTEs (generated above)
+        "doc_pagerank": pagerank_sql,
         # exact discrete word-count quantiles (quantile_disc =
         # sorted[floor((n-1)*q)]; two unnests zip positionally)
         "doc_wordcount_quantiles": r"""
