@@ -791,6 +791,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # broadcast dense rank vector, tree-combined contributions) —
         # exact DuckDB oracle with the iteration unrolled as CTEs
         "doc_pagerank": gr.doc_link_pagerank,
+        # weakly connected components via distributed min-label
+        # propagation — exact DuckDB oracle (recursive-CTE closure)
+        "graph_components": gr.doc_link_components,
         # incremental dedup against a FRESH ledger == batch tile_dedup,
         # so it shares that oracle; the cross-shard ledger semantics are
         # pinned by the pytest equivalence gate
@@ -1769,6 +1772,24 @@ def oracle_sql() -> dict[str, str]:
         # PageRank over the deterministic doc_id-derived edge set —
         # iteration unrolled as chained CTEs (generated above)
         "doc_pagerank": pagerank_sql,
+        # connected components: recursive-CTE reachability closure over
+        # the undirected derived edge set; label = min reachable node
+        "graph_components": f"""
+            WITH RECURSIVE nn AS (
+              SELECT COUNT(*)::BIGINT AS ni FROM documents),
+            edges AS ({pr_edges}),
+            edges_u AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT dst, src FROM edges),
+            reach(node, label) AS (
+              SELECT DISTINCT src AS node, src AS label FROM edges_u
+              UNION
+              SELECT e.dst, r.label
+              FROM reach r JOIN edges_u e ON e.src = r.node
+            )
+            SELECT node, MIN(label) AS label FROM reach GROUP BY node
+        """,
         # exact discrete word-count quantiles (quantile_disc =
         # sorted[floor((n-1)*q)]; two unnests zip positionally)
         "doc_wordcount_quantiles": r"""

@@ -154,6 +154,32 @@ def doc_link_pagerank(sf_dir: str,
                     n_iters=n_iters)
 
 
+def connected_components(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Weakly connected components over (src, dst) edges — public
+    surface for the distributed min-label propagation the MinHash
+    dedup clustering uses (dedup.label_propagation_clusters: bucketed
+    small-int exchanges, vectorized per-bucket folds, logarithmic
+    rounds; no driver-side edge loop). Returns (node, label = min
+    reachable node id) for every node incident to an edge."""
+    from .dedup import label_propagation_clusters
+
+    def to_ab(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b.column("src").cast(pa.int64()),
+                         "b": b.column("dst").cast(pa.int64())})
+
+    return label_propagation_clusters(
+        edges.map_batches(to_ab, batch_format="pyarrow",
+                          zero_copy_batch=True))
+
+
+def doc_link_components(sf_dir: str) -> "ray.data.Dataset":
+    """Connected components of the deterministic doc_id-derived link
+    graph — SQL-checkable against a recursive-CTE transitive closure."""
+    import pyarrow.parquet as pq
+    n_nodes = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return connected_components(_derived_edges(sf_dir, n_nodes))
+
+
 def pagerank_reference(edges: np.ndarray, n_nodes: int,
                        n_iters: int = 10,
                        damping: float = DAMPING) -> np.ndarray:

@@ -43,6 +43,38 @@ def test_distributed_matches_reference(ray_session):
         assert abs(g.sum() - 1.0) < 1e-9
 
 
+def test_connected_components_matches_union_find(ray_session):
+    import ray
+
+    from risjbot_ray.pipelines.graph import connected_components
+    rng = np.random.default_rng(17)
+    n, m = 60, 90
+    edges = rng.integers(0, n, size=(m, 2))
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array(edges[:, 0], pa.int64()),
+        "dst": pa.array(edges[:, 1], pa.int64()),
+    })).repartition(3)
+    got = {r["node"]: r["label"]
+           for r in connected_components(ds).take_all()}
+    # local union-find reference
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = set(edges.ravel().tolist())
+    exp = {v: min(u for u in touched if find(u) == find(v))
+           for v in touched}
+    assert got == exp
+
+
 def test_doc_link_pagerank_e2e(ray_session):
     from risjbot_ray.pipelines.graph import _DANGLE_MOD, _EDGE_RULES
     got = doc_link_pagerank(SF, n_iters=5)

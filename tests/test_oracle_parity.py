@@ -22,7 +22,8 @@ NAMES = ["simhash_signatures", "doc_fingerprint", "doc_langid",
          "doc_quality_rank", "doc_tile_dedup_incr",
          "embedding_semdedup", "doc_bm25_topk", "doc_perplexity",
          "doc_dsir_weight", "doc_dsir_resample",
-         "doc_wordcount_quantiles", "doc_pagerank"]
+         "doc_wordcount_quantiles", "doc_pagerank",
+         "graph_components"]
 
 
 def _vhash(df) -> str:
