@@ -280,6 +280,26 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             n_docs / queries["hll_distinct"], 1)
         throughput["hll_within_bound"] = bool(hll_row["within_bound"])
 
+        # mergeable summaries + graph analytics over the same corpus
+        from risjbot_ray.pipelines import sketch as sk_mod
+        from risjbot_ray.pipelines.graph import (PAGERANK_ITERS,
+                                                 doc_link_pagerank)
+        t0 = time.time()
+        sk_mod.wordcount_quantiles(docs_root)
+        queries["wordcount_quantiles"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        sk_mod.heavy_hitters(docs_root, m=256)
+        queries["heavy_hitters"] = round(time.time() - t0, 3)
+        throughput["heavy_hitters_docs_per_sec"] = round(
+            n_docs / queries["heavy_hitters"], 1)
+        t0 = time.time()
+        doc_link_pagerank(docs_root)
+        queries["pagerank"] = round(time.time() - t0, 3)
+        # 2 out-edges per non-dangling node, PAGERANK_ITERS sweeps
+        throughput["pagerank_edge_iters_per_sec"] = round(
+            2 * n_docs * (16 / 17) * PAGERANK_ITERS
+            / queries["pagerank"], 1)
+
         # ---- multimodal operators over a real-encoded media corpus
         # (BMP/PPM/WAV/y4m payloads; decode is real, see media/codecs)
         from risjbot_ray.pipelines.multimodal import (media_features_ds,

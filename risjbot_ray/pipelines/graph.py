@@ -143,13 +143,24 @@ def _derived_edges(sf_dir: str, n_nodes: int) -> "ray.data.Dataset":
         .map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _doc_count(sf_dir: str) -> int:
+    """Row count from parquet metadata only (file or directory)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    path = f"{sf_dir}/documents.parquet"
+    files = (sorted(glob.glob(os.path.join(path, "*.parquet")))
+             if os.path.isdir(path) else [path])
+    return sum(pq.read_metadata(f).num_rows for f in files)
+
+
 def doc_link_pagerank(sf_dir: str,
                       n_iters: int = PAGERANK_ITERS) -> pa.Table:
     """PageRank over the deterministic doc_id-derived edge set —
     SQL-checkable end to end (rank values match the unrolled-CTE
     oracle at float64)."""
-    import pyarrow.parquet as pq
-    n_nodes = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_nodes = _doc_count(sf_dir)
     return pagerank(_derived_edges(sf_dir, n_nodes), n_nodes,
                     n_iters=n_iters)
 
@@ -175,9 +186,8 @@ def connected_components(edges: "ray.data.Dataset") -> "ray.data.Dataset":
 def doc_link_components(sf_dir: str) -> "ray.data.Dataset":
     """Connected components of the deterministic doc_id-derived link
     graph — SQL-checkable against a recursive-CTE transitive closure."""
-    import pyarrow.parquet as pq
-    n_nodes = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    return connected_components(_derived_edges(sf_dir, n_nodes))
+    return connected_components(
+        _derived_edges(sf_dir, _doc_count(sf_dir)))
 
 
 def pagerank_reference(edges: np.ndarray, n_nodes: int,
