@@ -78,9 +78,12 @@ def pagerank(edges: "ray.data.Dataset", n_nodes: int,
     [0, n_nodes)). Returns (node, rank) for every node. The edge set
     streams every iteration; driver/broadcast state is two dense
     length-n vectors."""
-    # one materialize so the per-iteration passes re-read blocks from
-    # the object store instead of re-running the edge derivation
-    edges = edges.materialize()
+    # coalesce + materialize ONCE so every iteration re-reads a few
+    # right-sized blocks from the object store instead of re-running
+    # the edge derivation over hundreds of tiny blocks (and so the
+    # per-iteration combine's own coalesce is a passthrough)
+    from .webtext import _coalesce_for_exchange
+    edges = _coalesce_for_exchange(edges)
     deg = _out_degrees(edges, n_nodes)
     deg_ref = ray.put(deg)
     dangling = deg == 0.0
