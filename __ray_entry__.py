@@ -794,6 +794,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weakly connected components via distributed min-label
         # propagation — exact DuckDB oracle (recursive-CTE closure)
         "graph_components": gr.doc_link_components,
+        # exactly-k-per-group deterministic sampling (per-batch partial
+        # top-k, bounded final merge) — exact ROW_NUMBER oracle
+        "doc_stratified_sample": lambda sf: wt.stratified_sample(
+            sf, k=20, group_col="lang"),
+        # per-source token budget via the politeness-style cutoff
+        # pre-pass (bucket sums -> driver boundary -> exact epilogue on
+        # the boundary bucket only) — exact window-SUM oracle
+        "doc_domain_token_cap": lambda sf: wt.domain_token_cap(
+            sf, budget=700),
         # incremental dedup against a FRESH ledger == batch tile_dedup,
         # so it shares that oracle; the cross-shard ledger semantics are
         # pinned by the pytest equivalence gate
@@ -1789,6 +1798,38 @@ def oracle_sql() -> dict[str, str]:
               FROM reach r JOIN edges_u e ON e.src = r.node
             )
             SELECT node, MIN(label) AS label FROM reach GROUP BY node
+        """,
+        # exactly-k-per-group deterministic sampling
+        "doc_stratified_sample": r"""
+            SELECT doc_id, grp, sample_rank FROM (
+              SELECT doc_id, lang AS grp,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(doc_id::VARCHAR || ':strat'),
+                                doc_id) AS sample_rank
+              FROM documents)
+            WHERE sample_rank <= 20
+        """,
+        # per-source token cap: running word-count sum in md5-key order,
+        # keep while the doc's own cumulative total fits the budget
+        "doc_domain_token_cap": r"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE length(regexp_split_to_array(trim(text),
+                                                            '\s+'))
+                     END AS n_words,
+                     md5(doc_id::VARCHAR || ':cap') AS key
+              FROM documents),
+            c AS (
+              SELECT doc_id, source, n_words,
+                     SUM(n_words) OVER (
+                       PARTITION BY source ORDER BY key, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_words
+              FROM t)
+            SELECT doc_id, source, n_words,
+                   CAST(cum_words AS BIGINT) AS cum_words
+            FROM c WHERE cum_words <= 700
         """,
         # exact discrete word-count quantiles (quantile_disc =
         # sorted[floor((n-1)*q)]; two unnests zip positionally)

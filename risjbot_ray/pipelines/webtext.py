@@ -698,6 +698,175 @@ def domain_sample(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# stratified exact-k sampling + per-domain token caps
+# --------------------------------------------------------------------------
+
+def stratified_sample(sf_dir: str, k: int = 50, group_col: str = "lang"):
+    """Exactly ``k`` docs per group, chosen deterministically: the k
+    smallest md5(doc_id || ':strat') hex keys within each group
+    (doc_id tiebreak). Scale shape: each BATCH keeps only its local
+    per-group top-k (vectorized pandas sort + head), so the final
+    per-group merge sees at most k x #blocks rows, never the corpus —
+    the same salted grouped top-k pattern as the politeness scheduler.
+    Returns (doc_id, grp, sample_rank 1..k). SQL-exact (ROW_NUMBER
+    over PARTITION BY ... ORDER BY md5 key)."""
+    import pandas as pd
+
+    def key_of(ids) -> list[str]:
+        return [hashlib.md5(f"{d}:strat".encode()).hexdigest()
+                for d in ids]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "doc_id": batch.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "grp": batch.column(group_col).to_pylist(),
+        })
+        df["key"] = key_of(df["doc_id"])
+        df = (df.sort_values(["grp", "key", "doc_id"], kind="mergesort")
+                .groupby("grp", sort=False).head(k))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = (df.sort_values(["key", "doc_id"], kind="mergesort")
+                .head(k).reset_index(drop=True))
+        df["sample_rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["doc_id", "grp", "sample_rank"]]
+
+    return (_coalesce_for_exchange(
+                _documents(sf_dir, ["doc_id", group_col])
+                .map_batches(partial, batch_format="pyarrow"))
+            .groupby("grp").map_groups(final, batch_format="pandas"))
+
+
+_CAP_KB_BITS = 12   # cutoff pre-pass key buckets (4096): the driver
+#                     sees at most #sources x 4096 tiny rows, and the
+#                     exact boundary pass touches ~N/4096 docs
+
+
+def domain_token_cap(sf_dir: str, budget: int = 20_000):
+    """Cap every source at ``budget`` tokens: keep docs in
+    deterministic md5(doc_id || ':cap') order until the source's
+    cumulative word count would exceed the budget (a doc is kept iff
+    its OWN cumulative total fits). The standard curation guard
+    against one domain dominating the mix.
+
+    Scale shape (the crawl's politeness-cutoff pre-pass, reused): a
+    cumulative scan cannot be batch-local, so pass 1 tree-combines
+    per-(source, key-bucket) token sums — bounded by #sources x 2^12
+    rows regardless of corpus size — and the driver locates each
+    source's boundary BUCKET by cumsum. Pass 2 filters: strictly
+    below-boundary buckets are kept outright (their cum totals are
+    fully determined by the driver's prefix sums); only the boundary
+    bucket's docs (~N/4096) flow to an exact per-source sort+cumsum.
+    Returns (doc_id, source, n_words, cum_words) for kept docs."""
+    import pandas as pd
+
+    from risjbot_ray.pipelines.lm import _agg_count_partials
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keys = [hashlib.md5(f"{d}:cap".encode()).hexdigest()
+                for d in ids]
+        kb = np.array([int(x[:3], 16) for x in keys], dtype=np.int64)
+        nw = np.array([len(t.split()) if t else 0
+                       for t in batch.column("text").to_pylist()],
+                      dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "source": batch.column("source"),
+            "key": pa.array(keys, pa.string()),
+            "kb": pa.array(kb, pa.int64()),
+            "n_words": pa.array(nw, pa.int64()),
+        })
+
+    docs = _coalesce(
+        _documents(sf_dir, ["doc_id", "source", "text"])
+        .map_batches(annotate, batch_format="pyarrow").materialize())
+
+    # pass 1: per-(source, bucket) token sums -> driver boundary scan
+    def bucket_sums(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": batch.column("source").to_pylist(),
+            "kb": batch.column("kb").to_numpy(zero_copy_only=False),
+            "n": batch.column("n_words").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["source", "kb"], sort=False)["n"].sum() \
+              .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge_sums(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["source", "kb"], sort=False)["n"].sum() \
+              .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sums = _agg_count_partials(
+        docs.map_batches(bucket_sums, batch_format="pyarrow"),
+        merge_sums)
+    # per source: prefix[b] = tokens in buckets < b; boundary = first
+    # bucket where prefix + bucket sum crosses the budget
+    boundary: dict[str, int] = {}
+    prefix_at_boundary: dict[str, int] = {}
+    if sums is not None:
+        sdf = sums.to_pandas().sort_values(["source", "kb"])
+        for src, g in sdf.groupby("source", sort=False):
+            cum = g["n"].cumsum().to_numpy()
+            over = np.nonzero(cum > budget)[0]
+            if len(over) == 0:
+                boundary[src] = 1 << _CAP_KB_BITS      # nothing drops
+                prefix_at_boundary[src] = int(cum[-1]) if len(cum) else 0
+            else:
+                i = int(over[0])
+                boundary[src] = int(g["kb"].to_numpy()[i])
+                prefix_at_boundary[src] = int(cum[i - 1]) if i else 0
+    b_ref = ray.put((boundary, prefix_at_boundary))
+
+    # pass 2a: below-boundary rows kept outright; boundary rows routed
+    # to the exact epilogue (flag column, no second corpus read)
+    def split(batch: pa.Table, which: str) -> pa.Table:
+        bnd, _ = ray.get(b_ref)
+        kb = batch.column("kb").to_numpy(zero_copy_only=False)
+        srcs = batch.column("source").to_pylist()
+        b = np.array([bnd.get(s, 1 << _CAP_KB_BITS) for s in srcs])
+        return batch.filter(pa.array(kb < b if which == "below"
+                                     else kb == b))
+
+    below = docs.map_batches(split, batch_format="pyarrow",
+                             fn_kwargs={"which": "below"})
+
+    # below-boundary cum totals: bucket prefix (driver) + within-run
+    # exact cumsum per source over the below rows, done per GROUP but
+    # bounded: below rows are the kept set (<= budget tokens/source)
+    def finish_below(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["key", "doc_id"], kind="mergesort")
+        df["cum_words"] = df["n_words"].cumsum()
+        return df[["doc_id", "source", "n_words", "cum_words"]]
+
+    kept_below = (_coalesce_for_exchange(below)
+                  .groupby("source")
+                  .map_groups(finish_below, batch_format="pandas"))
+
+    # pass 2b: exact boundary-bucket resolution (~N/4096 rows)
+    def finish_boundary(df: "pd.DataFrame") -> "pd.DataFrame":
+        _, pref = ray.get(b_ref)
+        df = df.sort_values(["key", "doc_id"], kind="mergesort")
+        off = pref.get(df["source"].iloc[0], 0) if len(df) else 0
+        df["cum_words"] = df["n_words"].cumsum() + off
+        df = df[df["cum_words"] <= budget]
+        return df[["doc_id", "source", "n_words", "cum_words"]]
+
+    at_boundary = docs.map_batches(split, batch_format="pyarrow",
+                                   fn_kwargs={"which": "boundary"})
+    kept_boundary = (_coalesce_for_exchange(at_boundary)
+                     .groupby("source")
+                     .map_groups(finish_boundary, batch_format="pandas"))
+
+    return kept_below.union(kept_boundary)
+
+
+# --------------------------------------------------------------------------
 # distributed global shuffle rank
 # --------------------------------------------------------------------------
 

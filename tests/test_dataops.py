@@ -727,3 +727,62 @@ def test_bm25_planted_relevance(ray_session, tmp_path):
     exp = idf * f * 2.2 / (f + 1.2 * (0.25 + 0.75 * dl / avgdl))
     got = dict(zip(ids, scores))[2]
     assert got == pytest.approx(round(exp, 5), abs=1e-9)
+
+
+def test_stratified_sample_matches_reference(ray_session):
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from risjbot_ray.pipelines.webtext import stratified_sample
+    SF = "/root/testdata/sf0.001"
+    k = 7
+    got = stratified_sample(SF, k=k, group_col="lang").to_pandas()
+    tbl = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "lang"]).to_pandas()
+    tbl["key"] = [hashlib.md5(f"{d}:strat".encode()).hexdigest()
+                  for d in tbl["doc_id"]]
+    exp = (tbl.sort_values(["lang", "key", "doc_id"], kind="mergesort")
+              .groupby("lang").head(k))
+    assert len(got) == len(exp)
+    got_s = set(zip(got["doc_id"], got["grp"], got["sample_rank"]))
+    exp_s = set()
+    for lang, g in exp.groupby("lang"):
+        for r, d in enumerate(
+                g.sort_values(["key", "doc_id"])["doc_id"], 1):
+            exp_s.add((d, lang, r))
+    assert got_s == exp_s
+
+
+def test_domain_token_cap_matches_reference(ray_session):
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from risjbot_ray.pipelines.webtext import domain_token_cap
+    SF = "/root/testdata/sf0.001"
+    tbl = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "source", "text"]).to_pandas()
+    tbl["n_words"] = [len(t.split()) if t else 0 for t in tbl["text"]]
+    tbl["key"] = [hashlib.md5(f"{d}:cap".encode()).hexdigest()
+                  for d in tbl["doc_id"]]
+
+    def reference(budget):
+        out = {}
+        for src, g in tbl.groupby("source"):
+            g = g.sort_values(["key", "doc_id"], kind="mergesort")
+            cum = g["n_words"].cumsum()
+            keep = g[cum <= budget]
+            for d, n, c in zip(keep["doc_id"], keep["n_words"],
+                               cum[cum <= budget]):
+                out[int(d)] = (src, int(n), int(c))
+        return out
+
+    # binding budget, boundary-heavy tiny budget, and a no-drop budget
+    for budget in (700, 120, 10**9):
+        got = domain_token_cap(SF, budget=budget).to_pandas()
+        exp = reference(budget)
+        assert len(got) == len(exp), budget
+        for d, s, n, c in zip(got["doc_id"], got["source"],
+                              got["n_words"], got["cum_words"]):
+            assert exp[int(d)] == (s, int(n), int(c)), (budget, d)

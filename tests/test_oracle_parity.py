@@ -23,7 +23,8 @@ NAMES = ["simhash_signatures", "doc_fingerprint", "doc_langid",
          "embedding_semdedup", "doc_bm25_topk", "doc_perplexity",
          "doc_dsir_weight", "doc_dsir_resample",
          "doc_wordcount_quantiles", "doc_pagerank",
-         "graph_components"]
+         "graph_components", "doc_stratified_sample",
+         "doc_domain_token_cap"]
 
 
 def _vhash(df) -> str:
