@@ -794,6 +794,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weakly connected components via distributed min-label
         # propagation — exact DuckDB oracle (recursive-CTE closure)
         "graph_components": gr.doc_link_components,
+        # snapshot diff vs a derived second snapshot (added / removed /
+        # changed by content hash; unchanged rows never leave the
+        # compare) — exact FULL JOIN oracle
+        "doc_snapshot_diff": wt.doc_snapshot_diff,
         # exactly-k-per-group deterministic sampling (per-batch partial
         # top-k, bounded final merge) — exact ROW_NUMBER oracle
         "doc_stratified_sample": lambda sf: wt.stratified_sample(
@@ -1798,6 +1802,26 @@ def oracle_sql() -> dict[str, str]:
               FROM reach r JOIN edges_u e ON e.src = r.node
             )
             SELECT node, MIN(label) AS label FROM reach GROUP BY node
+        """,
+        # snapshot diff: A = documents; B derived (doc_id%11 removed,
+        # %7 of the rest re-edited, one new doc per %13 id)
+        "doc_snapshot_diff": r"""
+            WITH a AS (SELECT doc_id, md5(text) AS h FROM documents),
+            b_rows AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 11 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000, 'new doc ' || doc_id
+              FROM documents WHERE doc_id % 13 = 0),
+            b AS (SELECT doc_id, md5(text) AS h FROM b_rows)
+            SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM a FULL JOIN b ON a.doc_id = b.doc_id
+            WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h <> b.h
         """,
         # exactly-k-per-group deterministic sampling
         "doc_stratified_sample": r"""

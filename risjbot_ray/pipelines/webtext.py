@@ -867,6 +867,93 @@ def domain_token_cap(sf_dir: str, budget: int = 20_000):
 
 
 # --------------------------------------------------------------------------
+# snapshot diff
+# --------------------------------------------------------------------------
+
+_DIFF_NB = 256  # doc-id buckets: the exchange sorts this small int
+
+
+def corpus_diff(ds_a: "ray.data.Dataset",
+                ds_b: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Diff two corpus snapshots by content: returns (doc_id, status)
+    with status in {added, removed, changed} (unchanged docs emit
+    nothing — at snapshot scale they are the overwhelming majority and
+    must never leave the compare). Each side collapses to
+    (doc_id, md5(text), side) inside ``map_batches`` — the exchange
+    carries 3 small columns, never text — and rows meet in doc-id-hash
+    buckets where one vectorized pandas pass classifies them. The same
+    bucketing both sides means no global join: at 100 TB this is one
+    streaming pass per snapshot plus a bucketed small-row exchange."""
+    import pandas as pd
+
+    def hash_side(side: str):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            hs = [hashlib.md5((t or "").encode()).hexdigest()
+                  for t in batch.column("text").to_pylist()]
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "h": pa.array(hs, pa.string()),
+                "side": pa.array([side] * len(ids), pa.string()),
+                "db": pa.array(ids % _DIFF_NB, pa.int64()),
+            })
+        return f
+
+    both = (ds_a.map_batches(hash_side("a"), batch_format="pyarrow")
+            .union(ds_b.map_batches(hash_side("b"),
+                                    batch_format="pyarrow")))
+
+    def classify(df: "pd.DataFrame") -> "pd.DataFrame":
+        p = df.pivot_table(index="doc_id", columns="side", values="h",
+                           aggfunc="first")
+        a = p["a"] if "a" in p else pd.Series(index=p.index, dtype=object)
+        b = p["b"] if "b" in p else pd.Series(index=p.index, dtype=object)
+        status = pd.Series(index=p.index, dtype=object)
+        status[a.isna()] = "added"
+        status[b.isna()] = "removed"
+        status[a.notna() & b.notna() & (a != b)] = "changed"
+        out = status.dropna().reset_index()
+        out.columns = ["doc_id", "status"]
+        return out
+
+    return (_coalesce_for_exchange(both)
+            .groupby("db").map_groups(classify, batch_format="pandas")
+            .map_batches(lambda t: t.select(["doc_id", "status"]).cast(
+                pa.schema([("doc_id", pa.int64()),
+                           ("status", pa.string())])),
+                batch_format="pyarrow"))
+
+
+def doc_snapshot_diff(sf_dir: str):
+    """Snapshot diff of documents vs a deterministically derived
+    second snapshot (doc_id % 11 == 0 removed; % 7 == 0 of the rest
+    re-edited with a ' v2' suffix; one new doc per % 13 == 0 id at
+    doc_id + 1_000_000) — SQL-checkable end to end."""
+
+    def derive_b(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        texts = batch.column("text").to_pylist()
+        out_id, out_tx = [], []
+        for d, t in zip(ids, texts):
+            if d % 11 == 0:
+                continue                      # removed in B
+            out_id.append(int(d))
+            out_tx.append((t or "") + " v2" if d % 7 == 0 else t)
+        for d in ids[ids % 13 == 0]:
+            out_id.append(int(d) + 1_000_000)  # added in B
+            out_tx.append(f"new doc {d}")
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "text": pa.array(out_tx, pa.string())})
+
+    a = _documents(sf_dir, ["doc_id", "text"])
+    b = _documents(sf_dir, ["doc_id", "text"]) \
+        .map_batches(derive_b, batch_format="pyarrow")
+    return corpus_diff(a, b)
+
+
+# --------------------------------------------------------------------------
 # distributed global shuffle rank
 # --------------------------------------------------------------------------
 

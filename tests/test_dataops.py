@@ -786,3 +786,24 @@ def test_domain_token_cap_matches_reference(ray_session):
         for d, s, n, c in zip(got["doc_id"], got["source"],
                               got["n_words"], got["cum_words"]):
             assert exp[int(d)] == (s, int(n), int(c)), (budget, d)
+
+
+def test_corpus_diff_all_statuses(ray_session):
+    import ray
+
+    from risjbot_ray.pipelines.webtext import corpus_diff
+    a = ray.data.from_items([
+        {"doc_id": 1, "text": "same"},
+        {"doc_id": 2, "text": "old"},
+        {"doc_id": 3, "text": "gone"},
+        {"doc_id": 5, "text": ""},
+    ]).repartition(2)
+    b = ray.data.from_items([
+        {"doc_id": 1, "text": "same"},      # unchanged -> absent
+        {"doc_id": 2, "text": "new"},       # changed
+        {"doc_id": 4, "text": "fresh"},     # added
+        {"doc_id": 5, "text": ""},          # unchanged empty -> absent
+    ]).repartition(2)
+    got = {r["doc_id"]: r["status"]
+           for r in corpus_diff(a, b).take_all()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}

@@ -24,7 +24,7 @@ NAMES = ["simhash_signatures", "doc_fingerprint", "doc_langid",
          "doc_dsir_weight", "doc_dsir_resample",
          "doc_wordcount_quantiles", "doc_pagerank",
          "graph_components", "doc_stratified_sample",
-         "doc_domain_token_cap"]
+         "doc_domain_token_cap", "doc_snapshot_diff"]
 
 
 def _vhash(df) -> str:
