@@ -725,6 +725,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers_by_nation": relational.top_customers_by_nation,
         "events_hourly": relational.events_hourly,
         "events_sessionize": relational.sessionize_events,
+        # AS-OF join (co-partition on user, one vectorized merge_asof
+        # per bucket — no global sort, no inequality join)
+        "events_asof_purchase": relational.purchase_attribution,
+        # RANGE join (overlapping windows broadcast into the map tasks;
+        # only O(#windows) partials per block reach the exchange)
+        "events_window_counts": relational.events_window_counts,
+        # exact grouped COUNT(DISTINCT) with per-batch pair pre-dedup
+        "events_user_distinct": relational.user_distinct_by_type,
+        # per-user trailing-window rolling mean (co-partitioned,
+        # shifted-adds in SQL frame order)
+        "events_rolling_avg": relational.rolling_user_value,
         # text analysis over documents (SQL-checkable)
         "doc_wordcount": ts.q_wordcount,
         "doc_tokencount": ts.q_tokencount,
@@ -783,6 +794,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact discrete quantiles via a value-counts tree-combine (no
         # shuffle) — quantile_disc semantics, exact DuckDB oracle
         "doc_wordcount_quantiles": sk.wordcount_quantiles,
+        # grouped variant: per-language quantiles from the same
+        # mergeable (lang, value)-counts summary
+        "doc_wordcount_quantiles_by_lang": sk.wordcount_quantiles_by_lang,
         # Misra-Gries frequent-tokens sketch vs exact counts —
         # self-checking row (undercount <= N/(m+1), all true-heavy
         # tokens retained); the sketch values are not SQL-expressible
@@ -1177,6 +1191,53 @@ def oracle_sql() -> dict[str, str]:
         "doc_exact_dedup": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
             FROM documents GROUP BY md5(text)
+        """,
+        # AS-OF join: latest same-user purchase at-or-before each
+        # non-purchase event; ties on ts break to the higher event_id
+        "events_asof_purchase": """
+            SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value,
+                   p.ts AS purchase_ts,
+                   p.event_id AS purchase_event_id,
+                   p.value AS attributed_value
+            FROM events e JOIN events p
+              ON p.user_id = e.user_id
+             AND p.event_type = 'purchase'
+             AND p.ts <= e.ts
+            WHERE e.event_type <> 'purchase'
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY e.event_id
+                ORDER BY p.ts DESC, p.event_id DESC) = 1
+        """,
+        # RANGE join: 120 overlapping windows (6h stride, 9h length)
+        # anchored at the hour-truncated global min ts
+        "events_window_counts": """
+            WITH h AS (SELECT date_trunc('hour', MIN(ts)) AS t0
+                       FROM events),
+            w AS (SELECT CAST(k AS BIGINT) AS window_id,
+                         t0 + CAST(k AS BIGINT) * INTERVAL 6 HOUR
+                           AS wstart,
+                         t0 + CAST(k AS BIGINT) * INTERVAL 6 HOUR
+                           + INTERVAL 9 HOUR AS wend
+                  FROM range(0, 120) t(k), h)
+            SELECT w.window_id, w.wstart, w.wend,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(e.value), 2) AS sum_value
+            FROM w JOIN events e
+              ON e.ts >= w.wstart AND e.ts < w.wend
+            GROUP BY 1, 2, 3
+        """,
+        "events_user_distinct": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        # trailing-5 rolling mean per user in (ts, event_id) order
+        "events_rolling_avg": """
+            SELECT event_id, user_id, ts, value,
+                   ROUND(AVG(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
+                   AS rolling_avg
+            FROM events
         """,
         "events_sessionize": """
             WITH ordered AS (
@@ -1869,6 +1930,22 @@ def oracle_sql() -> dict[str, str]:
                    unnest(quantile_disc(nw,
                      [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99])) AS value
             FROM t
+        """,
+        # grouped quantile_disc: parallel unnest zips (q, value) per lang
+        "doc_wordcount_quantiles_by_lang": r"""
+            WITH t AS (
+              SELECT lang,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE length(regexp_split_to_array(trim(text),
+                                                            '\s+'))
+                     END AS nw
+              FROM documents
+            )
+            SELECT lang,
+                   unnest([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+                   unnest(quantile_disc(nw,
+                     [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99])) AS value
+            FROM t GROUP BY lang
         """,
         # deterministic global shuffle rank in md5(doc_id||':shuf') order
         "doc_shuffle_rank": r"""

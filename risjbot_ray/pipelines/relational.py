@@ -142,6 +142,191 @@ def events_hourly(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def purchase_attribution(sf_dir: str, nbuckets: int = 512):
+    """Distributed AS-OF join (a custom operator Ray Data lacks): for
+    every non-purchase event, attach the SAME user's most recent
+    purchase event at-or-before its timestamp (ties on ts break toward
+    the higher event_id). Classic marketing-attribution shape.
+
+    Scale design: both sides are the same stream here, but the shape
+    generalizes — hash-co-partition left and right on the join key
+    (``user_id % nbuckets``), then each bucket group does ONE
+    vectorized ``pandas.merge_asof`` over every user in the bucket
+    (sorted-merge, no per-user Python calls). The only exchange is the
+    one co-partitioning groupby; no global sort, no all-pairs
+    inequality join. Events without a prior purchase drop (inner
+    as-of)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def add_ub(batch: pa.Table) -> pa.Table:
+        ub = batch.column("user_id").to_numpy(
+            zero_copy_only=False) % nbuckets
+        return batch.append_column("ub", pa.array(ub, pa.int64()))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        left = (df[df["event_type"] != "purchase"]
+                [["event_id", "ts", "user_id", "event_type", "value"]]
+                .sort_values(["ts", "event_id"], kind="mergesort"))
+        right = (df[df["event_type"] == "purchase"]
+                 [["user_id", "ts", "event_id", "value"]]
+                 .rename(columns={"ts": "purchase_ts",
+                                  "event_id": "purchase_event_id",
+                                  "value": "attributed_value"})
+                 .sort_values(["purchase_ts", "purchase_event_id"],
+                              kind="mergesort"))
+        out = pd.merge_asof(left, right, left_on="ts",
+                            right_on="purchase_ts", by="user_id",
+                            direction="backward",
+                            allow_exact_matches=True)
+        out = out[out["purchase_event_id"].notna()].copy()
+        out["purchase_event_id"] = out["purchase_event_id"].astype(
+            "int64")
+        return out
+
+    from risjbot_ray.pipelines.webtext import _coalesce_for_exchange
+    keyed = _coalesce_for_exchange(
+        ds.map_batches(add_ub, batch_format="pyarrow"))
+    return keyed.groupby("ub").map_groups(per_bucket,
+                                          batch_format="pandas")
+
+
+def events_window_counts(sf_dir: str, n_windows: int = 120,
+                         every_hours: int = 6, length_hours: int = 9):
+    """Distributed RANGE join: overlapping time windows (stride 6 h,
+    length 9 h — every event falls in 1-2 windows) joined against the
+    event stream on ``wstart <= ts < wend``, aggregated per window.
+
+    Scale design: the window side is small and derived (one cheap
+    ``min(ts)`` pass), so it BROADCASTS into the map tasks instead of
+    shuffling the big side: each batch sorts its own timestamps once
+    and answers every window with two ``searchsorted`` probes against
+    a value prefix-sum — O(B log B + W log B) per batch. Only
+    (window_id, n, sum) partials (<= W rows per block) reach the
+    groupby; event rows never ride an exchange."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "value"])
+    t0 = np.datetime64(ds.min("ts"), "us")
+    t0 = t0.astype("datetime64[h]").astype("datetime64[us]")
+    hour = np.timedelta64(3600_000_000, "us")
+    wstarts = t0 + np.arange(n_windows) * every_hours * hour
+    wends = wstarts + length_hours * hour
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy(zero_copy_only=False)
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        order = np.argsort(ts, kind="stable")
+        ts, v = ts[order], v[order]
+        cv = np.concatenate([[0.0], np.cumsum(v)])
+        lo = np.searchsorted(ts, wstarts, side="left")
+        hi = np.searchsorted(ts, wends, side="left")
+        n = (hi - lo).astype(np.int64)
+        nz = n > 0
+        return pa.table({
+            "window_id": pa.array(np.nonzero(nz)[0].astype(np.int64),
+                                  pa.int64()),
+            "n": pa.array(n[nz], pa.int64()),
+            "sv": pa.array(cv[hi[nz]] - cv[lo[nz]], pa.float64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("window_id")
+           .aggregate(Sum("n", alias_name="n_events"),
+                      Sum("sv", alias_name="sum_value")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        wid = b.column("window_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "window_id": b.column("window_id"),
+            "wstart": pa.array(wstarts[wid], pa.timestamp("us")),
+            "wend": pa.array(wends[wid], pa.timestamp("us")),
+            "n_events": b.column("n_events"),
+            "sum_value": pc.round(b.column("sum_value"), 2),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def user_distinct_by_type(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): distinct users per event type.
+    Scale design: each batch pre-dedups its (event_type, user_id)
+    pairs BEFORE the exchange, so the distinct-pair groupby moves at
+    most one row per pair per block (not one per event); the second
+    aggregation input is already one row per distinct pair."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+
+    def pair_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    pairs = (ds.map_batches(pair_dedup, batch_format="pandas")
+             .groupby(["event_type", "user_id"])
+             .aggregate(Count(alias_name="_n")))
+
+    def type_partial(b: pa.Table) -> pa.Table:
+        enc = b.column("event_type").combine_chunks().dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        n = np.bincount(idx, minlength=len(enc.dictionary))
+        return pa.table({"event_type": enc.dictionary,
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    return (pairs.map_batches(type_partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n", alias_name="n_users")))
+
+
+def rolling_user_value(sf_dir: str, window: int = 5,
+                       nbuckets: int = 512):
+    """Per-user rolling mean of ``value`` over the trailing ``window``
+    events (ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW, ordered by
+    ts then event_id). Scale design: co-partition by ``user_id %
+    nbuckets`` (one exchange), then ONE vectorized pass per bucket —
+    shifted-adds in oldest-first association (matching SQL frame
+    order, so rounding is stable against the oracle), user boundaries
+    handled by a position-in-user mask; no per-user Python calls."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+
+    def add_ub(batch: pa.Table) -> pa.Table:
+        ub = batch.column("user_id").to_numpy(
+            zero_copy_only=False) % nbuckets
+        return batch.append_column("ub", pa.array(ub, pa.int64()))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        uid = df["user_id"].to_numpy()
+        v = df["value"].to_numpy()
+        newu = np.empty(n, dtype=bool)
+        newu[0] = True
+        newu[1:] = uid[1:] != uid[:-1]
+        first = np.maximum.accumulate(
+            np.where(newu, np.arange(n), 0))
+        pos = np.arange(n) - first
+        acc = np.zeros(n, dtype=np.float64)
+        for k in range(window - 1, -1, -1):  # oldest lag first
+            shifted = np.zeros(n, dtype=np.float64)
+            if k:
+                shifted[k:] = v[:n - k]
+            else:
+                shifted = v.astype(np.float64)
+            valid = pos >= k
+            acc[valid] = acc[valid] + shifted[valid]
+        cnt = np.minimum(pos + 1, window)
+        df["rolling_avg"] = np.round(acc / cnt, 4)
+        return df[["event_id", "user_id", "ts", "value", "rolling_avg"]]
+
+    from risjbot_ray.pipelines.webtext import _coalesce_for_exchange
+    keyed = _coalesce_for_exchange(
+        ds.map_batches(add_ub, batch_format="pyarrow"))
+    return keyed.groupby("ub").map_groups(per_bucket,
+                                          batch_format="pandas")
+
+
 def sessionize_events(sf_dir: str, gap_minutes: int = 30,
                       nbuckets: int = 1024):
     """Session windows per user: sort within user, split on ts gaps >

@@ -58,13 +58,22 @@ def _wc_value_counts(batch: pa.Table) -> pa.Table:
 
 def quantiles_from_value_counts(vals: np.ndarray, counts: np.ndarray,
                                 qs) -> np.ndarray:
-    """quantile_disc over a (sorted value, count) summary:
-    sorted_stream[floor((n-1) * q)] without expanding the stream."""
+    """quantile_disc over a (sorted value, count) summary, matching
+    DuckDB's DECIMAL-literal semantics EXACTLY: the 0-based rank is
+    ``max(1, n - floor(n * (1 - q))) - 1`` evaluated in exact rational
+    arithmetic (DuckDB parses 0.25-style literals as DECIMAL and
+    computes the index with integer math, so float ``floor((n-1)*q)``
+    conventions drift off-by-one whenever q*n lands on an integer the
+    double grid misses). Never expands the stream."""
+    from fractions import Fraction
+    import math
     order = np.argsort(vals, kind="stable")
     vals, counts = vals[order], counts[order]
     cum = np.cumsum(counts)
     n = int(cum[-1])
-    ranks = np.floor((n - 1) * np.asarray(qs, np.float64)).astype(np.int64)
+    ranks = np.array(
+        [max(1, n - math.floor(n * (1 - Fraction(str(q))))) - 1
+         for q in qs], dtype=np.int64)
     idx = np.searchsorted(cum, ranks, side="right")
     return vals[idx]
 
@@ -86,6 +95,56 @@ def wordcount_quantiles(sf_dir: str, qs=_QS_DEFAULT) -> pa.Table:
         t.column("n").to_numpy(zero_copy_only=False), qs)
     return pa.table({"q": pa.array(list(qs), pa.float64()),
                      "value": pa.array(v, pa.int64())})
+
+
+def _wc_lang_value_counts(batch: pa.Table) -> pa.Table:
+    """Per-batch (lang, wordcount value, n_docs) counts."""
+    import pandas as pd
+    wc = np.array([len(t.split()) if t else 0
+                   for t in batch.column("text").to_pylist()],
+                  dtype=np.int64)
+    df = pd.DataFrame({"lang": batch.column("lang").to_pandas(),
+                       "val": wc})
+    g = df.groupby(["lang", "val"], sort=False).size()
+    g = g.rename("n").reset_index()
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def _merge_lang_counts(batch: pa.Table) -> pa.Table:
+    import pandas as pd
+    df = batch.to_pandas()
+    g = df.groupby(["lang", "val"], sort=False, as_index=False)["n"].sum()
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def wordcount_quantiles_by_lang(sf_dir: str, qs=_QS_DEFAULT) -> pa.Table:
+    """GROUPED exact discrete quantiles: per-language word-count
+    quantiles over the corpus. Same mergeable value-counts summary as
+    the global operator, keyed by (lang, value) — the combine state is
+    bounded by #langs x #distinct lengths, independent of corpus rows,
+    so partials tree-combine with no row shuffle and the driver walks
+    one small cumulative distribution per language."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["lang", "text"])
+    partial = docs.map_batches(_wc_lang_value_counts,
+                               batch_format="pyarrow",
+                               zero_copy_batch=True)
+    t = _agg_count_partials(partial, _merge_lang_counts)
+    if t is None:
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.int64())})
+    df = t.to_pandas()
+    langs, out_q, out_v = [], [], []
+    for lang, sub in df.groupby("lang", sort=True):
+        v = quantiles_from_value_counts(
+            sub["val"].to_numpy(), sub["n"].to_numpy(), qs)
+        langs.extend([lang] * len(qs))
+        out_q.extend(qs)
+        out_v.extend(v.tolist())
+    return pa.table({"lang": pa.array(langs, pa.string()),
+                     "q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v, pa.int64())})
 
 
 # --------------------------------------------------------------------------

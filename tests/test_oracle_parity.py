@@ -24,7 +24,10 @@ NAMES = ["simhash_signatures", "doc_fingerprint", "doc_langid",
          "doc_dsir_weight", "doc_dsir_resample",
          "doc_wordcount_quantiles", "doc_pagerank",
          "graph_components", "doc_stratified_sample",
-         "doc_domain_token_cap", "doc_snapshot_diff"]
+         "doc_domain_token_cap", "doc_snapshot_diff",
+         "doc_wordcount_quantiles_by_lang", "events_asof_purchase",
+         "events_window_counts", "events_user_distinct",
+         "events_rolling_avg"]
 
 
 def _vhash(df) -> str:
@@ -41,10 +44,9 @@ def test_oracle_matches_query(ray_session, name):
     res = entry.queries()[name](SF)
     df = res.to_pandas() if hasattr(res, "to_pandas") else res
     con = duckdb.connect()
-    con.execute("CREATE VIEW documents AS "
-                f"SELECT * FROM '{SF}/documents.parquet'")
-    con.execute("CREATE VIEW embeddings AS "
-                f"SELECT * FROM '{SF}/embeddings.parquet'")
+    for view in ("documents", "embeddings", "events"):
+        con.execute(f"CREATE VIEW {view} AS "
+                    f"SELECT * FROM '{SF}/{view}.parquet'")
     odf = con.execute(entry.oracle_sql()[name]).df()
     assert len(df) == len(odf)
     assert sorted(df.columns) == sorted(odf.columns)

@@ -1,0 +1,102 @@
+"""Reference-parity gates for the non-equi join operators: the AS-OF
+join (purchase attribution), the overlapping-window RANGE join, exact
+grouped count-distinct, and the trailing-window rolling mean. Each is
+checked row-for-row against an independent brute-force pandas/numpy
+reference over the sf0.001 events table (the DuckDB oracles are gated
+separately in test_oracle_parity.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from risjbot_ray.pipelines.relational import (events_window_counts,
+                                              purchase_attribution,
+                                              rolling_user_value,
+                                              user_distinct_by_type)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events() -> pd.DataFrame:
+    return pq.read_table(f"{SF}/events.parquet").to_pandas()
+
+
+def test_purchase_attribution_vs_bruteforce(ray_session):
+    ev = _events()
+    got = (purchase_attribution(SF).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    purch = ev[ev["event_type"] == "purchase"]
+    rows = []
+    for e in ev[ev["event_type"] != "purchase"].itertuples():
+        cand = purch[(purch["user_id"] == e.user_id)
+                     & (purch["ts"] <= e.ts)]
+        if len(cand) == 0:
+            continue
+        best = cand.sort_values(["ts", "event_id"]).iloc[-1]
+        rows.append((e.event_id, best["event_id"], best["ts"],
+                     best["value"]))
+    exp = (pd.DataFrame(rows, columns=["event_id", "purchase_event_id",
+                                       "purchase_ts",
+                                       "attributed_value"])
+           .sort_values("event_id").reset_index(drop=True))
+    assert len(got) == len(exp)
+    assert got["event_id"].to_list() == exp["event_id"].to_list()
+    assert (got["purchase_event_id"].to_list()
+            == exp["purchase_event_id"].to_list())
+    assert got["purchase_ts"].to_list() == exp["purchase_ts"].to_list()
+    assert np.allclose(got["attributed_value"],
+                       exp["attributed_value"])
+
+
+def test_events_window_counts_vs_bruteforce(ray_session):
+    ev = _events()
+    got = (events_window_counts(SF).to_pandas()
+           .sort_values("window_id").reset_index(drop=True))
+    t0 = ev["ts"].min().floor("h")
+    seen = 0
+    for k in range(120):
+        ws = t0 + pd.Timedelta(hours=6 * k)
+        we = ws + pd.Timedelta(hours=9)
+        sub = ev[(ev["ts"] >= ws) & (ev["ts"] < we)]
+        if len(sub) == 0:
+            assert k not in got["window_id"].to_numpy()
+            continue
+        row = got[got["window_id"] == k]
+        assert len(row) == 1
+        assert row["n_events"].iloc[0] == len(sub)
+        assert row["wstart"].iloc[0] == ws
+        assert row["wend"].iloc[0] == we
+        assert abs(row["sum_value"].iloc[0]
+                   - round(sub["value"].sum(), 2)) < 1e-6
+        seen += 1
+    assert seen == len(got)
+    # windows genuinely overlap: total window-event memberships exceed
+    # the event count (each event falls in 1-2 windows)
+    assert got["n_events"].sum() > len(ev)
+
+
+def test_user_distinct_by_type_vs_bruteforce(ray_session):
+    ev = _events()
+    got = user_distinct_by_type(SF).to_pandas()
+    exp = (ev.groupby("event_type")["user_id"].nunique()
+           .rename("n_users").reset_index())
+    merged = got.merge(exp, on="event_type", suffixes=("", "_exp"))
+    assert len(merged) == len(exp) == len(got)
+    assert (merged["n_users"] == merged["n_users_exp"]).all()
+
+
+def test_rolling_user_value_vs_bruteforce(ray_session):
+    ev = _events()
+    got = (rolling_user_value(SF, window=5).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    ev = ev.sort_values(["user_id", "ts", "event_id"],
+                        kind="mergesort")
+    exp = (ev.groupby("user_id")["value"]
+           .rolling(5, min_periods=1).mean()
+           .reset_index(level=0, drop=True))
+    ev = ev.assign(exp_avg=exp).sort_values("event_id")
+    assert len(got) == len(ev)
+    assert got["event_id"].to_list() == ev["event_id"].to_list()
+    assert np.allclose(got["rolling_avg"],
+                       np.round(ev["exp_avg"].to_numpy(), 4),
+                       atol=1e-9)

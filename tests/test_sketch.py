@@ -14,9 +14,16 @@ QS = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
 
 
 def _disc_quantiles(stream: np.ndarray, qs) -> np.ndarray:
-    """Brute-force quantile_disc: sorted[floor((n-1) * q)]."""
+    """Brute-force quantile_disc with DuckDB's exact DECIMAL-literal
+    rank convention: 0-based rank = max(1, n - floor(n*(1-q))) - 1 in
+    exact rational arithmetic."""
+    import math
+    from fractions import Fraction
     s = np.sort(stream)
-    return s[np.floor((len(s) - 1) * np.asarray(qs)).astype(int)]
+    n = len(s)
+    ranks = [max(1, n - math.floor(n * (1 - Fraction(str(q))))) - 1
+             for q in qs]
+    return s[ranks]
 
 
 def test_quantiles_from_value_counts_matches_bruteforce():
@@ -51,6 +58,19 @@ def test_wordcount_quantiles_e2e(ray_session):
     exp = _disc_quantiles(wc, QS)
     assert got.column("value").to_pylist() == list(exp)
     assert got.column("q").to_pylist() == list(QS)
+
+
+def test_wordcount_quantiles_by_lang_e2e(ray_session):
+    from risjbot_ray.pipelines.sketch import wordcount_quantiles_by_lang
+    got = wordcount_quantiles_by_lang(SF, qs=QS).to_pandas()
+    tbl = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["lang", "text"]).to_pandas()
+    tbl["wc"] = [len(t.split()) if t else 0 for t in tbl["text"]]
+    for lang, sub in tbl.groupby("lang"):
+        exp = _disc_quantiles(sub["wc"].to_numpy(), QS)
+        g = got[got["lang"] == lang].sort_values("q")
+        assert g["value"].to_list() == list(exp), lang
+        assert g["q"].to_list() == list(QS)
 
 
 def _mg_reference_check(stream, m, grams, est):
