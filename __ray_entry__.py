@@ -784,6 +784,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curate_full": wt.curate_corpus,
         "doc_length_histogram": wt.length_histogram,
         "corpus_top_bigrams": wt.top_ngrams,
+        # PMI-ranked collocations (broadcast unigram model, bucketed
+        # exact per-bucket top-k) — exact DuckDB oracle
+        "corpus_top_pmi": wt.top_pmi_bigrams,
         "doc_lang_balance": wt.lang_balance_sample,
         "corpus_split": wt.corpus_split,
         "doc_quality_rank": wt.quality_rank,
@@ -797,6 +800,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped variant: per-language quantiles from the same
         # mergeable (lang, value)-counts summary
         "doc_wordcount_quantiles_by_lang": sk.wordcount_quantiles_by_lang,
+        # DDSketch relative-error quantiles over continuous values —
+        # self-checking row (within_alpha vs the true order statistic
+        # at the same rank); the sketch itself is not SQL-expressible
+        "events_value_quantiles": sk.value_quantile_sketch,
         # Misra-Gries frequent-tokens sketch vs exact counts —
         # self-checking row (undercount <= N/(m+1), all true-heavy
         # tokens retained); the sketch values are not SQL-expressible
@@ -1768,6 +1775,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT gram, COUNT(*) AS n_occurrences
             FROM grams GROUP BY gram
             ORDER BY n_occurrences DESC, gram
+            LIMIT 100
+        """,
+        # PMI collocations: same tokenizer as corpus_top_bigrams; the
+        # log argument is written in the Ray side's exact operand
+        # order so both sides round identical doubles
+        "corpus_top_pmi": r"""
+            WITH toks AS (
+              SELECT string_split_regex(trim(text), '\s+') AS a
+              FROM documents WHERE trim(text) <> ''
+            ), uni AS (
+              SELECT unnest(a) AS w FROM toks
+            ), ucnt AS (
+              SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+            ), n1 AS (SELECT COUNT(*) AS n FROM uni),
+            nd AS (SELECT COUNT(*) AS n FROM toks),
+            bi AS (
+              SELECT a[i] AS w1, a[i + 1] AS w2
+              FROM toks,
+                   unnest(generate_series(1, greatest(len(a) - 1, 0)))
+                     AS t(i)
+            ), bcnt AS (
+              SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY w1, w2
+            )
+            SELECT b.w1 || ' ' || b.w2 AS gram,
+                   b.c AS n_occurrences,
+                   ROUND(LN((CAST(b.c AS DOUBLE) * n1.n * n1.n)
+                            / (CAST(n1.n - nd.n AS DOUBLE)
+                               * u1.c * u2.c)), 5) AS pmi
+            FROM bcnt b
+            JOIN ucnt u1 ON u1.w = b.w1
+            JOIN ucnt u2 ON u2.w = b.w2
+            CROSS JOIN n1 CROSS JOIN nd
+            WHERE b.c >= 5
+            ORDER BY pmi DESC, gram ASC
             LIMIT 100
         """,
         # language-balanced sampling: every language downsampled to the

@@ -148,6 +148,116 @@ def wordcount_quantiles_by_lang(sf_dir: str, qs=_QS_DEFAULT) -> pa.Table:
 
 
 # --------------------------------------------------------------------------
+# DDSketch: relative-error quantiles for CONTINUOUS values
+# --------------------------------------------------------------------------
+#
+# The discrete-quantile summary above is exact because word counts
+# live in a small integer domain. Continuous doubles (event values,
+# latencies, prices) have no such domain — the mergeable sketch for
+# them is DDSketch (Masson, Rim & Lee, "DDSketch: a fast and
+# fully-mergeable quantile sketch with relative-error guarantees",
+# VLDB 2019 — public algorithm): bucket i = ceil(log_gamma(v)) with
+# gamma = (1+alpha)/(1-alpha), so every value in bucket i is within
+# relative error alpha of the bucket's midpoint estimate
+# 2*gamma^i/(gamma+1). Bucket counts are plain (int key -> int64
+# count) rows: merging two sketches is adding counts, so partials
+# tree-combine through the same no-shuffle path as the value-counts
+# summary, and the state is O(log(max/min)/alpha) buckets regardless
+# of row count.
+
+_DD_QS = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def dd_bucket_counts(v: np.ndarray, alpha: float) -> "pa.Table":
+    """Deterministic DDSketch bucket counts for one value array.
+    Non-positive values (the sketch's contract is v > 0) are pinned to
+    a reserved underflow bucket (int64 min + 1) so nothing is silently
+    dropped and merges stay exact."""
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    under = np.iinfo(np.int64).min + 1
+    pos = v > 0.0
+    b = np.full(len(v), under, dtype=np.int64)
+    b[pos] = np.ceil(np.log(v[pos]) / np.log(gamma)).astype(np.int64)
+    vals, n = np.unique(b, return_counts=True)
+    return pa.table({"bucket": pa.array(vals, pa.int64()),
+                     "n": pa.array(n.astype(np.int64), pa.int64())})
+
+
+def dd_quantiles_from_buckets(buckets: np.ndarray, counts: np.ndarray,
+                              alpha: float, qs) -> np.ndarray:
+    """Quantile estimates from a merged DDSketch: walk the cumulative
+    counts to the ceil(q*n)-th order statistic's bucket and return the
+    bucket midpoint 2*gamma^i/(gamma+1) — within relative error alpha
+    of the true order statistic (for positive values)."""
+    import math
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    order = np.argsort(buckets, kind="stable")
+    buckets, counts = buckets[order], counts[order]
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    ranks = np.array([max(1, math.ceil(q * n)) - 1 for q in qs],
+                     dtype=np.int64)
+    idx = np.searchsorted(cum, ranks, side="right")
+    i = buckets[idx].astype(np.float64)
+    return 2.0 * np.power(gamma, i) / (gamma + 1.0)
+
+
+def value_quantile_sketch(sf_dir: str, alpha: float = 0.01,
+                          qs=_DD_QS, column: str = "value",
+                          table: str = "events") -> pa.Table:
+    """DDSketch quantiles of ``events.value`` with a driver-visible
+    self-check: alongside each estimate the query computes the TRUE
+    order statistic at the same rank and asserts the DDSketch
+    guarantee |est - exact| <= alpha * exact. The sketch path (bucket
+    partials tree-combined, O(buckets) state) is the 100-TB path; the
+    exact column is check-scale ground truth only (it selects the
+    k-th order statistic via a second pass, same pattern as the other
+    *_check queries)."""
+    import math
+    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                               columns=[column])
+
+    def partial(b: pa.Table) -> pa.Table:
+        return dd_bucket_counts(
+            b.column(column).to_numpy(zero_copy_only=False), alpha)
+
+    t = _agg_count_partials(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        lambda b: _merge_counts(b, "bucket", ("n",)))
+    if t is None:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "est": pa.array([], pa.float64()),
+                         "exact": pa.array([], pa.float64()),
+                         "rel_err": pa.array([], pa.float64()),
+                         "within_alpha": pa.array([], pa.int8())})
+    buckets = t.column("bucket").to_numpy(zero_copy_only=False)
+    counts = t.column("n").to_numpy(zero_copy_only=False)
+    est = dd_quantiles_from_buckets(buckets, counts, alpha, qs)
+
+    # ground truth at check scale: the true order statistics at the
+    # SAME ranks (per-batch partial top-(rank+1) would be the
+    # distributed selection; a plain sort is fine for the check row)
+    vals = np.sort(np.concatenate(
+        [b.column(column).to_numpy(zero_copy_only=False)
+         for b in ds.iter_batches(batch_format="pyarrow",
+                                  batch_size=65536)]))
+    n = len(vals)
+    ranks = np.array([max(1, math.ceil(q * n)) - 1 for q in qs],
+                     dtype=np.int64)
+    exact = vals[ranks]
+    rel = np.abs(est - exact) / np.where(exact != 0, np.abs(exact), 1.0)
+    return pa.table({
+        "q": pa.array(list(qs), pa.float64()),
+        "est": pa.array(np.round(est, 6), pa.float64()),
+        "exact": pa.array(np.round(exact, 6), pa.float64()),
+        "rel_err": pa.array(np.round(rel, 8), pa.float64()),
+        "within_alpha": pa.array(
+            (rel <= alpha + 1e-12).astype(np.int8), pa.int8()),
+    })
+
+
+# --------------------------------------------------------------------------
 # Misra-Gries heavy hitters
 # --------------------------------------------------------------------------
 

@@ -1060,6 +1060,107 @@ def top_ngrams(sf_dir: str, n: int = 2, k: int = 100):
                      descending=[True, False]).limit(k))
 
 
+def top_pmi_bigrams(sf_dir: str, k: int = 100, min_count: int = 5):
+    """Top-``k`` collocations: bigrams ranked by pointwise mutual
+    information, PMI = ln( (c_xy/N2) / ((c_x/N1)*(c_y/N1)) ), with a
+    ``min_count`` support floor (the classic word2vec-era collocation
+    score; raw PMI without a floor just surfaces hapax pairs).
+
+    Scale design: unigram counts are vocabulary-bounded, so they
+    tree-combine to the driver (the same assumption the BPE/LM
+    trainers make) and BROADCAST once via ``ray.put``; bigram counts
+    pre-aggregate per batch and shuffle only (w1, w2, count, bucket)
+    rows grouped by a crc32 gram bucket — a bigram lives in exactly
+    one bucket, so per-bucket scoring + top-k is globally exact and
+    the final merge handles <= #buckets x k tiny rows. N2 derives
+    exactly from the unigram pass (N2 = N1 - #nonempty docs), so no
+    third pass."""
+    from collections import Counter
+
+    _NB = 512
+    docs = _documents(sf_dir, ["text"])
+
+    _NDOC_KEY = ""   # whitespace-split tokens are never empty
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        ndocs = 0
+        for t in batch.column("text").to_pylist():
+            toks = (t or "").split()
+            if toks:
+                ndocs += 1
+                c.update(toks)
+        c[_NDOC_KEY] = ndocs
+        return pa.table({
+            "w": pa.array(list(c.keys()), pa.string()),
+            "n": pa.array(list(c.values()), pa.int64())})
+
+    def uni_merge(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = (batch.to_pandas().groupby("w", sort=False, as_index=False)
+             ["n"].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from risjbot_ray.pipelines.lm import _agg_count_partials
+    ut = _agg_count_partials(
+        docs.map_batches(uni_partial, batch_format="pyarrow",
+                         zero_copy_batch=True), uni_merge)
+    if ut is None:
+        return ray.data.from_arrow(pa.table({
+            "gram": pa.array([], pa.string()),
+            "n_occurrences": pa.array([], pa.int64()),
+            "pmi": pa.array([], pa.float64())}))
+    uc = dict(zip(ut.column("w").to_pylist(),
+                  ut.column("n").to_pylist()))
+    n_nonempty = uc.pop(_NDOC_KEY, 0)
+    n1 = sum(uc.values())
+    n2 = n1 - n_nonempty          # bigrams per doc = tokens - 1
+    uc_ref = ray.put(uc)
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = (t or "").split()
+            c.update(zip(toks, toks[1:]))
+        w1 = [a for a, _ in c.keys()]
+        w2 = [b for _, b in c.keys()]
+        gb = [zlib.crc32((a + " " + b).encode("utf-8")) % _NB
+              for a, b in c.keys()]
+        return pa.table({
+            "w1": pa.array(w1, pa.string()),
+            "w2": pa.array(w2, pa.string()),
+            "c": pa.array(list(c.values()), pa.int64()),
+            "gb": pa.array(gb, pa.int64())})
+
+    def bucket_topk(df):
+        u = ray.get(uc_ref)
+        g = (df.groupby(["w1", "w2"], sort=False, as_index=False)
+             ["c"].sum())
+        g = g[g["c"] >= min_count]
+        if len(g) == 0:
+            return g.assign(gram="", pmi=0.0)[
+                ["gram", "c", "pmi"]].rename(
+                columns={"c": "n_occurrences"})
+        cx = g["w1"].map(u).to_numpy(dtype=np.float64)
+        cy = g["w2"].map(u).to_numpy(dtype=np.float64)
+        c = g["c"].to_numpy(dtype=np.float64)
+        g["pmi"] = np.round(
+            np.log((c * float(n1) * float(n1))
+                   / (float(n2) * cx * cy)), 5)
+        g["gram"] = g["w1"] + " " + g["w2"]
+        g = g.rename(columns={"c": "n_occurrences"})
+        g = g.sort_values(["pmi", "gram"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return g[["gram", "n_occurrences", "pmi"]]
+
+    agg = (_coalesce_for_exchange(
+               docs.map_batches(bi_partial, batch_format="pyarrow"))
+           .groupby("gb").map_groups(bucket_topk,
+                                     batch_format="pandas"))
+    return (agg.sort(["pmi", "gram"], descending=[True, False])
+            .limit(k))
+
+
 # --------------------------------------------------------------------------
 # language-balanced sampling
 # --------------------------------------------------------------------------

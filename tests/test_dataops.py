@@ -366,6 +366,47 @@ def test_top_ngrams_exact(ray_session, tmp_path):
     assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == want
 
 
+def test_top_pmi_bigrams_reference(ray_session, tmp_path):
+    """PMI collocations against an independent Counter/math reference:
+    a planted always-together pair must outrank a frequent-but-
+    independent pair; values match the ln((c*N1*N1)/(N2*cx*cy))
+    formula at 5dp."""
+    import math
+    from collections import Counter
+
+    from risjbot_ray.pipelines.webtext import top_pmi_bigrams
+
+    # "zig zag" always co-occurs; "a b" is frequent but a/b also
+    # appear apart, diluting their PMI
+    rows = [(i, "zig zag a b a c b d " + "e f " * 3)
+            for i in range(10)]
+    sf = _write_docs(tmp_path, rows)
+
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    ndocs = 0
+    for _, text in rows:
+        toks = text.split()
+        if toks:
+            ndocs += 1
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    n1 = sum(uni.values())
+    n2 = n1 - ndocs
+    ref = {}
+    for (x, y), c in bi.items():
+        if c >= 5:
+            ref[f"{x} {y}"] = round(
+                math.log((c * float(n1) * float(n1))
+                         / (float(n2) * uni[x] * uni[y])), 5)
+
+    got = top_pmi_bigrams(sf, k=50, min_count=5).to_pandas()
+    assert dict(zip(got["gram"], got["pmi"])) == ref
+    assert got.iloc[0]["gram"] == "zig zag"
+    top = {g: p for g, p in zip(got["gram"], got["pmi"])}
+    assert top["zig zag"] > top["a b"]
+
+
 def test_lang_balance_and_split(ray_session, tmp_path):
     """Language balancing caps every language near the smallest
     language's size; the split assignment is deterministic, complete

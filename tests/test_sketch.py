@@ -73,6 +73,54 @@ def test_wordcount_quantiles_by_lang_e2e(ray_session):
         assert g["q"].to_list() == list(QS)
 
 
+def test_ddsketch_bucket_mergeability_and_bound():
+    """The DDSketch contract: (a) merging per-chunk bucket counts is
+    EXACTLY the single-pass sketch (deterministic buckets, counts just
+    add); (b) every quantile estimate is within relative error alpha
+    of the true order statistic at the same rank."""
+    import math
+
+    import pyarrow as pa
+
+    from risjbot_ray.pipelines.lm import _merge_counts
+    from risjbot_ray.pipelines.sketch import (dd_bucket_counts,
+                                              dd_quantiles_from_buckets)
+    rng = np.random.default_rng(17)
+    alpha = 0.01
+    v = rng.lognormal(mean=1.0, sigma=2.0, size=20_000)
+    whole = dd_bucket_counts(v, alpha)
+    parts = [dd_bucket_counts(c, alpha)
+             for c in np.array_split(v, 13)]
+    merged = _merge_counts(pa.concat_tables(parts), "bucket", ("n",))
+    assert merged.sort_by("bucket").equals(whole.sort_by("bucket"))
+
+    qs = QS
+    est = dd_quantiles_from_buckets(
+        merged.column("bucket").to_numpy(zero_copy_only=False),
+        merged.column("n").to_numpy(zero_copy_only=False), alpha, qs)
+    s = np.sort(v)
+    n = len(s)
+    exact = s[[max(1, math.ceil(q * n)) - 1 for q in qs]]
+    assert np.all(np.abs(est - exact) <= alpha * exact + 1e-12)
+
+
+def test_ddsketch_underflow_bucket_counts_nonpositive():
+    from risjbot_ray.pipelines.sketch import dd_bucket_counts
+    v = np.array([-1.0, 0.0, 2.5, 3.5])
+    t = dd_bucket_counts(v, 0.01)
+    under = np.iinfo(np.int64).min + 1
+    d = dict(zip(t.column("bucket").to_pylist(),
+                 t.column("n").to_pylist()))
+    assert d[under] == 2
+    assert sum(d.values()) == 4
+
+
+def test_value_quantile_sketch_e2e(ray_session):
+    from risjbot_ray.pipelines.sketch import value_quantile_sketch
+    t = value_quantile_sketch(SF, alpha=0.01)
+    assert t.column("within_alpha").to_pylist() == [1] * 7
+
+
 def _mg_reference_check(stream, m, grams, est):
     """The MG contract: every estimate undercounts its true count by
     at most N/(m+1); absent tokens have true count <= N/(m+1)."""
