@@ -736,6 +736,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-user trailing-window rolling mean (co-partitioned,
         # shifted-adds in SQL frame order)
         "events_rolling_avg": relational.rolling_user_value,
+        # per-column profiling pass (counts/nulls/min/max partials
+        # tree-combine; no shuffle)
+        "events_profile": relational.table_profile,
         # text analysis over documents (SQL-checkable)
         "doc_wordcount": ts.q_wordcount,
         "doc_tokencount": ts.q_tokencount,
@@ -757,6 +760,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": lambda sf: similarity.kmeans_embeddings(sf),
         # near-dup families (rows-only checks)
         "doc_curation": ts.curate_documents,
+        # curation funnel report: per-gate fail counts + cascade
+        # survivors, one partial-counter row per batch
+        "doc_filter_funnel": ts.filter_funnel,
         "corpus_token_stats": ts.corpus_token_stats,
         "doc_langid": ts.q_langid,
         "doc_fingerprint": ts.q_fingerprint,
@@ -1183,6 +1189,100 @@ def oracle_sql() -> dict[str, str]:
             FROM m
             WHERE n_words >= 50 AND alpha >= 0.5 AND stop >= 0.02
             GROUP BY h
+        """,
+        # funnel over the SAME gate definitions as doc_curation's m CTE
+        "doc_filter_funnel": rf"""
+            WITH m AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE length(regexp_split_to_array(trim(text),
+                                                            '\s+'))
+                     END AS n_words,
+                     CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE CAST(length(regexp_replace(text,
+                               '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                               / length(text) END AS alpha,
+                     CASE WHEN length(trim(text)) = 0 THEN 0.0
+                          ELSE CAST(length(list_filter(
+                               regexp_split_to_array(trim(lower(text)),
+                                                     '\s+'),
+                               x -> list_contains([{",".join(
+                                   f"'{w}'" for w in sorted(
+                                       'the a an and or of to in is was '
+                                       'for on with as by at it this '
+                                       'that be are from he she they we '
+                                       'you his her its not have had but'
+                                       .split()))}],
+                                    trim(x, '.,;:!?''"()')))) AS DOUBLE)
+                               / length(regexp_split_to_array(trim(text),
+                                                              '\s+'))
+                     END AS stop
+              FROM documents
+            )
+            SELECT 'input' AS stage, CAST(0 AS BIGINT) AS n_failed,
+                   COUNT(*) AS n_surviving FROM m
+            UNION ALL
+            SELECT 'min_words',
+                   CAST(SUM(CASE WHEN n_words < 50 THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(SUM(CASE WHEN n_words >= 50 THEN 1 ELSE 0 END)
+                        AS BIGINT) FROM m
+            UNION ALL
+            SELECT 'min_alpha',
+                   CAST(SUM(CASE WHEN alpha < 0.5 THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(SUM(CASE WHEN n_words >= 50 AND alpha >= 0.5
+                            THEN 1 ELSE 0 END) AS BIGINT) FROM m
+            UNION ALL
+            SELECT 'min_stop',
+                   CAST(SUM(CASE WHEN stop < 0.02 THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(SUM(CASE WHEN n_words >= 50 AND alpha >= 0.5
+                            AND stop >= 0.02 THEN 1 ELSE 0 END)
+                        AS BIGINT) FROM m
+        """,
+        # per-column profile of the events table; timestamps as epoch
+        # micros, string columns get NULL bounds
+        "events_profile": """
+            SELECT 'event_id' AS column_name, COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_null,
+                   CAST(MIN(event_id) AS DOUBLE) AS min_val,
+                   CAST(MAX(event_id) AS DOUBLE) AS max_val
+            FROM events
+            UNION ALL
+            SELECT 'event_type', COUNT(*),
+                   CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0
+                        END) AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+            FROM events
+            UNION ALL
+            SELECT 'props', COUNT(*),
+                   CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0
+                        END) AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+            FROM events
+            UNION ALL
+            SELECT 'ts', COUNT(*),
+                   CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0
+                        END) AS BIGINT),
+                   CAST(epoch_us(MIN(ts)) AS DOUBLE),
+                   CAST(epoch_us(MAX(ts)) AS DOUBLE)
+            FROM events
+            UNION ALL
+            SELECT 'user_id', COUNT(*),
+                   CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0
+                        END) AS BIGINT),
+                   CAST(MIN(user_id) AS DOUBLE),
+                   CAST(MAX(user_id) AS DOUBLE)
+            FROM events
+            UNION ALL
+            SELECT 'value', COUNT(*),
+                   CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0
+                        END) AS BIGINT),
+                   CAST(MIN(value) AS DOUBLE),
+                   CAST(MAX(value) AS DOUBLE)
+            FROM events
         """,
         "corpus_token_stats": r"""
             SELECT COUNT(*) AS n_docs,

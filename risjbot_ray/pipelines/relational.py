@@ -327,6 +327,57 @@ def rolling_user_value(sf_dir: str, window: int = 5,
                                           batch_format="pandas")
 
 
+def table_profile(sf_dir: str, table: str = "events") -> pa.Table:
+    """Data-profiling operator: one row per column with row count,
+    null count, and min/max (numeric and timestamp columns; timestamps
+    report epoch microseconds so the output schema is uniform, string
+    columns report NULL bounds). The staple first pass over an unknown
+    100-TB table: each batch collapses to O(#columns) partial rows,
+    partials tree-combine on the driver — no shuffle, no row ever
+    leaves its block."""
+    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+
+    def partial(b: pa.Table) -> pa.Table:
+        names, nrows, nnull, mins, maxs = [], [], [], [], []
+        for name in b.column_names:
+            col = b.column(name)
+            names.append(name)
+            nrows.append(len(col))
+            nnull.append(col.null_count)
+            typ = col.type
+            if pa.types.is_timestamp(typ):
+                col = col.cast(pa.int64())
+                typ = pa.int64()
+            if (pa.types.is_integer(typ) or pa.types.is_floating(typ)) \
+                    and len(col) > col.null_count:
+                mm = pc.min_max(col)
+                mins.append(float(mm["min"].as_py()))
+                maxs.append(float(mm["max"].as_py()))
+            else:
+                mins.append(None)
+                maxs.append(None)
+        return pa.table({
+            "column_name": pa.array(names, pa.string()),
+            "n_rows": pa.array(nrows, pa.int64()),
+            "n_null": pa.array(nnull, pa.int64()),
+            "min_val": pa.array(mins, pa.float64()),
+            "max_val": pa.array(maxs, pa.float64())})
+
+    parts = [t for t in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs())
+        if t.num_rows]
+    df = pa.concat_tables(parts).to_pandas()
+    g = df.groupby("column_name", sort=True)
+    out = pd.DataFrame({
+        "n_rows": g["n_rows"].sum(),
+        "n_null": g["n_null"].sum(),
+        "min_val": g["min_val"].min(),
+        "max_val": g["max_val"].max(),
+    }).reset_index()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def sessionize_events(sf_dir: str, gap_minutes: int = 30,
                       nbuckets: int = 1024):
     """Session windows per user: sort within user, split on ts gaps >

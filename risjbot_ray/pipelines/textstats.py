@@ -249,6 +249,65 @@ def q_lang_counts(sf_dir: str):
 # composed curation pipelines (filter + dedup + aggregate at corpus scale)
 # --------------------------------------------------------------------------
 
+def filter_funnel(sf_dir: str, min_words: int = 50,
+                  min_alpha: float = 0.5, min_stop: float = 0.02
+                  ) -> pa.Table:
+    """Curation funnel report: for each quality gate (the same gates
+    ``curate_documents`` applies, same thresholds), how many docs fail
+    it in isolation and how many survive the cascade up to and
+    including it — the first thing anyone debugging a 100-TB curation
+    run asks for. ONE stateless pass: each batch collapses to a
+    single row of partial counters, partials tree-combine through a
+    trivial aggregate (no row ever rides an exchange)."""
+    ds = documents_ds(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_total = len(texts)
+        f_words = f_alpha = f_stop = s1 = s2 = s3 = 0
+        for t in texts:
+            t = t or ""
+            words = t.split()
+            nw = len(words)
+            n = len(t)
+            alpha_r = (sum("A" <= c <= "Z" or "a" <= c <= "z"
+                           for c in t) / n) if n else 0.0
+            stop_r = (sum(w.lower().strip(".,;:!?'\"()") in _STOPWORDS
+                          for w in words) / nw) if nw else 0.0
+            pw, pA, ps = (nw >= min_words, alpha_r >= min_alpha,
+                          stop_r >= min_stop)
+            f_words += not pw
+            f_alpha += not pA
+            f_stop += not ps
+            s1 += pw
+            s2 += pw and pA
+            s3 += pw and pA and ps
+        return pa.table({k: pa.array([v], pa.int64()) for k, v in (
+            ("n_total", n_total), ("f_words", f_words),
+            ("f_alpha", f_alpha), ("f_stop", f_stop),
+            ("s1", s1), ("s2", s2), ("s3", s3))})
+
+    import numpy as np
+    parts = [t for t in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs())
+        if t.num_rows]
+    tot = {c: 0 for c in ("n_total", "f_words", "f_alpha", "f_stop",
+                          "s1", "s2", "s3")}
+    for t in parts:
+        for c in tot:
+            tot[c] += int(np.sum(
+                t.column(c).to_numpy(zero_copy_only=False)))
+    return pa.table({
+        "stage": pa.array(["input", "min_words", "min_alpha",
+                           "min_stop"], pa.string()),
+        "n_failed": pa.array([0, tot["f_words"], tot["f_alpha"],
+                              tot["f_stop"]], pa.int64()),
+        "n_surviving": pa.array([tot["n_total"], tot["s1"], tot["s2"],
+                                 tot["s3"]], pa.int64()),
+    })
+
+
 def curate_documents(sf_dir: str, min_words: int = 50,
                      min_alpha: float = 0.5, min_stop: float = 0.02):
     """Training-corpus curation: quality-filter then exact-dedup in ONE

@@ -27,7 +27,8 @@ NAMES = ["simhash_signatures", "doc_fingerprint", "doc_langid",
          "doc_domain_token_cap", "doc_snapshot_diff",
          "doc_wordcount_quantiles_by_lang", "events_asof_purchase",
          "events_window_counts", "events_user_distinct",
-         "events_rolling_avg", "corpus_top_pmi"]
+         "events_rolling_avg", "corpus_top_pmi",
+         "doc_filter_funnel", "events_profile"]
 
 
 def _vhash(df) -> str:

@@ -85,6 +85,49 @@ def test_user_distinct_by_type_vs_bruteforce(ray_session):
     assert (merged["n_users"] == merged["n_users_exp"]).all()
 
 
+def test_table_profile_nulls_and_bounds(ray_session, tmp_path):
+    """Profile over a hand-built table with nulls: counts, null
+    counts, numeric/timestamp bounds, NULL bounds for strings."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from risjbot_ray.pipelines.relational import table_profile
+
+    t = pa.table({
+        "a": pa.array([1, None, 3, None], pa.int64()),
+        "b": pa.array([0.5, -2.0, None, 7.25], pa.float64()),
+        "s": pa.array(["x", None, "y", "z"], pa.string()),
+        "ts": pa.array([1_000_000, 2_000_000, None, 4_000_000],
+                       pa.timestamp("us")),
+    })
+    pq.write_table(t, str(tmp_path / "mini.parquet"))
+    got = (table_profile(str(tmp_path), table="mini").to_pandas()
+           .set_index("column_name"))
+    assert (got["n_rows"] == 4).all()
+    assert got.loc["a", "n_null"] == 2
+    assert got.loc["a", "min_val"] == 1.0
+    assert got.loc["a", "max_val"] == 3.0
+    assert got.loc["b", "min_val"] == -2.0
+    assert got.loc["b", "max_val"] == 7.25
+    assert pd.isna(got.loc["s", "min_val"])
+    assert got.loc["ts", "min_val"] == 1_000_000.0
+    assert got.loc["ts", "max_val"] == 4_000_000.0
+
+
+def test_filter_funnel_consistency(ray_session):
+    """Funnel internal invariants + agreement with curate_documents:
+    the cascade survivor count at the last gate equals the number of
+    distinct-text survivors' inputs (pre-dedup)."""
+    from risjbot_ray.pipelines.textstats import filter_funnel
+    got = filter_funnel(SF).to_pandas().set_index("stage")
+    n = got.loc["input", "n_surviving"]
+    s1, s2, s3 = (got.loc["min_words", "n_surviving"],
+                  got.loc["min_alpha", "n_surviving"],
+                  got.loc["min_stop", "n_surviving"])
+    assert n >= s1 >= s2 >= s3 >= 0
+    assert got.loc["min_words", "n_failed"] == n - s1
+
+
 def test_rolling_user_value_vs_bruteforce(ray_session):
     ev = _events()
     got = (rolling_user_value(SF, window=5).to_pandas()
