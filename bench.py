@@ -313,15 +313,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         out = "/tmp/bench_media_features"
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
-        media_features_ds(path=mdir, concurrency=(1, 24),
-                          batch_size=256).write_parquet(out)
+        # fixed pool (media_pool_size) + ~4 MB batches: the bench
+        # corpus is KB-scale rows, so batch_size=1024 keeps the pool
+        # compute-bound rather than task-launch-bound
+        media_features_ds(path=mdir,
+                          batch_size=1024).write_parquet(out)
         queries["media_features"] = round(time.time() - t0, 3)
         throughput["media_decode_rows_per_sec"] = round(
             n_media / queries["media_features"], 1)
         throughput["media_decode_mb_per_sec"] = round(
             media_mb / queries["media_features"], 1)
         t0 = time.time()
-        n_pairs = media_phash_pairs(path=mdir, batch_size=256).count()
+        n_pairs = media_phash_pairs(path=mdir, batch_size=1024).count()
         queries["media_phash_pairs"] = round(time.time() - t0, 3)
         throughput["media_phash_rows_per_sec"] = round(
             n_media / queries["media_phash_pairs"], 1)
