@@ -241,6 +241,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "n_headline_mismatch": pa.array([n_head], pa.int64()),
         })
 
+    def doc_index_lookup(sf_dir: str):
+        """Build the bucket-partitioned inverted index into scratch,
+        then answer one term lookup from exactly one bucket file —
+        the posting list matches the oracle's per-doc tf scan."""
+        import shutil
+        out = "/tmp/risjbot_index_q"
+        shutil.rmtree(out, ignore_errors=True)
+        similarity.build_inverted_index(sf_dir, out)
+        return similarity.index_lookup(out, "vector")
+
     def ann_ivf_recall(sf_dir: str):
         """Driver-visible IVF self-check (VERDICT r2 item 4,
         `crawl_vs_expected`-style): run the IVF search AND the exact
@@ -755,6 +765,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # score + partial top-k); exact SQL oracle
         "doc_bm25_topk": lambda sf: similarity.bm25_topk(
             sf, query="vector hash join stream", k=20),
+        # inverted-index SINK + lookup: build the bucket-partitioned
+        # posting lists, then answer one term from exactly one bucket
+        "doc_index_lookup": doc_index_lookup,
         # iterative Lloyd's over the full embeddings table — rows-only
         # driver row; the inertia_monotone column is the self-check
         "embedding_kmeans": lambda sf: similarity.kmeans_embeddings(sf),
@@ -840,6 +853,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tile_dedup_incr": lambda sf: wt.tile_dedup_incremental(
             sf, _fresh_tile_ledger()),
         "minhash_dedup_clusters": dedup.minhash_dedup,
+        # connected components over the exact simhash pair set — same
+        # label-propagation closure, fully SQL-checkable (bit_count)
+        "simhash_dedup_clusters": dedup.simhash_clusters,
         "simhash_signatures": dedup.simhash_signatures,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
@@ -1190,6 +1206,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_words >= 50 AND alpha >= 0.5 AND stop >= 0.02
             GROUP BY h
         """,
+        # one-term posting list: BM25's tokenizer, tf per doc
+        "doc_index_lookup": r"""
+            WITH tf AS (
+              SELECT doc_id,
+                     len(list_filter(
+                         regexp_extract_all(lower(text), '[a-z0-9]+'),
+                         x -> x = 'vector')) AS tf
+              FROM documents
+            )
+            SELECT doc_id, tf FROM tf WHERE tf > 0
+        """,
         # funnel over the SAME gate definitions as doc_curation's m CTE
         "doc_filter_funnel": rf"""
             WITH m AS (
@@ -1523,6 +1550,45 @@ def oracle_sql() -> dict[str, str]:
                                THEN u.uval - 18446744073709551616::HUGEINT
                              ELSE u.uval END AS BIGINT) AS simhash
             FROM documents d LEFT JOIN u USING (doc_id)
+        """,
+        # clusters over the simhash pair set: same signature SQL, pairs
+        # by bit_count(xor) <= 3, recursive-CTE min-label closure
+        "simhash_dedup_clusters": f"""
+            WITH RECURSIVE tok AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(t.tok), 1, 16))::UBIGINT AS h
+              FROM documents,
+                   unnest(regexp_extract_all(lower(text),
+                                             '[a-z0-9]+')) AS t(tok)
+            ), v AS (
+              SELECT doc_id,
+              {sh_votes}
+              FROM tok GROUP BY doc_id
+            ), u AS (
+              SELECT doc_id, ({sh_asm}) AS uval FROM v
+            ), sig AS (
+              SELECT d.doc_id,
+                     CAST(CASE WHEN u.uval IS NULL THEN 0
+                               WHEN u.uval >=
+                                    9223372036854775808::HUGEINT
+                                 THEN u.uval
+                                      - 18446744073709551616::HUGEINT
+                               ELSE u.uval END AS BIGINT) AS simhash
+              FROM documents d LEFT JOIN u USING (doc_id)
+            ), prs AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ), edges AS (
+              SELECT a, b FROM prs UNION SELECT b, a FROM prs
+            ), reach(node, lbl) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT e.b, r.lbl FROM reach r
+              JOIN edges e ON e.a = r.node
+            )
+            SELECT node AS doc_id, MIN(lbl) AS cluster_id
+            FROM reach GROUP BY node
         """,
         "doc_fingerprint": f"""
             WITH chars AS (

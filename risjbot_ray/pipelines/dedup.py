@@ -589,6 +589,31 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 3):
                                                alias_name="hamming"))
 
 
+def simhash_clusters(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+    """Near-duplicate CLUSTERS over the simhash pair set: connected
+    components of "Hamming(simhash_a, simhash_b) <= max_hamming",
+    returning (doc_id, cluster_id = min reachable doc_id) for every
+    doc that participates in at least one pair. Same composition shape
+    as :func:`minhash_dedup` — banded pairs (exact for max_hamming <
+    bands by the pigeonhole recall argument) feed the distributed
+    min-label propagation; the pair set never lands on the driver.
+    Fully SQL-checkable: signatures, the bit_count pair predicate and
+    the closure are all expressible (driver oracle
+    ``simhash_dedup_clusters``)."""
+    pairs = simhash_near_pairs(sf_dir, max_hamming=max_hamming)
+    edges = pairs.select_columns(["a", "b"])
+    labels = label_propagation_clusters(edges)
+    parts = [ray.get(r) for r in labels.to_arrow_refs()]
+    parts = [t for t in parts if t.num_rows]
+    if not parts:
+        return pa.schema([("doc_id", pa.int64()),
+                          ("cluster_id", pa.int64())]).empty_table()
+    tbl = (pa.concat_tables(parts)
+           .rename_columns(["doc_id", "cluster_id"]))
+    return tbl.take(pc.sort_indices(tbl, sort_keys=[("doc_id",
+                                                     "ascending")]))
+
+
 # --------------------------------------------------------------------------
 # n-gram Jaccard verification
 # --------------------------------------------------------------------------

@@ -448,3 +448,105 @@ def bm25_topk(sf_dir: str, query: str = "vector hash join stream",
     return pa.table({
         "doc_id": pa.array([r["doc_id"] for r in top], pa.int64()),
         "score": pa.array([r["score"] for r in top], pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# inverted index: bucket-partitioned posting lists as a SINK + lookup
+# ---------------------------------------------------------------------------
+
+INDEX_NBUCKETS = 64
+
+
+def _term_bucket(term: str, nbuckets: int = INDEX_NBUCKETS) -> int:
+    import zlib
+    return zlib.crc32(term.encode("utf-8")) % nbuckets
+
+
+def build_inverted_index(sf_dir: str, out_dir: str,
+                         nbuckets: int = INDEX_NBUCKETS) -> "pa.Table":
+    """Build a term-bucketed inverted index over ``documents`` and
+    WRITE it as one parquet file per term-hash bucket (the sink shape
+    a retrieval system consumes): posting rows (term, doc_id, tf),
+    sorted by (term, doc_id) within each bucket so a lookup is one
+    file read + one binary-searchable range.
+
+    Scale design: per-batch Counters collapse each doc to its distinct
+    (term, tf) postings before the exchange; the ONLY shuffle groups
+    postings by the crc32 term bucket (a term lives in exactly one
+    bucket); each bucket group merges + sorts vectorized and writes
+    its own partition file (same side-effect-write pattern as the
+    crawl's wave spills — on a multi-node cluster ``out_dir`` is
+    shared storage). The driver sees one manifest row per bucket.
+    Tokenizer is BM25's ``[a-z0-9]+`` on lowered text, so index
+    lookups agree with ``bm25_topk`` term statistics."""
+    import os
+    import re as _re
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def postings(batch: pa.Table) -> pa.Table:
+        import zlib
+        from collections import Counter
+        out_t, out_d, out_tf, out_b = [], [], [], []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            for term, tf in Counter(
+                    _re.findall(r"[a-z0-9]+", (t or "").lower())).items():
+                out_t.append(term)
+                out_d.append(did)
+                out_tf.append(tf)
+                out_b.append(zlib.crc32(term.encode("utf-8")) % nbuckets)
+        return pa.table({"term": pa.array(out_t, pa.string()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "tf": pa.array(out_tf, pa.int64()),
+                         "tb": pa.array(out_b, pa.int64())})
+
+    def write_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pyarrow.parquet as pq
+        tb = int(df["tb"].iloc[0])
+        df = df.sort_values(["term", "doc_id"],
+                            kind="mergesort")[["term", "doc_id", "tf"]]
+        path = os.path.join(out_dir, f"tb={tb}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       tmp)
+        os.replace(tmp, path)    # atomic: a re-run never tears a file
+        return pd.DataFrame({"tb": [tb],
+                             "n_terms": [df["term"].nunique()],
+                             "n_postings": [len(df)]})
+
+    from risjbot_ray.pipelines.webtext import _coalesce_for_exchange
+    manifest = (_coalesce_for_exchange(
+                    ds.map_batches(postings, batch_format="pyarrow"))
+                .groupby("tb")
+                .map_groups(write_bucket, batch_format="pandas")
+                .to_pandas())
+    return pa.Table.from_pandas(
+        manifest.sort_values("tb", kind="mergesort"),
+        preserve_index=False)
+
+
+def index_lookup(index_dir: str, term: str,
+                 nbuckets: int = INDEX_NBUCKETS) -> "pa.Table":
+    """Posting-list lookup against a built index: reads EXACTLY the
+    term's bucket file (never the corpus, never the other buckets) and
+    returns (doc_id, tf) sorted by doc_id."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import pyarrow.compute as pc
+
+    path = os.path.join(index_dir,
+                        f"tb={_term_bucket(term, nbuckets)}.parquet")
+    if not os.path.exists(path):
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "tf": pa.array([], pa.int64())})
+    t = pq.read_table(path, filters=[("term", "=", term)],
+                      columns=["doc_id", "tf"])
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id",
+                                                 "ascending")]))

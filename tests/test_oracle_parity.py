@@ -28,7 +28,8 @@ NAMES = ["simhash_signatures", "doc_fingerprint", "doc_langid",
          "doc_wordcount_quantiles_by_lang", "events_asof_purchase",
          "events_window_counts", "events_user_distinct",
          "events_rolling_avg", "corpus_top_pmi",
-         "doc_filter_funnel", "events_profile"]
+         "doc_filter_funnel", "events_profile",
+         "simhash_dedup_clusters", "doc_index_lookup"]
 
 
 def _vhash(df) -> str:

@@ -128,6 +128,40 @@ def test_filter_funnel_consistency(ray_session):
     assert got.loc["min_words", "n_failed"] == n - s1
 
 
+def test_inverted_index_build_and_lookup(ray_session, tmp_path):
+    """Index sink + lookup vs a brute-force corpus scan: posting lists
+    for several terms (present, absent, multi-occurrence) match exact
+    tf counts; a lookup touches only its term's bucket file; the
+    manifest accounts for every posting."""
+    import re
+    from collections import Counter
+
+    from risjbot_ray.pipelines.similarity import (_term_bucket,
+                                                  build_inverted_index,
+                                                  index_lookup)
+    out = str(tmp_path / "idx")
+    manifest = build_inverted_index(SF, out).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    tfs: dict = {}
+    total_postings = 0
+    for r in docs:
+        c = Counter(re.findall(r"[a-z0-9]+", (r["text"] or "").lower()))
+        total_postings += len(c)
+        for term, tf in c.items():
+            tfs.setdefault(term, {})[r["doc_id"]] = tf
+    assert manifest["n_postings"].sum() == total_postings
+
+    for term in ("vector", "the", "hash", "zzz_not_a_term"):
+        got = index_lookup(out, term).to_pandas()
+        exp = sorted((tfs.get(term) or {}).items())
+        assert list(zip(got["doc_id"], got["tf"])) == exp, term
+    # bucket-locality: the lookup's file is the term's crc32 bucket
+    import os
+    assert os.path.exists(
+        os.path.join(out, f"tb={_term_bucket('vector')}.parquet"))
+
+
 def test_rolling_user_value_vs_bruteforce(ray_session):
     ev = _events()
     got = (rolling_user_value(SF, window=5).to_pandas()
