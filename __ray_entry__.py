@@ -749,8 +749,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-column profiling pass (counts/nulls/min/max partials
         # tree-combine; no shuffle)
         "events_profile": relational.table_profile,
+        # grouped Pearson correlation from sufficient-statistic
+        # partials (single pass, no centering shuffle)
+        "lineitem_corr": relational.lineitem_corr,
+        # distributed PCA (single-pass moment partials + driver
+        # eigendecomposition) with a full-recompute self-check row —
+        # eigenvectors are not SQL-expressible
+        "embedding_pca": similarity.embedding_pca,
         # text analysis over documents (SQL-checkable)
         "doc_wordcount": ts.q_wordcount,
+        # pre-tokenization text normalization (control strip +
+        # whitespace collapse), RE2-oracle-exact
+        "doc_normalize": ts.q_normalize,
         "doc_tokencount": ts.q_tokencount,
         "doc_quality": ts.q_quality,
         "doc_lang_counts": ts.q_lang_counts,
@@ -1205,6 +1215,30 @@ def oracle_sql() -> dict[str, str]:
             FROM m
             WHERE n_words >= 50 AND alpha >= 0.5 AND stop >= 0.02
             GROUP BY h
+        """,
+        # same control-strip + whitespace-collapse classes as the Ray
+        # side (explicit ASCII classes, not \s, so RE2 agrees)
+        "doc_normalize": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(
+                        regexp_replace(text,
+                            '[\x00-\x08\x0e-\x1f\x7f]', '', 'g'),
+                        '[ \t\n\r\f\x0b]+', ' ', 'g'), ' ')
+                     AS text_norm,
+                   length(trim(regexp_replace(
+                        regexp_replace(text,
+                            '[\x00-\x08\x0e-\x1f\x7f]', '', 'g'),
+                        '[ \t\n\r\f\x0b]+', ' ', 'g'), ' '))
+                     AS n_chars_norm
+            FROM documents
+        """,
+        # grouped Pearson correlation; corr() and the sufficient-stat
+        # algebra agree to well past the 5dp rounding
+        "lineitem_corr": """
+            SELECT l_returnflag, COUNT(*) AS n,
+                   ROUND(corr(l_quantity, l_extendedprice), 5)
+                     AS corr_qty_price
+            FROM lineitem GROUP BY l_returnflag
         """,
         # one-term posting list: BM25's tokenizer, tf per doc
         "doc_index_lookup": r"""

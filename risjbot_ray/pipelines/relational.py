@@ -327,6 +327,49 @@ def rolling_user_value(sf_dir: str, window: int = 5,
                                           batch_format="pandas")
 
 
+def lineitem_corr(sf_dir: str) -> pa.Table:
+    """Grouped Pearson correlation of (l_quantity, l_extendedprice)
+    per l_returnflag, from SUFFICIENT STATISTICS: each batch collapses
+    to (flag, n, sx, sy, sxx, syy, sxy) partials in one vectorized
+    pass, partials sum through a tiny groupby (one row per flag per
+    block), and the driver finishes the algebra — the canonical way a
+    correlation matrix is computed at 100 TB (no second pass, no
+    centering shuffle)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        x = df["l_quantity"].to_numpy(dtype=np.float64)
+        y = df["l_extendedprice"].to_numpy(dtype=np.float64)
+        df = pd.DataFrame({"f": df["l_returnflag"], "n": 1.0,
+                           "sx": x, "sy": y, "sxx": x * x,
+                           "syy": y * y, "sxy": x * y})
+        g = df.groupby("f", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("f")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sxx", alias_name="sxx"),
+                      Sum("syy", alias_name="syy"),
+                      Sum("sxy", alias_name="sxy")))
+    df = agg.to_pandas()    # one row per returnflag
+    n = df["n"]
+    cov = df["sxy"] - df["sx"] * df["sy"] / n
+    vx = df["sxx"] - df["sx"] ** 2 / n
+    vy = df["syy"] - df["sy"] ** 2 / n
+    out = pd.DataFrame({
+        "l_returnflag": df["f"],
+        "n": n.astype("int64"),
+        "corr_qty_price": np.round(cov / np.sqrt(vx * vy), 5),
+    }).sort_values("l_returnflag", kind="mergesort")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def table_profile(sf_dir: str, table: str = "events") -> pa.Table:
     """Data-profiling operator: one row per column with row count,
     null count, and min/max (numeric and timestamp columns; timestamps

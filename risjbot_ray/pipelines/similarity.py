@@ -550,3 +550,93 @@ def index_lookup(index_dir: str, term: str,
                       columns=["doc_id", "tf"])
     return t.take(pc.sort_indices(t, sort_keys=[("doc_id",
                                                  "ascending")]))
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA over the embeddings table
+# ---------------------------------------------------------------------------
+
+def _pca_moment_partials(ds: "ray.data.Dataset", d: int):
+    """One streaming pass: per-batch (n, sum, X^T X) moment partials,
+    summed on the driver. State is d + d*d doubles per block — the
+    classic single-pass distributed-PCA shape (the Gram matrix is the
+    only thing that crosses the wire; vectors never leave their
+    block)."""
+    def partial(b: pa.Table) -> pa.Table:
+        X = np.array([np.asarray(v, dtype=np.float64) for v in
+                      b.column("embedding").to_pylist()])
+        if X.size == 0:
+            X = np.zeros((0, d))
+        return pa.table({
+            "n": pa.array([len(X)], pa.int64()),
+            "s": pa.array([X.sum(axis=0).tobytes()], pa.binary()),
+            "xtx": pa.array([(X.T @ X).tobytes()], pa.binary())})
+
+    n_tot = 0
+    s_tot = np.zeros(d)
+    xtx_tot = np.zeros((d, d))
+    for t in ray.get(ds.map_batches(partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                     .to_arrow_refs()):
+        for row in t.to_pylist():
+            n_tot += row["n"]
+            s_tot += np.frombuffer(row["s"], dtype=np.float64)
+            xtx_tot += np.frombuffer(row["xtx"],
+                                     dtype=np.float64).reshape(d, d)
+    return n_tot, s_tot, xtx_tot
+
+
+def embedding_pca(sf_dir: str, k: int = 8) -> pa.Table:
+    """Distributed PCA with a driver-visible self-check: fit the top-k
+    components from single-pass moment partials (mean + Gram matrix
+    tree-combine; eigendecomposition of the d x d covariance on the
+    driver — d is the embedding width, never the corpus), then verify
+    against a FULL local numpy recompute at check scale
+    (crawl_vs_expected-style counters). Returns one row per component:
+    (component, explained_var_ratio, check_max_abs_diff, check_ok).
+    Component signs are normalized (largest-|entry| positive) so the
+    comparison is deterministic."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    first = ds.take(1)
+    if not first:
+        return pa.table({"component": pa.array([], pa.int64()),
+                         "explained_var_ratio": pa.array([], pa.float64()),
+                         "check_max_abs_diff": pa.array([], pa.float64()),
+                         "check_ok": pa.array([], pa.int8())})
+    d = len(first[0]["embedding"])
+    n, s, xtx = _pca_moment_partials(ds, d)
+
+    mean = s / n
+    cov = (xtx - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T                    # k x d
+    evr = evals[order] / evals.sum()
+    # deterministic sign: largest-|entry| coordinate positive
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+
+    # ground truth at check scale: full local recompute from the raw
+    # vectors (same pattern as the other *_check queries)
+    X = np.array([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in ds.take_all()])
+    cov_ref = np.cov(X, rowvar=False)
+    evals_r, evecs_r = np.linalg.eigh(cov_ref)
+    order_r = np.argsort(evals_r)[::-1][:k]
+    comps_r = evecs_r[:, order_r].T
+    evr_r = evals_r[order_r] / evals_r.sum()
+    for i in range(len(comps_r)):
+        j = int(np.argmax(np.abs(comps_r[i])))
+        if comps_r[i, j] < 0:
+            comps_r[i] = -comps_r[i]
+    diffs = np.abs(comps - comps_r).max(axis=1)
+    diffs = np.maximum(diffs, np.abs(evr - evr_r))
+    return pa.table({
+        "component": pa.array(np.arange(len(comps)), pa.int64()),
+        "explained_var_ratio": pa.array(np.round(evr, 6), pa.float64()),
+        "check_max_abs_diff": pa.array(np.round(diffs, 9), pa.float64()),
+        "check_ok": pa.array((diffs < 1e-6).astype(np.int8), pa.int8()),
+    })

@@ -249,6 +249,38 @@ def q_lang_counts(sf_dir: str):
 # composed curation pipelines (filter + dedup + aggregate at corpus scale)
 # --------------------------------------------------------------------------
 
+_CTRL_RE = None
+_WS_RE = None
+
+
+def normalize_batch(batch: pa.Table) -> pa.Table:
+    """Text normalization (the standard pre-tokenization cleanup):
+    strip C0/DEL control characters, collapse ASCII whitespace runs to
+    one space, trim. Explicit character classes (not ``\\s``) so an
+    ANSI-SQL RE2 oracle computes the identical result. Compiled
+    regexes are module-level (C-speed per batch)."""
+    global _CTRL_RE, _WS_RE
+    import re
+    if _CTRL_RE is None:
+        _CTRL_RE = re.compile(r"[\x00-\x08\x0e-\x1f\x7f]")
+        _WS_RE = re.compile(r"[ \t\n\r\f\x0b]+")
+    out = []
+    for t in batch.column("text").to_pylist():
+        t = _CTRL_RE.sub("", t or "")
+        t = _WS_RE.sub(" ", t).strip(" ")
+        out.append(t)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "text_norm": pa.array(out, pa.string()),
+        "n_chars_norm": pa.array([len(t) for t in out], pa.int64())})
+
+
+def q_normalize(sf_dir: str):
+    """Stateless normalization map over the corpus."""
+    return documents_ds(sf_dir).map_batches(
+        normalize_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def filter_funnel(sf_dir: str, min_words: int = 50,
                   min_alpha: float = 0.5, min_stop: float = 0.02
                   ) -> pa.Table:

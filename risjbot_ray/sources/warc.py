@@ -50,11 +50,18 @@ _MAX_LINE = 1 << 16
 
 
 def iter_warc_records(stream: IO[bytes],
-                      errors: dict | None = None) -> Iterator[dict]:
-    """Stream ``response`` records from a binary WARC stream as dicts:
-    url, warc_ts (epoch micros), http_status, content_type, html
-    (decoded payload body bytes). Non-response records (warcinfo /
-    request / metadata) are skipped.
+                      errors: dict | None = None,
+                      record_types: tuple = ("response",)
+                      ) -> Iterator[dict]:
+    """Stream records of the given WARC types from a binary WARC
+    stream as dicts: url, warc_ts (epoch micros), http_status,
+    content_type, html (decoded payload body bytes). ``response``
+    records carry an HTTP envelope that is split off; ``conversion``
+    records (the WET extracted-text layout Common Crawl ships next to
+    each snapshot) have no envelope — the payload IS the content, so
+    http_status is 0 and content_type comes from the WARC header.
+    Records of other types (warcinfo / request / metadata) are
+    skipped.
 
     Memory is O(one record): headers are read line by line and the
     payload with one bounded ``read``. A malformed record (missing or
@@ -109,11 +116,16 @@ def iter_warc_records(stream: IO[bytes],
         if len(body) < length:             # truncated archive tail
             err["bad_records"] += 1
             return
-        if headers.get("warc-type") != "response":
+        rtype = headers.get("warc-type")
+        if rtype not in record_types:
             continue
         url = headers.get("warc-target-uri", "")
         ts = _warc_date_to_micros(headers.get("warc-date", ""))
-        status, ctype, html = _split_http_payload(body)
+        if rtype == "response":
+            status, ctype, html = _split_http_payload(body)
+        else:       # conversion / resource: payload is the content
+            status, ctype, html = 0, headers.get("content-type",
+                                                 ""), body
         yield {"url": url, "warc_ts": ts, "http_status": status,
                "content_type": ctype, "html": html,
                # stream offset span of this record (version line ..
@@ -299,6 +311,61 @@ def read_warc(paths: str | list[str]) -> "ray.data.Dataset":
     driver or sit fully decoded in a worker heap."""
     files = ray.data.read_binary_files(paths, include_paths=True)
     return files.map_batches(_records_batch, batch_format="pyarrow",
+                             batch_size=1)
+
+
+def _wet_records_batch(batch: pa.Table) -> Iterator[pa.Table]:
+    """Generator UDF for WET archives: stream-parse ``conversion``
+    records and yield bounded document chunks (url, warc_ts, text,
+    n_chars, wet_path)."""
+    path_col = batch.column("path").to_pylist()
+
+    def flush(buf):
+        urls, tss, texts, paths = buf
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us", tz="UTC")),
+            "text": pa.array(texts, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            "wet_path": pa.array(paths, pa.string()),
+        })
+
+    buf = ([], [], [], [])
+    pending = 0
+    yielded_any = False
+    for raw, path in zip(batch.column("bytes").to_pylist(), path_col):
+        errors: dict = {}
+        for rec in iter_warc_records(_open_stream(raw), errors,
+                                     record_types=("conversion",)):
+            text = rec["html"].decode("utf-8", "replace")
+            buf[0].append(rec["url"])
+            buf[1].append(rec["warc_ts"])
+            buf[2].append(text)
+            buf[3].append(path)
+            pending += len(text)
+            if pending >= _CHUNK_BYTES or len(buf[0]) >= _CHUNK_RECORDS:
+                yield flush(buf)
+                yielded_any = True
+                buf = ([], [], [], [])
+                pending = 0
+        if errors.get("bad_records") or errors.get("skipped_lines"):
+            _log.warning(
+                "read_wet: %s: skipped %d malformed record(s), "
+                "%d desynced line(s)", path,
+                errors["bad_records"], errors["skipped_lines"])
+    if buf[0] or not yielded_any:
+        yield flush(buf)
+
+
+def read_wet(paths: str | list[str]) -> "ray.data.Dataset":
+    """Read WET (extracted-text) archives — the ``.warc.wet.gz``
+    companion files Common Crawl publishes, whose ``conversion``
+    records carry plain text with no HTTP envelope — into a
+    documents-shaped Dataset (url, warc_ts, text, n_chars, wet_path).
+    Same one-task-per-archive streaming shape as ``read_warc``; feed
+    the result straight into the webtext curation operators."""
+    files = ray.data.read_binary_files(paths, include_paths=True)
+    return files.map_batches(_wet_records_batch, batch_format="pyarrow",
                              batch_size=1)
 
 

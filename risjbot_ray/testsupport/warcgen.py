@@ -30,6 +30,19 @@ def _warc_record(url: str, html: bytes) -> bytes:
     return head + payload + b"\r\n\r\n"
 
 
+def wet_record(url: str, text: str) -> bytes:
+    """One WET ``conversion`` record (plain-text payload, no HTTP
+    envelope) in the Common Crawl companion-file layout."""
+    payload = text.encode("utf-8")
+    head = (f"WARC/1.0\r\n"
+            f"WARC-Type: conversion\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {_DATE}\r\n"
+            f"Content-Type: text/plain\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n").encode()
+    return head + payload + b"\r\n\r\n"
+
+
 def _write_archive(args) -> None:
     files, shard, n_archives, out_path = args
     # each worker re-reads only its rows: archive k takes row i where

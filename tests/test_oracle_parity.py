@@ -29,7 +29,8 @@ NAMES = ["simhash_signatures", "doc_fingerprint", "doc_langid",
          "events_window_counts", "events_user_distinct",
          "events_rolling_avg", "corpus_top_pmi",
          "doc_filter_funnel", "events_profile",
-         "simhash_dedup_clusters", "doc_index_lookup"]
+         "simhash_dedup_clusters", "doc_index_lookup",
+         "doc_normalize", "lineitem_corr"]
 
 
 def _vhash(df) -> str:
@@ -46,7 +47,7 @@ def test_oracle_matches_query(ray_session, name):
     res = entry.queries()[name](SF)
     df = res.to_pandas() if hasattr(res, "to_pandas") else res
     con = duckdb.connect()
-    for view in ("documents", "embeddings", "events"):
+    for view in ("documents", "embeddings", "events", "lineitem"):
         con.execute(f"CREATE VIEW {view} AS "
                     f"SELECT * FROM '{SF}/{view}.parquet'")
     odf = con.execute(entry.oracle_sql()[name]).df()

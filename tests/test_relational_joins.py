@@ -162,6 +162,48 @@ def test_inverted_index_build_and_lookup(ray_session, tmp_path):
         os.path.join(out, f"tb={_term_bucket('vector')}.parquet"))
 
 
+def test_lineitem_corr_vs_numpy(ray_session):
+    """Grouped correlation from sufficient statistics vs np.corrcoef
+    per group."""
+    from risjbot_ray.pipelines.relational import lineitem_corr
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_returnflag", "l_quantity",
+                                "l_extendedprice"]).to_pandas()
+    got = lineitem_corr(SF).to_pandas().set_index("l_returnflag")
+    for flag, sub in li.groupby("l_returnflag"):
+        exp = np.corrcoef(sub["l_quantity"],
+                          sub["l_extendedprice"])[0, 1]
+        assert got.loc[flag, "n"] == len(sub)
+        assert abs(got.loc[flag, "corr_qty_price"] - exp) < 1e-5, flag
+
+
+def test_embedding_pca_planted_direction(ray_session, tmp_path):
+    """PCA on data with one planted dominant direction: component 0
+    recovers it (|cos| ~ 1), explained ratios are sorted, and the
+    self-check passes."""
+    import pyarrow as pa
+
+    from risjbot_ray.pipelines.similarity import embedding_pca
+    rng = np.random.default_rng(3)
+    d, n = 16, 800
+    direction = np.zeros(d)
+    direction[2] = 1.0
+    X = rng.normal(0, 0.05, size=(n, d)) \
+        + np.outer(rng.normal(0, 3.0, n), direction)
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in
+                               X.astype(np.float32)],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * n, pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = embedding_pca(str(tmp_path), k=4).to_pandas()
+    assert (got["check_ok"] == 1).all()
+    evr = got["explained_var_ratio"].to_numpy()
+    assert evr[0] > 0.9 and (np.diff(evr) <= 1e-12).all()
+
+
 def test_rolling_user_value_vs_bruteforce(ray_session):
     ev = _events()
     got = (rolling_user_value(SF, window=5).to_pandas()

@@ -322,6 +322,43 @@ def test_warcgen_roundtrip(ray_session, tmp_path):
     assert [_os.path.getmtime(p) for p in files] == mtimes
 
 
+def test_wet_ingest_roundtrip(ray_session, tmp_path):
+    """WET conversion records (plain-text payload, no HTTP envelope)
+    round-trip byte-exactly through read_wet, mixed response/request
+    records in the same archive are ignored, and the output feeds the
+    documents-shaped operators (unicode survives the decode)."""
+    import gzip
+
+    from risjbot_ray.sources.warc import read_wet
+    from risjbot_ray.testsupport.warcgen import _warc_record, wet_record
+
+    texts = {
+        "https://a.example/1": "plain words here",
+        "https://a.example/2": "ünïcode — em-dash and ümlauts",
+        "https://a.example/3": "",
+    }
+    blob = b""
+    for url, t in texts.items():
+        blob += gzip.compress(wet_record(url, t), compresslevel=1)
+    # a response record interleaved: read_wet must skip it
+    blob += gzip.compress(_warc_record("https://a.example/html",
+                                       b"<html>x</html>"),
+                          compresslevel=1)
+    p = tmp_path / "chunk.warc.wet.gz"
+    p.write_bytes(blob)
+
+    df = read_wet(str(p)).to_pandas().set_index("url")
+    assert len(df) == 3
+    for url, t in texts.items():
+        assert df.loc[url, "text"] == t
+        assert df.loc[url, "n_chars"] == len(t)
+    assert (df["wet_path"].str.endswith("chunk.warc.wet.gz")).all()
+    # and response parsing is unaffected by the added record_types arg
+    from risjbot_ray.sources.warc import read_warc
+    hdf = read_warc(str(p)).to_pandas()
+    assert len(hdf) == 1 and bytes(hdf["html"][0]) == b"<html>x</html>"
+
+
 def test_dechunk_rejects_negative_chunk_size():
     """A hostile/corrupt chunked entity starting with a negative hex
     size (e.g. b"-6\\r\\n") previously looped forever with unbounded
