@@ -93,6 +93,18 @@ def cmd_ingest_warc(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def cmd_ingest_wet(args: argparse.Namespace) -> int:
+    ray = _ray_init()
+    try:
+        from .sources.warc import read_wet
+
+        read_wet(args.wet).write_parquet(args.out)
+        print(json.dumps({"out": args.out}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def cmd_cdx(args: argparse.Namespace) -> int:
     ray = _ray_init()
     try:
@@ -223,6 +235,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="archive files or directories")
     w.add_argument("--out", required=True)
     w.set_defaults(fn=cmd_ingest_warc)
+
+    we = sub.add_parser("ingest-wet",
+                        help="WET extracted-text archives -> "
+                             "documents parquet")
+    we.add_argument("--wet", required=True, nargs="+",
+                    help="WET files or directories")
+    we.add_argument("--out", required=True)
+    we.set_defaults(fn=cmd_ingest_wet)
 
     x = sub.add_parser("cdx-index",
                        help="WARC archives -> CDX index parquet "
