@@ -816,6 +816,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PMI-ranked collocations (broadcast unigram model, bucketed
         # exact per-bucket top-k) — exact DuckDB oracle
         "corpus_top_pmi": wt.top_pmi_bigrams,
+        # per-source unigram KL vs the corpus distribution (vocab-
+        # bounded tree-combine, no shuffle) — exact DuckDB oracle
+        "source_unigram_kl": wt.source_unigram_kl,
         "doc_lang_balance": wt.lang_balance_sample,
         "corpus_split": wt.corpus_split,
         "doc_quality_rank": wt.quality_rank,
@@ -833,6 +836,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # self-checking row (within_alpha vs the true order statistic
         # at the same rank); the sketch itself is not SQL-expressible
         "events_value_quantiles": sk.value_quantile_sketch,
+        # grouped DDSketch (one sketch per event type, same
+        # within-alpha self-check per group)
+        "events_value_quantiles_by_type": sk.value_quantile_sketch_by_group,
         # Misra-Gries frequent-tokens sketch vs exact counts —
         # self-checking row (undercount <= N/(m+1), all true-heavy
         # tokens retained); the sketch values are not SQL-expressible
@@ -2010,6 +2016,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE b.c >= 5
             ORDER BY pmi DESC, gram ASC
             LIMIT 100
+        """,
+        # per-source unigram KL: p/q in the Ray side's operand order;
+        # source tokens are a subset of corpus tokens so no smoothing
+        "source_unigram_kl": r"""
+            WITH toks AS (
+              SELECT source,
+                     unnest(regexp_extract_all(lower(text),
+                                               '[a-z0-9]+')) AS w
+              FROM documents
+            ), sc AS (
+              SELECT source, w, COUNT(*) AS c FROM toks
+              GROUP BY source, w
+            ), st AS (
+              SELECT source, SUM(c) AS n FROM sc GROUP BY source
+            ), cc AS (
+              SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+            ), ct AS (SELECT SUM(c) AS n FROM cc)
+            SELECT s.source, CAST(st.n AS BIGINT) AS n_tokens,
+                   ROUND(SUM(
+                     (CAST(s.c AS DOUBLE) / st.n)
+                     * LN((CAST(s.c AS DOUBLE) / st.n)
+                          / (CAST(cc.c AS DOUBLE) / ct.n))), 5) AS kl
+            FROM sc s
+            JOIN st USING (source)
+            JOIN cc USING (w)
+            CROSS JOIN ct
+            GROUP BY s.source, st.n
         """,
         # language-balanced sampling: every language downsampled to the
         # smallest language's size via the md5 hash-threshold rule

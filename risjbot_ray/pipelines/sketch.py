@@ -257,6 +257,90 @@ def value_quantile_sketch(sf_dir: str, alpha: float = 0.01,
     })
 
 
+def value_quantile_sketch_by_group(sf_dir: str, alpha: float = 0.01,
+                                   qs=_DD_QS, column: str = "value",
+                                   group_col: str = "event_type",
+                                   table: str = "events") -> pa.Table:
+    """GROUPED DDSketch: one relative-error quantile sketch per group
+    (per event type), with the same within-alpha self-check per group.
+    The combine state is #groups x O(buckets) rows — group cardinality
+    bounds the summary, not row count — and partials tree-combine with
+    no row shuffle, exactly like the global sketch."""
+    import math
+
+    import pandas as pd
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    under = np.iinfo(np.int64).min + 1
+    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                               columns=[group_col, column])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column(column).to_numpy(zero_copy_only=False)
+        pos = v > 0.0
+        buck = np.full(len(v), under, dtype=np.int64)
+        buck[pos] = np.ceil(np.log(v[pos])
+                            / np.log(gamma)).astype(np.int64)
+        df = pd.DataFrame({"g": b.column(group_col).to_pandas(),
+                           "bucket": buck})
+        out = df.groupby(["g", "bucket"], sort=False).size()
+        out = out.rename("n").reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def merge(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        g = df.groupby(["g", "bucket"], sort=False,
+                       as_index=False)["n"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    t = _agg_count_partials(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True), merge)
+    empty = pa.table({group_col: pa.array([], pa.string()),
+                      "q": pa.array([], pa.float64()),
+                      "est": pa.array([], pa.float64()),
+                      "exact": pa.array([], pa.float64()),
+                      "rel_err": pa.array([], pa.float64()),
+                      "within_alpha": pa.array([], pa.int8())})
+    if t is None:
+        return empty
+
+    # check-scale ground truth per group (same pattern as the global
+    # sketch: the exact column exists to make the row self-checking)
+    vals: dict = {}
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+        gv = b.column(group_col).to_pylist()
+        vv = b.column(column).to_numpy(zero_copy_only=False)
+        for gname, val in zip(gv, vv):
+            vals.setdefault(gname, []).append(val)
+
+    df = t.to_pandas()
+    rows = {group_col: [], "q": [], "est": [], "exact": [],
+            "rel_err": [], "within_alpha": []}
+    for gname, sub in df.groupby("g", sort=True):
+        est = dd_quantiles_from_buckets(
+            sub["bucket"].to_numpy(), sub["n"].to_numpy(), alpha, qs)
+        s = np.sort(np.asarray(vals[gname]))
+        n = len(s)
+        ranks = [max(1, math.ceil(q * n)) - 1 for q in qs]
+        exact = s[ranks]
+        rel = np.abs(est - exact) / np.where(exact != 0,
+                                             np.abs(exact), 1.0)
+        rows[group_col].extend([gname] * len(qs))
+        rows["q"].extend(qs)
+        rows["est"].extend(np.round(est, 6).tolist())
+        rows["exact"].extend(np.round(exact, 6).tolist())
+        rows["rel_err"].extend(np.round(rel, 8).tolist())
+        rows["within_alpha"].extend(
+            (rel <= alpha + 1e-12).astype(np.int8).tolist())
+    return pa.table({
+        group_col: pa.array(rows[group_col], pa.string()),
+        "q": pa.array(rows["q"], pa.float64()),
+        "est": pa.array(rows["est"], pa.float64()),
+        "exact": pa.array(rows["exact"], pa.float64()),
+        "rel_err": pa.array(rows["rel_err"], pa.float64()),
+        "within_alpha": pa.array(rows["within_alpha"], pa.int8())})
+
+
 # --------------------------------------------------------------------------
 # Misra-Gries heavy hitters
 # --------------------------------------------------------------------------

@@ -1161,6 +1161,66 @@ def top_pmi_bigrams(sf_dir: str, k: int = 100, min_count: int = 5):
             .limit(k))
 
 
+def source_unigram_kl(sf_dir: str) -> pa.Table:
+    """Domain-shift diagnostic: KL(P_source || P_corpus) of unigram
+    token distributions, one row per source. Every source token is by
+    construction in the corpus support, so no smoothing is needed and
+    the measure is exactly SQL-expressible.
+
+    Scale design: (source, token) counts are (#sources x vocabulary)-
+    bounded — the same vocabulary-bounded assumption the BPE/LM/PMI
+    trainers make — so per-batch Counters tree-combine to the driver
+    with no row shuffle and the KL sums are a vectorized pass over the
+    merged table."""
+    from collections import Counter
+
+    import pandas as pd
+
+    docs = _documents(sf_dir, ["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for src, t in zip(batch.column("source").to_pylist(),
+                          batch.column("text").to_pylist()):
+            for w in re.findall(r"[a-z0-9]+", (t or "").lower()):
+                c[(src, w)] += 1
+        srcs = [s for s, _ in c.keys()]
+        ws = [w for _, w in c.keys()]
+        return pa.table({"source": pa.array(srcs, pa.string()),
+                         "w": pa.array(ws, pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    def merge(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        g = df.groupby(["source", "w"], sort=False,
+                       as_index=False)["n"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from risjbot_ray.pipelines.lm import _agg_count_partials
+    t = _agg_count_partials(
+        docs.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True), merge)
+    if t is None:
+        return pa.table({"source": pa.array([], pa.string()),
+                         "n_tokens": pa.array([], pa.int64()),
+                         "kl": pa.array([], pa.float64())})
+    df = t.to_pandas()
+    corpus = df.groupby("w", sort=False)["n"].sum()
+    n_corpus = float(corpus.sum())
+    q = (df["w"].map(corpus).to_numpy(dtype=np.float64)) / n_corpus
+    out_rows = []
+    for src, sub_idx in df.groupby("source", sort=True).groups.items():
+        sub = df.loc[sub_idx]
+        n_s = float(sub["n"].sum())
+        p = sub["n"].to_numpy(dtype=np.float64) / n_s
+        kl = float(np.sum(p * np.log(p / q[sub_idx.to_numpy()])))
+        out_rows.append((src, int(n_s), round(kl, 5)))
+    return pa.table({
+        "source": pa.array([r[0] for r in out_rows], pa.string()),
+        "n_tokens": pa.array([r[1] for r in out_rows], pa.int64()),
+        "kl": pa.array([r[2] for r in out_rows], pa.float64())})
+
+
 # --------------------------------------------------------------------------
 # language-balanced sampling
 # --------------------------------------------------------------------------

@@ -407,6 +407,49 @@ def test_top_pmi_bigrams_reference(ray_session, tmp_path):
     assert top["zig zag"] > top["a b"]
 
 
+def test_source_unigram_kl_reference(ray_session, tmp_path):
+    """KL per source against an independent Counter/math reference: a
+    source matching the corpus mix has KL near 0; a skewed source has
+    strictly larger KL; values match the p*ln(p/q) sum at 5dp."""
+    import math
+    from collections import Counter
+
+    from risjbot_ray.pipelines.webtext import source_unigram_kl
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "a b c d", "mixed"))
+    for i in range(40, 60):
+        rows.append((i, "a a a a", "skewed"))
+    import pyarrow.parquet as pq
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    got = source_unigram_kl(str(tmp_path)).to_pandas() \
+        .set_index("source")
+    corpus: Counter = Counter()
+    per: dict = {}
+    for _, text, src in rows:
+        toks = text.split()
+        corpus.update(toks)
+        per.setdefault(src, Counter()).update(toks)
+    n_c = sum(corpus.values())
+    for src, cnt in per.items():
+        n_s = sum(cnt.values())
+        kl = sum((c / n_s) * math.log((c / n_s)
+                                      / (corpus[w] / n_c))
+                 for w, c in cnt.items())
+        assert abs(got.loc[src, "kl"] - round(kl, 5)) < 1e-9, src
+        assert got.loc[src, "n_tokens"] == n_s
+    assert got.loc["skewed", "kl"] > got.loc["mixed", "kl"] > 0
+
+
 def test_lang_balance_and_split(ray_session, tmp_path):
     """Language balancing caps every language near the smallest
     language's size; the split assignment is deterministic, complete

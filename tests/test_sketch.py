@@ -121,6 +121,15 @@ def test_value_quantile_sketch_e2e(ray_session):
     assert t.column("within_alpha").to_pylist() == [1] * 7
 
 
+def test_value_quantile_sketch_by_group_e2e(ray_session):
+    from risjbot_ray.pipelines.sketch import (
+        value_quantile_sketch_by_group)
+    t = value_quantile_sketch_by_group(SF, alpha=0.01).to_pandas()
+    assert t["event_type"].nunique() == 5
+    assert len(t) == 5 * 7
+    assert (t["within_alpha"] == 1).all()
+
+
 def _mg_reference_check(stream, m, grams, est):
     """The MG contract: every estimate undercounts its true count by
     at most N/(m+1); absent tokens have true count <= N/(m+1)."""
