@@ -801,6 +801,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (deterministic hash-based uniforms -> SQL-expressible)
         "doc_dsir_resample": lambda sf: lm_mod.dsir_resample(sf, k=100),
         "doc_pii_scrub": ts.q_pii_scrub,
+        # mojibake repair self-check (inject deterministic corruption,
+        # repair, compare in-batch; single counters row — expected
+        # n_repaired == n_corrupted, n_mismatch == 0, check_ok = 1)
+        "doc_mojibake_check": ts.q_mojibake_check,
         "doc_repetition": ts.q_repetition,
         "doc_chunks": ts.q_chunks,
         "doc_pack_stream": ts.pack_stream,
@@ -858,6 +862,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # top-k, bounded final merge) — exact ROW_NUMBER oracle
         "doc_stratified_sample": lambda sf: wt.stratified_sample(
             sf, k=20, group_col="lang"),
+        # temperature-based domain mixing (XLM-R/mT5 resampling rule):
+        # O(#sources) count pass -> driver quotas -> salted grouped
+        # top-k selection — exact DuckDB oracle
+        "doc_temperature_mix": lambda sf: wt.temperature_mix(
+            sf, tau=0.7, total=200),
         # per-source token budget via the politeness-style cutoff
         # pre-pass (bucket sums -> driver boundary -> exact epilogue on
         # the boundary bucket only) — exact window-SUM oracle
@@ -2157,6 +2166,35 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'changed' END AS status
             FROM a FULL JOIN b ON a.doc_id = b.doc_id
             WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h <> b.h
+        """,
+        # temperature-based domain mixing: per-source quotas
+        # floor(total * q_d), q_d ∝ (n_d/N)^tau (tau<1 flattens), then
+        # the same md5-order ROW_NUMBER selection as stratified sampling
+        "doc_temperature_mix": r"""
+            WITH n AS (
+              SELECT source, COUNT(*) AS n_d FROM documents
+              GROUP BY source
+            ), tot AS (SELECT SUM(n_d) AS total_n FROM n),
+            w AS (
+              SELECT source,
+                     POWER(CAST(n_d AS DOUBLE) / total_n, 0.7) AS wt
+              FROM n CROSS JOIN tot
+            ), z AS (SELECT SUM(wt) AS z FROM w),
+            kd AS (
+              SELECT source,
+                     CAST(FLOOR(ROUND(200 * wt / z, 9)) AS BIGINT)
+                       AS k_d
+              FROM w CROSS JOIN z
+            ), r AS (
+              SELECT doc_id, source,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(doc_id::VARCHAR || ':tmix'),
+                                doc_id) AS sample_rank
+              FROM documents)
+            SELECT r.doc_id, r.source, r.sample_rank
+            FROM r JOIN kd USING (source)
+            WHERE r.sample_rank <= kd.k_d
         """,
         # exactly-k-per-group deterministic sampling
         "doc_stratified_sample": r"""

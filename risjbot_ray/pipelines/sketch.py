@@ -265,7 +265,9 @@ def value_quantile_sketch_by_group(sf_dir: str, alpha: float = 0.01,
     (per event type), with the same within-alpha self-check per group.
     The combine state is #groups x O(buckets) rows — group cardinality
     bounds the summary, not row count — and partials tree-combine with
-    no row shuffle, exactly like the global sketch."""
+    no row shuffle, exactly like the global sketch. As there, the
+    sketch path is the 100-TB path and the exact column is check-scale
+    ground truth only (second pass over the column)."""
     import math
 
     import pandas as pd
@@ -306,12 +308,14 @@ def value_quantile_sketch_by_group(sf_dir: str, alpha: float = 0.01,
 
     # check-scale ground truth per group (same pattern as the global
     # sketch: the exact column exists to make the row self-checking)
-    vals: dict = {}
-    for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
-        gv = b.column(group_col).to_pylist()
-        vv = b.column(column).to_numpy(zero_copy_only=False)
-        for gname, val in zip(gv, vv):
-            vals.setdefault(gname, []).append(val)
+    gt = pd.concat(
+        [pd.DataFrame({"g": b.column(group_col).to_pandas(),
+                       "v": b.column(column).to_numpy(
+                           zero_copy_only=False)})
+         for b in ds.iter_batches(batch_format="pyarrow",
+                                  batch_size=65536)],
+        ignore_index=True)
+    vals = {g: sub["v"].to_numpy() for g, sub in gt.groupby("g")}
 
     df = t.to_pandas()
     rows = {group_col: [], "q": [], "est": [], "exact": [],

@@ -471,6 +471,108 @@ def inject_pii_batch(batch: pa.Table) -> pa.Table:
                      "text": pa.array(out, pa.string())})
 
 
+# UTF-8 lead byte (as a mis-decoded char, U+00C2..U+00F4) followed by
+# a continuation byte (U+0080..U+00BF): the signature of UTF-8 bytes
+# decoded as Latin-1/cp1252 ("café" -> "cafÃ©"). RE2 prefilter so
+# clean docs never reach the Python repair path.
+MOJIBAKE_MARK = "[\u00c2-\u00f4][\u0080-\u00bf]"
+
+
+def _try_demojibake(s: str):
+    """One round of strict double-encoding reversal: re-encode with
+    the codec that produced the mojibake (latin-1, then cp1252 for
+    the Windows variant) and strictly re-decode as UTF-8. Returns the
+    repaired string or None. Strictness is the safety: clean accented
+    text (a bare 'é') fails the UTF-8 decode and text with codepoints
+    > U+00FF fails the encode, so neither is ever altered."""
+    for enc in ("latin-1", "cp1252"):
+        try:
+            return s.encode(enc).decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            continue
+    return None
+
+
+def fix_mojibake_batch(batch: pa.Table) -> pa.Table:
+    """Repair UTF-8-decoded-as-Latin-1/cp1252 mojibake (ftfy-style,
+    single round). Vectorized RE2 marker prefilter; only flagged rows
+    take the per-string repair path. Replaces ``text``, passes every
+    other column through, and adds an int8 ``repaired`` flag."""
+    import pyarrow.compute as pc
+    texts = batch.column("text")
+    flag = pc.match_substring_regex(texts, MOJIBAKE_MARK).to_numpy(
+        zero_copy_only=False)
+    out = texts.to_pylist()
+    repaired = np.zeros(len(out), dtype=np.int8)
+    for i in np.flatnonzero(flag):
+        fixed = _try_demojibake(out[i])
+        if fixed is not None:
+            out[i] = fixed
+            repaired[i] = 1
+    cols = {name: batch.column(name) for name in batch.column_names
+            if name != "text"}
+    cols["text"] = pa.array(out, pa.string())
+    cols["repaired"] = pa.array(repaired, pa.int8())
+    return pa.table(cols)
+
+
+def q_mojibake_check(sf_dir: str) -> pa.Table:
+    """Driver-visible self-check for the mojibake repairer: append a
+    deterministic non-ASCII suffix to every doc, corrupt doc_id%3==0
+    via the utf-8→latin-1 round trip, repair, and compare against the
+    pre-corruption text in-batch. Only O(1) counter rows reach the
+    driver; expected row: n_repaired == n_corrupted, n_mismatch == 0
+    (every corrupted doc restored byte-for-byte AND no clean doc
+    altered)."""
+    def inject_and_corrupt(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        orig, noisy = [], []
+        for d, t in zip(ids, texts):
+            s = f"{t or ''} café №{d} — naïve côté"
+            orig.append(s)
+            noisy.append(s.encode("utf-8").decode("latin-1")
+                         if d % 3 == 0 else s)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "orig": pa.array(orig, pa.string()),
+                         "text": pa.array(noisy, pa.string())})
+
+    def counters(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").to_pylist(),
+                         dtype=np.int64)
+        fixed = batch.column("text").to_pylist()
+        orig = batch.column("orig").to_pylist()
+        rep = batch.column("repaired").to_numpy(zero_copy_only=False)
+        mism = np.array([a != b for a, b in zip(fixed, orig)])
+        return pa.table({
+            "n_docs": pa.array([len(ids)], pa.int64()),
+            "n_corrupted": pa.array([int((ids % 3 == 0).sum())],
+                                    pa.int64()),
+            "n_repaired": pa.array([int(rep.sum())], pa.int64()),
+            "n_mismatch": pa.array([int(mism.sum())], pa.int64()),
+        })
+
+    parts = (documents_ds(sf_dir)
+             .map_batches(inject_and_corrupt, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .map_batches(fix_mojibake_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .map_batches(counters, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .to_arrow_refs())
+    import ray as _ray
+    tot = {"n_docs": 0, "n_corrupted": 0, "n_repaired": 0,
+           "n_mismatch": 0}
+    for t in _ray.get(parts):
+        if t.num_rows:
+            for k in tot:
+                tot[k] += int(t.column(k).to_numpy().sum())
+    tot["check_ok"] = int(tot["n_repaired"] == tot["n_corrupted"]
+                          and tot["n_mismatch"] == 0)
+    return pa.table({k: pa.array([v], pa.int64())
+                     for k, v in tot.items()})
+
+
 def q_pii_scrub(sf_dir: str):
     return (documents_ds(sf_dir)
             .map_batches(inject_pii_batch, batch_format="pyarrow",

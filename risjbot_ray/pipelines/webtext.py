@@ -739,6 +739,80 @@ def stratified_sample(sf_dir: str, k: int = 50, group_col: str = "lang"):
             .groupby("grp").map_groups(final, batch_format="pandas"))
 
 
+def temperature_mix(sf_dir: str, tau: float = 0.7, total: int = 200):
+    """Temperature-based domain mixing (the XLM-R / mT5 resampling
+    rule): source d gets a quota k_d = floor(total * q_d) docs with
+    q_d proportional to (n_d / N)^tau — tau is the flattening exponent
+    (mT5's alpha = 1/T): tau < 1 upweights small domains toward
+    uniform, tau = 1 keeps natural proportions.
+    Within a source, selection is the deterministic md5-order rule
+    shared with stratified_sample (quotas above n_d self-cap: rank
+    never exceeds group size — sampling without replacement).
+
+    Scale shape: pass 1 is an O(#sources) count tree-combine (no row
+    shuffle); the driver turns counts into quotas (#sources floats)
+    and the quota dict rides the pass-2 closure; pass 2 is the salted
+    grouped top-k pattern — each batch keeps at most its per-source
+    quota locally, so the per-source merge sees <= k_d x #blocks rows,
+    never the corpus. Returns (doc_id, source, sample_rank)."""
+    import pandas as pd
+
+    from risjbot_ray.pipelines.lm import _agg_count_partials
+
+    docs = _documents(sf_dir, ["doc_id", "source"])
+
+    def cpartial(b: pa.Table) -> pa.Table:
+        vc = pd.Series(b.column("source").to_pylist()).value_counts()
+        return pa.table({"source": pa.array(vc.index, pa.string()),
+                         "n": pa.array(vc.to_numpy(np.int64))})
+
+    def cmerge(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        g = df.groupby("source", sort=False, as_index=False)["n"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    t = _agg_count_partials(docs.map_batches(
+        cpartial, batch_format="pyarrow", zero_copy_batch=True), cmerge)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "source": pa.array([], pa.string()),
+                      "sample_rank": pa.array([], pa.int64())})
+    if t is None:
+        return ray.data.from_arrow(empty)
+    cdf = t.to_pandas().sort_values("source").reset_index(drop=True)
+    n_total = float(cdf["n"].sum())
+    wt = (cdf["n"].to_numpy(np.float64) / n_total) ** tau
+    # round before floor: quotas at an exact-integer boundary (e.g. a
+    # perfectly uniform corpus) must not flip on ~1e-15 fp noise — the
+    # SQL oracle applies the identical ROUND(..., 9) guard
+    quota = {s: int(np.floor(np.round(total * w / wt.sum(), 9)))
+             for s, w in zip(cdf["source"], wt)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "doc_id": batch.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "source": batch.column("source").to_pylist(),
+        })
+        df["key"] = [hashlib.md5(f"{d}:tmix".encode()).hexdigest()
+                     for d in df["doc_id"]]
+        df = df.sort_values(["source", "key", "doc_id"],
+                            kind="mergesort")
+        rn = df.groupby("source", sort=False).cumcount()
+        keep = rn < df["source"].map(quota).fillna(0).to_numpy()
+        return pa.Table.from_pandas(df[keep], preserve_index=False)
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        q = quota.get(df["source"].iloc[0], 0)
+        df = (df.sort_values(["key", "doc_id"], kind="mergesort")
+                .head(q).reset_index(drop=True))
+        df["sample_rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["doc_id", "source", "sample_rank"]]
+
+    return (_coalesce_for_exchange(
+                docs.map_batches(partial, batch_format="pyarrow"))
+            .groupby("source").map_groups(final, batch_format="pandas"))
+
+
 _CAP_KB_BITS = 12   # cutoff pre-pass key buckets (4096): the driver
 #                     sees at most #sources x 4096 tiny rows, and the
 #                     exact boundary pass touches ~N/4096 docs

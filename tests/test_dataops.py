@@ -450,6 +450,41 @@ def test_source_unigram_kl_reference(ray_session, tmp_path):
     assert got.loc["skewed", "kl"] > got.loc["mixed", "kl"] > 0
 
 
+def test_mojibake_repair_kernel():
+    """The strict round-trip heuristic: latin-1 and cp1252 mojibake
+    are restored byte-for-byte; clean ASCII, clean accented text, and
+    text with codepoints > U+00FF are never altered."""
+    from risjbot_ray.pipelines.textstats import (MOJIBAKE_MARK,
+                                                 fix_mojibake_batch)
+    orig = "café №7 — naïve côté übung"
+    latin = orig.encode("utf-8").decode("latin-1")
+    clean_cases = ["plain ascii only", "café au lait — naïve",
+                   "mixed € and ™ symbols", ""]
+    t = pa.table({"doc_id": pa.array(range(2 + len(clean_cases)),
+                                     pa.int64()),
+                  "text": pa.array([latin, orig] + clean_cases,
+                                   pa.string())})
+    out = fix_mojibake_batch(t)
+    texts = out.column("text").to_pylist()
+    rep = out.column("repaired").to_pylist()
+    assert texts[0] == orig and rep[0] == 1
+    assert texts[1] == orig and rep[1] == 0          # already clean
+    assert texts[2:] == clean_cases and rep[2:] == [0] * 4
+    import re as _re
+    assert _re.search(MOJIBAKE_MARK, latin)
+    assert not _re.search(MOJIBAKE_MARK, "plain ascii")
+
+
+def test_mojibake_check_e2e(ray_session):
+    from risjbot_ray.pipelines.textstats import q_mojibake_check
+    row = q_mojibake_check(SF).to_pandas().iloc[0]
+    assert row["n_docs"] > 0
+    assert row["n_corrupted"] > 0
+    assert row["n_repaired"] == row["n_corrupted"]
+    assert row["n_mismatch"] == 0
+    assert row["check_ok"] == 1
+
+
 def test_lang_balance_and_split(ray_session, tmp_path):
     """Language balancing caps every language near the smallest
     language's size; the split assignment is deterministic, complete
@@ -836,6 +871,54 @@ def test_stratified_sample_matches_reference(ray_session):
                 g.sort_values(["key", "doc_id"])["doc_id"], 1):
             exp_s.add((d, lang, r))
     assert got_s == exp_s
+
+
+def test_temperature_mix_matches_reference(ray_session):
+    """Quotas follow the (n_d/N)^(1/tau) rule exactly (tau=1 gives
+    natural proportions; tau<1 strictly upweights the smallest
+    source's share) and per-source selection matches the md5-order
+    local reference."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from risjbot_ray.pipelines.webtext import temperature_mix
+    SF = "/root/testdata/sf0.001"
+    tbl = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "source"]).to_pandas()
+    counts = tbl["source"].value_counts().sort_index()
+    n_total = float(counts.sum())
+
+    def quotas(tau, total):
+        wt = (counts.to_numpy(np.float64) / n_total) ** tau
+        return {s: int(np.floor(np.round(total * w / wt.sum(), 9)))
+                for s, w in zip(counts.index, wt)}
+
+    for tau in (0.7, 1.0):
+        got = temperature_mix(SF, tau=tau, total=60).to_pandas()
+        q = quotas(tau, 60)
+        exp_s = set()
+        for src, g in tbl.groupby("source"):
+            g = g.copy()
+            g["key"] = [hashlib.md5(f"{d}:tmix".encode()).hexdigest()
+                        for d in g["doc_id"]]
+            sel = g.sort_values(["key", "doc_id"]).head(q[src])
+            for r, d in enumerate(sel["doc_id"], 1):
+                exp_s.add((d, src, r))
+        got_s = set(zip(got["doc_id"], got["source"],
+                        got["sample_rank"]))
+        assert got_s == exp_s and len(got_s) > 0
+
+    # formula property on a skewed distribution (the sf corpus is
+    # near-uniform, so tau barely moves its quotas): tau<1 strictly
+    # upweights the small domain and downweights the dominant one
+    def q_of(ns, tau, total):
+        ns = np.asarray(ns, np.float64)
+        wt = (ns / ns.sum()) ** tau
+        return np.floor(np.round(total * wt / wt.sum(), 9))
+    nat = q_of([800, 150, 50], 1.0, 500)
+    hot = q_of([800, 150, 50], 0.5, 500)
+    assert hot[2] > nat[2] and hot[0] < nat[0]
 
 
 def test_domain_token_cap_matches_reference(ray_session):

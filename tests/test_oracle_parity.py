@@ -30,7 +30,8 @@ NAMES = ["simhash_signatures", "doc_fingerprint", "doc_langid",
          "events_rolling_avg", "corpus_top_pmi",
          "doc_filter_funnel", "events_profile",
          "simhash_dedup_clusters", "doc_index_lookup",
-         "doc_normalize", "lineitem_corr", "source_unigram_kl"]
+         "doc_normalize", "lineitem_corr", "source_unigram_kl",
+         "doc_temperature_mix"]
 
 
 def _vhash(df) -> str:
