@@ -805,6 +805,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # repair, compare in-batch; single counters row — expected
         # n_repaired == n_corrupted, n_mismatch == 0, check_ok = 1)
         "doc_mojibake_check": ts.q_mojibake_check,
+        # distributed logistic-regression quality classifier (full-
+        # batch GD, (d+2)-double partials per batch per iteration;
+        # labels = the curation gate) — self-checking row: monotone
+        # loss + accuracy >= label base rate
+        "doc_quality_classifier": lambda sf: ts.quality_classifier(
+            sf, iters=30),
         "doc_repetition": ts.q_repetition,
         "doc_chunks": ts.q_chunks,
         "doc_pack_stream": ts.pack_stream,

@@ -471,6 +471,159 @@ def inject_pii_batch(batch: pa.Table) -> pa.Table:
                      "text": pa.array(out, pa.string())})
 
 
+def _logreg_partials(batch: pa.Table, w: np.ndarray,
+                     mu: np.ndarray, sd: np.ndarray) -> pa.Table:
+    """One batch's full-batch-GD contribution: gradient X^T(p - y),
+    summed log-loss, and n — (d+2) doubles per batch regardless of
+    batch size. ``bid`` (min doc_id) keys the driver's deterministic
+    summation order."""
+    x = np.stack(batch.column("x").to_numpy(zero_copy_only=False))
+    y = batch.column("y").to_numpy(zero_copy_only=False).astype(
+        np.float64)
+    xs = (x - mu) / sd
+    xs[:, 0] = 1.0                                   # bias untouched
+    z = xs @ w
+    p = 1.0 / (1.0 + np.exp(-z))
+    eps = 1e-12
+    loss = -np.sum(y * np.log(p + eps)
+                   + (1.0 - y) * np.log(1.0 - p + eps))
+    g = xs.T @ (p - y)
+    bid = int(batch.column("doc_id").to_numpy(
+        zero_copy_only=False).min()) if batch.num_rows else 0
+    return pa.table({"bid": pa.array([bid], pa.int64()),
+                     "n": pa.array([float(len(y))], pa.float64()),
+                     "loss": pa.array([float(loss)], pa.float64()),
+                     "g": pa.array([g.tolist()],
+                                   pa.list_(pa.float64()))})
+
+
+def _logreg_fit(feat_ds, d: int, iters: int, lr: float):
+    """Distributed full-batch logistic regression over a (doc_id, x:
+    list<double>[d], y) Dataset: each iteration is ONE map_batches
+    pass emitting (d+2)-double partials; the driver holds only w, mu,
+    sd and sums partials in deterministic bid order. Feature
+    standardization stats come from the same partial pattern. Returns
+    (w, mu, sd, losses) with losses the mean log-loss per iteration."""
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        x = np.stack(batch.column("x").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "bid": pa.array([int(batch.column("doc_id").to_numpy(
+                zero_copy_only=False).min())], pa.int64()),
+            "n": pa.array([float(len(x))], pa.float64()),
+            "s": pa.array([x.sum(axis=0).tolist()],
+                          pa.list_(pa.float64())),
+            "ss": pa.array([(x * x).sum(axis=0).tolist()],
+                           pa.list_(pa.float64()))})
+
+    parts = sorted(feat_ds.map_batches(
+        stat_partial, batch_format="pyarrow").take_all(),
+        key=lambda r: r["bid"])
+    n = sum(r["n"] for r in parts)
+    s = np.sum([r["s"] for r in parts], axis=0)
+    ss = np.sum([r["ss"] for r in parts], axis=0)
+    mu = s / n
+    var = np.maximum(ss / n - mu * mu, 1e-12)
+    sd = np.sqrt(var)
+    mu[0], sd[0] = 0.0, 1.0                          # bias column
+
+    w = np.zeros(d, dtype=np.float64)
+    losses = []
+    for _ in range(iters):
+        rows = sorted(feat_ds.map_batches(
+            lambda b, w=w.copy(): _logreg_partials(b, w, mu, sd),
+            batch_format="pyarrow").take_all(),
+            key=lambda r: r["bid"])
+        g = np.sum([r["g"] for r in rows], axis=0)
+        loss = sum(r["loss"] for r in rows) / n
+        losses.append(float(loss))
+        w = w - lr * g / n
+    return w, mu, sd, losses
+
+
+def quality_classifier(sf_dir: str, iters: int = 40,
+                       lr: float = 1.0) -> pa.Table:
+    """Train a logistic-regression quality classifier — the GPT-3/
+    LLaMA-pipeline stage that distills a hand-written quality rule
+    into a model. Features are the quality_batch signals; labels are
+    the curate_documents gate (n_words >= 50, alpha_ratio >= 0.5,
+    stopword_ratio >= 0.02), so the learnable signal is guaranteed
+    and deterministic.
+
+    Scale shape: text is featurized ONCE into a materialized 8-double
+    feature table (~0.6% of corpus bytes; blocks stay in the object
+    store and spill); every GD iteration and the accuracy pass stream
+    over THAT, emitting (d+2)-double partials per batch — the driver
+    holds the weight vector and sums partials in deterministic bid
+    order (the k-means/PageRank iteration pattern). Returns one
+    self-checking row: monotone loss, final accuracy vs the label
+    base rate, and the learned weights."""
+    d = 8
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        texts = batch.column("text").to_pylist()
+        nw = q.column("n_words").to_numpy(zero_copy_only=False)
+        al = q.column("alpha_ratio").to_numpy(zero_copy_only=False)
+        st = q.column("stopword_ratio").to_numpy(zero_copy_only=False)
+        y = ((nw >= 50) & (al >= 0.5) & (st >= 0.02)).astype(np.int8)
+        x = np.column_stack([
+            np.ones(len(texts)),
+            np.log1p(nw.astype(np.float64)),
+            q.column("mean_word_len").to_numpy(zero_copy_only=False),
+            al,
+            q.column("digit_ratio").to_numpy(zero_copy_only=False),
+            q.column("punct_ratio").to_numpy(zero_copy_only=False),
+            st,
+            q.column("ends_with_punct").to_numpy(
+                zero_copy_only=False).astype(np.float64),
+        ])
+        return pa.table({"doc_id": q.column("doc_id"),
+                         "x": pa.array(list(x), pa.list_(pa.float64())),
+                         "y": pa.array(y, pa.int8())})
+
+    feats = (documents_ds(sf_dir)
+             .map_batches(featurize, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize())
+    w, mu, sd, losses = _logreg_fit(feats, d, iters, lr)
+
+    def acc_partial(batch: pa.Table) -> pa.Table:
+        x = np.stack(batch.column("x").to_numpy(zero_copy_only=False))
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        xs = (x - mu) / sd
+        xs[:, 0] = 1.0
+        pred = (xs @ w) > 0.0
+        return pa.table({
+            "n": pa.array([len(y)], pa.int64()),
+            "n_correct": pa.array([int((pred == (y == 1)).sum())],
+                                  pa.int64()),
+            "n_pos": pa.array([int((y == 1).sum())], pa.int64())})
+
+    rows = feats.map_batches(acc_partial,
+                             batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in rows)
+    acc = sum(r["n_correct"] for r in rows) / n
+    base = max(sum(r["n_pos"] for r in rows) / n,
+               1.0 - sum(r["n_pos"] for r in rows) / n)
+    mono = int(all(b <= a + 1e-12
+                   for a, b in zip(losses, losses[1:])))
+    out = {"n_docs": pa.array([n], pa.int64()),
+           "loss_first": pa.array([round(losses[0], 6)], pa.float64()),
+           "loss_final": pa.array([round(losses[-1], 6)],
+                                  pa.float64()),
+           "accuracy": pa.array([round(acc, 6)], pa.float64()),
+           "base_rate": pa.array([round(base, 6)], pa.float64()),
+           "loss_monotone": pa.array([mono], pa.int64()),
+           "check_ok": pa.array(
+               [int(mono and losses[-1] < losses[0]
+                    and acc >= base)], pa.int64())}
+    for i, name in enumerate(["bias", "log_words", "mean_wlen",
+                              "alpha", "digit", "punct", "stop",
+                              "endpunct"]):
+        out[f"w_{name}"] = pa.array([round(float(w[i]), 6)],
+                                    pa.float64())
+    return pa.table(out)
+
+
 # UTF-8 lead byte (as a mis-decoded char, U+00C2..U+00F4) followed by
 # a continuation byte (U+0080..U+00BF): the signature of UTF-8 bytes
 # decoded as Latin-1/cp1252 ("café" -> "cafÃ©"). RE2 prefilter so

@@ -450,6 +450,55 @@ def test_source_unigram_kl_reference(ray_session, tmp_path):
     assert got.loc["skewed", "kl"] > got.loc["mixed", "kl"] > 0
 
 
+def test_logreg_fit_matches_local_reference(ray_session):
+    """Distributed full-batch GD == a local numpy implementation of
+    the identical update (same standardization, lr, iterations) to
+    1e-9, and separable synthetic data trains to high accuracy."""
+    import ray as _ray
+
+    from risjbot_ray.pipelines.textstats import _logreg_fit
+    rng = np.random.default_rng(7)
+    n, d = 600, 4
+    x_raw = rng.normal(size=(n, d - 1))
+    w_true = np.array([1.5, -2.0, 0.5])
+    y = (x_raw @ w_true + 0.1 * rng.normal(size=n) > 0).astype(np.int8)
+    x = np.column_stack([np.ones(n), x_raw])
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "x": pa.array(list(x), pa.list_(pa.float64())),
+                  "y": pa.array(y, pa.int8())})
+    ds = _ray.data.from_arrow(t).repartition(5)
+    w, mu, sd, losses = _logreg_fit(ds, d, iters=25, lr=1.0)
+
+    mu_l = x.mean(axis=0)
+    sd_l = np.sqrt(np.maximum((x * x).mean(axis=0) - mu_l ** 2, 1e-12))
+    mu_l[0], sd_l[0] = 0.0, 1.0
+    xs = (x - mu_l) / sd_l
+    xs[:, 0] = 1.0
+    wl = np.zeros(d)
+    ll = []
+    yf = y.astype(np.float64)
+    for _ in range(25):
+        p = 1.0 / (1.0 + np.exp(-(xs @ wl)))
+        eps = 1e-12
+        ll.append(float(-np.mean(yf * np.log(p + eps)
+                                 + (1 - yf) * np.log(1 - p + eps))))
+        wl = wl - 1.0 * xs.T @ (p - yf) / n
+    assert np.allclose(w, wl, atol=1e-9)
+    assert np.allclose(losses, ll, atol=1e-9)
+    acc = ((xs @ wl > 0) == (y == 1)).mean()
+    assert acc > 0.9
+    assert losses[-1] < losses[0]
+
+
+def test_quality_classifier_e2e(ray_session):
+    from risjbot_ray.pipelines.textstats import quality_classifier
+    row = quality_classifier(SF, iters=15).to_pandas().iloc[0]
+    assert row["check_ok"] == 1
+    assert row["loss_final"] < row["loss_first"]
+    assert row["accuracy"] >= row["base_rate"]
+    assert row["n_docs"] > 0
+
+
 def test_mojibake_repair_kernel():
     """The strict round-trip heuristic: latin-1 and cp1252 mojibake
     are restored byte-for-byte; clean ASCII, clean accented text, and
