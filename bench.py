@@ -273,6 +273,26 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         throughput["dsir_docs_per_sec"] = round(
             n_docs / queries["dsir_bucketed"], 1)
 
+        # model-based quality: logistic-regression trainer (featurize
+        # once + 12 full-batch GD streaming passes) and the mojibake
+        # repair path (1/3 of docs corrupted by the check's injector,
+        # RE2 prefilter + strict round-trip repair)
+        from risjbot_ray.pipelines import textstats as ts_mod
+        t0 = time.time()
+        clf_row = ts_mod.quality_classifier(
+            docs_root, iters=12, min_words=250).to_pylist()[0]
+        queries["quality_classifier"] = round(time.time() - t0, 3)
+        throughput["quality_classifier_docs_per_sec"] = round(
+            n_docs / queries["quality_classifier"], 1)
+        throughput["quality_classifier_check_ok"] = bool(
+            clf_row["check_ok"])
+        t0 = time.time()
+        moji_row = ts_mod.q_mojibake_check(docs_root).to_pylist()[0]
+        queries["mojibake_repair"] = round(time.time() - t0, 3)
+        throughput["mojibake_docs_per_sec"] = round(
+            n_docs / queries["mojibake_repair"], 1)
+        throughput["mojibake_check_ok"] = bool(moji_row["check_ok"])
+
         t0 = time.time()
         hll_row = webtext.hll_distinct(docs_root).to_pylist()[0]
         queries["hll_distinct"] = round(time.time() - t0, 3)

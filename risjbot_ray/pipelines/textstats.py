@@ -541,13 +541,15 @@ def _logreg_fit(feat_ds, d: int, iters: int, lr: float):
 
 
 def quality_classifier(sf_dir: str, iters: int = 40,
-                       lr: float = 1.0) -> pa.Table:
+                       lr: float = 1.0,
+                       min_words: int = 50) -> pa.Table:
     """Train a logistic-regression quality classifier — the GPT-3/
     LLaMA-pipeline stage that distills a hand-written quality rule
     into a model. Features are the quality_batch signals; labels are
-    the curate_documents gate (n_words >= 50, alpha_ratio >= 0.5,
-    stopword_ratio >= 0.02), so the learnable signal is guaranteed
-    and deterministic.
+    the curate_documents gate (n_words >= min_words, alpha_ratio >=
+    0.5, stopword_ratio >= 0.02), so the learnable signal is
+    guaranteed and deterministic (pick ``min_words`` near the corpus
+    median when the default gate would label one-sidedly).
 
     Scale shape: text is featurized ONCE into a materialized 8-double
     feature table (~0.6% of corpus bytes; blocks stay in the object
@@ -565,7 +567,8 @@ def quality_classifier(sf_dir: str, iters: int = 40,
         nw = q.column("n_words").to_numpy(zero_copy_only=False)
         al = q.column("alpha_ratio").to_numpy(zero_copy_only=False)
         st = q.column("stopword_ratio").to_numpy(zero_copy_only=False)
-        y = ((nw >= 50) & (al >= 0.5) & (st >= 0.02)).astype(np.int8)
+        y = ((nw >= min_words) & (al >= 0.5)
+             & (st >= 0.02)).astype(np.int8)
         x = np.column_stack([
             np.ones(len(texts)),
             np.log1p(nw.astype(np.float64)),
