@@ -801,6 +801,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (deterministic hash-based uniforms -> SQL-expressible)
         "doc_dsir_resample": lambda sf: lm_mod.dsir_resample(sf, k=100),
         "doc_pii_scrub": ts.q_pii_scrub,
+        # C4-style blocklist gate (per-category whole-word RE2 counts
+        # + keep flag) — exact DuckDB oracle (both engines are RE2)
+        "doc_blocklist": ts.q_blocklist,
         # mojibake repair self-check (inject deterministic corruption,
         # repair, compare in-batch; single counters row — expected
         # n_repaired == n_corrupted, n_mismatch == 0, check_ok = 1)
@@ -1720,6 +1723,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, ROUND(cosine, 5) AS cosine
             FROM sims WHERE rk <= 10
+        """,
+        # C4-style blocklist gate: whole-word category counts + keep
+        # flag; DuckDB's regexp engine is RE2 like pyarrow's, so the
+        # identical pattern gives identical counts
+        "doc_blocklist": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text),
+                     '\b(?:spark|flink)\b')) AS BIGINT) AS n_engine,
+                   CAST(len(regexp_extract_all(lower(text),
+                     '\b(?:sort|merge)\b')) AS BIGINT) AS n_shuffle,
+                   CAST(len(regexp_extract_all(lower(text),
+                     '\b(?:spark|flink)\b'))
+                    + len(regexp_extract_all(lower(text),
+                     '\b(?:sort|merge)\b')) AS BIGINT)
+                     AS n_blocked_total,
+                   (len(regexp_extract_all(lower(text),
+                     '\b(?:spark|flink)\b'))
+                    + len(regexp_extract_all(lower(text),
+                     '\b(?:sort|merge)\b'))) = 0 AS keep
+            FROM documents
         """,
         # PII redaction: deterministic doc_id-derived injection (the
         # corpus carries no PII, so the scrub must provably bite), then

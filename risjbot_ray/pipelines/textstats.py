@@ -471,6 +471,45 @@ def inject_pii_batch(batch: pa.Table) -> pa.Table:
                      "text": pa.array(out, pa.string())})
 
 
+# Blocklist categories (C4-style bad-words gate, configurable). The
+# defaults use corpus-vocabulary terms so the gate provably bites on
+# the synthetic tables; a real deployment swaps in its word lists.
+BLOCKLIST: dict[str, tuple[str, ...]] = {
+    "engine": ("spark", "flink"),
+    "shuffle": ("sort", "merge"),
+}
+
+
+def blocklist_filter_batch(batch: pa.Table,
+                           blocklist=None) -> pa.Table:
+    """C4-style blocklist gate: per doc, whole-word case-insensitive
+    match counts for each category plus the keep flag (C4 drops a doc
+    containing ANY listed term). One compiled RE2 alternation kernel
+    per category over the Arrow string column — vectorized, zero
+    shuffle, and byte-identical to a DuckDB `regexp_extract_all` on
+    the same pattern (both engines are RE2)."""
+    import pyarrow.compute as pc
+    bl = BLOCKLIST if blocklist is None else blocklist
+    low = pc.utf8_lower(batch.column("text"))
+    out = {"doc_id": batch.column("doc_id")}
+    total = np.zeros(batch.num_rows, dtype=np.int64)
+    for cat, words in bl.items():
+        pat = r"\b(?:" + "|".join(re.escape(w) for w in words) + r")\b"
+        n = pc.cast(pc.count_substring_regex(low, pat),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        out[f"n_{cat}"] = pa.array(n, pa.int64())
+        total += n
+    out["n_blocked_total"] = pa.array(total, pa.int64())
+    out["keep"] = pa.array(total == 0)
+    return pa.table(out)
+
+
+def q_blocklist(sf_dir: str):
+    return documents_ds(sf_dir).map_batches(
+        blocklist_filter_batch, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
 def _logreg_partials(batch: pa.Table, w: np.ndarray,
                      mu: np.ndarray, sd: np.ndarray) -> pa.Table:
     """One batch's full-batch-GD contribution: gradient X^T(p - y),

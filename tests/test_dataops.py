@@ -499,6 +499,21 @@ def test_quality_classifier_e2e(ray_session):
     assert row["n_docs"] > 0
 
 
+def test_blocklist_filter_kernel():
+    """Whole-word, case-insensitive, multi-hit counting against a
+    hand-computed truth table; keep flag is the C4 any-hit drop."""
+    from risjbot_ray.pipelines.textstats import blocklist_filter_batch
+    texts = ["Spark and flink beat spark", "sorted is not sort",
+             "merge sort merge", "clean text only", ""]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = blocklist_filter_batch(t).to_pandas()
+    assert out["n_engine"].tolist() == [3, 0, 0, 0, 0]
+    assert out["n_shuffle"].tolist() == [0, 1, 3, 0, 0]
+    assert out["n_blocked_total"].tolist() == [3, 1, 3, 0, 0]
+    assert out["keep"].tolist() == [False, False, False, True, True]
+
+
 def test_mojibake_repair_kernel():
     """The strict round-trip heuristic: latin-1 and cp1252 mojibake
     are restored byte-for-byte; clean ASCII, clean accented text, and
