@@ -168,17 +168,24 @@ def wordcount_quantiles_by_lang(sf_dir: str, qs=_QS_DEFAULT) -> pa.Table:
 _DD_QS = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
 
 
-def dd_bucket_counts(v: np.ndarray, alpha: float) -> "pa.Table":
-    """Deterministic DDSketch bucket counts for one value array.
-    Non-positive values (the sketch's contract is v > 0) are pinned to
-    a reserved underflow bucket (int64 min + 1) so nothing is silently
-    dropped and merges stay exact."""
+def dd_bucket_ids(v: np.ndarray, alpha: float) -> np.ndarray:
+    """THE bucket-assignment convention, shared by the global and
+    grouped sketches (any drift would make their merged results
+    disagree): bucket i = ceil(log_gamma(v)) for v > 0, with
+    non-positive values pinned to a reserved underflow bucket
+    (int64 min + 1) so nothing is silently dropped."""
     gamma = (1.0 + alpha) / (1.0 - alpha)
     under = np.iinfo(np.int64).min + 1
     pos = v > 0.0
     b = np.full(len(v), under, dtype=np.int64)
     b[pos] = np.ceil(np.log(v[pos]) / np.log(gamma)).astype(np.int64)
-    vals, n = np.unique(b, return_counts=True)
+    return b
+
+
+def dd_bucket_counts(v: np.ndarray, alpha: float) -> "pa.Table":
+    """Deterministic DDSketch bucket counts for one value array (see
+    dd_bucket_ids for the assignment convention)."""
+    vals, n = np.unique(dd_bucket_ids(v, alpha), return_counts=True)
     return pa.table({"bucket": pa.array(vals, pa.int64()),
                      "n": pa.array(n.astype(np.int64), pa.int64())})
 
@@ -271,19 +278,13 @@ def value_quantile_sketch_by_group(sf_dir: str, alpha: float = 0.01,
     import math
 
     import pandas as pd
-    gamma = (1.0 + alpha) / (1.0 - alpha)
-    under = np.iinfo(np.int64).min + 1
     ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
                                columns=[group_col, column])
 
     def partial(b: pa.Table) -> pa.Table:
         v = b.column(column).to_numpy(zero_copy_only=False)
-        pos = v > 0.0
-        buck = np.full(len(v), under, dtype=np.int64)
-        buck[pos] = np.ceil(np.log(v[pos])
-                            / np.log(gamma)).astype(np.int64)
         df = pd.DataFrame({"g": b.column(group_col).to_pandas(),
-                           "bucket": buck})
+                           "bucket": dd_bucket_ids(v, alpha)})
         out = df.groupby(["g", "bucket"], sort=False).size()
         out = out.rename("n").reset_index()
         return pa.Table.from_pandas(out, preserve_index=False)

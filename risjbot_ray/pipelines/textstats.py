@@ -490,7 +490,7 @@ def blocklist_filter_batch(batch: pa.Table,
     the same pattern (both engines are RE2)."""
     import pyarrow.compute as pc
     bl = BLOCKLIST if blocklist is None else blocklist
-    low = pc.utf8_lower(batch.column("text"))
+    low = pc.utf8_lower(pc.fill_null(batch.column("text"), ""))
     out = {"doc_id": batch.column("doc_id")}
     total = np.zeros(batch.num_rows, dtype=np.int64)
     for cat, words in bl.items():
@@ -516,6 +516,11 @@ def _logreg_partials(batch: pa.Table, w: np.ndarray,
     summed log-loss, and n — (d+2) doubles per batch regardless of
     batch size. ``bid`` (min doc_id) keys the driver's deterministic
     summation order."""
+    if batch.num_rows == 0:
+        return pa.table({"bid": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.float64()),
+                         "loss": pa.array([], pa.float64()),
+                         "g": pa.array([], pa.list_(pa.float64()))})
     x = np.stack(batch.column("x").to_numpy(zero_copy_only=False))
     y = batch.column("y").to_numpy(zero_copy_only=False).astype(
         np.float64)
@@ -528,7 +533,7 @@ def _logreg_partials(batch: pa.Table, w: np.ndarray,
                    + (1.0 - y) * np.log(1.0 - p + eps))
     g = xs.T @ (p - y)
     bid = int(batch.column("doc_id").to_numpy(
-        zero_copy_only=False).min()) if batch.num_rows else 0
+        zero_copy_only=False).min())
     return pa.table({"bid": pa.array([bid], pa.int64()),
                      "n": pa.array([float(len(y))], pa.float64()),
                      "loss": pa.array([float(loss)], pa.float64()),
@@ -544,6 +549,12 @@ def _logreg_fit(feat_ds, d: int, iters: int, lr: float):
     standardization stats come from the same partial pattern. Returns
     (w, mu, sd, losses) with losses the mean log-loss per iteration."""
     def stat_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"bid": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.float64()),
+                             "s": pa.array([], pa.list_(pa.float64())),
+                             "ss": pa.array([],
+                                            pa.list_(pa.float64()))})
         x = np.stack(batch.column("x").to_numpy(zero_copy_only=False))
         return pa.table({
             "bid": pa.array([int(batch.column("doc_id").to_numpy(
@@ -557,6 +568,8 @@ def _logreg_fit(feat_ds, d: int, iters: int, lr: float):
     parts = sorted(feat_ds.map_batches(
         stat_partial, batch_format="pyarrow").take_all(),
         key=lambda r: r["bid"])
+    if not parts:
+        raise ValueError("_logreg_fit: empty feature dataset")
     n = sum(r["n"] for r in parts)
     s = np.sum([r["s"] for r in parts], axis=0)
     ss = np.sum([r["ss"] for r in parts], axis=0)
@@ -602,14 +615,13 @@ def quality_classifier(sf_dir: str, iters: int = 40,
 
     def featurize(batch: pa.Table) -> pa.Table:
         q = quality_batch(batch)
-        texts = batch.column("text").to_pylist()
         nw = q.column("n_words").to_numpy(zero_copy_only=False)
         al = q.column("alpha_ratio").to_numpy(zero_copy_only=False)
         st = q.column("stopword_ratio").to_numpy(zero_copy_only=False)
         y = ((nw >= min_words) & (al >= 0.5)
              & (st >= 0.02)).astype(np.int8)
         x = np.column_stack([
-            np.ones(len(texts)),
+            np.ones(batch.num_rows),
             np.log1p(nw.astype(np.float64)),
             q.column("mean_word_len").to_numpy(zero_copy_only=False),
             al,
@@ -629,6 +641,10 @@ def quality_classifier(sf_dir: str, iters: int = 40,
     w, mu, sd, losses = _logreg_fit(feats, d, iters, lr)
 
     def acc_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "n_correct": pa.array([], pa.int64()),
+                             "n_pos": pa.array([], pa.int64())})
         x = np.stack(batch.column("x").to_numpy(zero_copy_only=False))
         y = batch.column("y").to_numpy(zero_copy_only=False)
         xs = (x - mu) / sd
@@ -670,7 +686,15 @@ def quality_classifier(sf_dir: str, iters: int = 40,
 # a continuation byte (U+0080..U+00BF): the signature of UTF-8 bytes
 # decoded as Latin-1/cp1252 ("café" -> "cafÃ©"). RE2 prefilter so
 # clean docs never reach the Python repair path.
-MOJIBAKE_MARK = "[\u00c2-\u00f4][\u0080-\u00bf]"
+# cp1252 maps bytes 0x80-0x9F to specials ('\u2014' -> '\u00e2\u20ac\u201d'
+# puts U+20AC/U+201D after the lead char), so the continuation class
+# must accept BOTH codecs' renderings or cp1252 mojibake never reaches
+# the repair path. Built from the codec itself so it cannot drift.
+_CP1252_CONT = "".join(sorted(
+    bytes([b]).decode("cp1252") for b in range(0x80, 0xA0)
+    if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)))  # unmapped in cp1252
+MOJIBAKE_MARK = ("[\u00c2-\u00f4][\u0080-\u00bf"
+                 + re.escape(_CP1252_CONT) + "]")
 
 
 def _try_demojibake(s: str):
@@ -714,11 +738,12 @@ def fix_mojibake_batch(batch: pa.Table) -> pa.Table:
 def q_mojibake_check(sf_dir: str) -> pa.Table:
     """Driver-visible self-check for the mojibake repairer: append a
     deterministic non-ASCII suffix to every doc, corrupt doc_id%3==0
-    via the utf-8→latin-1 round trip, repair, and compare against the
-    pre-corruption text in-batch. Only O(1) counter rows reach the
-    driver; expected row: n_repaired == n_corrupted, n_mismatch == 0
-    (every corrupted doc restored byte-for-byte AND no clean doc
-    altered)."""
+    via the utf-8→latin-1 round trip and doc_id%3==1 via the cp1252
+    variant (both real-web corruption modes), repair, and compare
+    against the pre-corruption text in-batch. Only O(1) counter rows
+    reach the driver; expected row: n_repaired == n_corrupted,
+    n_mismatch == 0 (every corrupted doc restored byte-for-byte AND
+    no clean doc altered)."""
     def inject_and_corrupt(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
@@ -726,8 +751,12 @@ def q_mojibake_check(sf_dir: str) -> pa.Table:
         for d, t in zip(ids, texts):
             s = f"{t or ''} café №{d} — naïve côté"
             orig.append(s)
-            noisy.append(s.encode("utf-8").decode("latin-1")
-                         if d % 3 == 0 else s)
+            if d % 3 == 0:
+                noisy.append(s.encode("utf-8").decode("latin-1"))
+            elif d % 3 == 1:
+                noisy.append(s.encode("utf-8").decode("cp1252"))
+            else:
+                noisy.append(s)
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "orig": pa.array(orig, pa.string()),
                          "text": pa.array(noisy, pa.string())})
@@ -741,7 +770,7 @@ def q_mojibake_check(sf_dir: str) -> pa.Table:
         mism = np.array([a != b for a, b in zip(fixed, orig)])
         return pa.table({
             "n_docs": pa.array([len(ids)], pa.int64()),
-            "n_corrupted": pa.array([int((ids % 3 == 0).sum())],
+            "n_corrupted": pa.array([int((ids % 3 != 2).sum())],
                                     pa.int64()),
             "n_repaired": pa.array([int(rep.sum())], pa.int64()),
             "n_mismatch": pa.array([int(mism.sum())], pa.int64()),

@@ -701,42 +701,56 @@ def domain_sample(sf_dir: str):
 # stratified exact-k sampling + per-domain token caps
 # --------------------------------------------------------------------------
 
-def stratified_sample(sf_dir: str, k: int = 50, group_col: str = "lang"):
-    """Exactly ``k`` docs per group, chosen deterministically: the k
-    smallest md5(doc_id || ':strat') hex keys within each group
-    (doc_id tiebreak). Scale shape: each BATCH keeps only its local
-    per-group top-k (vectorized pandas sort + head), so the final
-    per-group merge sees at most k x #blocks rows, never the corpus —
-    the same salted grouped top-k pattern as the politeness scheduler.
-    Returns (doc_id, grp, sample_rank 1..k). SQL-exact (ROW_NUMBER
-    over PARTITION BY ... ORDER BY md5 key)."""
+def _salted_grouped_topk(docs_ds, group_col: str, out_col: str,
+                         salt: str, cap):
+    """THE salted grouped top-k selection shared by stratified_sample
+    and temperature_mix (and SQL-pinned by both oracles): within each
+    group keep the ``cap`` smallest md5(doc_id || ':' || salt) hex
+    keys (doc_id tiebreak), ranked 1..cap. ``cap`` is an int (same
+    for every group) or a dict group -> quota. Scale shape: each
+    BATCH pre-filters to its LOCAL per-group top-cap (vectorized
+    sort + cumcount), so the per-group merge sees at most
+    cap x #blocks rows, never the corpus — the politeness scheduler's
+    pattern."""
     import pandas as pd
-
-    def key_of(ids) -> list[str]:
-        return [hashlib.md5(f"{d}:strat".encode()).hexdigest()
-                for d in ids]
+    cap_of = (lambda g, c=cap: c) if isinstance(cap, int) \
+        else (lambda g, c=cap: c.get(g, 0))
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({
             "doc_id": batch.column("doc_id").to_numpy(
                 zero_copy_only=False).astype(np.int64),
-            "grp": batch.column(group_col).to_pylist(),
+            out_col: batch.column(group_col).to_pylist(),
         })
-        df["key"] = key_of(df["doc_id"])
-        df = (df.sort_values(["grp", "key", "doc_id"], kind="mergesort")
-                .groupby("grp", sort=False).head(k))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        df["key"] = [hashlib.md5(f"{d}:{salt}".encode()).hexdigest()
+                     for d in df["doc_id"]]
+        df = df.sort_values([out_col, "key", "doc_id"],
+                            kind="mergesort")
+        rn = df.groupby(out_col, sort=False).cumcount().to_numpy()
+        caps = df[out_col].map(cap_of).to_numpy()
+        return pa.Table.from_pandas(df[rn < caps],
+                                    preserve_index=False)
 
     def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        q = cap_of(df[out_col].iloc[0])
         df = (df.sort_values(["key", "doc_id"], kind="mergesort")
-                .head(k).reset_index(drop=True))
+                .head(q).reset_index(drop=True))
         df["sample_rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df[["doc_id", "grp", "sample_rank"]]
+        return df[["doc_id", out_col, "sample_rank"]]
 
     return (_coalesce_for_exchange(
-                _documents(sf_dir, ["doc_id", group_col])
-                .map_batches(partial, batch_format="pyarrow"))
-            .groupby("grp").map_groups(final, batch_format="pandas"))
+                docs_ds.map_batches(partial, batch_format="pyarrow"))
+            .groupby(out_col).map_groups(final, batch_format="pandas"))
+
+
+def stratified_sample(sf_dir: str, k: int = 50, group_col: str = "lang"):
+    """Exactly ``k`` docs per group, chosen deterministically by the
+    shared salted grouped top-k rule (salt ':strat'). Returns
+    (doc_id, grp, sample_rank 1..k). SQL-exact (ROW_NUMBER over
+    PARTITION BY ... ORDER BY md5 key)."""
+    return _salted_grouped_topk(
+        _documents(sf_dir, ["doc_id", group_col]),
+        group_col, "grp", "strat", k)
 
 
 def temperature_mix(sf_dir: str, tau: float = 0.7, total: int = 200):
@@ -786,31 +800,8 @@ def temperature_mix(sf_dir: str, tau: float = 0.7, total: int = 200):
     # SQL oracle applies the identical ROUND(..., 9) guard
     quota = {s: int(np.floor(np.round(total * w / wt.sum(), 9)))
              for s, w in zip(cdf["source"], wt)}
-
-    def partial(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "doc_id": batch.column("doc_id").to_numpy(
-                zero_copy_only=False).astype(np.int64),
-            "source": batch.column("source").to_pylist(),
-        })
-        df["key"] = [hashlib.md5(f"{d}:tmix".encode()).hexdigest()
-                     for d in df["doc_id"]]
-        df = df.sort_values(["source", "key", "doc_id"],
-                            kind="mergesort")
-        rn = df.groupby("source", sort=False).cumcount()
-        keep = rn < df["source"].map(quota).fillna(0).to_numpy()
-        return pa.Table.from_pandas(df[keep], preserve_index=False)
-
-    def final(df: "pd.DataFrame") -> "pd.DataFrame":
-        q = quota.get(df["source"].iloc[0], 0)
-        df = (df.sort_values(["key", "doc_id"], kind="mergesort")
-                .head(q).reset_index(drop=True))
-        df["sample_rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df[["doc_id", "source", "sample_rank"]]
-
-    return (_coalesce_for_exchange(
-                docs.map_batches(partial, batch_format="pyarrow"))
-            .groupby("source").map_groups(final, batch_format="pandas"))
+    return _salted_grouped_topk(docs, "source", "source", "tmix",
+                                quota)
 
 
 _CAP_KB_BITS = 12   # cutoff pre-pass key buckets (4096): the driver

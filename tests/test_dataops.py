@@ -504,14 +504,15 @@ def test_blocklist_filter_kernel():
     hand-computed truth table; keep flag is the C4 any-hit drop."""
     from risjbot_ray.pipelines.textstats import blocklist_filter_batch
     texts = ["Spark and flink beat spark", "sorted is not sort",
-             "merge sort merge", "clean text only", ""]
-    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+             "merge sort merge", "clean text only", "", None]
+    t = pa.table({"doc_id": pa.array(range(6), pa.int64()),
                   "text": pa.array(texts, pa.string())})
     out = blocklist_filter_batch(t).to_pandas()
-    assert out["n_engine"].tolist() == [3, 0, 0, 0, 0]
-    assert out["n_shuffle"].tolist() == [0, 1, 3, 0, 0]
-    assert out["n_blocked_total"].tolist() == [3, 1, 3, 0, 0]
-    assert out["keep"].tolist() == [False, False, False, True, True]
+    assert out["n_engine"].tolist() == [3, 0, 0, 0, 0, 0]
+    assert out["n_shuffle"].tolist() == [0, 1, 3, 0, 0, 0]
+    assert out["n_blocked_total"].tolist() == [3, 1, 3, 0, 0, 0]
+    assert out["keep"].tolist() == [False, False, False,
+                                    True, True, True]
 
 
 def test_mojibake_repair_kernel():
@@ -522,20 +523,29 @@ def test_mojibake_repair_kernel():
                                                  fix_mojibake_batch)
     orig = "café №7 — naïve côté übung"
     latin = orig.encode("utf-8").decode("latin-1")
+    cp = orig.encode("utf-8").decode("cp1252")
+    # cp1252 cases whose continuation bytes ALL land in 0x80-0x9F
+    # (mapped to specials OUTSIDE U+0080-U+00BF) — the prefilter gap
+    # class: em dash and a German umlaut word
+    dash_cp = "—".encode("utf-8").decode("cp1252")       # 'â€”'
+    umlaut_cp = "Ärger".encode("utf-8").decode("cp1252")  # 'Ã„rger'
     clean_cases = ["plain ascii only", "café au lait — naïve",
                    "mixed € and ™ symbols", ""]
-    t = pa.table({"doc_id": pa.array(range(2 + len(clean_cases)),
-                                     pa.int64()),
-                  "text": pa.array([latin, orig] + clean_cases,
-                                   pa.string())})
+    cases = [latin, cp, dash_cp, umlaut_cp, orig] + clean_cases
+    t = pa.table({"doc_id": pa.array(range(len(cases)), pa.int64()),
+                  "text": pa.array(cases, pa.string())})
     out = fix_mojibake_batch(t)
     texts = out.column("text").to_pylist()
     rep = out.column("repaired").to_pylist()
     assert texts[0] == orig and rep[0] == 1
-    assert texts[1] == orig and rep[1] == 0          # already clean
-    assert texts[2:] == clean_cases and rep[2:] == [0] * 4
+    assert texts[1] == orig and rep[1] == 1          # cp1252 variant
+    assert texts[2] == "—" and rep[2] == 1
+    assert texts[3] == "Ärger" and rep[3] == 1
+    assert texts[4] == orig and rep[4] == 0          # already clean
+    assert texts[5:] == clean_cases and rep[5:] == [0] * 4
     import re as _re
-    assert _re.search(MOJIBAKE_MARK, latin)
+    for s in (latin, cp, dash_cp, umlaut_cp):
+        assert _re.search(MOJIBAKE_MARK, s), s
     assert not _re.search(MOJIBAKE_MARK, "plain ascii")
 
 
