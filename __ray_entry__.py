@@ -749,6 +749,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-column profiling pass (counts/nulls/min/max partials
         # tree-combine; no shuffle)
         "events_profile": relational.table_profile,
+        # grouped z-score anomaly flags (sufficient-stats pass +
+        # stateless broadcast-stats flag pass) — exact DuckDB oracle
+        "events_anomaly": relational.events_anomaly,
         # grouped Pearson correlation from sufficient-statistic
         # partials (single pass, no centering shuffle)
         "lineitem_corr": relational.lineitem_corr,
@@ -1328,6 +1331,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         # per-column profile of the events table; timestamps as epoch
         # micros, string columns get NULL bounds
+        # grouped z-score anomalies: population stats per event type,
+        # |z| > 3 rows; 5dp-rounded z on both sides
+        "events_anomaly": r"""
+            WITH s AS (
+              SELECT event_type, AVG(value) AS m,
+                     STDDEV_POP(value) AS sd
+              FROM events GROUP BY event_type)
+            SELECT e.event_id, e.event_type, e.value,
+                   ROUND((e.value - s.m) / s.sd, 5) AS z
+            FROM events e JOIN s USING (event_type)
+            WHERE s.sd > 0 AND ABS((e.value - s.m) / s.sd) > 3
+        """,
         "events_profile": """
             SELECT 'event_id' AS column_name, COUNT(*) AS n_rows,
                    CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0

@@ -370,6 +370,55 @@ def lineitem_corr(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def events_anomaly(sf_dir: str, z_cut: float = 3.0):
+    """Grouped z-score anomaly detection — the data-validation staple:
+    per event type, mean/std of ``value`` from ONE sufficient-stats
+    pass (the lineitem_corr pattern: (type, n, s, ss) partials, tiny
+    groupby), then a stateless second pass flags rows with |z| >
+    z_cut. The stats dict is O(#event_types) and broadcasts in the
+    closure; no row ever shuffles. Returns (event_id, event_type,
+    value, z) for the anomalous rows."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type",
+                                        "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        v = df["value"].to_numpy(dtype=np.float64)
+        g = (pd.DataFrame({"t": df["event_type"], "n": 1.0,
+                           "s": v, "ss": v * v})
+             .groupby("t", sort=False, as_index=False).sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("t")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("s", alias_name="s"),
+                      Sum("ss", alias_name="ss"))).to_pandas()
+    m = agg["s"] / agg["n"]
+    sd = np.sqrt(np.maximum(agg["ss"] / agg["n"] - m * m, 0.0))
+    stats = {t: (mm, ss) for t, mm, ss in zip(agg["t"], m, sd)}
+
+    def flag(b: pa.Table) -> pa.Table:
+        types = b.column("event_type").to_pylist()
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        mm = np.array([stats[t][0] for t in types])
+        ss = np.array([stats[t][1] for t in types])
+        z = np.where(ss > 0, (v - mm) / np.where(ss > 0, ss, 1.0),
+                     0.0)
+        keep = np.abs(z) > z_cut
+        return pa.table({
+            "event_id": pa.array(np.asarray(
+                b.column("event_id").to_numpy(
+                    zero_copy_only=False))[keep], pa.int64()),
+            "event_type": pa.array(
+                np.asarray(types, dtype=object)[keep], pa.string()),
+            "value": pa.array(v[keep], pa.float64()),
+            "z": pa.array(np.round(z[keep], 5), pa.float64())})
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
 def table_profile(sf_dir: str, table: str = "events") -> pa.Table:
     """Data-profiling operator: one row per column with row count,
     null count, and min/max (numeric and timestamp columns; timestamps

@@ -31,7 +31,7 @@ NAMES = ["simhash_signatures", "doc_fingerprint", "doc_langid",
          "doc_filter_funnel", "events_profile",
          "simhash_dedup_clusters", "doc_index_lookup",
          "doc_normalize", "lineitem_corr", "source_unigram_kl",
-         "doc_temperature_mix", "doc_blocklist"]
+         "doc_temperature_mix", "doc_blocklist", "events_anomaly"]
 
 
 def _vhash(df) -> str:

@@ -177,6 +177,26 @@ def test_lineitem_corr_vs_numpy(ray_session):
         assert abs(got.loc[flag, "corr_qty_price"] - exp) < 1e-5, flag
 
 
+def test_events_anomaly_vs_local(ray_session):
+    """Grouped z-score flags == a local pandas recompute of the same
+    population-stat rule, and every flagged row truly exceeds the
+    cut."""
+    from risjbot_ray.pipelines.relational import events_anomaly
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "event_type",
+                                "value"]).to_pandas()
+    got = events_anomaly(SF, z_cut=2.0).to_pandas()
+    exp_ids = set()
+    for t, sub in ev.groupby("event_type"):
+        v = sub["value"].to_numpy()
+        m, sd = v.mean(), v.std()        # ddof=0 == population
+        if sd > 0:
+            z = (v - m) / sd
+            exp_ids |= set(sub["event_id"].to_numpy()[np.abs(z) > 2.0])
+    assert set(got["event_id"]) == exp_ids and len(exp_ids) > 0
+    assert (np.abs(got["z"]) > 2.0 - 1e-9).all()
+
+
 def test_embedding_pca_planted_direction(ray_session, tmp_path):
     """PCA on data with one planted dominant direction: component 0
     recovers it (|cos| ~ 1), explained ratios are sorted, and the
