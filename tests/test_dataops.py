@@ -549,6 +549,63 @@ def test_mojibake_repair_kernel():
     assert not _re.search(MOJIBAKE_MARK, "plain ascii")
 
 
+def test_mojibake_properties():
+    """Hypothesis properties of the repair heuristic: (a) latin-1
+    corruption of ANY unicode text containing a multi-byte char is
+    restored byte-for-byte; (b) pure-ASCII text is NEVER altered (no
+    marker), and neither is text no mojibake codec can re-encode
+    (both strict encodes fail, so the round trip can't start)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from risjbot_ray.pipelines.textstats import fix_mojibake_batch
+
+    def run_one(s: str) -> tuple[str, int]:
+        t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                      "text": pa.array([s], pa.string())})
+        out = fix_mojibake_batch(t)
+        return (out.column("text").to_pylist()[0],
+                out.column("repaired").to_pylist()[0])
+
+    text_st = st.text(alphabet=st.characters(
+        blacklist_categories=("Cs",)), min_size=0, max_size=80)
+
+    @given(text_st)
+    @settings(max_examples=150, deadline=None)
+    def corrupt_restores(s):
+        if not any(ord(c) > 0x7F for c in s):
+            return                       # corruption is identity
+        bad = s.encode("utf-8").decode("latin-1")
+        fixed, rep = run_one(bad)
+        assert fixed == s and rep == 1
+
+    @given(st.text(alphabet=st.characters(max_codepoint=0x7F),
+                   max_size=80))
+    @settings(max_examples=100, deadline=None)
+    def ascii_untouched(s):
+        fixed, rep = run_one(s)
+        assert fixed == s and rep == 0
+
+    def _unencodable(s):
+        for enc in ("latin-1", "cp1252"):
+            try:
+                s.encode(enc)
+                return False
+            except UnicodeEncodeError:
+                continue
+        return True
+
+    @given(text_st.filter(_unencodable))
+    @settings(max_examples=100, deadline=None)
+    def unencodable_untouched(s):
+        fixed, rep = run_one(s)
+        assert fixed == s and rep == 0
+
+    corrupt_restores()
+    ascii_untouched()
+    unencodable_untouched()
+
+
 def test_mojibake_check_e2e(ray_session):
     from risjbot_ray.pipelines.textstats import q_mojibake_check
     row = q_mojibake_check(SF).to_pandas().iloc[0]
