@@ -1022,10 +1022,17 @@ def oracle_sql() -> dict[str, str]:
 
     sql = {
         "lineitem_pricing_summary": """
+            -- disc_price in EXACT integer 1e-4-dollar units (prices
+            -- are exact cents, discounts exact percent), final cent
+            -- by integer half-away rounding: float SUM wobbles at a
+            -- half-cent boundary this corpus actually hits
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
-                       AS sum_disc_price,
+                   CAST((SUM(CAST(ROUND(l_extendedprice * 100)
+                                  AS BIGINT)
+                             * (100 - CAST(ROUND(l_discount * 100)
+                                           AS BIGINT))) + 50) // 100
+                        AS DOUBLE) / 100 AS sum_disc_price,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-01'

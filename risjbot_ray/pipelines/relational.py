@@ -19,8 +19,17 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 def q1_pricing_summary(sf_dir: str):
     """TPC-H Q1 shape: filter -> computed columns -> grouped aggregate.
-    Per-batch vectorized arithmetic; sums rounded to 2dp to be stable
-    across summation orders."""
+
+    disc_price sums in EXACT integer units (prices are exact cents and
+    discounts exact percent, so extendedprice*(1-discount) is an exact
+    multiple of 1e-4): float summation order varies with block splits
+    and its ~1e-9 wobble can flip the 2dp rounding at a cent boundary
+    between runs — int64 units make the result split-invariant. The
+    final cent uses the same half-AWAY-from-zero rule as the SQL
+    oracle, applied in integer arithmetic ((units+50)//100), because
+    the corpus really does produce sums landing exactly on a half
+    cent, where numpy's half-to-even and SQL ROUND disagree.
+    Capacity: ~1e9 units/row -> safe to ~8e9 rows per group."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
@@ -30,10 +39,13 @@ def q1_pricing_summary(sf_dir: str):
 
     def prep(b: pa.Table) -> pa.Table:
         b = b.filter(pc.less_equal(b.column("l_shipdate"), cutoff))
-        disc = pc.multiply(b.column("l_extendedprice"),
-                           pc.subtract(pa.scalar(1.0),
-                                       b.column("l_discount")))
-        return (b.append_column("disc_price", disc)
+        ext_c = np.round(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        disc_c = np.round(b.column("l_discount").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        units = ext_c * (100 - disc_c)          # exact 1e-4 dollars
+        return (b.append_column("disc_units",
+                                pa.array(units, pa.int64()))
                 .drop_columns(["l_shipdate", "l_extendedprice",
                                "l_discount"]))
 
@@ -41,14 +53,15 @@ def q1_pricing_summary(sf_dir: str):
                           zero_copy_batch=True)
            .groupby(["l_returnflag", "l_linestatus"])
            .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                      Sum("disc_price", alias_name="sum_disc_price"),
+                      Sum("disc_units", alias_name="sum_units"),
                       Count(alias_name="count_order")))
 
     def finish(b: pa.Table) -> pa.Table:
-        return (b.set_column(
-                    b.column_names.index("sum_disc_price"),
-                    "sum_disc_price",
-                    pc.round(b.column("sum_disc_price"), 2))
+        units = b.column("sum_units").to_numpy(zero_copy_only=False)
+        price = ((units + 50) // 100) / 100.0    # exact cents
+        b = b.append_column("sum_disc_price",
+                            pa.array(price, pa.float64()))
+        return (b.drop_columns(["sum_units"])
                  .set_column(
                     b.column_names.index("sum_qty"), "sum_qty",
                     pc.round(b.column("sum_qty"), 2)))
