@@ -1336,8 +1336,6 @@ def oracle_sql() -> dict[str, str]:
                             AND stop >= 0.02 THEN 1 ELSE 0 END)
                         AS BIGINT) FROM m
         """,
-        # per-column profile of the events table; timestamps as epoch
-        # micros, string columns get NULL bounds
         # grouped z-score anomalies: population stats per event type,
         # |z| > 3 rows; 5dp-rounded z on both sides
         "events_anomaly": r"""
@@ -1350,6 +1348,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN s USING (event_type)
             WHERE s.sd > 0 AND ABS((e.value - s.m) / s.sd) > 3
         """,
+        # per-column profile of the events table; timestamps as epoch
+        # micros, string columns get NULL bounds
         "events_profile": """
             SELECT 'event_id' AS column_name, COUNT(*) AS n_rows,
                    CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0

@@ -390,13 +390,22 @@ def events_anomaly(sf_dir: str, z_cut: float = 3.0):
     groupby), then a stateless second pass flags rows with |z| >
     z_cut. The stats dict is O(#event_types) and broadcasts in the
     closure; no row ever shuffles. Returns (event_id, event_type,
-    value, z) for the anomalous rows."""
+    value, z) for the anomalous rows.
+
+    Null semantics match the oracle: rows with NULL type or value
+    contribute nothing to the stats and are never flagged (AVG /
+    STDDEV_POP ignore nulls; JOIN USING never matches a NULL key).
+    Numerics: the single-pass E[x^2]-E[x]^2 variance assumes values
+    and spread within float64 headroom (|v| and sd within ~1e7 of
+    each other), the standard telemetry envelope — like every float
+    oracle here, a row sitting EXACTLY on |z| == z_cut is a
+    measure-zero tie for continuous data."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "event_type",
                                         "value"])
 
     def partial(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
+        df = b.to_pandas().dropna(subset=["event_type", "value"])
         v = df["value"].to_numpy(dtype=np.float64)
         g = (pd.DataFrame({"t": df["event_type"], "n": 1.0,
                            "s": v, "ss": v * v})
@@ -410,16 +419,18 @@ def events_anomaly(sf_dir: str, z_cut: float = 3.0):
                       Sum("ss", alias_name="ss"))).to_pandas()
     m = agg["s"] / agg["n"]
     sd = np.sqrt(np.maximum(agg["ss"] / agg["n"] - m * m, 0.0))
-    stats = {t: (mm, ss) for t, mm, ss in zip(agg["t"], m, sd)}
+    means = dict(zip(agg["t"], m))
+    sds = dict(zip(agg["t"], sd))
 
     def flag(b: pa.Table) -> pa.Table:
-        types = b.column("event_type").to_pylist()
+        types = pd.Series(b.column("event_type").to_pylist(),
+                          dtype=object)
         v = b.column("value").to_numpy(zero_copy_only=False)
-        mm = np.array([stats[t][0] for t in types])
-        ss = np.array([stats[t][1] for t in types])
-        z = np.where(ss > 0, (v - mm) / np.where(ss > 0, ss, 1.0),
-                     0.0)
-        keep = np.abs(z) > z_cut
+        mm = types.map(means).to_numpy(dtype=np.float64)  # NaN if
+        ss = types.map(sds).to_numpy(dtype=np.float64)    # unknown/null
+        ok = np.isfinite(v) & np.isfinite(mm) & (ss > 0)
+        z = np.where(ok, (v - mm) / np.where(ok, ss, 1.0), 0.0)
+        keep = ok & (np.abs(z) > z_cut)
         return pa.table({
             "event_id": pa.array(np.asarray(
                 b.column("event_id").to_numpy(

@@ -641,10 +641,10 @@ def quality_classifier(sf_dir: str, iters: int = 40,
     # after coalescing. At real scale the size target, not the count
     # floor, governs (webtext._coalesce keeps >= 2x-CPU blocks).
     from risjbot_ray.pipelines.webtext import _coalesce
-    feats = _coalesce(
+    feats = _coalesce(            # returns materialized either way
         documents_ds(sf_dir)
         .map_batches(featurize, batch_format="pyarrow",
-                     zero_copy_batch=True).materialize()).materialize()
+                     zero_copy_batch=True).materialize())
     w, mu, sd, losses = _logreg_fit(feats, d, iters, lr)
 
     def acc_partial(batch: pa.Table) -> pa.Table:

@@ -197,6 +197,34 @@ def test_events_anomaly_vs_local(ray_session):
     assert (np.abs(got["z"]) > 2.0 - 1e-9).all()
 
 
+def test_events_anomaly_null_safety(ray_session, tmp_path):
+    """NULL event_type / NULL value rows match the oracle semantics:
+    they contribute nothing to the stats and are never flagged, and
+    non-null groups' stats are unbiased by the null rows."""
+    import pyarrow as pa
+    n = 40
+    vals = [float(i % 10) for i in range(n)]
+    vals[7] = 500.0                             # the planted outlier
+    types = ["click"] * n
+    types[3] = None                             # null type
+    vals[5] = None                              # null value
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+        "value": pa.array(vals, pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    from risjbot_ray.pipelines.relational import events_anomaly
+    got = events_anomaly(str(tmp_path), z_cut=3.0).to_pandas()
+    assert got["event_id"].tolist() == [7]
+    # stats must exclude the nulls: recompute the expected z exactly
+    clean = [v for ty, v in zip(types, vals)
+             if ty is not None and v is not None]
+    m = np.mean(clean)
+    sd = np.std(clean)
+    assert abs(got["z"].iloc[0] - round((500.0 - m) / sd, 5)) < 1e-9
+
+
 def test_embedding_pca_planted_direction(ray_session, tmp_path):
     """PCA on data with one planted dominant direction: component 0
     recovers it (|cos| ~ 1), explained ratios are sorted, and the
