@@ -52,31 +52,37 @@ class RobotsIndex:
             dtype=bool, count=len(urls))
 
 
-def add_salted_group(table: pa.Table, per_host_budget: int,
+def add_salted_group(table: pa.Table,
                      salt_threshold: int = 10_000) -> pa.Table:
     """Append a ``sched_group`` column: ``host`` for normal hosts,
     ``host#k`` (k = url_hash % S) for hosts whose wave volume exceeds
     ``salt_threshold`` — the explicit hot-host salting the north rule
     requires. S grows with the host's row count so each sub-group stays
-    under the threshold. Vectorized with Arrow kernels (no Python loop
-    over rows)."""
-    hosts = table.column("host")
+    under the threshold.
+
+    ONE full-length pass regardless of how many hosts are hot: per-row
+    sub-group counts come from a single index_in/take against the
+    hot-host list (the previous per-hot-host if_else loop was
+    O(#hot_hosts x rows) — exactly wrong on the skewed waves salting
+    exists for)."""
+    hosts = pc.cast(table.column("host"), pa.string()).combine_chunks()
     counts = pc.value_counts(hosts)
     hot = {r["values"]: int(np.ceil(r["counts"] / salt_threshold))
            for r in counts.to_pylist() if r["counts"] > salt_threshold}
     if not hot:
-        return table.append_column("sched_group", hosts.cast(pa.string()))
+        return table.append_column("sched_group", hosts)
+    idx = pc.index_in(hosts, value_set=pa.array(list(hot), pa.string()))
+    idx_np = idx.to_numpy(zero_copy_only=False)       # NaN = not hot
+    is_hot = ~np.isnan(idx_np)
+    s_np = np.ones(len(idx_np), np.uint64)
+    s_np[is_hot] = np.array(list(hot.values()), np.uint64)[
+        idx_np[is_hot].astype(np.int64)]
     hash_np = np.asarray(table.column("url_hash").to_numpy(
         zero_copy_only=False), dtype=np.uint64)
-    groups = hosts.cast(pa.string())
-    for h, s in hot.items():
-        mask = pc.equal(hosts, h)
-        salts = pc.cast(pa.array((hash_np % np.uint64(s)).astype(np.int64)),
-                        pa.string())
-        salted = pc.binary_join_element_wise(
-            pa.scalar(h), salts, pa.scalar("#"))
-        # place 'host#k' where mask else keep existing group
-        groups = pc.if_else(mask, salted, groups)
+    salts = pc.cast(pa.array((hash_np % s_np).astype(np.int64)),
+                    pa.string())
+    salted = pc.binary_join_element_wise(hosts, salts, pa.scalar("#"))
+    groups = pc.if_else(pa.array(is_hot), salted, hosts)
     return table.append_column("sched_group", groups)
 
 
@@ -110,9 +116,8 @@ def schedule_wave(frontier: pa.Table, per_host_budget: int,
     if frontier.num_rows == 0:
         empty = frontier.slice(0, 0)
         return empty, empty
-    import pyarrow.compute as pc
 
-    salted = add_salted_group(frontier, per_host_budget, salt_threshold)
+    salted = add_salted_group(frontier, salt_threshold)
     # one global stable Arrow sort; grouped top-k then reduces to a
     # cumcount mask over two SMALL columns — the wide columns (meta blobs)
     # never round-trip through pandas

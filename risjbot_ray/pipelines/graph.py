@@ -55,6 +55,15 @@ def _out_degrees(edges: "ray.data.Dataset", n_nodes: int) -> np.ndarray:
     """Dense out-degree vector via per-batch bincount + tree-combine."""
     def partial(batch: pa.Table) -> pa.Table:
         src = batch.column("src").to_numpy(zero_copy_only=False)
+        # contract check (vectorized, one pass): pagerank requires
+        # node ids in [0, n_nodes) — a gapped/renumbered id space must
+        # be densified by the caller, not crash with an IndexError
+        # deep in the rank update (or allocate a max(id)-sized array)
+        if len(src) and (src.min() < 0 or src.max() >= n_nodes):
+            raise ValueError(
+                f"pagerank: src ids outside [0, {n_nodes}): "
+                f"min={src.min()}, max={src.max()} — densify doc_ids "
+                "before deriving edges")
         deg = np.bincount(src, minlength=1)
         nz = np.nonzero(deg)[0]
         return pa.table({"node": pa.array(nz, pa.int64()),
@@ -131,6 +140,8 @@ PAGERANK_ITERS = 5
 
 
 def _derived_edges(sf_dir: str, n_nodes: int) -> "ray.data.Dataset":
+    """Assumes contiguous doc_ids 0..n_nodes-1 (true for every driver
+    table; pagerank's contract check catches violations loudly)."""
     def expand(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(
             zero_copy_only=False).astype(np.int64)

@@ -393,20 +393,23 @@ class _MemberTooLarge(Exception):
     pass
 
 
-def _iter_gzip_member_spans(raw: bytes) -> Iterator[tuple[int, int, bytes]]:
+def _iter_gzip_member_spans(raw: bytes) -> Iterator[tuple[int, int, bytes | None]]:
     """Walk the concatenated gzip members of ``raw``, yielding
     (offset, compressed_length, decompressed_bytes) per member.
     Feeds zlib in bounded chunks so total copying is O(file), not
     O(members x file). Raises ValueError on a truncated member,
-    zlib.error on corrupt bytes, and _MemberTooLarge when one member
-    decompresses past _MEMBER_MAX_BYTES (whole-file-gzip layout)."""
+    zlib.error on corrupt bytes, and _MemberTooLarge when the FIRST
+    member decompresses past _MEMBER_MAX_BYTES (the whole-file-gzip
+    layout signal). An oversized member LATER in the archive is
+    stream-discarded to its end and yielded with data=None so the
+    caller can count it without losing every member after it."""
     n = len(raw)
     mv = memoryview(raw)
     pos = 0
     while pos < n:
         start = pos
         d = zlib.decompressobj(wbits=31)   # single gzip member
-        out = []
+        out: list | None = []
         size = 0
         while not d.eof:
             chunk = mv[pos:pos + _MEMBER_CHUNK]
@@ -414,12 +417,41 @@ def _iter_gzip_member_spans(raw: bytes) -> Iterator[tuple[int, int, bytes]]:
                 raise ValueError(
                     f"truncated gzip member at offset {start}")
             piece = d.decompress(chunk)
-            out.append(piece)
             size += len(piece)
-            if size > _MEMBER_MAX_BYTES:
-                raise _MemberTooLarge(str(start))
+            if out is not None:
+                out.append(piece)
+                if size > _MEMBER_MAX_BYTES:
+                    if start == 0:
+                        raise _MemberTooLarge(str(start))
+                    out = None             # discard mode: keep walking
             pos += len(chunk) - len(d.unused_data)
-        yield start, pos - start, b"".join(out)
+        yield start, pos - start, (b"".join(out)
+                                   if out is not None else None)
+
+
+def _cdx_entry(rec: dict, warc_path: str, offset: int, length: int,
+               rec_seq: int, compressed: bool) -> dict:
+    """THE index-row shape (single definition — every branch of the
+    indexer builds rows through here so the schema cannot diverge)."""
+    import hashlib
+    return {
+        "url": rec["url"], "warc_ts": rec["warc_ts"],
+        "http_status": rec["http_status"],
+        "content_type": rec["content_type"],
+        "digest": hashlib.sha1(rec["html"]).hexdigest(),
+        "warc_path": warc_path, "offset": offset, "length": length,
+        "rec_seq": rec_seq, "compressed": compressed,
+    }
+
+
+def _resolve_fs(path: str):
+    """pyarrow FileSystem + relative path, tolerating bare local
+    paths that FileSystem.from_uri rejects."""
+    from pyarrow import fs as pafs
+    try:
+        return pafs.FileSystem.from_uri(path)
+    except (ValueError, pa.ArrowInvalid):
+        return pafs.LocalFileSystem(), path
 
 
 def _whole_file_entries(raw: bytes, warc_path: str,
@@ -430,18 +462,9 @@ def _whole_file_entries(raw: bytes, warc_path: str,
     decompresses the archive once and picks the seq'th record, which is
     the only random access such a layout permits. Streams via GzipFile;
     the raw archive is never held decompressed."""
-    import hashlib
-
     for seq, rec in enumerate(
             iter_warc_records(_open_stream(raw), errors)):
-        yield {
-            "url": rec["url"], "warc_ts": rec["warc_ts"],
-            "http_status": rec["http_status"],
-            "content_type": rec["content_type"],
-            "digest": hashlib.sha1(rec["html"]).hexdigest(),
-            "warc_path": warc_path, "offset": 0,
-            "length": len(raw), "rec_seq": seq, "compressed": True,
-        }
+        yield _cdx_entry(rec, warc_path, 0, len(raw), seq, True)
 
 
 def iter_cdx_entries(raw: bytes, warc_path: str,
@@ -462,45 +485,31 @@ def iter_cdx_entries(raw: bytes, warc_path: str,
     directly. ``digest`` is the sha1 hex of the DECODED html payload
     (framing and content-encoding undone), so two index rows with equal
     digests hold identical page bytes."""
-    import hashlib
-
     err = errors if errors is not None else {}
     err.setdefault("bad_members", 0)
     if raw[:2] == b"\x1f\x8b":
         emitted = False
         try:
             for off, ln, data in _iter_gzip_member_spans(raw):
+                if data is None:           # oversized member skipped
+                    err["bad_members"] += 1
+                    continue
                 for seq, rec in enumerate(
                         iter_warc_records(io.BytesIO(data), errors)):
                     emitted = True
-                    yield {
-                        "url": rec["url"], "warc_ts": rec["warc_ts"],
-                        "http_status": rec["http_status"],
-                        "content_type": rec["content_type"],
-                        "digest": hashlib.sha1(rec["html"]).hexdigest(),
-                        "warc_path": warc_path, "offset": off,
-                        "length": ln, "rec_seq": seq,
-                        "compressed": True,
-                    }
+                    yield _cdx_entry(rec, warc_path, off, ln, seq,
+                                     True)
         except _MemberTooLarge:
-            if not emitted:
-                # whole-file gzip layout: stream it instead
-                yield from _whole_file_entries(raw, warc_path, errors)
-            else:                          # giant member mid-file
-                err["bad_members"] += 1
+            # only raised for the FIRST member now (emitted is False):
+            # whole-file gzip layout — stream it instead
+            assert not emitted
+            yield from _whole_file_entries(raw, warc_path, errors)
         except (ValueError, zlib.error):   # truncated/corrupt tail
             err["bad_members"] += 1
     else:
         for rec in iter_warc_records(io.BytesIO(raw), errors):
-            yield {
-                "url": rec["url"], "warc_ts": rec["warc_ts"],
-                "http_status": rec["http_status"],
-                "content_type": rec["content_type"],
-                "digest": hashlib.sha1(rec["html"]).hexdigest(),
-                "warc_path": warc_path, "offset": rec["offset"],
-                "length": rec["length"], "rec_seq": 0,
-                "compressed": False,
-            }
+            yield _cdx_entry(rec, warc_path, rec["offset"],
+                             rec["length"], 0, False)
 
 
 _CDX_SCHEMA = {
@@ -517,11 +526,7 @@ def _read_raw_bytes(path: str) -> bytes:
     Ray's read_binary_files on top of it — transparently gunzips
     ``.gz`` paths, which would destroy the compressed member offsets
     the CDX index exists to record)."""
-    from pyarrow import fs as pafs
-    try:
-        fsys, rel = pafs.FileSystem.from_uri(path)
-    except (ValueError, pa.ArrowInvalid):
-        fsys, rel = pafs.LocalFileSystem(), path
+    fsys, rel = _resolve_fs(path)
     with fsys.open_input_stream(rel, compression=None) as f:
         return f.read()
 
@@ -552,7 +557,8 @@ def _cdx_batch(batch: pa.Table) -> Iterator[pa.Table]:
             _log.warning(
                 "cdx_index: %s: skipped %d malformed record(s), "
                 "%d desynced line(s), %d bad gzip member(s)", path,
-                errors["bad_records"], errors["skipped_lines"],
+                errors.get("bad_records", 0),
+                errors.get("skipped_lines", 0),
                 errors.get("bad_members", 0))
     if cols["url"] or not yielded_any:
         yield flush()
@@ -577,7 +583,7 @@ def cdx_index(paths: str | list[str]) -> "ray.data.Dataset":
             expanded.extend(
                 fp for f in sorted(os.listdir(p))
                 if os.path.isfile(fp := os.path.join(p, f))
-                and f.endswith((".warc", ".warc.gz", ".gz", ".arc")))
+                and f.endswith((".warc", ".warc.gz", ".gz")))
         else:
             expanded.append(p)
     if not expanded:
@@ -598,26 +604,30 @@ def fetch_cdx_spans(warc_path: str,
     offset order (one forward pass over the file regions). A span
     whose bytes no longer parse to ``rec_seq`` records (stale index
     after an archive rewrite) is counted in ``errors['missing_spans']``
-    and logged — never silently dropped."""
-    from pyarrow import fs as pafs
-    try:
-        fsys, rel = pafs.FileSystem.from_uri(warc_path)
-    except (ValueError, pa.ArrowInvalid):
-        fsys, rel = pafs.LocalFileSystem(), warc_path
+    and logged — never silently dropped. Spans sharing one byte range
+    (multi-record members; the whole-file fallback where EVERY span is
+    the full archive) are grouped so each distinct range is read and
+    parsed exactly once — k records from a whole-file archive cost one
+    decompression, not k."""
+    fsys, rel = _resolve_fs(warc_path)
     err = errors if errors is not None else {}
     err.setdefault("missing_spans", 0)
+    wanted: dict[tuple[int, int], list[int]] = {}
+    for off, ln, seq in spans:
+        wanted.setdefault((off, ln), []).append(seq)
     out = []
     with fsys.open_input_file(rel) as f:
-        for off, ln, seq in sorted(spans):
+        for off, ln in sorted(wanted):
             f.seek(off)
             blob = f.read(ln)
             recs = list(iter_warc_records(_open_stream(blob), err))
-            if seq < len(recs):
-                rec = recs[seq]
-                rec["warc_path"] = warc_path
-                out.append(rec)
-            else:
-                err["missing_spans"] += 1
+            for seq in sorted(wanted[(off, ln)]):
+                if seq < len(recs):
+                    rec = dict(recs[seq])
+                    rec["warc_path"] = warc_path
+                    out.append(rec)
+                else:
+                    err["missing_spans"] += 1
     if err["missing_spans"]:
         _log.warning(
             "fetch_cdx_spans: %s: %d requested span(s) did not parse "

@@ -488,6 +488,47 @@ def test_cdx_index_plain_and_multirecord_member(tmp_path):
     assert got[0]["url"] == entries2[1]["url"]
 
 
+def test_cdx_index_survives_corrupt_and_oversized_members(tmp_path,
+                                                          monkeypatch):
+    """Robustness contract of the indexer: (a) an archive whose first
+    gzip member is corrupt indexes as empty WITHOUT failing the task;
+    (b) an oversized member MID-archive is stream-discarded and
+    counted — the members after it still index (previously the whole
+    remainder of the archive was silently dropped)."""
+    import gzip as gz
+
+    import risjbot_ray.sources.warc as warc_mod
+    from risjbot_ray.sources.warc import _cdx_batch, iter_cdx_entries
+
+    # (a) corrupt first member: counted, no crash, empty index
+    bad = b"\x1f\x8b" + b"\x00" * 64
+    p = tmp_path / "bad.warc.gz"
+    p.write_bytes(bad)
+    t = pa.table({"path": pa.array([str(p)], pa.string())})
+    chunks = list(_cdx_batch(t))
+    assert sum(c.num_rows for c in chunks) == 0
+
+    # (b) oversized member between two good ones (cap lowered so the
+    # test stays tiny)
+    monkeypatch.setattr(warc_mod, "_MEMBER_MAX_BYTES", 1 << 16)
+    good = [gz.compress(_warc_record(
+        "response", f"http://ex.example/{i}", "2024-01-01T00:00:01Z",
+        _http_payload(200, f"<html>p{i}</html>".encode())),
+        compresslevel=1) for i in range(2)]
+    huge = gz.compress(b"\x00" * (1 << 20), compresslevel=1)
+    raw = good[0] + huge + good[1]
+    errors: dict = {}
+    entries = list(iter_cdx_entries(raw, "x.warc.gz", errors))
+    assert [e["url"] for e in entries] == \
+        ["http://ex.example/0", "http://ex.example/1"]
+    assert errors["bad_members"] == 1
+    # offsets still address the good members exactly
+    for e in entries:
+        assert gz.decompress(
+            raw[e["offset"]:e["offset"] + e["length"]]
+        ).startswith(b"WARC/1.0")
+
+
 def test_cdx_selective_read_dataset(ray_session, tmp_path):
     """End-to-end: build the CDX index as a Dataset, filter it, and
     read back exactly the selected pages via ranged fetches."""
