@@ -48,6 +48,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
+from ..state.checkpoint import _fsync_dir, _fsync_file
 from ..state.filters import BloomFilter, CuckooFilter, keys_to_array
 
 DEFAULT_MAXFETCHES = 8       # settings.py:131
@@ -84,7 +85,16 @@ class SeenShardLogic:
         self.ledger: dict[bytes, list] = {}
         self.bloom = BloomFilter(n_bits=bloom_bits)
         self.cuckoo = CuckooFilter(n_buckets=cuckoo_buckets)
-        self.keysrqd: set[bytes] = set()     # refetchcontrol.py:62,231-232
+        # set when any cuckoo insert failed (table full): a failed
+        # insert would make cuckoo-negative a FALSE negative, so the
+        # fast path disables itself until the next rebuild
+        self._cuckoo_overflow = False
+        # per-RUN set (reference RefetchControl semantics: keys
+        # requested this run are exempt from the agelimit trim,
+        # refetchcontrol.py:62,231-232). RAM is O(keys probed this
+        # run) — part of the shard's documented memory budget, reset
+        # only when the actor restarts for a new run.
+        self.keysrqd: set[bytes] = set()
         self._wave_committed: dict[bytes, int] = {}
         # delta-snapshot state: keys changed since the last snapshot
         self.compact_every = compact_every
@@ -95,7 +105,7 @@ class SeenShardLogic:
         self.counters = {
             "firstfetch": 0, "refetched": 0, "skipped": 0, "passed": 0,
             "stored": 0, "trawled": 0, "dbkeystrimmed": 0,
-            "bloom_negative": 0,
+            "bloom_negative": 0, "cuckoo_negative": 0,
         }
 
     # -- gate -------------------------------------------------------------
@@ -115,6 +125,12 @@ class SeenShardLogic:
         counters = (dict(self.counters) if dry else self.counters)
         arr = keys_to_array(keys)
         maybe_seen = self.bloom.contains(arr)
+        # cuckoo tier: delete-maintained, so after agelimit trims it
+        # stays precise where the add-only bloom goes stale — a
+        # cuckoo-negative is as authoritative as a bloom-negative
+        # (no false negatives while no insert has ever overflowed)
+        cuckoo_seen = (self.cuckoo.contains(arr)
+                       if not self._cuckoo_overflow else None)
         for i, key in enumerate(keys):
             if not dry:
                 self.keysrqd.add(key)
@@ -125,6 +141,13 @@ class SeenShardLogic:
             if not maybe_seen[i]:
                 # bloom-certified new — no ledger lookup needed
                 counters["bloom_negative"] += 1
+                counters["firstfetch"] += 1
+                allowed[i] = True
+                continue
+            if cuckoo_seen is not None and not cuckoo_seen[i]:
+                # bloom stale (e.g. trimmed key) but cuckoo-certified
+                # new — same no-ledger-lookup fast path
+                counters["cuckoo_negative"] += 1
                 counters["firstfetch"] += 1
                 allowed[i] = True
                 continue
@@ -169,7 +192,8 @@ class SeenShardLogic:
         if fresh:
             arr = keys_to_array(fresh)
             self.bloom.add(arr)
-            self.cuckoo.insert(arr)
+            if self.cuckoo.insert(arr) < len(fresh):
+                self._cuckoo_overflow = True
         self.counters["stored"] += stored
         return stored
 
@@ -194,7 +218,9 @@ class SeenShardLogic:
                 self._tombstones.add(key)
                 self._dirty.discard(key)
             self.cuckoo.delete(keys_to_array(to_delete))
-            # bloom is add-only; it is rebuilt from the ledger at snapshot
+            # bloom is add-only and keeps trimmed keys until the next
+            # restore() rebuild; the delete-maintained cuckoo restores
+            # the fast-negative path for them in the meantime
             self.counters["dbkeystrimmed"] += len(to_delete)
         return eligible, len(to_delete)
 
@@ -254,10 +280,12 @@ class SeenShardLogic:
     def _rebuild_filters(self) -> None:
         self.bloom = BloomFilter(n_bits=self.bloom.n_bits)
         self.cuckoo = CuckooFilter(n_buckets=self.cuckoo.n_buckets)
+        self._cuckoo_overflow = False
         if self.ledger:
             arr = keys_to_array(list(self.ledger))
             self.bloom.add(arr)
-            self.cuckoo.insert(arr)
+            if self.cuckoo.insert(arr) < len(arr):
+                self._cuckoo_overflow = True
 
     def _snap_prefix(self, directory: str) -> str:
         return os.path.join(directory, f"seen-shard-{self.shard_id:04d}")
@@ -297,7 +325,9 @@ class SeenShardLogic:
             path = f"{prefix}-base-{self._snap_seq:06d}.parquet"
             tmp = path + ".tmp"
             pq.write_table(self.to_table(), tmp)
-            os.replace(tmp, path)  # atomic publish
+            _fsync_file(tmp)
+            os.replace(tmp, path)  # durable atomic publish
+            _fsync_dir(directory)
             # GC superseded bases/deltas (correctness never depends on it)
             for p in _glob.glob(prefix + "-base-*.parquet"):
                 if p != path:
@@ -315,7 +345,9 @@ class SeenShardLogic:
             path = f"{prefix}-delta-{self._snap_seq:06d}.parquet"
             tmp = path + ".tmp"
             pq.write_table(self._delta_table(), tmp)
+            _fsync_file(tmp)
             os.replace(tmp, path)
+            _fsync_dir(directory)
             self._delta_count += 1
         self._snap_seq += 1
         self._dirty.clear()

@@ -394,14 +394,21 @@ def thumbnail_mean(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Area-mean (out_h, out_w) float32 thumbnail of an HxW array — the
     perceptual-fingerprint reduction (each output cell averages its
     source rectangle, so the thumbnail is stable under small noise,
-    unlike nearest-neighbor sampling)."""
+    unlike nearest-neighbor sampling). An axis where out > in has
+    duplicate integer edges (an empty source rectangle): clamping each
+    cell's far edge to at least start+1 degrades that axis to
+    nearest-neighbor instead of emitting 0-valued stripes — matters
+    for mixed-aspect inputs where one dimension upscales while the
+    other downscales."""
     h, w = gray.shape[:2]
     row_edges = (np.arange(out_h + 1) * h) // out_h
     col_edges = (np.arange(out_w + 1) * w) // out_w
     csum = np.zeros((h + 1, w + 1), np.float64)
     csum[1:, 1:] = gray.astype(np.float64).cumsum(0).cumsum(1)
-    r0, r1 = row_edges[:-1], row_edges[1:]
-    c0, c1 = col_edges[:-1], col_edges[1:]
+    r0 = np.minimum(row_edges[:-1], h - 1)
+    r1 = np.minimum(np.maximum(row_edges[1:], r0 + 1), h)
+    c0 = np.minimum(col_edges[:-1], w - 1)
+    c1 = np.minimum(np.maximum(col_edges[1:], c0 + 1), w)
     area = ((r1 - r0)[:, None] * (c1 - c0)[None, :]).astype(np.float64)
     tot = (csum[r1][:, c1] - csum[r1][:, c0]
            - csum[r0][:, c1] + csum[r0][:, c0])

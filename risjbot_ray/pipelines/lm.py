@@ -42,7 +42,19 @@ _TOKEN_CACHE_MAX = 1 << 20
 
 
 def _words(text: str | None) -> list[str]:
-    return _WORD_RE.findall(text.lower()) if text else []
+    """Scalar twin of the Arrow batch tokenizer — implemented THROUGH
+    the same kernels (1-element array) so the two paths cannot diverge
+    on case mappings where Python's full lower() and Arrow's simple
+    one disagree (e.g. U+0130 'İ': Python inserts a combining dot that
+    splits the token, Arrow does not). The engine-wide tokenization
+    contract is the ARROW behavior; the SQL oracles agree wherever
+    lower() is a 1:1 mapping (all driver corpora)."""
+    if not text:
+        return []
+    import pyarrow.compute as pc
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pa.array([text], pa.string())), "[^a-z0-9]+")
+    return [t for t in toks[0].as_py() if t]
 
 
 def _batch_token_hashes(texts, cache: dict
@@ -236,7 +248,11 @@ def train_bigram_lm(sf_dir: str, ref_mod: int = 10) -> BigramLM:
                                zero_copy_batch=True)
     t = _agg_count_partials(partial, _merge_gram_counts)
     if t is None:
-        return BigramLM({}, {})
+        # an empty model would score every doc log(0) = -inf (and give
+        # DSIR a NaN offset) — fail loudly at train time instead
+        raise ValueError(
+            f"train_bigram_lm: reference slice doc_id % {ref_mod} == 0 "
+            "contains no tokens — widen ref_mod or check the corpus")
     ords = t.column("ord").to_numpy(zero_copy_only=False)
     gh = t.column("gh").to_numpy(zero_copy_only=False).view(np.uint64)
     n = t.column("n").to_numpy(zero_copy_only=False)
@@ -439,7 +455,9 @@ def train_dsir(sf_dir: str, ref_mod: int = 10,
     t = _agg_count_partials(
         partial, lambda b: _merge_counts(b, "gh", ("n_tgt", "n_raw")))
     if t is None:
-        return DSIRModel({}, n_buckets=n_buckets)
+        # exact-mode empty model gives V=0 -> a NaN offset and NaN
+        # weights for every doc — fail loudly at train time
+        raise ValueError("train_dsir: corpus contains no bigrams")
     return DSIRModel.from_hashed(
         t.column("gh").to_numpy(zero_copy_only=False).view(np.uint64),
         t.column("n_tgt").to_numpy(zero_copy_only=False),

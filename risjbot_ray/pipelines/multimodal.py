@@ -233,19 +233,25 @@ def decode_features(payload: bytes, kind: str) -> tuple[
     features (decoded=False, no derived metadata) otherwise.
     """
     codec = codecs.sniff(payload)
-    if codec in ("bmp", "ppm", "pgm"):
-        img = codecs.decode_image(payload)
-        return (image_features(img), True,
-                img.shape[1], img.shape[0], None)
-    if codec == "wav":
-        samples, sr = codecs.decode_wav(payload)
-        return (audio_features(samples, sr), True, None, None,
-                int(round(len(samples) * 1000 / sr)))
-    if codec == "y4m":
-        info = codecs.parse_y4m(payload)
-        luma0 = codecs.y4m_frame_luma(payload, info, 0)
-        return (frame_features(luma0), True,
-                info.width, info.height, info.duration_ms)
+    try:
+        if codec in ("bmp", "ppm", "pgm"):
+            img = codecs.decode_image(payload)
+            return (image_features(img), True,
+                    img.shape[1], img.shape[0], None)
+        if codec == "wav":
+            samples, sr = codecs.decode_wav(payload)
+            return (audio_features(samples, sr), True, None, None,
+                    int(round(len(samples) * 1000 / sr)))
+        if codec == "y4m":
+            info = codecs.parse_y4m(payload)
+            luma0 = codecs.y4m_frame_luma(payload, info, 0)
+            return (frame_features(luma0), True,
+                    info.width, info.height, info.duration_ms)
+    except (ValueError, ZeroDivisionError):
+        # sniffed-but-corrupt payload (truncated pixel array, zero
+        # sample rate, ...): the STAGE contract is decoded=False
+        # pass-through, never a task-killing exception
+        pass
     return _decode_stub(payload, kind), False, None, None, None
 
 
@@ -313,7 +319,10 @@ class MediaResize:
         payloads = batch.column("payload").to_pylist()
         out_p, out_ok = [], []
         for p in payloads:
-            img = codecs.decode_image(p or b"")
+            try:
+                img = codecs.decode_image(p or b"")
+            except ValueError:          # sniffed-but-corrupt payload
+                img = None
             if img is None:
                 out_p.append(None)
                 out_ok.append(False)
@@ -366,20 +375,35 @@ class FrameSampler:
             if row["kind"] != "video":
                 continue
             payload = row["payload"] or b""
+            sampled_real = False
             if codecs.sniff(payload) == "y4m":
-                info = codecs.parse_y4m(payload)
-                for j in range(self.max_frames):
-                    off = j * self.every_ms
-                    if off >= max(info.duration_ms, 1) and j > 0:
-                        break
-                    idx = min(int(off * info.fps_num
-                                  / (1000 * info.fps_den)),
-                              info.n_frames - 1)
-                    luma = codecs.y4m_frame_luma(payload, info, idx)
-                    out_id.append(row["media_id"])
-                    out_off.append(off)
-                    out_dec.append(True)
-                    out_feat.append(frame_features(luma).tolist())
+                frames: list[tuple[int, list]] = []
+                try:
+                    info = codecs.parse_y4m(payload)
+                    if info.n_frames < 1:
+                        raise ValueError("y4m header with no frames")
+                    for j in range(self.max_frames):
+                        off = j * self.every_ms
+                        if off >= max(info.duration_ms, 1) and j > 0:
+                            break
+                        idx = min(int(off * info.fps_num
+                                      / (1000 * info.fps_den)),
+                                  info.n_frames - 1)
+                        luma = codecs.y4m_frame_luma(payload, info,
+                                                     idx)
+                        frames.append(
+                            (off, frame_features(luma).tolist()))
+                    sampled_real = True
+                except ValueError:
+                    pass      # corrupt/frameless: fall to stub path
+                if sampled_real:        # commit only complete decodes
+                    for off, feat in frames:
+                        out_id.append(row["media_id"])
+                        out_off.append(off)
+                        out_dec.append(True)
+                        out_feat.append(feat)
+            if sampled_real:
+                pass
             elif row["duration_ms"]:
                 offsets = range(0, row["duration_ms"], self.every_ms)
                 for j, off in zip(range(self.max_frames), offsets):
@@ -532,15 +556,22 @@ def video_fingerprint64(payload: bytes) -> int | None:
 
 def _payload_luma(payload: bytes) -> np.ndarray | None:
     """Luma plane a perceptual hash can be computed from: decoded
-    pixels for stills, frame 0 for y4m video, None for audio and
-    codec-library formats (those rows are excluded from hashing)."""
+    pixels for stills, frame 0 for y4m video, None for audio,
+    codec-library formats, and sniffed-but-corrupt payloads (those
+    rows are excluded from hashing, per the stage contract)."""
     kind = codecs.sniff(payload)
-    if kind in ("bmp", "ppm", "pgm"):
-        img = codecs.decode_image(payload)
-        return img.astype(np.float32) @ np.float32([0.299, 0.587, 0.114])
-    if kind == "y4m":
-        info = codecs.parse_y4m(payload)
-        return codecs.y4m_frame_luma(payload, info, 0)
+    try:
+        if kind in ("bmp", "ppm", "pgm"):
+            img = codecs.decode_image(payload)
+            return (img.astype(np.float32)
+                    @ np.float32([0.299, 0.587, 0.114]))
+        if kind == "y4m":
+            info = codecs.parse_y4m(payload)
+            if info.n_frames < 1:
+                return None
+            return codecs.y4m_frame_luma(payload, info, 0)
+    except ValueError:
+        return None
     return None
 
 

@@ -25,6 +25,26 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
+def _fsync_file(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _fsync_dir(path: str) -> None:
+    """Durable rename needs the DIRECTORY entry synced too."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:        # non-POSIX fs: rename-atomicity still holds
+        return
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 class CheckpointManager:
     def __init__(self, directory: str):
         self.dir = directory
@@ -42,7 +62,9 @@ class CheckpointManager:
         path = self.frontier_path(wave)
         tmp = path + ".tmp"
         pq.write_table(table, tmp)
+        _fsync_file(tmp)
         os.replace(tmp, path)
+        _fsync_dir(self.dir)
         return path
 
     def read_frontier(self, wave: int) -> pa.Table | None:
@@ -51,27 +73,35 @@ class CheckpointManager:
 
     def commit_wave(self, wave: int, manifest: dict) -> None:
         """Publish the wave manifest then advance LATEST (atomic rename
-        order: a crash between the two leaves a replayable, never a
-        corrupt, state)."""
+        order with data fsynced BEFORE each rename: a crash — including
+        power loss, which plain os.replace alone does not cover because
+        the rename can be journaled before the data blocks land — leaves
+        a replayable, never a corrupt, state)."""
         mpath = os.path.join(self.dir, f"wave-{wave:04d}.json")
-        tmp = mpath + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=2, sort_keys=True)
-        os.replace(tmp, mpath)
+        self._write_json_durable(mpath, manifest)
         ltmp = os.path.join(self.dir, "LATEST.tmp")
         with open(ltmp, "w") as f:
             f.write(str(wave))
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(ltmp, os.path.join(self.dir, "LATEST"))
+        _fsync_dir(self.dir)
+
+    def _write_json_durable(self, path: str, payload: dict) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=2, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        _fsync_dir(os.path.dirname(path))
 
     def commit_wave_suffixed(self, wave: int, suffix: str,
                              manifest: dict) -> None:
         """Secondary manifest for an extra frontier piece processed in the
         same wave index (does not advance LATEST)."""
         mpath = os.path.join(self.dir, f"wave-{wave:04d}{suffix}.json")
-        tmp = mpath + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=2, sort_keys=True)
-        os.replace(tmp, mpath)
+        self._write_json_durable(mpath, manifest)
 
     def latest_wave(self) -> int | None:
         path = os.path.join(self.dir, "LATEST")

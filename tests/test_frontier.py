@@ -104,6 +104,26 @@ class TestRefetchTruthTable:
         assert _key(3) not in s.ledger
         assert s.counters["dbkeystrimmed"] == 1
 
+    def test_cuckoo_fast_path_after_trim(self):
+        """The cuckoo tier is load-bearing: after an agelimit trim the
+        add-only bloom still claims the trimmed key, but the delete-
+        maintained cuckoo certifies it new WITHOUT a ledger lookup —
+        and a first-fetch decision results (the north rule's
+        bloom-pre-filter + cuckoo design)."""
+        s = make_shard()
+        now = (AGELIM + 100) * US
+        k = _key(1)
+        s.commit([k], ["old"], now_us=now - (AGELIM + 50) * US, wave=0)
+        assert s.cuckoo.contains(keys_to_array([k]))[0]
+        _, trimmed = s.trawl(now_us=now)
+        assert trimmed == 1 and k not in s.ledger
+        assert s.bloom.contains(keys_to_array([k]))[0]    # stale
+        assert not s.cuckoo.contains(keys_to_array([k]))[0]
+        before = s.counters["cuckoo_negative"]
+        allowed, prev = s.check([k], now_us=now)
+        assert allowed[0] and prev[0] == 0
+        assert s.counters["cuckoo_negative"] == before + 1
+
     def test_trim_protects_requested_keys(self):
         # refetchcontrol.py:180: keys requested this run are not trimmed
         s = make_shard()
