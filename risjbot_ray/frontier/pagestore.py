@@ -59,8 +59,20 @@ def build_page_store(pages_path: str | list[str], store_dir: str,
         # sort by url + small row groups -> the per-wave `url IN (...)`
         # filter prunes whole row groups via min/max statistics instead
         # of decoding every html column in the bucket
-        idx = pc.sort_indices(merged.column("url"))
-        merged = merged.take(idx)
+        keys = [("url", "ascending")]
+        if "warc_ts" in merged.column_names:
+            keys.append(("warc_ts", "ascending"))
+        merged = merged.take(pc.sort_indices(merged, sort_keys=keys))
+        # ONE row per url (latest warc_ts wins): duplicate snapshots of
+        # a page — normal in WARC-derived corpora — would fan out the
+        # inner fetch join and silently duplicate extracted output
+        if merged.num_rows:
+            u = np.asarray(merged.column("url").to_pylist(),
+                           dtype=object)
+            keep = np.ones(len(u), bool)
+            keep[:-1] = u[:-1] != u[1:]
+            if not keep.all():
+                merged = merged.filter(pa.array(keep))
         pq.write_table(merged,
                        os.path.join(store_dir, f"bucket-{b:05d}.parquet"),
                        row_group_size=512)

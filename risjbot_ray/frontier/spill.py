@@ -108,15 +108,23 @@ def spill_bucketed(cand: pa.Table, directory: str,
         hc = {r["values"]: int(r["counts"])
               for r in pc.value_counts(sub.column("host")).to_pylist()}
         side = {"bucket": int(b), "n": sub.num_rows, "host_counts": hc}
-        # atomic publish: the sidecar is the part's commit record — the
-        # loader ignores parquet without one, so a task that dies mid-
-        # write (and is retried by Ray) can never surface a torn part.
-        # A retry that re-runs a COMPLETED attempt leaves duplicate rows
-        # under fresh uuids; in-bucket dedupe_wave absorbs them.
+        # durable atomic publish: the sidecar is the part's commit
+        # record — the loader ignores parquet without one, so a task
+        # that dies mid-write (and is retried by Ray) can never
+        # surface a torn part. The parquet is fsynced BEFORE the
+        # sidecar rename so power loss cannot persist the sidecar name
+        # over lost data blocks (checkpoint.py documents the hazard).
+        # A retry that re-runs a COMPLETED attempt leaves duplicate
+        # rows under fresh uuids; in-bucket dedupe_wave absorbs them.
+        from ..state.checkpoint import _fsync_dir, _fsync_file
+        _fsync_file(path)
         tmp = path + ".json.tmp"
         with open(tmp, "w") as f:
             json.dump(side, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, path + ".json")
+        _fsync_dir(bdir)
         total += sub.num_rows
     return total
 

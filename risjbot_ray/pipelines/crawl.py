@@ -329,6 +329,9 @@ class CrawlPipeline:
             n_extracted, n_fetched = self._process_articles(art_tbl, wave,
                                                             now_us)
         mark("discovery+articles")
+        # discovery rows are counted as scheduled-for-fetch (an upper
+        # bound: control-plane fetch misses are rare and not returned
+        # by _process_discovery)
         n_fetched += disc_tbl.num_rows
         self.metrics["fetched_rows"] += n_fetched
         self.metrics["extracted_pages"] += n_extracted
@@ -668,6 +671,21 @@ class CrawlPipeline:
         path = os.path.join(bf.directory, "OUTPUTS.json")
         with open(path + ".tmp", "w") as f:
             json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(path + ".tmp", path)
+
+    @staticmethod
+    def _write_next_marker(src_dir: str, nxt_dir: str,
+                           parent: str) -> None:
+        """Durable tmp+rename publish of a deferral-chain NEXT record
+        — a torn NEXT would wedge the chain on every resume (the
+        successor release json.load would crash the run repeatedly)."""
+        path = os.path.join(src_dir, "NEXT")
+        with open(path + ".tmp", "w") as f:
+            json.dump({"dir": nxt_dir, "parent": parent}, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(path + ".tmp", path)
 
     def _replay_bucketed_commit(self, wave: int, bf: BucketedFrontier,
@@ -986,10 +1004,9 @@ class CrawlPipeline:
             if rank_bfs:
                 self._pending_bucketed.append(rank_bfs[0])
                 for cur, nxt in zip(rank_bfs, rank_bfs[1:]):
-                    with open(os.path.join(cur.directory, "NEXT"),
-                              "w") as f:
-                        json.dump({"dir": nxt.directory,
-                                   "parent": bf.directory}, f)
+                    self._write_next_marker(cur.directory,
+                                            nxt.directory,
+                                            bf.directory)
         # successor release: if THIS spill (or a merged source) was a
         # deferral rank, completing it unlocks the next rank's spill
         for d in [bf.directory] + (bf.sources or []):
@@ -1086,7 +1103,7 @@ class CrawlPipeline:
             return self._replay_bucketed_commit(wave, bf, payload)
         cfg = self.cfg
         _t0 = time.time()
-        now_us = int(time.time() * 1e6)
+        now_us = _now_us(cfg)   # injectable clock, like every sibling
         import hashlib as _hl
         import shutil
 
@@ -1130,6 +1147,12 @@ class CrawlPipeline:
         def run_group(batch: pa.Table) -> pa.Table:
             import pyarrow.dataset as _pads
             import pyarrow.parquet as _pq
+            # scheduling counts returned IN-BAND (the task's result),
+            # not via the fire-and-forget metrics actor: actor deltas
+            # from workers may still be in flight when the driver
+            # snapshots after materialize(), and k_used / the commit
+            # wave index must not race
+            res: dict[str, int] = {}
             for row in batch.to_pylist():
                 tbl = _pads.dataset(row["paths"],
                                     format="parquet").to_table()
@@ -1179,6 +1202,8 @@ class CrawlPipeline:
                                                num_buckets)
                         metrics.incr({"bucketed_deferred": n_def,
                                       "win_overflow": n_def})
+                        res["win_overflow"] = \
+                            res.get("win_overflow", 0) + n_def
                         keep = ~over_m
                         tbl = tbl.filter(pa.array(keep))
                         rank = rank[keep]
@@ -1189,6 +1214,9 @@ class CrawlPipeline:
                 for r, n in zip(*np.unique(rank, return_counts=True)):
                     deltas[f"win_sched_r{int(r)}"] = int(n)
                 metrics.incr(deltas)
+                for key in ("win_ranked", *(k_ for k_ in deltas
+                                            if k_.startswith("win_sched_r"))):
+                    res[key] = res.get(key, 0) + deltas[key]
                 # ONE store-read pass fetches every rank's rows together
                 fb = np.asarray(tbl.column("fetch_bucket").to_pylist())
                 groups = [tbl.filter(pa.array(fb == b))
@@ -1236,9 +1264,10 @@ class CrawlPipeline:
                         _pq.write_table(
                             out, f"{wave_dirs[int(r)]}"
                                  f"/part-g{row['group']:05d}.parquet")
-            return pa.table({"groups": [batch.num_rows]})
+            return pa.table({
+                "metric": pa.array(list(res), pa.string()),
+                "value": pa.array(list(res.values()), pa.int64())})
 
-        snap0 = metrics.snapshot()
         sorted_buckets = sorted(bf.bucket_files.items())
         n_groups = min(len(sorted_buckets),
                        max(1, -(-bf.num_rows // 1500)))
@@ -1250,25 +1279,32 @@ class CrawlPipeline:
                                               (g + 1) * group_sz]
                                for p in files])]
         if bf.num_rows <= cfg.small_wave_rows:
-            run_group(pa.Table.from_pylist(items))
+            count_parts = [run_group(pa.Table.from_pylist(items))]
         else:
-            (ray.data.from_items(items)
-             .map_batches(run_group, batch_format="pyarrow",
-                          batch_size=1)
-             .materialize())
+            count_parts = ray.get(
+                ray.data.from_items(items)
+                .map_batches(run_group, batch_format="pyarrow",
+                             batch_size=1)
+                .materialize().to_arrow_refs())
+        # counts come from the task RESULTS (deterministic), not from
+        # a metrics-actor snapshot that in-flight deltas can race
+        counts: dict[str, int] = {}
+        for part in count_parts:
+            for m, v in zip(part.column("metric").to_pylist(),
+                            part.column("value").to_pylist()):
+                counts[m] = counts.get(m, 0) + int(v)
 
         import glob
 
         import pyarrow.parquet as pq
-        snap = metrics.snapshot()
-
-        def delta(key: str) -> int:
-            return snap.get(key, 0) - snap0.get(key, 0)
+        snap = metrics.snapshot()   # informational extract_counters
+        #                             only; scheduling math uses the
+        #                             in-band task results above
 
         rank_stats = []
         k_used = 1
         for r in range(k):
-            s = delta(f"win_sched_r{r}")
+            s = counts.get(f"win_sched_r{r}", 0)
             e = sum(pq.read_metadata(p).num_rows
                     for p in glob.glob(f"{wave_dirs[r]}/*.parquet"))
             if s > 0:
@@ -1278,8 +1314,8 @@ class CrawlPipeline:
         rank_stats = rank_stats[:k_used]
         n_scheduled = sum(rs["scheduled"] for rs in rank_stats)
         n_extracted = sum(rs["extracted"] for rs in rank_stats)
-        n_overflow = delta("win_overflow")
-        n_deferred = delta("win_ranked") + n_overflow
+        n_overflow = counts.get("win_overflow", 0)
+        n_deferred = counts.get("win_ranked", 0) + n_overflow
         pend0 = len(self._pending_bucketed)
         obf = load_bucketed_frontier(overflow_dir)
         if obf is not None:
@@ -1356,7 +1392,13 @@ class CrawlPipeline:
             out_meta = []
             for m, p in zip(metas, prevs):
                 meta = json.loads(m) if m else {}
-                if p is not None:
+                # a trawl-spilled row carries its TRUE ledger fetch
+                # count in meta (seen.trawl_spill) and may be gate-
+                # bypassed (prev 0 via the `| trawled` allow) — never
+                # clobber a real count with the gate's placeholder
+                if p is not None and not (
+                        int(p) == 0
+                        and meta.get("refetchcontrol_previous")):
                     meta["refetchcontrol_previous"] = int(p)
                 out_meta.append(json.dumps(meta))
             if "meta" in batch.column_names:
@@ -1465,22 +1507,35 @@ class CrawlPipeline:
                  for b in np.unique(buckets)]
 
         def fetch_extract_commit(group: pa.Table) -> pa.Table:
+            # writes its own part and returns (fetched, extracted)
+            # counts IN-BAND — fetched != extracted whenever pages
+            # fetch but fail extraction, and the counts must not come
+            # from a racy metrics snapshot
+            import pyarrow.parquet as _pq
             fetched = store.fetch_group(group)
-            if fetched is None or fetched.num_rows == 0:
-                return _empty_extracted()
-            return extract_commit(fetched)
+            nf = 0 if fetched is None else fetched.num_rows
+            ne = 0
+            if nf:
+                out = extract_commit(fetched)
+                ne = out.num_rows
+                if ne:
+                    os.makedirs(wave_dir, exist_ok=True)
+                    b = int(group.column("fetch_bucket")[0].as_py())
+                    _pq.write_table(
+                        out, f"{wave_dir}/part-b{b:05d}.parquet")
+            return pa.table({"fetched": pa.array([nf], pa.int64()),
+                             "extracted": pa.array([ne], pa.int64())})
 
         ds = ray.data.from_arrow(parts)
-        (ds.map_batches(fetch_extract_commit, batch_format="pyarrow",
-                        batch_size=None, zero_copy_batch=True)
-           .write_parquet(wave_dir))
-
-        import glob
-
-        import pyarrow.parquet as pq
-        n_extracted = sum(pq.read_metadata(p).num_rows
-                          for p in glob.glob(f"{wave_dir}/*.parquet"))
-        return n_extracted, n_extracted
+        count_parts = ray.get(
+            ds.map_batches(fetch_extract_commit, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True)
+            .materialize().to_arrow_refs())
+        n_fetched = sum(int(t.column("fetched").to_numpy().sum())
+                        for t in count_parts if t.num_rows)
+        n_extracted = sum(int(t.column("extracted").to_numpy().sum())
+                          for t in count_parts if t.num_rows)
+        return n_extracted, n_fetched
 
     # -- full run ---------------------------------------------------------
     def run(self, seeds: list[dict] | None = None,
@@ -1648,6 +1703,13 @@ class CrawlPipeline:
         os.makedirs(mdir, exist_ok=True)
         bucket_files: dict[int, list[str]] = {}
         host_counts: dict[str, int] = {}
+        # host_bucket_counts is all-or-nothing: a PARTIAL merge (one
+        # legacy piece without counts) would make the politeness
+        # cutoff pre-pass scan only the counted buckets and under-set
+        # the cutoffs — so if ANY piece lacks them, the merged piece
+        # carries None and the consumer takes its full-scan fallback
+        all_have_hbc = all(p.host_bucket_counts is not None
+                           for p in pieces)
         hbc: dict[str, dict[int, int]] = {}
         n = 0
         for p in pieces:
@@ -1656,12 +1718,13 @@ class CrawlPipeline:
                 bucket_files.setdefault(b, []).extend(fs)
             for h, c in p.host_counts.items():
                 host_counts[h] = host_counts.get(h, 0) + c
-            for h, bc in (p.host_bucket_counts or {}).items():
-                d = hbc.setdefault(h, {})
-                for b, c in bc.items():
-                    d[b] = d.get(b, 0) + c
+            if all_have_hbc:
+                for h, bc in p.host_bucket_counts.items():
+                    d = hbc.setdefault(h, {})
+                    for b, c in bc.items():
+                        d[b] = d.get(b, 0) + c
         return BucketedFrontier(mdir, n, host_counts, bucket_files,
-                                hbc or None,
+                                (hbc or None) if all_have_hbc else None,
                                 sources=[p.directory for p in pieces])
 
     def _spill_table_piece(self, wave: int, idx: int,
