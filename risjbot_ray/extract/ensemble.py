@@ -122,7 +122,9 @@ class ItemBuilder:
 # JSON-LD handling (ExtractJSONLD middleware + RISJMetadataExtractor)
 # ---------------------------------------------------------------------------
 
-_SCHEMA_ORG_RE = re.compile(r"https?://schema.org/?")
+# escaped + anchored: 'https://schemaXorg' or 'schema.org.evil.example'
+# contexts must NOT qualify a block as schema.org vocabulary
+_SCHEMA_ORG_RE = re.compile(r"^https?://(www\.)?schema\.org/?$")
 
 
 def extract_jsonld_blocks(root: Node) -> tuple[list, int]:
@@ -205,14 +207,27 @@ def add_schemaorg(b: ItemBuilder, ctx: PageContext) -> None:
 def add_schemaorg_jsonld(b: ItemBuilder, ctx: PageContext) -> None:
     """Field mapping from the merged NewsArticle dict (loaders.py:183-208)."""
     data = newsarticle_from_jsonld(ctx.jsonld)
-    b.add_value("firstpubtime", data.get("datePublished"))
-    b.add_value("modtime", data.get("dateModified"))
-    b.add_value("keywords", data.get("keywords"))
-    b.add_value("headline", data.get("headline"))
+
+    def _s(v):
+        # JSON-LD values are untyped JSON from the wild (numeric unix
+        # timestamps, nested lists, dict headlines all occur): only
+        # strings may reach the str-typed field processors — one bad
+        # page must not AttributeError the whole extraction batch
+        return v if isinstance(v, str) else None
+
+    b.add_value("firstpubtime", _s(data.get("datePublished")))
+    b.add_value("modtime", _s(data.get("dateModified")))
+    kw = data.get("keywords")
+    if isinstance(kw, list):
+        kw = [x for x in kw if isinstance(x, str)] or None
+        b.add_value("keywords", kw)
+    else:
+        b.add_value("keywords", _s(kw))
+    b.add_value("headline", _s(data.get("headline")))
     body = data.get("articleBody")
     if isinstance(body, str):
         b.add_value("bodytext", body)
-    b.add_value("section", data.get("articleSection"))
+    b.add_value("section", _s(data.get("articleSection")))
     author = data.get("author")
     if isinstance(author, dict):
         b.add_value("bylines", author.get("name"))
@@ -222,9 +237,9 @@ def add_schemaorg_jsonld(b: ItemBuilder, ctx: PageContext) -> None:
         b.add_value("bylines", [x for x in author if isinstance(x, str)])
     publisher = data.get("publisher")
     if isinstance(publisher, dict):
-        b.add_value("source", publisher.get("name"))
+        b.add_value("source", _s(publisher.get("name")))
     else:
-        b.add_value("source", publisher)
+        b.add_value("source", _s(publisher))
 
 
 def add_schemaorg_by_xpath(b: ItemBuilder, ctx: PageContext) -> None:

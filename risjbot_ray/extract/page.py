@@ -30,6 +30,9 @@ from .siterules import AddRule, SiteRules, rules_for_url
 
 # settings.py:140-143
 UNWANTED_XPATHS = ("//figure", "//script", "//style", "//form")
+# the one-traversal prune tests tags directly; derived from the
+# constant so editing UNWANTED_XPATHS actually changes the prune
+_UNWANTED_TAGS = tuple(x.lstrip("/") for x in UNWANTED_XPATHS)
 
 # settings.py:149-154 — (url regex, xpath) fake-404 signatures
 FAKE404_SIGS: tuple[tuple[re.Pattern, str], ...] = (
@@ -102,7 +105,7 @@ def extract_page(url: str, body: bytes, fetchtime: datetime,
     if not meta.get("sitemap"):
         # the four fixed tag prunes (settings.py:140-143) in ONE traversal
         doomed = [n for n in root.iter_nodes()
-                  if n.tag in ("figure", "script", "style", "form")]
+                  if n.tag in _UNWANTED_TAGS]
         for n in doomed:
             n.remove()
 

@@ -5,7 +5,8 @@ SURVEY.md section 7.0). The tree supports the operations the reference uses:
 document-order text-node iteration (lxml ``//text()`` semantics), attribute
 access, and node removal (``mutate_selector_del``, reference utils.py:9-41).
 
-Text nodes are plain ``str`` entries in ``Node.children``; contiguous
+Text nodes are ``Text`` (a str subclass — one unique object per tree
+position, see its docstring) entries in ``Node.children``; contiguous
 character data (with entities decoded, as lxml does) is merged into a single
 text node. Comments and processing instructions are dropped, as lxml's
 ``//text()`` does not yield them.
@@ -38,6 +39,16 @@ _AUTOCLOSE = {
     "tr": {"tr"},
     "option": {"option"},
 }
+
+
+class Text(str):
+    """Text node: a str subclass so every node is a UNIQUE object.
+    Plain str children would let CPython's interned 1-char strings
+    (' ', '\\n', 'a', ...) share one object across many tree
+    positions, and the selector engine / DocIndex — which track
+    emitted text nodes by id() — would then leak or drop text from
+    the wrong positions. Subclass instances are never interned."""
+    __slots__ = ()
 
 
 class Node:
@@ -125,7 +136,7 @@ class _TreeBuilder(HTMLParser):
     # -- text buffering ----------------------------------------------------
     def _flush_text(self) -> None:
         if self._textbuf:
-            self.stack[-1].children.append("".join(self._textbuf))
+            self.stack[-1].children.append(Text("".join(self._textbuf)))
             self._textbuf.clear()
 
     # -- tag handling ------------------------------------------------------
@@ -178,10 +189,11 @@ _CDATA_CLOSE = {e: re.compile(r"</\s*%s\s*>" % e, re.IGNORECASE)
 _SIMPLE_TAG = re.compile(
     r"<([a-zA-Z][-a-zA-Z0-9:._]*)"
     r"((?:\s+[-a-zA-Z0-9:._]+"
-    r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>'\"]+))?)*)\s*(/?)>")
+    r"(?:\s*=+\s*(?:\"[^\"]*\"|'[^']*'|[^\s>'\"]+))?)*)\s*(/?)>")
+# '=+' like attrfind_tolerant: <a b==c> parses to b='c', not b='=c'
 _SIMPLE_ATTR = re.compile(
     r"([-a-zA-Z0-9:._]+)"
-    r"(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>'\"]+)))?")
+    r"(?:\s*=+\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>'\"]+)))?")
 _SIMPLE_END = re.compile(r"</([a-zA-Z][-a-zA-Z0-9:._]*)>")
 
 
@@ -267,7 +279,7 @@ def _fast_parse(text: str) -> Node | None:
                     continue
                 selfclose = end == "/>"
             if textbuf:
-                stack[-1].children.append("".join(textbuf))
+                stack[-1].children.append(Text("".join(textbuf)))
                 textbuf.clear()
             if selfclose:
                 # handle_startendtag: last duplicate attr wins, no push
@@ -299,7 +311,7 @@ def _fast_parse(text: str) -> Node | None:
                     break
                 raw = text[endpos:cm.start()]
                 if raw:
-                    node.children.append(raw)
+                    node.children.append(Text(raw))
                 for idx in range(len(stack) - 1, 0, -1):
                     if stack[idx].tag == tag:
                         del stack[idx:]
@@ -320,7 +332,7 @@ def _fast_parse(text: str) -> Node | None:
                 endpos = gm.end()
             tag = em.group(1).lower()
             if textbuf:
-                stack[-1].children.append("".join(textbuf))
+                stack[-1].children.append(Text("".join(textbuf)))
                 textbuf.clear()
             for idx in range(len(stack) - 1, 0, -1):
                 if stack[idx].tag == tag:
@@ -357,7 +369,7 @@ def _fast_parse(text: str) -> Node | None:
             textbuf.append("<")
             i += 1
     if textbuf:
-        stack[-1].children.append("".join(textbuf))
+        stack[-1].children.append(Text("".join(textbuf)))
     return root
 
 

@@ -256,12 +256,13 @@ def xpath(context: Node, path: str) -> list[Result]:
     for si, (axis, kind, payload) in enumerate(steps):
         if (si == 0 and kind == "node" and axis == "desc"
                 and payload[0] is not None and len(current) == 1):
-            # '//name...' first step via the cached tag index (doc order,
-            # unique); relative './/name' excludes the context itself
+            # '//name...' first step via the cached tag index (doc
+            # order, unique). A relative './/name' would need to
+            # exclude the context node itself, but the step parser
+            # rejects a leading '.' (ValueError), so this fast path
+            # only ever sees absolute selectors.
             name, preds = payload
             cands = _tag_index(context).get(name, [])
-            if not absolute:
-                cands = [cd for cd in cands if cd is not context]
             current = [cd for cd in cands
                        if not any(not p(cd) for p in preds)]
             continue

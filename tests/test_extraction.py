@@ -71,3 +71,39 @@ def test_extract_batch_on_ray(ray_session):
     for u in live:
         if expd[u]["bodytext"] is not None:
             assert outd[u]["bodytext"] == expd[u]["bodytext"]
+
+
+def test_jsonld_untyped_values_do_not_crash():
+    """Wild JSON-LD carries untyped JSON (numeric unix datePublished,
+    nested-list keywords, dict headline): extraction must survive the
+    page and keep only the string-typed values — and a context that is
+    NOT literally schema.org must not qualify the block."""
+    from risjbot_ray.extract.ensemble import newsarticle_from_jsonld
+    from risjbot_ray.extract.stage import extract_batch
+    import pyarrow as pa
+
+    html = (
+        '<html><head><script type="application/ld+json">'
+        '{"@context":"https://schema.org","@type":"NewsArticle",'
+        '"datePublished":1488218536,"keywords":[["a"]],'
+        '"headline":{"v":"x"},"articleBody":"body text here"}'
+        "</script></head><body><p>fallback</p></body></html>")
+    import datetime
+    t = pa.table({
+        "url": pa.array(["http://example.com/x"], pa.string()),
+        "warc_ts": pa.array(
+            [datetime.datetime(2024, 1, 1,
+                               tzinfo=datetime.timezone.utc)],
+            pa.timestamp("us", tz="UTC")),
+        "html": pa.array([html.encode()], pa.binary()),
+    })
+    out = extract_batch(t)          # must not raise
+    assert out.num_rows == 1
+    assert out.column("bodytext").to_pylist()[0] == "body text here"
+
+    evil = [{"@context": "https://schemaXorg", "@type": "NewsArticle",
+             "headline": "nope"}]
+    assert newsarticle_from_jsonld(evil) == {}
+    ok = [{"@context": "https://schema.org", "@type": "NewsArticle",
+           "headline": "yes"}]
+    assert newsarticle_from_jsonld(ok).get("headline") == "yes"

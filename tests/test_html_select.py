@@ -84,3 +84,26 @@ def test_void_elements_do_not_swallow():
     r = parse_html('<html><head><meta name="a" content="1">'
                    '<meta name="b" content="2"></head><body></body></html>')
     assert xpath(r, 'head/meta[@name="b"]/@content') == ["2"]
+
+
+def test_interned_text_nodes_are_position_unique():
+    """CPython interns 1-char strings: identical single-char text in
+    different tree positions must still be DISTINCT text nodes, or
+    //text() under a subtree leaks (or drops) text from elsewhere."""
+    r = parse_html('<html><body><div id="art"><p>a</p></div>'
+                   '<footer><p>a</p><p>a</p></footer></body></html>')
+    assert xpath(r, '//div[@id="art"]//text()') == ["a"]
+    assert xpath(r, "//footer//text()") == ["a", "a"]
+    # repeated interblock single spaces survive schema_text-style joins
+    r2 = parse_html('<html><body><div itemprop="x"><b>x</b> <b>y</b>'
+                    '</div><div itemprop="x"><b>p</b> <b>q</b></div>'
+                    '</body></html>')
+    assert xpath(r2, '//div[@itemprop="x"]//text()') == \
+        ["x", " ", "y", "p", " ", "q"]
+
+
+def test_double_equals_attr_matches_stdlib():
+    """<a b==c>: attrfind_tolerant treats '=+' as the separator, so
+    the fast path must parse b='c' (not '=c') for selector parity."""
+    r = parse_html("<html><body><a b==c>t</a></body></html>")
+    assert xpath(r, '//a[@b="c"]/text()') == ["t"]
