@@ -24,11 +24,16 @@ DEFAULT_EQUIVALENT_DOMAINS = {"www.cnn.com": "edition.cnn.com"}
 
 def apply_equivalent_domains(url: str, mappings: dict[str, str]) -> str:
     """Rewrite netloc per the equivalence map, preserving everything else
-    (equivalentdomains.py:40-50)."""
+    (equivalentdomains.py:40-50). The lookup is case-insensitive (map
+    keys are lowercase): this runs BEFORE canonicalization, so a
+    'WWW.CNN.com' URL must still unify with the mapped domain or the
+    same article gets two fingerprints."""
     u = urlparse(url)
-    if u.netloc in mappings:
+    key = u.netloc.lower()
+    if key in mappings:
         return urlunparse(
-            (u.scheme, mappings[u.netloc], u.path, u.params, u.query, u.fragment)
+            (u.scheme, mappings[key], u.path, u.params, u.query,
+             u.fragment)
         )
     return url
 
@@ -44,14 +49,18 @@ def canonicalize_url(url: str) -> str:
     if "?" not in url and "#" not in url and ";" not in url:
         scheme_end = url.find("://")
         if scheme_end > 0:
+            scheme = url[:scheme_end]
+            ls = scheme.lower()   # urlparse lowercases the scheme too:
+            #                       'HTTP://x/a' and 'http://x/a' must
+            #                       share one fingerprint on EVERY path
             rest = url[scheme_end + 3:]
             slash = rest.find("/")
             if slash < 0:
-                return url.lower() + "/"
+                return ls + "://" + rest.lower() + "/"
             netloc = rest[:slash]
             lowered = netloc.lower()
-            if lowered != netloc:
-                return url[:scheme_end + 3] + lowered + rest[slash:]
+            if lowered != netloc or ls != scheme:
+                return ls + "://" + lowered + rest[slash:]
             return url
     u = urlparse(url)
     query = urlencode(sorted(parse_qsl(u.query, keep_blank_values=True)))

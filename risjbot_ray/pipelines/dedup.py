@@ -158,18 +158,49 @@ def _band_cands(group):
     import pandas as pd
 
     hot = group[group.duplicated("band_hash", keep=False)]
-    a_out, b_out = [], []
-    for _, bucket in hot.groupby("band_hash", sort=False):
-        ids = np.sort(bucket["doc_id"].to_numpy())
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(int(ids[i]))
-                b_out.append(int(ids[j]))
-    return pd.DataFrame({"a": pd.Series(a_out, dtype="int64"),
-                         "b": pd.Series(b_out, dtype="int64")})
+    if not len(hot):
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+    # vectorized run-length + batched-triu enumeration (the
+    # hamming.band_run_pairs pattern): a boilerplate-heavy corpus can
+    # put 10^4+ docs in ONE bucket, and a per-pair Python append loop
+    # there is the exact quadratic stall this machinery must avoid
+    order = np.lexsort((hot["doc_id"].to_numpy(),
+                        hot["band_hash"].to_numpy()))
+    ids = hot["doc_id"].to_numpy()[order]
+    bh = hot["band_hash"].to_numpy()[order]
+    starts = np.r_[0, np.flatnonzero(bh[1:] != bh[:-1]) + 1]
+    counts = np.diff(np.r_[starts, len(bh)])
+    a_parts, b_parts = [], []
+    for length in np.unique(counts[counts > 1]):
+        s = starts[counts == length]
+        ti, tj = np.triu_indices(int(length), 1)
+        a_parts.append(ids[(s[:, None] + ti[None, :]).ravel()])
+        b_parts.append(ids[(s[:, None] + tj[None, :]).ravel()])
+    a = (np.concatenate(a_parts) if a_parts
+         else np.empty(0, np.int64))
+    b = (np.concatenate(b_parts) if b_parts
+         else np.empty(0, np.int64))
+    return pd.DataFrame({"a": pd.Series(a, dtype="int64"),
+                         "b": pd.Series(b, dtype="int64")})
 
 
 _PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+
+def _has_column(parquet_path: str, name: str) -> bool:
+    """Column presence from parquet metadata only (file or dir)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    p = parquet_path
+    if os.path.isdir(p):
+        parts = sorted(glob.glob(os.path.join(p, "*.parquet")))
+        if not parts:
+            return False
+        p = parts[0]
+    return name in pq.read_schema(p).names
 
 
 def _norm_pairs(b: pa.Table) -> pa.Table:
@@ -190,9 +221,15 @@ _BROADCAST_PAIRS_MAX = 200_000
 _BROADCAST_TEXT_MAX_BYTES = 256 << 20
 
 
-def _collect_pairs(pairs_ds) -> pa.Table:
-    """Materialized (a, b) Dataset -> one driver-side Arrow table
-    (callers gate on _BROADCAST_PAIRS_MAX before using it)."""
+def _collect_pairs(pairs_ds) -> pa.Table | None:
+    """Materialized (a, b) Dataset -> one driver-side Arrow table,
+    ONLY if its DISTRIBUTED row count is within _BROADCAST_PAIRS_MAX;
+    None past the cutoff. The count gates BEFORE any block reaches
+    the driver — an oversized pair set (dup-heavy corpus) must never
+    be concatenated into driver heap just to discover it is too big
+    for the broadcast fast path."""
+    if pairs_ds.count() > _BROADCAST_PAIRS_MAX:
+        return None
     parts = [t for t in ray.get(pairs_ds.to_arrow_refs()) if t.num_rows]
     return (pa.concat_tables(parts) if parts
             else _PAIR_SCHEMA.empty_table())
@@ -271,7 +308,7 @@ def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64,
     # the pulled subset ~O(100 MB). Past the cutoff, fall back to the
     # join plan (the big side stays fully partitioned).
     pair_tbl = _collect_pairs(uniq)
-    if pair_tbl.num_rows <= _BROADCAST_PAIRS_MAX:
+    if pair_tbl is not None:
         a_ids = pair_tbl.column("a").to_numpy()
         b_ids = pair_tbl.column("b").to_numpy()
         if not len(a_ids):
@@ -464,6 +501,15 @@ def label_propagation_clusters(edges, max_rounds: int = 64):
         if cur == prev_sum:
             break
         prev_sum = cur
+    else:
+        # range exhausted without the unchanged-sum signal: labels are
+        # NOT fixed-point (a component with diameter > max_rounds) —
+        # returning them silently would emit multiple cluster ids for
+        # one true component while callers promise exact components
+        raise RuntimeError(
+            f"label_propagation_clusters: not converged after "
+            f"{max_rounds} rounds (component diameter exceeds the "
+            "bound) — raise max_rounds")
     return labels
 
 
@@ -655,16 +701,38 @@ def ngram_jaccard_pairs(sf_dir: str, shingle_k: int = 3,
     # shingle work stays in Ray tasks; only pair ids + their texts
     # touch the driver, both bounded by the cutoffs.
     pair_tbl = _collect_pairs(cands)
-    if pair_tbl.num_rows <= _BROADCAST_PAIRS_MAX:
+    if pair_tbl is not None:
         a_ids = pair_tbl.column("a").to_numpy()
         b_ids = pair_tbl.column("b").to_numpy()
-        docs0 = ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        texts_by_id = _broadcast_fetch(
-            docs0, "doc_id",
-            np.unique(np.concatenate([a_ids, b_ids])), "text")
-        sub_bytes = sum(len(t or "") for t in texts_by_id.values())
+        need = np.unique(np.concatenate([a_ids, b_ids])) \
+            if len(a_ids) else np.empty(0, np.int64)
+        # size estimate from the tiny n_chars column BEFORE any text
+        # is pulled — the byte guard must run ahead of the fetch it
+        # guards, or multi-MB docs land on the driver just to be
+        # measured (char count ~ the utf-8 size for web text). A
+        # corpus without n_chars falls back to measuring the fetched
+        # texts (guard after the fact, as before).
+        if _has_column(f"{sf_dir}/documents.parquet", "n_chars"):
+            nchars = _broadcast_fetch(
+                ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                      columns=["doc_id", "n_chars"]),
+                "doc_id", need, "n_chars")
+            sub_bytes = sum(nchars.values())
+            texts_by_id = None
+        else:
+            texts_by_id = _broadcast_fetch(
+                ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                      columns=["doc_id", "text"]),
+                "doc_id", need, "text")
+            sub_bytes = sum(len(t or "")
+                            for t in texts_by_id.values())
         if sub_bytes <= _BROADCAST_TEXT_MAX_BYTES:
+            if texts_by_id is None:
+                docs0 = ray.data.read_parquet(
+                    f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+                texts_by_id = _broadcast_fetch(docs0, "doc_id", need,
+                                               "text")
             text_ref = ray.put(texts_by_id)
             cpus = int(ray.cluster_resources().get("CPU", 8))
             nparts = max(1, min(cpus, pair_tbl.num_rows // 64 + 1))
@@ -802,6 +870,8 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.95,
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     first = ds.take(1)
+    if not first:
+        return _NEARDUP_SCHEMA.empty_table()
     dim = len(first[0]["embedding"])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, dim, n_planes))
@@ -873,10 +943,11 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.95,
     # Bounded by the pair cutoff AND the pulled-bytes cutoff (a unit
     # vector is dim x 8 B); past either, the join plan applies.
     pair_tbl = _collect_pairs(uniq)
-    if pair_tbl.num_rows <= _BROADCAST_PAIRS_MAX:
+    if pair_tbl is not None:
         a_ids = pair_tbl.column("a").to_numpy()
         b_ids = pair_tbl.column("b").to_numpy()
-        need = np.unique(np.concatenate([a_ids, b_ids]))
+        need = np.unique(np.concatenate([a_ids, b_ids])) \
+            if len(a_ids) else np.empty(0, np.int64)
         if len(need) * dim * 8 <= _BROADCAST_TEXT_MAX_BYTES:
             raw = _broadcast_fetch(units, "vec_id", need, "unit")
             unit_by_id = {i: np.frombuffer(u, dtype=np.float64)

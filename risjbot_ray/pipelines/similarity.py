@@ -111,13 +111,31 @@ class IVFIndex:
 
         self.n_cells = n_cells
         if index_dir is None:
+            # the cache key includes a CONTENT fingerprint (size +
+            # mtime) of the source parquet: regenerated embeddings at
+            # the same path must not silently reuse a stale index
+            src = f"{sf_dir}/embeddings.parquet"
+            try:
+                st = os.stat(src)
+                content = f"{st.st_size}:{st.st_mtime_ns}"
+            except OSError:          # directory of parts
+                import glob as _glob
+                content = ";".join(
+                    f"{os.path.basename(p)}:{os.stat(p).st_size}"
+                    for p in sorted(_glob.glob(f"{src}/*.parquet")))
             tag = hashlib.md5(
-                f"{os.path.abspath(sf_dir)}:{n_cells}:{iters}:{seed}:"
-                f"{sample_size}:v1".encode()).hexdigest()[:12]
+                f"{os.path.abspath(sf_dir)}:{content}:{n_cells}:"
+                f"{iters}:{seed}:{sample_size}:v2".encode()
+            ).hexdigest()[:12]
             index_dir = f"/tmp/risjbot_ivf/{tag}"
         self.index_dir = index_dir
         done = os.path.join(index_dir, "DONE")
         if not os.path.exists(done):
+            # clear orphan parts from a crashed earlier build: uuid
+            # part names mean a rebuild would otherwise APPEND a
+            # second copy of every vector into the same cell dirs
+            import shutil
+            shutil.rmtree(index_dir, ignore_errors=True)
             os.makedirs(index_dir, exist_ok=True)
             ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                        columns=["vec_id", "embedding"])
@@ -202,7 +220,10 @@ class IVFIndex:
             mask = np.isin(cell_of, probe[qi])
             cids, cunit = ids[mask], unit[mask]
             sims = cunit @ q[qi]
-            top = np.argsort(-sims)[:k]
+            # deterministic (-cosine, vec_id) ranking like ann_topk:
+            # row order here derives from uuid part filenames, so an
+            # unstable argsort would flip k-boundary ties per rebuild
+            top = np.lexsort((cids, -sims))[:k]
             out.append([(int(cids[i]), float(sims[i])) for i in top])
         return out
 
