@@ -163,57 +163,64 @@ class ReadingAge:
 class NamedPeople:
     """PERSON extraction (pipelines/namedpeople.py:44-56 role) without
     NLTK: runs of capitalized tokens count as a person when (a) length >= 2
-    and the first token is not a sentence starter / stop-cap, or (b) the
-    run follows an honorific. Repeat mentions repeat in the output, like
-    the reference (namedpeople.py:58-60)."""
+    and no token is a stop-cap, or (b) the run follows an honorific
+    (stop-caps still end the run). A token's trailing period ends the
+    sentence AND the run — 'Mary Shelley. Victor Hugo' is two people,
+    not one — except single-letter initials ('J. K. Rowling' stays one
+    run). Repeat mentions repeat in the output, like the reference
+    (namedpeople.py:58-60)."""
 
     def __init__(self) -> None:
         self.tok_re = re.compile(r"[A-Za-z][A-Za-z'.-]*|[.!?]")
         self.honorifics = HONORIFICS
         self.stop_caps = _STOP_CAPS
 
+    @staticmethod
+    def _core(tok: str) -> tuple[str, bool]:
+        """(token without trailing periods, ends_sentence). A trailing
+        '.' terminates the run unless the token is an initial."""
+        if tok.endswith(".") and len(tok.rstrip(".")) > 1:
+            return tok.rstrip("."), True
+        return tok, False
+
+    def _take_run(self, toks: list[str], j: int) -> tuple[list[str], int]:
+        run: list[str] = []
+        while j < len(toks):
+            t = toks[j]
+            if t in ".!?" or not t[:1].isupper():
+                break
+            core, ends = self._core(t)
+            if core.lower() in self.stop_caps:
+                break
+            run.append(core)
+            j += 1
+            if ends:
+                break
+        return run, j
+
     def people(self, text: str) -> list[str]:
         toks = self.tok_re.findall(text)
         out: list[str] = []
         i = 0
-        sentence_start = True
         while i < len(toks):
             tok = toks[i]
             if tok in ".!?":
-                sentence_start = True
                 i += 1
                 continue
             low = tok.lower().rstrip(".")
             if low in self.honorifics and i + 1 < len(toks) \
                     and toks[i + 1][:1].isupper():
-                j = i + 1
-                run = []
-                while j < len(toks) and toks[j][:1].isupper() \
-                        and toks[j] not in ".!?":
-                    run.append(toks[j])
-                    j += 1
+                run, j = self._take_run(toks, i + 1)
                 if run:
                     out.append(" ".join(run))
-                i = j
-                sentence_start = False
+                i = max(j, i + 1)
                 continue
             if tok[:1].isupper() and low not in self.stop_caps:
-                j = i
-                run = []
-                while j < len(toks) and toks[j][:1].isupper() \
-                        and toks[j].lower() not in self.stop_caps \
-                        and toks[j] not in ".!?":
-                    run.append(toks[j])
-                    j += 1
-                meaningful = len(run) >= 2 and not (
-                    sentence_start and len(run) == 2
-                    and run[0].lower() in self.stop_caps)
-                if meaningful:
+                run, j = self._take_run(toks, i)
+                if len(run) >= 2:
                     out.append(" ".join(run))
                     i = j
-                    sentence_start = False
                     continue
-            sentence_start = False
             i += 1
         return out
 

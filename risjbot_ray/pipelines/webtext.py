@@ -74,7 +74,10 @@ def _counts_by(ds: "ray.data.Dataset", col: str) -> dict:
     SQL GROUP BY), via Counter on non-integer columns."""
     def partial(batch: pa.Table) -> pa.Table:
         arr = batch.column(col)
-        if pa.types.is_integer(arr.type):
+        if pa.types.is_integer(arr.type) and arr.null_count == 0:
+            # any-null integer chunks go through Counter below: their
+            # to_numpy round-trips through float NaN, which both
+            # crashes the int64 rebuild and could mis-bucket > 2^53
             v, n = np.unique(arr.to_numpy(zero_copy_only=False),
                              return_counts=True)
             vals = v.tolist()
@@ -420,8 +423,10 @@ def _rebuild_from_drops(docs_ds: "ray.data.Dataset",
                 nt = math.ceil(len(toks) / k)
                 if hi[i] > lo[i]:
                     dropped = set((ranks[lo[i]:hi[i]] & mask).tolist())
-                    tiles = [" ".join(toks[j * k:(j + 1) * k])
-                             for j in range(nt)]
+                    # THE tile split (drop markers were computed from
+                    # _explode_tiles' _tiles boundaries — rebuild must
+                    # tile identically or the wrong tiles drop)
+                    tiles = _tiles(texts[i] or "", k)
                     text = " ".join(t for j, t in enumerate(tiles)
                                     if j not in dropped)
                     nk = nt - len(dropped)
@@ -465,12 +470,20 @@ def _rebuild_union_path(docs_ds: "ray.data.Dataset",
         .select(_UNION_COLS),
         batch_format="pyarrow")
 
+    # null-column types from the DOCS schema, resolved ONCE on the
+    # driver: a non-string passthrough (e.g. an int64 fetch_ts) must
+    # carry the same type on both union sides or the positional union
+    # yields blocks with disagreeing schemas
+    _sch = docs_ds.schema(fetch_if_missing=True)
+    _pa_sch = getattr(_sch, "base_schema", _sch)
+    _pt_types = {col: _pa_sch.field(col).type for col in passthrough}
+
     def markfill(b: pa.Table) -> pa.Table:
         b = b.append_column("text", pa.array([None] * len(b),
                                              pa.string()))
         for col in passthrough:
             b = b.append_column(col, pa.array([None] * len(b),
-                                              pa.string()))
+                                              _pt_types[col]))
         b = b.append_column("dbucket", dbucket_of(b.column("doc_id")))
         # both union sides must present the SAME column order — Ray's
         # union concatenates blocks positionally-schema'd
@@ -500,8 +513,7 @@ def _rebuild_union_path(docs_ds: "ray.data.Dataset",
             toks = (row.text or "").split()
             nt = math.ceil(len(toks) / k)
             if dropped:
-                tiles = [" ".join(toks[j * k:(j + 1) * k])
-                         for j in range(nt)]
+                tiles = _tiles(row.text or "", k)   # THE tile split
                 text = " ".join(t for j, t in enumerate(tiles)
                                 if j not in dropped)
                 nk = nt - len(dropped)
@@ -596,6 +608,13 @@ def tile_dedup_incremental(sf_dir_or_ds, ledger_dir: str,
         if fl:
             snapshot[hb_of] = fl
     snap_ref = ray.put(snapshot)
+    # deltas stage as .pending files this run tags, committed (renamed
+    # to .parquet) only AFTER the rebuilt output materializes: a run
+    # that dies mid-way must not leave its tiles in the ledger, or its
+    # own RE-RUN would find every head "ledger-known" and silently
+    # rebuild the whole shard to empty text
+    import uuid as _uuid
+    run_tag = _uuid.uuid4().hex[:8]
 
     def gate(df):
         import uuid
@@ -640,8 +659,10 @@ def tile_dedup_incremental(sf_dir_or_ds, ledger_dir: str,
                                            pa.int64()),
                           "h_lo": pa.array(fresh["h_lo"].to_numpy(),
                                            pa.int64())}),
-                os.path.join(part_dir,
-                             f"delta-{uuid.uuid4().hex}.parquet"))
+                os.path.join(
+                    part_dir,
+                    f"delta-{run_tag}-{uuid.uuid4().hex}"
+                    ".parquet.pending"))
         return pd.DataFrame({
             "doc_id": pd.Series(drop_rank >> _TILE_NO_BITS,
                                 dtype="int64"),
@@ -655,7 +676,16 @@ def tile_dedup_incremental(sf_dir_or_ds, ledger_dir: str,
         batch_format="pyarrow"))
     drop = tiles.groupby("hb").map_groups(gate, batch_format="pandas")
 
-    return _rebuild_from_drops(docs_ds, drop, k, passthrough, nbuckets)
+    out = _rebuild_from_drops(docs_ds, drop, k, passthrough,
+                              nbuckets).materialize()
+    # the output is durable in the object store: commit this run's
+    # staged deltas (rename is atomic; membership is idempotent, so a
+    # crash mid-commit re-runs as a partial-duplicate fold — harmless)
+    for p in _glob.glob(os.path.join(
+            ledger_dir, "part=*",
+            f"delta-{run_tag}-*.parquet.pending")):
+        os.replace(p, p[:-len(".pending")])
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -1653,6 +1683,12 @@ def _gate_pool_size() -> int:
     map tasks can run — a fixed pool acquires all its actors up front,
     and a pool as large as the cluster deadlocks the pipeline."""
     cpus = int(ray.cluster_resources().get("CPU", 8))
+    if cpus < 4:
+        # a fixed pool on a 1-3 CPU cluster can acquire every CPU and
+        # starve the producer permanently; one actor + one free CPU is
+        # the smallest safe shape (at 1 CPU the caller's autoscaling
+        # pool releases between waves — degraded but live)
+        return 1
     return max(1, min(cpus // 2, cpus - 2))
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import csv
 import gzip
+import zlib
 import io
 import re
 import xml.etree.ElementTree as ET
@@ -48,7 +49,10 @@ def maybe_gunzip(body: bytes) -> bytes:
     if body[:2] == b"\x1f\x8b":
         try:
             return gzip.decompress(body)
-        except OSError:
+        except (OSError, EOFError, zlib.error):
+            # truncated transfers raise EOFError and corrupt deflate
+            # data zlib.error — neither is an OSError; the fallback
+            # must cover them or one bad .xml.gz kills the task
             return body
     return body
 
@@ -158,10 +162,14 @@ def extract_links(html: bytes | Node, base_url: str,
         for node in scope.iter_nodes():
             if node.tag != "a":
                 continue
-            href = node.get("href")
-            if not href or href.startswith(("javascript:", "mailto:", "#")):
+            href = (node.get("href") or "").strip()
+            # strip + lowercase BEFORE the scheme check: ' javascript:'
+            # and 'JavaScript:' variants must not leak unfetchable
+            # URLs into the frontier
+            if not href or href.lower().startswith(
+                    ("javascript:", "mailto:", "#")):
                 continue
-            url = urljoin(base_url, href.strip())
+            url = urljoin(base_url, href)
             if allow_re and not any(r.search(url) for r in allow_re):
                 continue
             if any(r.search(url) for r in deny_re):
