@@ -219,7 +219,15 @@ def _fast_parse(text: str) -> Node | None:
             j = n
         if j > i:
             seg = text[i:j]
-            textbuf.append(unescape(seg) if "&" in seg else seg)
+            if "&" in seg:
+                # unescape may yield '' (invalid-codepoint charrefs like
+                # '&#1;' map to nothing); the stdlib builder drops empty
+                # data in handle_data, so never buffer it here either.
+                seg = unescape(seg)
+                if seg:
+                    textbuf.append(seg)
+            else:
+                textbuf.append(seg)
         if j >= n:
             i = n
             break

@@ -257,7 +257,7 @@ def ann_ivf_topk(sf_dir: str, query_ids: list[int] | None = None,
 # ---------------------------------------------------------------------------
 
 def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5,
-                      seed: int = 17):
+                      seed: int = 17, table: pa.Table | None = None):
     """Full-corpus Lloyd's k-means over the embeddings table — the
     iterative-algorithm pattern on Ray Data: every iteration is ONE
     streaming ``map_batches`` pass that folds each batch to k partial
@@ -276,9 +276,17 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5,
     Returns one row per cell
     (cell, n_vectors, inertia) plus constant self-check columns:
     total inertia per iteration must be non-increasing
-    (``inertia_monotone`` — the driver-readable pass/fail)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    (``inertia_monotone`` — the driver-readable pass/fail).
+
+    ``table`` substitutes an in-memory (vec_id, embedding) table for
+    the parquet read — the injection point ``kmeans_check`` uses to run
+    the identical distributed path over a planted corpus."""
+    if table is not None:
+        ds = ray.data.from_arrow(
+            table.select(["vec_id", "embedding"])).repartition(8)
+    else:
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                   columns=["vec_id", "embedding"])
 
     # Seed centroids = the k smallest vec_ids' vectors, found WITHOUT
     # a global sort: a per-batch partial top-k over the id column
@@ -368,6 +376,75 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5,
         "n_vectors": pa.array(counts, pa.int64()),
         "inertia": pa.array(np.round(inert, 6), pa.float64()),
         "inertia_monotone": pa.array([monotone] * k, pa.bool_()),
+    })
+
+
+def synth_planted_clusters(n: int = 600, k: int = 6, d: int = 16,
+                           seed: int = 7,
+                           ) -> tuple[pa.Table, np.ndarray]:
+    """Deterministic planted-cluster corpus for ``kmeans_check``:
+    k well-separated centers (distance 10 between any two, offsets
+    within 0.5 — separation 10x the spread, so the optimal clustering
+    IS the planted one), with vec_ids laid out so ids 0..k-1 are the
+    exact centers — one per cluster. ``kmeans_embeddings`` seeds from
+    the k smallest vec_ids, so cluster c's fitted cell index is c and
+    assignment recovery is a sharp pass/fail, not a local-optimum
+    lottery. Returns (table, labels[n])."""
+    rng = np.random.RandomState(seed)
+    centers = np.zeros((k, d))
+    for c in range(k):
+        centers[c, c % d] = 10.0 * (1 + c // d)
+    labels = np.concatenate([np.arange(k),              # the centers
+                             rng.randint(0, k, n - k)])
+    offsets = rng.uniform(-0.5, 0.5, (n, d))
+    offsets[:k] = 0.0                                    # exact centers
+    X = centers[labels] + offsets
+    return pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(list(X), pa.list_(pa.float64())),
+    }), labels
+
+
+def kmeans_check(sf_dir: str, n: int = 600, k: int = 6,
+                 iters: int = 5) -> pa.Table:
+    """Driver-visible k-means self-check (VERDICT r3 item 7,
+    `ann_ivf_recall`-style): run the DISTRIBUTED Lloyd's path over a
+    planted-cluster corpus and verify, against a local ground truth,
+    (a) per-cell assignment counts recover the planted clusters
+    exactly, (b) per-cell inertia matches a local recompute from the
+    planted means, (c) the inertia-per-iteration sequence is
+    non-increasing. One row of counters; ``check_ok`` is the pass
+    flag. ``sf_dir`` is unused (the corpus is synthesized so the
+    ground truth is known by construction)."""
+    tbl, labels = synth_planted_clusters(n=n, k=k)
+    got = kmeans_embeddings(sf_dir, k=k, iters=iters, table=tbl)
+
+    exp_counts = np.bincount(labels, minlength=k)
+    X = np.array([np.asarray(v, dtype=np.float64)
+                  for v in tbl.column("embedding").to_pylist()])
+    exp_inertia = np.zeros(k)
+    for c in range(k):
+        pts = X[labels == c]
+        exp_inertia[c] = np.square(pts - pts.mean(axis=0)).sum()
+
+    cells = np.asarray(got.column("cell").to_pylist())
+    counts = np.asarray(got.column("n_vectors").to_pylist())
+    inert = np.asarray(got.column("inertia").to_pylist())
+    order = np.argsort(cells)
+    counts, inert = counts[order], inert[order]
+    n_count_mismatch = int((counts != exp_counts).sum())
+    n_inertia_mismatch = int((~np.isclose(
+        inert, exp_inertia, rtol=1e-6, atol=1e-6)).sum())
+    monotone = bool(got.column("inertia_monotone").to_pylist()[0])
+    ok = (n_count_mismatch == 0 and n_inertia_mismatch == 0
+          and monotone)
+    return pa.table({
+        "n_vectors": pa.array([n], pa.int64()),
+        "k": pa.array([k], pa.int64()),
+        "n_count_mismatch": pa.array([n_count_mismatch], pa.int64()),
+        "n_inertia_mismatch": pa.array([n_inertia_mismatch], pa.int64()),
+        "inertia_monotone": pa.array([monotone], pa.bool_()),
+        "check_ok": pa.array([ok], pa.bool_()),
     })
 
 
@@ -605,6 +682,38 @@ def _pca_moment_partials(ds: "ray.data.Dataset", d: int):
             xtx_tot += np.frombuffer(row["xtx"],
                                      dtype=np.float64).reshape(d, d)
     return n_tot, s_tot, xtx_tot
+
+
+def embedding_pca_moments(sf_dir: str) -> pa.Table:
+    """SQL-checkable slice of the distributed-PCA fit (VERDICT r3
+    item 9): the covariance moments that ``embedding_pca`` reduces —
+    per dimension (n, sum x, sum x^2) plus the adjacent cross-moment
+    sum x_d*x_{d+1} (one off-diagonal Gram entry per dim, so the
+    X^T X partial combine is exercised off the diagonal too) — come
+    from the SAME ``_pca_moment_partials`` pass the eigendecomposition
+    consumes, and DuckDB recomputes them with UNNEST/list indexing.
+    Sums are rounded to 5 decimals on both sides (the lineitem_corr
+    convention; float64 combine-order wobble is ~1e-9 at these
+    magnitudes)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    first = ds.take(1)
+    if not first:
+        return pa.table({"dim": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "sum_x": pa.array([], pa.float64()),
+                         "sum_xx": pa.array([], pa.float64()),
+                         "sum_xy_next": pa.array([], pa.float64())})
+    d = len(first[0]["embedding"])
+    n, s, xtx = _pca_moment_partials(ds, d)
+    xy = np.append(np.diag(xtx, 1), 0.0)   # last dim has no successor
+    return pa.table({
+        "dim": pa.array(np.arange(1, d + 1), pa.int64()),  # 1-indexed
+        "n": pa.array(np.full(d, n), pa.int64()),
+        "sum_x": pa.array(np.round(s, 5), pa.float64()),
+        "sum_xx": pa.array(np.round(np.diag(xtx), 5), pa.float64()),
+        "sum_xy_next": pa.array(np.round(xy, 5), pa.float64()),
+    })
 
 
 def embedding_pca(sf_dir: str, k: int = 8) -> pa.Table:

@@ -857,6 +857,19 @@ def test_kmeans_embeddings_blobs(ray_session, tmp_path):
     assert df["inertia"].sum() < 400 * 16 * 0.5 ** 2 * 2
 
 
+def test_kmeans_check_planted(ray_session):
+    """The driver-visible kmeans self-check row passes on its planted
+    corpus: exact count recovery, inertia parity vs the local
+    recompute, monotone inertia."""
+    from risjbot_ray.pipelines.similarity import kmeans_check
+
+    row = kmeans_check("unused").to_pylist()[0]
+    assert row["n_count_mismatch"] == 0
+    assert row["n_inertia_mismatch"] == 0
+    assert row["inertia_monotone"] is True
+    assert row["check_ok"] is True
+
+
 def test_kmeans_embeddings_small_table(ray_session, tmp_path):
     """k larger than the table clamps to n (one centroid per vector,
     zero inertia); an empty table raises a usable error."""
