@@ -717,7 +717,14 @@ def ngram_jaccard_pairs(sf_dir: str, shingle_k: int = 3,
                 ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                       columns=["doc_id", "n_chars"]),
                 "doc_id", need, "n_chars")
-            sub_bytes = sum(nchars.values())
+            # n_chars counts CODEPOINTS; a driver-held str spends up
+            # to 4 bytes per codepoint (PEP 393 wide strings / utf-8
+            # CJK), so a raw codepoint sum can understate driver heap
+            # 4x. Scale by the worst case so the guard bounds actual
+            # heap: ASCII-dominant corpora lose a 4x-smaller fast-path
+            # window (they fall back to the distributed join, which is
+            # correct just slower); nothing can exceed the cap.
+            sub_bytes = 4 * sum(nchars.values())
             texts_by_id = None
         else:
             texts_by_id = _broadcast_fetch(

@@ -434,15 +434,20 @@ def _media_source(n: int, seed: int, path: str | None,
     return ray.data.from_arrow(tbl.select(columns) if columns else tbl)
 
 
-def media_pool_size() -> int:
-    """Fixed actor-pool size for the decode stages: 3/4 of the
-    cluster's CPUs, always leaving >= 2 CPUs for the upstream read
-    tasks (a fixed pool acquires every actor up front; a pool as large
-    as the cluster starves the producer). Measured on the 100k-row
-    bench corpus at 32 CPUs: fixed 24 = 3.2 s vs fixed 30 = 6.8 s
-    (producer starvation) vs autoscaling (1, 24) = 12.4 s (spawn
-    latency dominates a short stage)."""
+def media_pool_size() -> "int | tuple[int, int]":
+    """Actor-pool sizing for the decode stages: 3/4 of the cluster's
+    CPUs, always leaving >= 2 CPUs for the upstream read tasks (a
+    fixed pool acquires every actor up front; a pool as large as the
+    cluster starves the producer). Measured on the 100k-row bench
+    corpus at 32 CPUs: fixed 24 = 3.2 s vs fixed 30 = 6.8 s (producer
+    starvation) vs autoscaling (1, 24) = 12.4 s (spawn latency
+    dominates a short stage). On a 1-3 CPU cluster the fixed shape
+    can't leave a free CPU, so fall back to an AUTOSCALING (1, 2)
+    pool — it releases actors between waves instead of pinning the
+    only CPU (the same small-cluster guard _gate_pool_size has)."""
     cpus = int(ray.cluster_resources().get("CPU", 8))
+    if cpus < 4:
+        return (1, 2)
     return max(1, min(3 * cpus // 4, cpus - 2))
 
 

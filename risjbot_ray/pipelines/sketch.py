@@ -173,7 +173,11 @@ def dd_bucket_ids(v: np.ndarray, alpha: float) -> np.ndarray:
     grouped sketches (any drift would make their merged results
     disagree): bucket i = ceil(log_gamma(v)) for v > 0, with
     non-positive values pinned to a reserved underflow bucket
-    (int64 min + 1) so nothing is silently dropped."""
+    (int64 min + 1) so nothing is silently dropped. Only the COUNTS of
+    non-positives are exact — their values are not recoverable, and
+    dd_quantiles_from_buckets estimates any quantile landing in the
+    underflow bucket as 0.0 (the alpha guarantee is positive-values-
+    only)."""
     gamma = (1.0 + alpha) / (1.0 - alpha)
     under = np.iinfo(np.int64).min + 1
     pos = v > 0.0
@@ -195,9 +199,17 @@ def dd_quantiles_from_buckets(buckets: np.ndarray, counts: np.ndarray,
     """Quantile estimates from a merged DDSketch: walk the cumulative
     counts to the ceil(q*n)-th order statistic's bucket and return the
     bucket midpoint 2*gamma^i/(gamma+1) — within relative error alpha
-    of the true order statistic (for positive values)."""
+    of the true order statistic FOR POSITIVE VALUES ONLY. A quantile
+    that lands in the reserved underflow bucket (the sketch keeps
+    non-positives' COUNTS exact but not their values) is explicitly
+    estimated 0.0 — rel_err is 0 for true zeros and 1 for negatives,
+    which the callers' within_alpha self-check surfaces. (Without the
+    special case the midpoint formula happens to underflow gamma^i to
+    0.0 for the sentinel bucket id — same answer, but by accident and
+    under a float-underflow warning.)"""
     import math
     gamma = (1.0 + alpha) / (1.0 - alpha)
+    under = np.iinfo(np.int64).min + 1
     order = np.argsort(buckets, kind="stable")
     buckets, counts = buckets[order], counts[order]
     cum = np.cumsum(counts)
@@ -205,8 +217,10 @@ def dd_quantiles_from_buckets(buckets: np.ndarray, counts: np.ndarray,
     ranks = np.array([max(1, math.ceil(q * n)) - 1 for q in qs],
                      dtype=np.int64)
     idx = np.searchsorted(cum, ranks, side="right")
-    i = buckets[idx].astype(np.float64)
-    return 2.0 * np.power(gamma, i) / (gamma + 1.0)
+    picked = buckets[idx]
+    est = 2.0 * np.power(gamma, picked.astype(np.float64)) / (gamma + 1.0)
+    est[picked == under] = 0.0
+    return est
 
 
 def value_quantile_sketch(sf_dir: str, alpha: float = 0.01,

@@ -761,7 +761,17 @@ def q_mojibake_check(sf_dir: str) -> pa.Table:
             if d % 3 == 0:
                 noisy.append(s.encode("utf-8").decode("latin-1"))
             elif d % 3 == 1:
-                noisy.append(s.encode("utf-8").decode("cp1252"))
+                # cp1252 leaves 0x81/0x8D/0x8F/0x90/0x9D unmapped, so a
+                # doc containing a char whose UTF-8 bytes include them
+                # (e.g. 'Á' = C3 81) can't take this corruption mode —
+                # fall back to the latin-1 variant (always decodable,
+                # still repaired) so the injector never crashes on
+                # realistic non-ASCII corpora; n_corrupted accounting
+                # (ids % 3 != 2) is unchanged.
+                try:
+                    noisy.append(s.encode("utf-8").decode("cp1252"))
+                except UnicodeDecodeError:
+                    noisy.append(s.encode("utf-8").decode("latin-1"))
             else:
                 noisy.append(s)
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
