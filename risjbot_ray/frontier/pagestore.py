@@ -29,22 +29,92 @@ def _hash_column(urls: pa.ChunkedArray | pa.Array) -> np.ndarray:
                        dtype=np.uint64, count=len(urls))
 
 
+def _finalize_bucket(merged: pa.Table) -> pa.Table:
+    """Shared finalize kernel for one bucket (both build paths):
+
+    - sort by url (+warc_ts) + small row groups so the per-wave
+      ``url IN (...)`` filter prunes whole row groups via min/max
+      statistics instead of decoding every html column in the bucket;
+    - ONE row per url (latest warc_ts wins): duplicate snapshots of a
+      page — normal in WARC-derived corpora — would fan out the inner
+      fetch join and silently duplicate extracted output."""
+    keys = [("url", "ascending")]
+    if "warc_ts" in merged.column_names:
+        keys.append(("warc_ts", "ascending"))
+    merged = merged.take(pc.sort_indices(merged, sort_keys=keys))
+    if merged.num_rows:
+        u = np.asarray(merged.column("url").to_pylist(), dtype=object)
+        keep = np.ones(len(u), bool)
+        keep[:-1] = u[:-1] != u[1:]
+        if not keep.all():
+            merged = merged.filter(pa.array(keep))
+    return merged
+
+
+def _write_bucket(merged: pa.Table, store_dir: str, bucket: int) -> None:
+    """Finalize + publish one bucket file (atomic tmp→rename so a crashed
+    build never leaves a half-written file that a later read trusts)."""
+    merged = _finalize_bucket(merged)
+    path = os.path.join(store_dir, f"bucket-{bucket:05d}.parquet")
+    tmp = path + f".tmp-{os.getpid()}"
+    pq.write_table(merged, tmp, row_group_size=512)
+    os.replace(tmp, path)
+
+
+# below this input size the Ray job's fixed scheduling cost exceeds the
+# layout work itself; tiny (test-scale) corpora build driver-side
+_DISTRIBUTED_MIN_BYTES = 64 << 20
+
+
 def build_page_store(pages_path: str | list[str], store_dir: str,
                      num_buckets: int = 32,
-                     columns: list[str] | None = None) -> "PageStore":
+                     columns: list[str] | None = None,
+                     distributed: bool | None = None) -> "PageStore":
     """One-time layout: read pages parquet, write one file per url-hash
-    bucket. (At production scale this is itself a Ray Data job —
-    ``read_parquet → add bucket column → write_parquet(partition_cols)``;
-    done driver-side here because test inputs are small.)
+    bucket.
+
+    The layout is itself a Ray Data job (``read_parquet → add bucket
+    column → groupby(bucket).map_groups(finalize+write)``): at corpus
+    scale the one-time layout IS a job, so hashing/sorting/writing runs
+    distributed, one task per bucket, with the driver touching only the
+    per-bucket row counts. ``store_dir`` must be storage every worker can
+    reach (true single-node; a shared filesystem or object store on a
+    real cluster). ``distributed=None`` picks the Ray path automatically
+    when Ray is up and the input is big enough to amortize the job.
 
     Idempotent: an existing complete layout (DONE marker) is reused, so
     repeated runs over the same corpus skip the rebuild and its page-cache
-    write-back does not bleed into the timed pipeline."""
+    write-back does not bleed into the timed pipeline. A rebuild after a
+    crashed (marker-less) build first clears stale bucket files."""
     done = os.path.join(store_dir, f"DONE-{num_buckets}")
     if os.path.exists(done):
         return PageStore(store_dir, num_buckets)
     os.makedirs(store_dir, exist_ok=True)
+    for name in os.listdir(store_dir):
+        if name.startswith("bucket-"):
+            os.remove(os.path.join(store_dir, name))
     dataset = pads.dataset(pages_path, format="parquet")
+    if distributed is None:
+        import ray
+        fs = dataset.filesystem
+        total = sum(fs.get_file_info(frag.path).size
+                    for frag in dataset.get_fragments())
+        distributed = (ray.is_initialized()
+                       and total >= _DISTRIBUTED_MIN_BYTES)
+    if distributed:
+        _build_distributed(pages_path, store_dir, num_buckets, columns)
+    else:
+        _build_local(dataset, store_dir, num_buckets, columns)
+    if hasattr(os, "sync"):
+        os.sync()
+    with open(done, "w") as f:
+        f.write("ok")
+    return PageStore(store_dir, num_buckets)
+
+
+def _build_local(dataset, store_dir: str, num_buckets: int,
+                 columns: list[str] | None) -> None:
+    """Driver-side fallback for tiny corpora / Ray-less contexts."""
     pending: dict[int, list[pa.Table]] = {}
     for batch in dataset.to_batches(columns=columns):
         table = pa.Table.from_batches([batch])
@@ -55,32 +125,38 @@ def build_page_store(pages_path: str | list[str], store_dir: str,
             pending.setdefault(int(b), []).append(
                 table.filter(pa.array(buckets == b)))
     for b, parts in pending.items():
-        merged = pa.concat_tables(parts, promote_options="default")
-        # sort by url + small row groups -> the per-wave `url IN (...)`
-        # filter prunes whole row groups via min/max statistics instead
-        # of decoding every html column in the bucket
-        keys = [("url", "ascending")]
-        if "warc_ts" in merged.column_names:
-            keys.append(("warc_ts", "ascending"))
-        merged = merged.take(pc.sort_indices(merged, sort_keys=keys))
-        # ONE row per url (latest warc_ts wins): duplicate snapshots of
-        # a page — normal in WARC-derived corpora — would fan out the
-        # inner fetch join and silently duplicate extracted output
-        if merged.num_rows:
-            u = np.asarray(merged.column("url").to_pylist(),
-                           dtype=object)
-            keep = np.ones(len(u), bool)
-            keep[:-1] = u[:-1] != u[1:]
-            if not keep.all():
-                merged = merged.filter(pa.array(keep))
-        pq.write_table(merged,
-                       os.path.join(store_dir, f"bucket-{b:05d}.parquet"),
-                       row_group_size=512)
-    if hasattr(os, "sync"):
-        os.sync()
-    with open(done, "w") as f:
-        f.write("ok")
-    return PageStore(store_dir, num_buckets)
+        _write_bucket(pa.concat_tables(parts, promote_options="default"),
+                      store_dir, b)
+
+
+def _build_distributed(pages_path: str | list[str], store_dir: str,
+                       num_buckets: int,
+                       columns: list[str] | None) -> None:
+    """Ray Data layout job: one all-to-all exchange keyed by the SAME
+    url-hash that drives seen-shards and the per-wave fetch join, then one
+    finalize+write task per bucket."""
+    import ray
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("_ps_bucket",
+                                       pa.array([], pa.int64()))
+        b = (_hash_column(batch.column("url")) % num_buckets)
+        return batch.append_column("_ps_bucket",
+                                   pa.array(b.astype(np.int64)))
+
+    def write_group(group: pa.Table) -> pa.Table:
+        bucket = int(group.column("_ps_bucket")[0].as_py())
+        _write_bucket(group.drop_columns(["_ps_bucket"]), store_dir, bucket)
+        return pa.table({"bucket": pa.array([bucket], pa.int64()),
+                         "rows": pa.array([group.num_rows], pa.int64())})
+
+    ds = ray.data.read_parquet(pages_path, columns=columns)
+    counts = (ds.map_batches(add_bucket, batch_format="pyarrow")
+                .groupby("_ps_bucket")
+                .map_groups(write_group, batch_format="pyarrow"))
+    # materialize only the per-bucket count rows (≤ num_buckets of them)
+    counts.take_all()
 
 
 class PageStore:
