@@ -510,86 +510,127 @@ def q_blocklist(sf_dir: str):
         zero_copy_batch=True)
 
 
-def _logreg_partials(batch: pa.Table, w: np.ndarray,
-                     mu: np.ndarray, sd: np.ndarray) -> pa.Table:
-    """One batch's full-batch-GD contribution: gradient X^T(p - y),
-    summed log-loss, and n — (d+2) doubles per batch regardless of
-    batch size. ``bid`` (min doc_id) keys the driver's deterministic
-    summation order."""
-    if batch.num_rows == 0:
-        return pa.table({"bid": pa.array([], pa.int64()),
-                         "n": pa.array([], pa.float64()),
-                         "loss": pa.array([], pa.float64()),
-                         "g": pa.array([], pa.list_(pa.float64()))})
-    x = np.stack(batch.column("x").to_numpy(zero_copy_only=False))
-    y = batch.column("y").to_numpy(zero_copy_only=False).astype(
-        np.float64)
-    xs = (x - mu) / sd
-    xs[:, 0] = 1.0                                   # bias untouched
-    z = xs @ w
-    p = 1.0 / (1.0 + np.exp(-z))
-    eps = 1e-12
-    loss = -np.sum(y * np.log(p + eps)
-                   + (1.0 - y) * np.log(1.0 - p + eps))
-    g = xs.T @ (p - y)
-    bid = int(batch.column("doc_id").to_numpy(
-        zero_copy_only=False).min())
-    return pa.table({"bid": pa.array([bid], pa.int64()),
-                     "n": pa.array([float(len(y))], pa.float64()),
-                     "loss": pa.array([float(loss)], pa.float64()),
-                     "g": pa.array([g.tolist()],
-                                   pa.list_(pa.float64()))})
+@ray.remote(num_cpus=1)
+class _LogregShard:
+    """One shard of the materialized feature table, pinned in worker
+    heap for the whole fit: blocks are fetched once (zero-copy from
+    the object store) and standardized once, so each GD iteration is
+    one tiny RPC per shard returning (d+2)-double partials per block
+    — no per-iteration Dataset execution. One partial per BLOCK:
+    gradient X^T(p - y), summed log-loss, and n — (d+2) doubles
+    keyed by ``bid`` (min doc_id) for the driver's deterministic
+    bid-ordered summation."""
+
+    def __init__(self, block_refs: list):
+        tables = ray.get(list(block_refs))
+        self._blocks: list[tuple[int, np.ndarray, np.ndarray]] = []
+        for t in tables:
+            if t.num_rows == 0:
+                continue
+            x = np.stack(t.column("x").to_numpy(zero_copy_only=False))
+            y = t.column("y").to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            bid = int(t.column("doc_id").to_numpy(
+                zero_copy_only=False).min())
+            self._blocks.append((bid, x, y))
+        self._xs: list[tuple[int, np.ndarray, np.ndarray]] | None = None
+
+    def stats(self):
+        return [(bid, float(len(y)), x.sum(axis=0), (x * x).sum(axis=0))
+                for bid, x, y in self._blocks]
+
+    def set_norm(self, mu: np.ndarray, sd: np.ndarray):
+        self._xs = []
+        for bid, x, y in self._blocks:
+            xs = (x - mu) / sd
+            xs[:, 0] = 1.0                           # bias untouched
+            self._xs.append((bid, xs, y))
+        self._blocks = []                            # free the raw copy
+
+    def grad(self, w: np.ndarray):
+        eps = 1e-12
+        out = []
+        for bid, xs, y in self._xs:
+            p = 1.0 / (1.0 + np.exp(-(xs @ w)))
+            loss = -np.sum(y * np.log(p + eps)
+                           + (1.0 - y) * np.log(1.0 - p + eps))
+            out.append((bid, float(len(y)), float(loss),
+                        xs.T @ (p - y)))
+        return out
+
+    def accuracy(self, w: np.ndarray):
+        n = nc = npos = 0
+        for _, xs, y in self._xs:
+            pred = (xs @ w) > 0.0
+            n += len(y)
+            nc += int((pred == (y == 1)).sum())
+            npos += int((y == 1).sum())
+        return (n, nc, npos)
 
 
-def _logreg_fit(feat_ds, d: int, iters: int, lr: float):
+_LOGREG_SHARD_BYTES = 32 << 20
+
+
+def _spawn_logreg_shards(feat_ds) -> list:
+    """Fan the materialized feature blocks over shard actors (strided
+    assignment keeps shard sizes even). Pool size scales with the
+    FEATURE TABLE's bytes (~32 MB of standardized doubles per shard),
+    capped at cluster CPUs: tiny corpora get one actor (spawning a
+    full-width pool costs more than the fit), 100 TB corpora saturate
+    the cluster."""
+    refs = feat_ds.to_arrow_refs()
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    size = feat_ds.size_bytes() or 0
+    want = max(1, -(-size // _LOGREG_SHARD_BYTES))
+    k = max(1, min(len(refs), cpus, want))
+    return [_LogregShard.remote(refs[i::k]) for i in range(k)]
+
+
+def _logreg_fit(feat_ds, d: int, iters: int, lr: float,
+                _workers: list | None = None):
     """Distributed full-batch logistic regression over a (doc_id, x:
-    list<double>[d], y) Dataset: each iteration is ONE map_batches
-    pass emitting (d+2)-double partials; the driver holds only w, mu,
-    sd and sums partials in deterministic bid order. Feature
+    list<double>[d], y) Dataset. The feature table is loaded ONCE into
+    a shard-actor pool; every iteration is one RPC round collecting
+    (d+2)-double partials per block — the driver holds only w, mu, sd
+    and sums partials in deterministic bid order. Feature
     standardization stats come from the same partial pattern. Returns
-    (w, mu, sd, losses) with losses the mean log-loss per iteration."""
-    def stat_partial(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({"bid": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.float64()),
-                             "s": pa.array([], pa.list_(pa.float64())),
-                             "ss": pa.array([],
-                                            pa.list_(pa.float64()))})
-        x = np.stack(batch.column("x").to_numpy(zero_copy_only=False))
-        return pa.table({
-            "bid": pa.array([int(batch.column("doc_id").to_numpy(
-                zero_copy_only=False).min())], pa.int64()),
-            "n": pa.array([float(len(x))], pa.float64()),
-            "s": pa.array([x.sum(axis=0).tolist()],
-                          pa.list_(pa.float64())),
-            "ss": pa.array([(x * x).sum(axis=0).tolist()],
-                           pa.list_(pa.float64()))})
+    (w, mu, sd, losses) with losses the mean log-loss per iteration.
+    Pass `_workers` (from `_spawn_logreg_shards`) to reuse the pool
+    for follow-up passes (e.g. accuracy); the caller then owns
+    `ray.kill` cleanup."""
+    own = _workers is None
+    workers = _spawn_logreg_shards(feat_ds) if own else _workers
+    try:
+        stat_rows = sorted(
+            (r for part in ray.get([wk.stats.remote() for wk in workers])
+             for r in part), key=lambda r: r[0])
+        if not stat_rows:
+            raise ValueError("_logreg_fit: empty feature dataset")
+        n = sum(r[1] for r in stat_rows)
+        s = np.sum([r[2] for r in stat_rows], axis=0)
+        ss = np.sum([r[3] for r in stat_rows], axis=0)
+        mu = s / n
+        var = np.maximum(ss / n - mu * mu, 1e-12)
+        sd = np.sqrt(var)
+        mu[0], sd[0] = 0.0, 1.0                      # bias column
+        ray.get([wk.set_norm.remote(mu, sd) for wk in workers])
 
-    parts = sorted(feat_ds.map_batches(
-        stat_partial, batch_format="pyarrow").take_all(),
-        key=lambda r: r["bid"])
-    if not parts:
-        raise ValueError("_logreg_fit: empty feature dataset")
-    n = sum(r["n"] for r in parts)
-    s = np.sum([r["s"] for r in parts], axis=0)
-    ss = np.sum([r["ss"] for r in parts], axis=0)
-    mu = s / n
-    var = np.maximum(ss / n - mu * mu, 1e-12)
-    sd = np.sqrt(var)
-    mu[0], sd[0] = 0.0, 1.0                          # bias column
-
-    w = np.zeros(d, dtype=np.float64)
-    losses = []
-    for _ in range(iters):
-        rows = sorted(feat_ds.map_batches(
-            lambda b, w=w.copy(): _logreg_partials(b, w, mu, sd),
-            batch_format="pyarrow").take_all(),
-            key=lambda r: r["bid"])
-        g = np.sum([r["g"] for r in rows], axis=0)
-        loss = sum(r["loss"] for r in rows) / n
-        losses.append(float(loss))
-        w = w - lr * g / n
-    return w, mu, sd, losses
+        w = np.zeros(d, dtype=np.float64)
+        losses = []
+        for _ in range(iters):
+            rows = sorted(
+                (r for part in ray.get(
+                    [wk.grad.remote(w) for wk in workers])
+                 for r in part), key=lambda r: r[0])
+            g = np.sum([r[3] for r in rows], axis=0)
+            loss = sum(r[2] for r in rows) / n
+            losses.append(float(loss))
+            w = w - lr * g / n
+        return w, mu, sd, losses
+    finally:
+        if own:
+            for wk in workers:
+                ray.kill(wk)
 
 
 def quality_classifier(sf_dir: str, iters: int = 40,
@@ -604,13 +645,14 @@ def quality_classifier(sf_dir: str, iters: int = 40,
     median when the default gate would label one-sidedly).
 
     Scale shape: text is featurized ONCE into a materialized 8-double
-    feature table (~0.6% of corpus bytes; blocks stay in the object
-    store and spill); every GD iteration and the accuracy pass stream
-    over THAT, emitting (d+2)-double partials per batch — the driver
-    holds the weight vector and sums partials in deterministic bid
-    order (the k-means/PageRank iteration pattern). Returns one
-    self-checking row: monotone loss, final accuracy vs the label
-    base rate, and the learned weights."""
+    feature table (~0.6% of corpus bytes), which is then pinned in a
+    shard-actor pool for the whole fit; every GD iteration and the
+    accuracy pass are one RPC round collecting (d+2)-double partials
+    per block — the driver holds the weight vector and sums partials
+    in deterministic bid order. No per-iteration Dataset execution
+    (the r3 cost defect: ~0.9 s fixed overhead x 40 iterations).
+    Returns one self-checking row: monotone loss, final accuracy vs
+    the label base rate, and the learned weights."""
     d = 8
 
     def featurize(batch: pa.Table) -> pa.Table:
@@ -645,30 +687,18 @@ def quality_classifier(sf_dir: str, iters: int = 40,
         documents_ds(sf_dir)
         .map_batches(featurize, batch_format="pyarrow",
                      zero_copy_batch=True).materialize())
-    w, mu, sd, losses = _logreg_fit(feats, d, iters, lr)
-
-    def acc_partial(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({"n": pa.array([], pa.int64()),
-                             "n_correct": pa.array([], pa.int64()),
-                             "n_pos": pa.array([], pa.int64())})
-        x = np.stack(batch.column("x").to_numpy(zero_copy_only=False))
-        y = batch.column("y").to_numpy(zero_copy_only=False)
-        xs = (x - mu) / sd
-        xs[:, 0] = 1.0
-        pred = (xs @ w) > 0.0
-        return pa.table({
-            "n": pa.array([len(y)], pa.int64()),
-            "n_correct": pa.array([int((pred == (y == 1)).sum())],
-                                  pa.int64()),
-            "n_pos": pa.array([int((y == 1).sum())], pa.int64())})
-
-    rows = feats.map_batches(acc_partial,
-                             batch_format="pyarrow").take_all()
-    n = sum(r["n"] for r in rows)
-    acc = sum(r["n_correct"] for r in rows) / n
-    base = max(sum(r["n_pos"] for r in rows) / n,
-               1.0 - sum(r["n_pos"] for r in rows) / n)
+    workers = _spawn_logreg_shards(feats)
+    try:
+        w, mu, sd, losses = _logreg_fit(feats, d, iters, lr,
+                                        _workers=workers)
+        rows = ray.get([wk.accuracy.remote(w) for wk in workers])
+    finally:
+        for wk in workers:
+            ray.kill(wk)
+    n = sum(r[0] for r in rows)
+    acc = sum(r[1] for r in rows) / n
+    base = max(sum(r[2] for r in rows) / n,
+               1.0 - sum(r[2] for r in rows) / n)
     mono = int(all(b <= a + 1e-12
                    for a, b in zip(losses, losses[1:])))
     out = {"n_docs": pa.array([n], pa.int64()),
