@@ -140,6 +140,97 @@ def _timed_fetch(store, metrics, enabled: bool):
     return fetch
 
 
+# --------------------------------------------------------------------------
+# Shared wave-kernel stages: the gate -> rank -> fetch -> harvest pipeline
+# that both bucketed execution modes (`_run_bucketed_wave`'s per-bucket
+# tasks and `_run_bucketed_window`'s per-group tasks) compose. ONE copy of
+# each stage so a fix can never land one-sided.
+# --------------------------------------------------------------------------
+
+def _gate_rows(tbl: pa.Table, seen, robots, now_us: int) -> pa.Table:
+    """In-wave dedup -> seen-ledger gate (trawl override) -> robots
+    filter; returns the gated table with ``previousfetches`` attached."""
+    tbl = dedupe_wave(tbl)
+    keys = tbl.column("key").to_pylist()
+    hashes = np.asarray(tbl.column("url_hash").to_pylist(),
+                        dtype=np.uint64)
+    passes = np.asarray(tbl.column("pass_seen").to_pylist(), dtype=bool)
+    allowed, prev = seen.check(keys, hashes, now_us, pass_flags=passes)
+    allowed |= np.asarray(tbl.column("trawled").to_pylist(), dtype=bool)
+    tbl = tbl.append_column("previousfetches",
+                            pa.array(prev, type=pa.int32()))
+    tbl = tbl.filter(pa.array(allowed))
+    if robots is not None and tbl.num_rows:
+        mask = robots.allowed_mask(tbl.column("host").to_pylist(),
+                                   tbl.column("canon_url").to_pylist())
+        tbl = tbl.filter(pa.array(mask))
+    return tbl
+
+
+def _rank_rows(tbl: pa.Table,
+               cutoffs: dict[str, list[tuple[int, str]]]) -> np.ndarray:
+    """Per-row politeness rank = number of wave cutoffs the row falls
+    after (rank 0 schedules NOW, rank r in wave now+r) — the one cutoff
+    arithmetic both execution modes share."""
+    rank = np.zeros(tbl.num_rows, dtype=np.int64)
+    if not cutoffs or not tbl.num_rows:
+        return rank
+    pri = np.asarray(tbl.column("priority").to_pylist())
+    hosts_np = np.asarray(tbl.column("host").to_pylist(), dtype=object)
+    urls_np = np.asarray(tbl.column("canon_url").to_pylist(),
+                         dtype=object)
+    for h, cl in cutoffs.items():
+        m = hosts_np == h
+        if not m.any():
+            continue
+        for cp, cu in cl:
+            rank[m] += ((pri[m] < cp)
+                        | ((pri[m] == cp) & (urls_np[m] > cu)))
+    return rank
+
+
+def _fetch_rows(tbl: pa.Table, store, metrics,
+                at_on: bool) -> pa.Table | None:
+    """Fetch join against the page store, split by fetch bucket.
+    Per-bucket store reads are IO-bound parquet scans — pyarrow releases
+    the GIL, so a thread pool overlaps them (a sparse wave touches MANY
+    buckets with few rows each; serial reads would dominate)."""
+    fb = np.asarray(tbl.column("fetch_bucket").to_pylist())
+    groups = [tbl.filter(pa.array(fb == b)) for b in np.unique(fb)]
+    fetchfn = _timed_fetch(store, metrics, at_on)
+    if len(groups) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(16, len(groups))) as ex:
+            fouts = list(ex.map(fetchfn, groups))
+    else:
+        fouts = [fetchfn(groups[0])]
+    fparts = [f for f in fouts if f is not None and f.num_rows]
+    if not fparts:
+        return None
+    return pa.concat_tables(fparts, promote_options="default")
+
+
+def _harvest_in_task(fetched: pa.Table, link_hosts: frozenset,
+                     links_dir: str | None, equivalent_domains,
+                     num_buckets: int, metrics) -> None:
+    """In-task link harvest over pages this task fetched anyway
+    (reference CrawlSpider rules, S7): zero extra reads, zero extra
+    fetches — children spill straight to the bucketed layout."""
+    if not link_hosts:
+        return
+    from ..sources.stage import harvest_links_batch
+    lmask = pc.is_in(fetched.column("host"),
+                     value_set=pa.array(sorted(link_hosts)))
+    if not pc.any(lmask).as_py():
+        return
+    children = harvest_links_batch(fetched.filter(lmask))
+    if children.num_rows:
+        n_link = spill_bucketed(
+            canonicalize_batch(children, equivalent_domains),
+            links_dir, num_buckets)
+        metrics.incr({"link_children": n_link})
+
+
 class CrawlPipeline:
     """Owns the seen-shard pool, page store and checkpoint state across
     waves. Ray must already be initialized by the caller."""
@@ -759,6 +850,71 @@ class CrawlPipeline:
                 f.write("ok")
         return waves
 
+    def _link_harvest_setup(self, bf: BucketedFrontier
+                            ) -> tuple[frozenset, str | None]:
+        """Link-crawl hosts (buzzfeed/bild-style CrawlSpider rules):
+        their article pages are ALSO discovery surfaces. Returns the
+        host set and a fresh side-spill dir for harvested children
+        (None when no host in the wave has link rules). Names derive
+        from the spill identity (hash-capped) so a resumed reprocessing
+        regenerates identical dirs."""
+        from ..extract.siterules import rules_for_host
+        link_hosts = frozenset(
+            h for h in bf.host_counts
+            if rules_for_host(h).link_allow
+            or rules_for_host(h).link_restrict_xpaths)
+        if not link_hosts:
+            return link_hosts, None
+        import hashlib as _hl
+        import shutil
+        lbase = "links-" + os.path.basename(bf.directory)
+        if len(lbase) > 100:
+            lbase = "links-" + _hl.md5(lbase.encode()).hexdigest()[:16]
+        links_dir = os.path.join(self.ckpt.dir, lbase)
+        shutil.rmtree(links_dir, ignore_errors=True)
+        return link_hosts, links_dir
+
+    def _release_next_chain(self, bf: BucketedFrontier) -> None:
+        """Successor release: if this spill (or a merged source) was a
+        deferral rank, completing it unlocks the next rank's spill."""
+        for d in [bf.directory] + (bf.sources or []):
+            nxt_path = os.path.join(d, "NEXT")
+            if not os.path.exists(nxt_path):
+                continue
+            with open(nxt_path) as f:
+                info = json.load(f)
+            if os.path.exists(os.path.join(info["dir"], "COMPLETE")):
+                continue
+            nbf = load_bucketed_frontier(info["dir"])
+            if nbf is not None:
+                nbf.parent = info.get("parent")
+                self._pending_bucketed.append(nbf)
+
+    def _register_links_pending(self, links_dir: str | None,
+                                bf: BucketedFrontier) -> None:
+        if links_dir is None:
+            return
+        lbf = load_bucketed_frontier(links_dir)
+        if lbf is not None:
+            lbf.parent = bf.directory
+            self._pending_bucketed.append(lbf)
+
+    @staticmethod
+    def _task_groups(bf: BucketedFrontier) -> list[dict]:
+        """Task granularity: one bucket per task for big waves; SMALL
+        pieces group many buckets per task so a 6k-row wave doesn't pay
+        128 task launches + tiny-file scans (~1.5k rows per task)."""
+        sorted_buckets = sorted(bf.bucket_files.items())
+        n_groups = min(len(sorted_buckets),
+                       max(1, -(-bf.num_rows // 1500)))
+        group_sz = -(-len(sorted_buckets) // n_groups)
+        return [{"group": g, "paths": paths}
+                for g in range(n_groups)
+                if (paths := [p for _, files in
+                              sorted_buckets[g * group_sz:
+                                             (g + 1) * group_sz]
+                              for p in files])]
+
     def _run_bucketed_wave(self, wave: int, bf: BucketedFrontier,
                            primary: bool = True, piece: int = 0) -> pa.Table:
         """Process a bucket-partitioned article frontier: ONE Ray task per
@@ -785,7 +941,6 @@ class CrawlPipeline:
         _t0 = time.time()
         cfg = self.cfg
         now_us = _now_us(cfg)
-        from ..extract.siterules import rules_for_host
 
         over = {h for h, c in bf.host_counts.items()
                 if c > self._budget_of(h)}
@@ -813,24 +968,7 @@ class CrawlPipeline:
                 shutil.rmtree(d, ignore_errors=True)
                 deferred_dirs[r] = d
 
-        # link-crawl hosts (buzzfeed/bild-style CrawlSpider rules): their
-        # article pages are ALSO discovery surfaces. The harvest runs
-        # INSIDE each bucket task on the rows it already fetched (zero
-        # extra reads, zero extra fetches — the driver never scans the
-        # frontier spill) and the children leave the task as a bucketed
-        # side-spill, exactly like politeness-deferred rows.
-        link_hosts = frozenset(
-            h for h in bf.host_counts
-            if rules_for_host(h).link_allow
-            or rules_for_host(h).link_restrict_xpaths)
-        links_dir = None
-        if link_hosts:
-            lbase = "links-" + os.path.basename(bf.directory)
-            if len(lbase) > 100:
-                import hashlib as _hl
-                lbase = "links-" + _hl.md5(lbase.encode()).hexdigest()[:16]
-            links_dir = os.path.join(self.ckpt.dir, lbase)
-            shutil.rmtree(links_dir, ignore_errors=True)
+        link_hosts, links_dir = self._link_harvest_setup(bf)
 
         seen = self.seen
         robots = self.robots if cfg.obey_robots else None
@@ -857,42 +995,11 @@ class CrawlPipeline:
                 # join below re-splits by fetch_bucket
                 tbl = _pads.dataset(row["paths"],
                                     format="parquet").to_table()
-                tbl = dedupe_wave(tbl)
-                keys = tbl.column("key").to_pylist()
-                hashes = np.asarray(tbl.column("url_hash").to_pylist(),
-                                    dtype=np.uint64)
-                passes = np.asarray(tbl.column("pass_seen").to_pylist(),
-                                    dtype=bool)
-                allowed, prev = seen.check(keys, hashes, now_us,
-                                           pass_flags=passes)
-                allowed |= np.asarray(tbl.column("trawled").to_pylist(),
-                                      dtype=bool)
-                tbl = tbl.append_column("previousfetches",
-                                        pa.array(prev, type=pa.int32()))
-                tbl = tbl.filter(pa.array(allowed))
-                if robots is not None and tbl.num_rows:
-                    mask = robots.allowed_mask(
-                        tbl.column("host").to_pylist(),
-                        tbl.column("canon_url").to_pylist())
-                    tbl = tbl.filter(pa.array(mask))
+                tbl = _gate_rows(tbl, seen, robots, now_us)
                 if cutoffs and tbl.num_rows:
-                    # per-host politeness: rank = number of wave cutoffs
-                    # the row falls after; rank 0 is scheduled NOW, rank
-                    # r spills to the wave-(now+r) deferral dir
-                    pri = np.asarray(tbl.column("priority").to_pylist())
-                    hosts_np = np.asarray(tbl.column("host").to_pylist(),
-                                          dtype=object)
-                    urls_np = np.asarray(
-                        tbl.column("canon_url").to_pylist(), dtype=object)
-                    rank = np.zeros(tbl.num_rows, dtype=np.int64)
-                    for h, cl in cutoffs.items():
-                        m = hosts_np == h
-                        if not m.any():
-                            continue
-                        for cp, cu in cl:
-                            rank[m] += ((pri[m] < cp)
-                                        | ((pri[m] == cp)
-                                           & (urls_np[m] > cu)))
+                    # rank 0 is scheduled NOW, rank r spills to the
+                    # wave-(now+r) deferral dir
+                    rank = _rank_rows(tbl, cutoffs)
                     if (rank > 0).any():
                         for r in np.unique(rank[rank > 0]):
                             dropped = (tbl.filter(pa.array(rank == r))
@@ -905,44 +1012,12 @@ class CrawlPipeline:
                 metrics.incr({"bucketed_scheduled": tbl.num_rows})
                 if tbl.num_rows == 0:
                     continue
-                fb = np.asarray(tbl.column("fetch_bucket").to_pylist())
-                groups = [tbl.filter(pa.array(fb == b))
-                          for b in np.unique(fb)]
-                # per-bucket store reads are IO-bound parquet scans —
-                # pyarrow releases the GIL, so a thread pool overlaps
-                # them (a sparse wave touches MANY buckets with few rows
-                # each; serial reads would dominate the wave)
-                fetchfn = _timed_fetch(store, metrics, at_on)
-                if len(groups) > 1:
-                    from concurrent.futures import ThreadPoolExecutor
-                    with ThreadPoolExecutor(
-                            max_workers=min(16, len(groups))) as ex:
-                        fouts = list(ex.map(fetchfn, groups))
-                else:
-                    fouts = [fetchfn(groups[0])]
-                fparts = [f for f in fouts
-                          if f is not None and f.num_rows]
-                if not fparts:
+                fetched = _fetch_rows(tbl, store, metrics, at_on)
+                if fetched is None:
                     continue
-                fetched = pa.concat_tables(fparts,
-                                           promote_options="default")
-                if link_hosts:
-                    # in-task link harvest over pages this task fetched
-                    # anyway (reference CrawlSpider rules, S7); children
-                    # spill straight to the bucketed layout
-                    from ..sources.stage import harvest_links_batch
-                    lmask = pc.is_in(
-                        fetched.column("host"),
-                        value_set=pa.array(sorted(link_hosts)))
-                    if pc.any(lmask).as_py():
-                        children = harvest_links_batch(
-                            fetched.filter(lmask))
-                        if children.num_rows:
-                            n_link = spill_bucketed(
-                                canonicalize_batch(
-                                    children, cfg.equivalent_domains),
-                                links_dir, num_buckets)
-                            metrics.incr({"link_children": n_link})
+                _harvest_in_task(fetched, link_hosts, links_dir,
+                                 cfg.equivalent_domains, num_buckets,
+                                 metrics)
                 outs.append(extract_commit(fetched))
             if not outs:
                 return _empty_extracted()
@@ -951,19 +1026,7 @@ class CrawlPipeline:
         snap0 = metrics.snapshot()
         before = snap0.get("bucketed_scheduled", 0)
         before_def = snap0.get("bucketed_deferred", 0)
-        # task granularity: one bucket per task for big waves; SMALL
-        # pieces group many buckets per task so a 6k-row wave doesn't pay
-        # 128 task launches + tiny-file scans (~1.5k rows per task)
-        sorted_buckets = sorted(bf.bucket_files.items())
-        n_groups = min(len(sorted_buckets),
-                       max(1, -(-bf.num_rows // 1500)))
-        group_sz = -(-len(sorted_buckets) // n_groups)
-        items = [{"group": g, "paths": paths}
-                 for g in range(n_groups)
-                 if (paths := [p for _, files in
-                               sorted_buckets[g * group_sz:
-                                              (g + 1) * group_sz]
-                               for p in files])]
+        items = self._task_groups(bf)
         if bf.num_rows <= cfg.small_wave_rows:
             # driver fast path (same threshold as the table path): a
             # politeness-rank or trickle wave of a few thousand rows pays
@@ -1007,25 +1070,8 @@ class CrawlPipeline:
                     self._write_next_marker(cur.directory,
                                             nxt.directory,
                                             bf.directory)
-        # successor release: if THIS spill (or a merged source) was a
-        # deferral rank, completing it unlocks the next rank's spill
-        for d in [bf.directory] + (bf.sources or []):
-            nxt_path = os.path.join(d, "NEXT")
-            if not os.path.exists(nxt_path):
-                continue
-            with open(nxt_path) as f:
-                info = json.load(f)
-            if os.path.exists(os.path.join(info["dir"], "COMPLETE")):
-                continue
-            nbf = load_bucketed_frontier(info["dir"])
-            if nbf is not None:
-                nbf.parent = info.get("parent")
-                self._pending_bucketed.append(nbf)
-        if links_dir is not None:
-            lbf = load_bucketed_frontier(links_dir)
-            if lbf is not None:
-                lbf.parent = bf.directory
-                self._pending_bucketed.append(lbf)
+        self._release_next_chain(bf)
+        self._register_links_pending(links_dir, bf)
         self._write_outputs_marker(bf, {
             "mode": "bucketed",
             "scheduled": n_scheduled,
@@ -1107,8 +1153,6 @@ class CrawlPipeline:
         import hashlib as _hl
         import shutil
 
-        from ..extract.siterules import rules_for_host
-
         over = {h for h, c in bf.host_counts.items()
                 if c > self._budget_of(h)}
         cutoffs = self._politeness_cutoffs(bf, over, now_us)
@@ -1119,17 +1163,7 @@ class CrawlPipeline:
         overflow_dir = os.path.join(self.ckpt.dir, f"{dbase}-r{k:02d}")
         shutil.rmtree(overflow_dir, ignore_errors=True)
 
-        link_hosts = frozenset(
-            h for h in bf.host_counts
-            if rules_for_host(h).link_allow
-            or rules_for_host(h).link_restrict_xpaths)
-        links_dir = None
-        if link_hosts:
-            lbase = "links-" + base
-            if len(lbase) > 100:
-                lbase = "links-" + _hl.md5(lbase.encode()).hexdigest()[:16]
-            links_dir = os.path.join(self.ckpt.dir, lbase)
-            shutil.rmtree(links_dir, ignore_errors=True)
+        link_hosts, links_dir = self._link_harvest_setup(bf)
 
         seen = self.seen
         robots = self.robots if cfg.obey_robots else None
@@ -1156,44 +1190,13 @@ class CrawlPipeline:
             for row in batch.to_pylist():
                 tbl = _pads.dataset(row["paths"],
                                     format="parquet").to_table()
-                tbl = dedupe_wave(tbl)
-                keys = tbl.column("key").to_pylist()
-                hashes = np.asarray(tbl.column("url_hash").to_pylist(),
-                                    dtype=np.uint64)
-                passes = np.asarray(tbl.column("pass_seen").to_pylist(),
-                                    dtype=bool)
-                allowed, prev = seen.check(keys, hashes, now_us,
-                                           pass_flags=passes)
-                allowed |= np.asarray(tbl.column("trawled").to_pylist(),
-                                      dtype=bool)
-                tbl = tbl.append_column("previousfetches",
-                                        pa.array(prev, type=pa.int32()))
-                tbl = tbl.filter(pa.array(allowed))
-                if robots is not None and tbl.num_rows:
-                    mask = robots.allowed_mask(
-                        tbl.column("host").to_pylist(),
-                        tbl.column("canon_url").to_pylist())
-                    tbl = tbl.filter(pa.array(mask))
+                tbl = _gate_rows(tbl, seen, robots, now_us)
                 if tbl.num_rows == 0:
                     continue
                 # rank = the virtual wave this row schedules in (same
                 # cutoff arithmetic as the sequential path)
-                rank = np.zeros(tbl.num_rows, dtype=np.int64)
+                rank = _rank_rows(tbl, cutoffs)
                 if cutoffs:
-                    pri = np.asarray(tbl.column("priority").to_pylist())
-                    hosts_np = np.asarray(
-                        tbl.column("host").to_pylist(), dtype=object)
-                    urls_np = np.asarray(
-                        tbl.column("canon_url").to_pylist(),
-                        dtype=object)
-                    for h, cl in cutoffs.items():
-                        m = hosts_np == h
-                        if not m.any():
-                            continue
-                        for cp, cu in cl:
-                            rank[m] += ((pri[m] < cp)
-                                        | ((pri[m] == cp)
-                                           & (urls_np[m] > cu)))
                     over_m = rank >= k
                     if over_m.any():
                         dropped = (tbl.filter(pa.array(over_m))
@@ -1218,43 +1221,18 @@ class CrawlPipeline:
                                             if k_.startswith("win_sched_r"))):
                     res[key] = res.get(key, 0) + deltas[key]
                 # ONE store-read pass fetches every rank's rows together
-                fb = np.asarray(tbl.column("fetch_bucket").to_pylist())
-                groups = [tbl.filter(pa.array(fb == b))
-                          for b in np.unique(fb)]
-                fetchfn = _timed_fetch(store, metrics, at_on)
-                if len(groups) > 1:
-                    from concurrent.futures import ThreadPoolExecutor
-                    with ThreadPoolExecutor(
-                            max_workers=min(16, len(groups))) as ex:
-                        fouts = list(ex.map(fetchfn, groups))
-                else:
-                    fouts = [fetchfn(groups[0])]
-                fparts = [f for f in fouts
-                          if f is not None and f.num_rows]
-                if not fparts:
+                fetched = _fetch_rows(tbl, store, metrics, at_on)
+                if fetched is None:
                     continue
-                fetched = pa.concat_tables(fparts,
-                                           promote_options="default")
                 rank_of = dict(zip(tbl.column("canon_url").to_pylist(),
                                    rank.tolist()))
                 frk = np.asarray(
                     [rank_of[u] for u in
                      fetched.column("canon_url").to_pylist()],
                     dtype=np.int64)
-                if link_hosts:
-                    from ..sources.stage import harvest_links_batch
-                    lmask = pc.is_in(
-                        fetched.column("host"),
-                        value_set=pa.array(sorted(link_hosts)))
-                    if pc.any(lmask).as_py():
-                        children = harvest_links_batch(
-                            fetched.filter(lmask))
-                        if children.num_rows:
-                            n_link = spill_bucketed(
-                                canonicalize_batch(
-                                    children, cfg.equivalent_domains),
-                                links_dir, num_buckets)
-                            metrics.incr({"link_children": n_link})
+                _harvest_in_task(fetched, link_hosts, links_dir,
+                                 cfg.equivalent_domains, num_buckets,
+                                 metrics)
                 for r in np.unique(frk):
                     out = extract_commit(
                         fetched.filter(pa.array(frk == r)),
@@ -1268,16 +1246,7 @@ class CrawlPipeline:
                 "metric": pa.array(list(res), pa.string()),
                 "value": pa.array(list(res.values()), pa.int64())})
 
-        sorted_buckets = sorted(bf.bucket_files.items())
-        n_groups = min(len(sorted_buckets),
-                       max(1, -(-bf.num_rows // 1500)))
-        group_sz = -(-len(sorted_buckets) // n_groups)
-        items = [{"group": g, "paths": paths}
-                 for g in range(n_groups)
-                 if (paths := [p for _, files in
-                               sorted_buckets[g * group_sz:
-                                              (g + 1) * group_sz]
-                               for p in files])]
+        items = self._task_groups(bf)
         if bf.num_rows <= cfg.small_wave_rows:
             count_parts = [run_group(pa.Table.from_pylist(items))]
         else:
@@ -1321,27 +1290,11 @@ class CrawlPipeline:
         if obf is not None:
             obf.parent = bf.directory
             self._pending_bucketed.append(obf)
-        # successor release: a merged source may be a rank spill from an
-        # old-style NEXT chain (mixed-table waves still emit them);
-        # completing it here must unlock its successor exactly like the
-        # single-wave path does
-        for d in [bf.directory] + (bf.sources or []):
-            nxt_path = os.path.join(d, "NEXT")
-            if not os.path.exists(nxt_path):
-                continue
-            with open(nxt_path) as f:
-                info = json.load(f)
-            if os.path.exists(os.path.join(info["dir"], "COMPLETE")):
-                continue
-            nbf = load_bucketed_frontier(info["dir"])
-            if nbf is not None:
-                nbf.parent = info.get("parent")
-                self._pending_bucketed.append(nbf)
-        if links_dir is not None:
-            lbf = load_bucketed_frontier(links_dir)
-            if lbf is not None:
-                lbf.parent = bf.directory
-                self._pending_bucketed.append(lbf)
+        # a merged source may be a rank spill from an old-style NEXT
+        # chain (mixed-table waves still emit them); completing it here
+        # must unlock its successor exactly like the single-wave path
+        self._release_next_chain(bf)
+        self._register_links_pending(links_dir, bf)
         self._write_outputs_marker(bf, {
             "mode": "bucketed-window",
             "scheduled": n_scheduled,
