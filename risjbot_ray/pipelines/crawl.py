@@ -114,6 +114,14 @@ _DISC_RESULT_SCHEMA = pa.schema([
     ("child_json", pa.string()),
 ])
 
+# result rows of the table-path article tasks: one counts row per task
+# (child_json null) plus one row per in-task-harvested link child
+_ART_RESULT_SCHEMA = pa.schema([
+    ("fetched", pa.int64()),
+    ("extracted", pa.int64()),
+    ("child_json", pa.string()),
+])
+
 
 def _timed_fetch(store, metrics, enabled: bool):
     """``fetch_group`` wrapper: when AutoThrottle is on, attribute each
@@ -210,25 +218,40 @@ def _fetch_rows(tbl: pa.Table, store, metrics,
     return pa.concat_tables(fparts, promote_options="default")
 
 
-def _harvest_in_task(fetched: pa.Table, link_hosts: frozenset,
-                     links_dir: str | None, equivalent_domains,
-                     num_buckets: int, metrics) -> None:
-    """In-task link harvest over pages this task fetched anyway
-    (reference CrawlSpider rules, S7): zero extra reads, zero extra
-    fetches — children spill straight to the bucketed layout."""
-    if not link_hosts:
-        return
+def _harvest_links_from(fetched: pa.Table | None,
+                        link_hosts: frozenset) -> pa.Table:
+    """Harvest CrawlSpider children (reference rules, S7) from pages
+    this wave ALREADY fetched — link-host pages are read exactly once
+    per wave on every execution path."""
+    if not link_hosts or fetched is None or fetched.num_rows == 0:
+        return CHILD_SCHEMA.empty_table()
     from ..sources.stage import harvest_links_batch
     lmask = pc.is_in(fetched.column("host"),
                      value_set=pa.array(sorted(link_hosts)))
     if not pc.any(lmask).as_py():
-        return
-    children = harvest_links_batch(fetched.filter(lmask))
+        return CHILD_SCHEMA.empty_table()
+    return harvest_links_batch(fetched.filter(lmask))
+
+
+def _harvest_in_task(fetched: pa.Table, link_hosts: frozenset,
+                     links_dir: str | None, equivalent_domains,
+                     num_buckets: int, metrics) -> None:
+    """Bucketed-path variant: harvested children leave the task as a
+    bucketed side-spill (the driver never sees them)."""
+    children = _harvest_links_from(fetched, link_hosts)
     if children.num_rows:
         n_link = spill_bucketed(
             canonicalize_batch(children, equivalent_domains),
             links_dir, num_buckets)
         metrics.incr({"link_children": n_link})
+
+
+def _link_hosts_of(tbl: pa.Table) -> frozenset:
+    """Hosts in this wave that declare LinkExtractor-style rules."""
+    from ..extract.siterules import rules_for_host
+    return frozenset(h for h in set(tbl.column("host").to_pylist())
+                     if rules_for_host(h).link_allow
+                     or rules_for_host(h).link_restrict_xpaths)
 
 
 class CrawlPipeline:
@@ -396,15 +419,11 @@ class CrawlPipeline:
         disc_tbl = scheduled.filter(disc_mask)
         art_tbl = scheduled.filter(pc.invert(disc_mask))
 
-        # 5b. link-following hosts (SiteRules.link_allow): their article
-        #     pages are ALSO discovery surfaces — harvest <a href>
-        #     children (S7). Fetched separately from extraction (rare
-        #     hosts; the fused extract path doesn't expose html).
-        link_children = self._harvest_links(art_tbl)
-
         # 6. discovery expansion and article processing are independent —
         #    run them CONCURRENTLY (both mostly wait on Ray) so control-
-        #    plane parse time hides behind the data-plane pipeline
+        #    plane parse time hides behind the data-plane pipeline.
+        #    Link-host children (S7) come back from _process_articles,
+        #    harvested in-task from the SAME fetch extraction uses.
         if disc_tbl.num_rows and art_tbl.num_rows:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -414,11 +433,11 @@ class CrawlPipeline:
                 fut_a = ex.submit(self._process_articles, art_tbl, wave,
                                   now_us)
                 children = fut_d.result()
-                n_extracted, n_fetched = fut_a.result()
+                n_extracted, n_fetched, link_children = fut_a.result()
         else:
             children = self._process_discovery(disc_tbl, wave, now_us)
-            n_extracted, n_fetched = self._process_articles(art_tbl, wave,
-                                                            now_us)
+            n_extracted, n_fetched, link_children = self._process_articles(
+                art_tbl, wave, now_us)
         mark("discovery+articles")
         # discovery rows are counted as scheduled-for-fetch (an upper
         # bound: control-plane fetch misses are rare and not returned
@@ -578,27 +597,6 @@ class CrawlPipeline:
         if bf is not None:
             self._pending_bucketed.append(bf)
         return disc_children
-
-    def _harvest_links(self, art_tbl: pa.Table) -> pa.Table:
-        """Fetch + link-harvest article rows of link-crawl hosts
-        (buzzfeed/bild-style CrawlSpider rules)."""
-        from ..extract.siterules import rules_for_host
-        from ..sources.stage import harvest_links_batch
-
-        if art_tbl.num_rows == 0:
-            return CHILD_SCHEMA.empty_table()
-        hosts = art_tbl.column("host").to_pylist()
-        wanted = {h for h in set(hosts)
-                  if rules_for_host(h).link_allow
-                  or rules_for_host(h).link_restrict_xpaths}
-        if not wanted:
-            return CHILD_SCHEMA.empty_table()
-        mask = pa.array([h in wanted for h in hosts])
-        sub = art_tbl.filter(mask)
-        fetched = self._fetch_driver(sub)
-        if fetched is None:
-            return CHILD_SCHEMA.empty_table()
-        return harvest_links_batch(fetched)
 
     def _politeness_cutoffs(self, bf: BucketedFrontier, over: set[str],
                             now_us: int) -> dict[str, list[tuple[int, str]]]:
@@ -1419,15 +1417,22 @@ class CrawlPipeline:
         return extract_commit
 
     def _process_articles(self, art_tbl: pa.Table, wave: int,
-                          now_us: int) -> tuple[int, int]:
+                          now_us: int) -> tuple[int, int, pa.Table]:
         """Data plane: fetch join + extraction + ledger commit + write as
         ONE fused streaming pipeline (fetch groups feed extraction feeds
         the parquet sink with backpressure, no mid-pipeline
         materialization). Waves under ``small_wave_rows`` run on the
-        driver — correctness-tier runs skip all Ray latency."""
+        driver — correctness-tier runs skip all Ray latency.
+
+        Link-host pages (CrawlSpider rules, S7) are harvested from the
+        SAME fetch this pipeline already does — in-band on the Ray path,
+        directly on the driver path — so they are read once per wave
+        (the bucketed path does the same via `_harvest_in_task`).
+        Returns (n_extracted, n_fetched, link_children)."""
         if art_tbl.num_rows == 0:
-            return 0, 0
+            return 0, 0, CHILD_SCHEMA.empty_table()
         cfg = self.cfg
+        link_hosts = _link_hosts_of(art_tbl)
         wave_dir = f"{cfg.out_dir}/wave={wave:04d}"
         # idempotent re-run: a crash between this wave's write and its
         # manifest commit leaves partial files — a resumed wave must
@@ -1439,13 +1444,14 @@ class CrawlPipeline:
         if art_tbl.num_rows <= cfg.small_wave_rows:
             fetched = self._fetch_driver(art_tbl)
             if fetched is None:
-                return 0, 0
+                return 0, 0, CHILD_SCHEMA.empty_table()
+            link_children = _harvest_links_from(fetched, link_hosts)
             out = extract_commit(fetched)
             if out.num_rows:
                 os.makedirs(wave_dir, exist_ok=True)
                 import pyarrow.parquet as pq
                 pq.write_table(out, f"{wave_dir}/part-driver.parquet")
-            return out.num_rows, fetched.num_rows
+            return out.num_rows, fetched.num_rows, link_children
 
         store = self.store
         tbl = self._with_buckets(art_tbl)
@@ -1460,15 +1466,20 @@ class CrawlPipeline:
                  for b in np.unique(buckets)]
 
         def fetch_extract_commit(group: pa.Table) -> pa.Table:
-            # writes its own part and returns (fetched, extracted)
-            # counts IN-BAND — fetched != extracted whenever pages
-            # fetch but fail extraction, and the counts must not come
-            # from a racy metrics snapshot
+            # writes its own part and returns counts plus harvested
+            # link children IN-BAND — fetched != extracted whenever
+            # pages fetch but fail extraction, and the counts must not
+            # come from a racy metrics snapshot
             import pyarrow.parquet as _pq
             fetched = store.fetch_group(group)
             nf = 0 if fetched is None else fetched.num_rows
             ne = 0
+            child_rows: list[dict] = []
             if nf:
+                children = _harvest_links_from(fetched, link_hosts)
+                child_rows = [{"fetched": 0, "extracted": 0,
+                               "child_json": json.dumps(c)}
+                              for c in children.to_pylist()]
                 out = extract_commit(fetched)
                 ne = out.num_rows
                 if ne:
@@ -1476,8 +1487,9 @@ class CrawlPipeline:
                     b = int(group.column("fetch_bucket")[0].as_py())
                     _pq.write_table(
                         out, f"{wave_dir}/part-b{b:05d}.parquet")
-            return pa.table({"fetched": pa.array([nf], pa.int64()),
-                             "extracted": pa.array([ne], pa.int64())})
+            rows = [{"fetched": nf, "extracted": ne,
+                     "child_json": None}] + child_rows
+            return pa.Table.from_pylist(rows, schema=_ART_RESULT_SCHEMA)
 
         ds = ray.data.from_arrow(parts)
         count_parts = ray.get(
@@ -1488,7 +1500,14 @@ class CrawlPipeline:
                         for t in count_parts if t.num_rows)
         n_extracted = sum(int(t.column("extracted").to_numpy().sum())
                           for t in count_parts if t.num_rows)
-        return n_extracted, n_fetched
+        child_rows = [json.loads(j)
+                      for t in count_parts if t.num_rows
+                      for j in t.column("child_json").to_pylist()
+                      if j is not None]
+        link_children = (pa.Table.from_pylist(child_rows,
+                                              schema=CHILD_SCHEMA)
+                         if child_rows else CHILD_SCHEMA.empty_table())
+        return n_extracted, n_fetched, link_children
 
     # -- full run ---------------------------------------------------------
     def run(self, seeds: list[dict] | None = None,

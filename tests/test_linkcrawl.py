@@ -169,6 +169,62 @@ def test_link_crawl_bucketed_harvests_in_task(ray_session, tmp_path,
     assert "https://www.buzzfeed.com/news/art-2" in urls  # 2 hops in-task
 
 
+def test_link_crawl_table_path_fetches_once(ray_session, tmp_path):
+    """Table-path waves harvest links from the SAME fetch extraction
+    uses: every page-store row is fetched at most once per crawl (the
+    round-3 defect fetched link-host pages twice per wave — once by the
+    separate harvest pass, once by the article pipeline)."""
+    art = ('<html lang="en"><head><title>T{i}</title>'
+           '<meta property="og:title" content="Linked {i}"></head>'
+           '<body><div itemprop="articleBody"><p>Body of linked article '
+           "number {i} with enough words to matter.</p></div>"
+           '{next_link}</body></html>')
+    pages = [
+        _page("https://www.buzzfeed.com/news/hub",
+              '<html><body><a href="/news/art-1">1</a></body></html>'),
+        _page("https://www.buzzfeed.com/news/art-1",
+              art.format(i=1, next_link='<a href="/news/art-2">next</a>')),
+        _page("https://www.buzzfeed.com/news/art-2",
+              art.format(i=2, next_link="")),
+    ]
+    ppath = str(tmp_path / "pages.parquet")
+    pq.write_table(pa.Table.from_pylist(pages, schema=PAGE_SCHEMA), ppath)
+    cfg = CrawlConfig(out_dir=str(tmp_path / "out"),
+                      checkpoint_dir=str(tmp_path / "ckpt"),
+                      per_host_budget=100, num_seen_shards=1,
+                      num_fetch_buckets=2, max_waves=8, obey_robots=False)
+    pipe = CrawlPipeline(cfg, ppath, str(tmp_path / "store"))
+
+    from collections import Counter
+    fetch_counts: Counter = Counter()
+    real_fetch = pipe.store.fetch_group
+
+    def counting_fetch(group):
+        out = real_fetch(group)
+        if out is not None and out.num_rows:
+            fetch_counts.update(out.column("canon_url").to_pylist())
+        return out
+
+    pipe.store.fetch_group = counting_fetch
+    try:
+        pipe.run(seeds=[{"url": "https://www.buzzfeed.com/news/hub",
+                         "kind": "article",
+                         "meta": {"refetchcontrol_pass": True}}])
+    finally:
+        pipe.store.fetch_group = real_fetch
+        pipe.shutdown()
+
+    dupes = {u: c for u, c in fetch_counts.items() if c > 1}
+    assert not dupes, f"pages fetched more than once: {dupes}"
+    import glob
+    parts = glob.glob(str(tmp_path / "out" / "wave=*" / "*.parquet"))
+    ext = pa.concat_tables([pq.read_table(p) for p in parts],
+                           promote_options="default")
+    urls = sorted(ext.column("url").to_pylist())
+    assert "https://www.buzzfeed.com/news/art-1" in urls
+    assert "https://www.buzzfeed.com/news/art-2" in urls
+
+
 def test_allowed_domains_offsite_gate():
     """Children outside allowed_domains are dropped (independent.co.uk
     allowed_domains, uk/independent.py:13-16)."""
