@@ -62,7 +62,15 @@ def canonicalize_url(url: str) -> str:
             if lowered != netloc or ls != scheme:
                 return ls + "://" + lowered + rest[slash:]
             return url
-    u = urlparse(url)
+    try:
+        u = urlparse(url)
+    except ValueError:
+        # hostile/garbage href ('http://[?x' raises "Invalid IPv6 URL"):
+        # a crawl task must never die over one unparseable link — degrade
+        # to fragment-drop and re-canonicalize the rest (idempotent: the
+        # recursion input has no '#', so it cannot recurse again)
+        base = url.split("#", 1)[0]
+        return canonicalize_url(base) if base != url else url
     query = urlencode(sorted(parse_qsl(u.query, keep_blank_values=True)))
     path = u.path or "/"
     return urlunparse((u.scheme, u.netloc.lower(), path, u.params, query, ""))
@@ -89,7 +97,10 @@ def host_of(url: str) -> str:
             if 0 <= j < end:
                 end = j
         return rest[:end].lower()
-    return urlparse(url).netloc.lower()
+    try:
+        return urlparse(url).netloc.lower()
+    except ValueError:      # '//[?' — unparseable netloc, not a crash
+        return ""
 
 
 def strip_query(url: str) -> str:

@@ -134,13 +134,44 @@ def iter_warc_records(stream: IO[bytes],
                "offset": rec_start, "length": stream.tell() - rec_start}
 
 
+class _TolerantStream:
+    """Gzip-stream adapter that converts mid-stream decompression
+    failures (truncated member, garbage after the magic number, bad
+    deflate blocks) into clean EOF: one corrupt .warc.gz must cost its
+    unread tail, never the whole ingest task. BadGzipFile subclasses
+    OSError; EOFError covers truncated members; zlib.error covers
+    corrupt deflate streams."""
+
+    def __init__(self, inner: IO[bytes]):
+        self._inner = inner
+        self.decode_error = False
+
+    def readline(self, n: int = -1) -> bytes:
+        try:
+            return self._inner.readline(n)
+        except (EOFError, OSError, zlib.error):
+            self.decode_error = True
+            return b""
+
+    def read(self, n: int = -1) -> bytes:
+        try:
+            return self._inner.read(n)
+        except (EOFError, OSError, zlib.error):
+            self.decode_error = True
+            return b""
+
+    def tell(self) -> int:
+        return self._inner.tell()
+
+
 def _open_stream(raw: bytes) -> IO[bytes]:
     """Wrap raw archive bytes as a record-streamable file object;
     gzip (whole-file or concatenated per-record members — GzipFile
     reads both transparently) is decompressed lazily, never as one
-    giant bytes object."""
+    giant bytes object. Decompression errors surface as EOF, not
+    exceptions (see _TolerantStream)."""
     if raw[:2] == b"\x1f\x8b":
-        return gzip.GzipFile(fileobj=io.BytesIO(raw))
+        return _TolerantStream(gzip.GzipFile(fileobj=io.BytesIO(raw)))
     return io.BytesIO(raw)
 
 
