@@ -73,7 +73,11 @@ def canonicalize_url(url: str) -> str:
         return canonicalize_url(base) if base != url else url
     query = urlencode(sorted(parse_qsl(u.query, keep_blank_values=True)))
     path = u.path or "/"
-    return urlunparse((u.scheme, u.netloc.lower(), path, u.params, query, ""))
+    # strip the REASSEMBLY too: dropping ';params'/'#frag' can expose a
+    # trailing space ('0 ;' -> '0 ') that the next pass's input-strip
+    # would remove — the canonical form must be a fixed point
+    return urlunparse((u.scheme, u.netloc.lower(), path, u.params,
+                       query, "")).strip()
 
 
 def url_fingerprint(url: str) -> bytes:
