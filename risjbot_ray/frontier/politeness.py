@@ -37,14 +37,31 @@ class RobotsIndex:
         self.parsers: dict[str, urllib.robotparser.RobotFileParser] = {}
         for host, body in robots_bodies.items():
             rp = urllib.robotparser.RobotFileParser()
-            rp.parse(body.splitlines())
+            try:
+                rp.parse(body.splitlines())
+            except ValueError:
+                # stdlib robotparser urlparse()s each Allow/Disallow
+                # value and a hostile one ('//[x?') raises "Invalid
+                # IPv6 URL" — a garbage robots.txt must degrade to
+                # no-rules (allow all, the no-robots convention), not
+                # kill pipeline construction
+                rp = urllib.robotparser.RobotFileParser()
+                rp.parse([])
             self.parsers[host] = rp
 
     def allowed(self, host: str, url: str) -> bool:
         rp = self.parsers.get(host)
         if rp is None:
             return True  # no robots.txt → allowed
-        return rp.can_fetch(self.user_agent, url)
+        try:
+            return rp.can_fetch(self.user_agent, url)
+        except ValueError:
+            # can_fetch urlparse()s the url; an unparseable one (e.g.
+            # 'http://[?x' surviving canonicalization's degraded path)
+            # can't match any Disallow rule — treat as allowed rather
+            # than crash the bucket task; the fetch join drops it (no
+            # such page) immediately after
+            return True
 
     def allowed_mask(self, hosts: list[str], urls: list[str]) -> np.ndarray:
         return np.fromiter(

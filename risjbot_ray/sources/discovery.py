@@ -126,10 +126,25 @@ def parse_atom(body: bytes) -> list[str]:
 
 
 def parse_csv_urls(body: bytes, field: str = "url") -> list[str]:
-    """URL column of a fetched CSV (newscsvfeedspider.py:14-21)."""
+    """URL column of a fetched CSV (newscsvfeedspider.py:14-21).
+
+    Row-tolerant: the csv module raises ``csv.Error`` mid-iteration on
+    hostile rows (a field over the 128 KB limit, NULs in some modes) —
+    one bad row must cost only itself and the unread tail, never the
+    rows already parsed or the whole discovery task."""
     text = body.decode("utf-8", errors="replace")
     reader = csv.DictReader(io.StringIO(text))
-    return [row[field] for row in reader if row.get(field)]
+    out: list[str] = []
+    while True:
+        try:
+            row = next(reader)
+        except StopIteration:
+            break
+        except csv.Error:
+            break
+        if row.get(field):
+            out.append(row[field])
+    return out
 
 
 def parse_specified(body: bytes) -> list[str]:
