@@ -637,7 +637,9 @@ class CrawlPipeline:
         cap_of = {h: b * lookahead + 1 for h, b in bud_of.items()}
         local_cap = max(cap_of.values()) if cap_of else 0
         over_arr = pa.array(sorted(over), type=pa.string())
-        hbc = bf.host_bucket_counts
+        # lazy columnar scan for JUST the over hosts — the driver never
+        # holds per-bucket counts for the full host set (spill.py v2)
+        hbc = bf.bucket_counts_for(over)
         over_rows_of: dict[int, int] = {}
         if hbc:
             for h in over:
@@ -709,33 +711,58 @@ class CrawlPipeline:
                 return key_schema.empty_table()
             return pa.concat_tables(outs)
 
+        per_host_budget = cfg.per_host_budget
+
+        def _derive(df) -> list[tuple[str, int, int, str]]:
+            """Global cutoff keys for ONE host's merged local-top-k rows:
+            (host, rank, priority, canon_url) per emitted rank."""
+            df = df.sort_values(["priority", "canon_url"],
+                                ascending=[False, True], kind="mergesort")
+            h = df["host"].iloc[0]
+            budget_h = bud_of.get(h, per_host_budget)
+            rows = []
+            for r in range(lookahead):
+                pos = (r + 1) * budget_h - 1
+                if len(df) <= pos + 1:
+                    break  # everything up to here fits — no more cutoffs
+                rows.append((h, r, int(df["priority"].iloc[pos]),
+                             str(df["canon_url"].iloc[pos])))
+            return rows
+
         if total_over <= cfg.small_wave_rows:
             # tiny over-volume: one driver-side scan beats a Ray job
             merged = local_topk(pa.Table.from_pylist(items))
+            if merged.num_rows == 0:
+                return {}
+            key_rows = [t for _, grp in merged.to_pandas()
+                        .groupby("host", sort=False)
+                        for t in _derive(grp)]
         else:
+            # distributed per-host reduce: the groupby brings every
+            # group's local top-k for a host together in ONE task, which
+            # emits only that host's <= lookahead cutoff keys — the
+            # driver receives O(#over-hosts x lookahead) rows, never the
+            # O(#over-hosts x #groups x budget x lookahead) key tables
+            # (observed: ~250 MB driver growth per 10M-row wave before
+            # this, stress_frontier.py)
+            def host_cutoffs(df):
+                out = _derive(df)
+                return pd.DataFrame(
+                    out, columns=["host", "rank", "priority", "canon_url"])
+
             ds = (ray.data.from_items(items)
                   .map_batches(local_topk, batch_format="pyarrow",
                                batch_size=1).materialize())
-            merged = pa.concat_tables(
-                [ray.get(r) for r in ds.to_arrow_refs()],
-                promote_options="default")
+            if ds.count() == 0:
+                return {}
+            small = ds.groupby("host").map_groups(host_cutoffs).to_pandas()
+            key_rows = [(r.host, int(r.rank), int(r.priority),
+                         str(r.canon_url))
+                        for r in small.itertuples(index=False)]
+
         cutoffs: dict[str, list[tuple[int, str]]] = {}
-        if merged.num_rows == 0:
-            return cutoffs
-        df = merged.to_pandas().sort_values(
-            ["host", "priority", "canon_url"],
-            ascending=[True, False, True], kind="mergesort")
-        for h, grp in df.groupby("host", sort=False):
-            cl: list[tuple[int, str]] = []
-            budget_h = bud_of.get(h, cfg.per_host_budget)
-            for r in range(lookahead):
-                pos = (r + 1) * budget_h - 1
-                if len(grp) <= pos + 1:
-                    break  # everything up to here fits — no more cutoffs
-                row = grp.iloc[pos]
-                cl.append((int(row["priority"]), str(row["canon_url"])))
-            if cl:
-                cutoffs[h] = cl
+        for h, r, prio, cu in sorted(key_rows, key=lambda t: (t[0], t[1])):
+            cutoffs.setdefault(h, []).append((prio, cu))
         return cutoffs
 
     @staticmethod
@@ -1536,7 +1563,11 @@ class CrawlPipeline:
                         if d in pend or os.path.exists(
                                 os.path.join(d, "COMPLETE")):
                             continue
-                        pend[d] = BucketedFrontier.from_manifest(pb)
+                        nbf = BucketedFrontier.from_manifest(pb)
+                        # None: slim manifest whose spill dir has no
+                        # committed parts — nothing to resume there
+                        if nbf is not None:
+                            pend[d] = nbf
                 # a pending deferred spill whose parent is ALSO pending is
                 # dropped: reprocessing the parent regenerates it
                 restored_bucketed = [
@@ -1675,13 +1706,19 @@ class CrawlPipeline:
         os.makedirs(mdir, exist_ok=True)
         bucket_files: dict[int, list[str]] = {}
         host_counts: dict[str, int] = {}
-        # host_bucket_counts is all-or-nothing: a PARTIAL merge (one
-        # legacy piece without counts) would make the politeness
-        # cutoff pre-pass scan only the counted buckets and under-set
-        # the cutoffs — so if ANY piece lacks them, the merged piece
-        # carries None and the consumer takes its full-scan fallback
-        all_have_hbc = all(p.host_bucket_counts is not None
-                           for p in pieces)
+        # per-bucket detail is all-or-nothing: a PARTIAL merge (one
+        # piece without counts) would make the politeness cutoff
+        # pre-pass scan only the counted buckets and under-set the
+        # cutoffs — so if ANY piece lacks BOTH stats files and legacy
+        # eager counts, the merged piece carries neither and the
+        # consumer takes its full-scan fallback. Stats files merge as
+        # a path union (bucket_counts_for aggregates across them);
+        # legacy eager dicts merge additively.
+        all_have_stats = all(p.stats_files for p in pieces)
+        all_have_hbc = (not all_have_stats and
+                        all(p.host_bucket_counts is not None
+                            for p in pieces))
+        stats_files: list[str] = []
         hbc: dict[str, dict[int, int]] = {}
         n = 0
         for p in pieces:
@@ -1690,14 +1727,17 @@ class CrawlPipeline:
                 bucket_files.setdefault(b, []).extend(fs)
             for h, c in p.host_counts.items():
                 host_counts[h] = host_counts.get(h, 0) + c
-            if all_have_hbc:
-                for h, bc in p.host_bucket_counts.items():
+            if all_have_stats:
+                stats_files.extend(p.stats_files)
+            elif all_have_hbc:
+                for h, bc in (p.host_bucket_counts or {}).items():
                     d = hbc.setdefault(h, {})
                     for b, c in bc.items():
                         d[b] = d.get(b, 0) + c
         return BucketedFrontier(mdir, n, host_counts, bucket_files,
                                 (hbc or None) if all_have_hbc else None,
-                                sources=[p.directory for p in pieces])
+                                sources=[p.directory for p in pieces],
+                                stats_files=stats_files or None)
 
     def _spill_table_piece(self, wave: int, idx: int,
                            art_tbl: pa.Table) -> BucketedFrontier | None:

@@ -122,7 +122,8 @@ def run(rows: int, n_hosts: int, hot_hosts: int, hot_share: float,
         assert bf.num_rows == rows
         n_over = sum(1 for c in bf.host_counts.values() if c > budget)
         out["hosts_over_budget"] = n_over
-        assert n_over >= hot_hosts, "hot hosts must bind the budget"
+        if budget < rows * hot_share / max(hot_hosts, 1):
+            assert n_over >= hot_hosts, "hot hosts must bind the budget"
 
         t0 = time.time()
         pipe._run_bucketed_wave(0, bf)
