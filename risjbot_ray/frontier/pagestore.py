@@ -90,8 +90,12 @@ def build_page_store(pages_path: str | list[str], store_dir: str,
     if os.path.exists(done):
         return PageStore(store_dir, num_buckets)
     os.makedirs(store_dir, exist_ok=True)
+    # clear stale bucket files AND stale DONE markers from builds with a
+    # different num_buckets — a surviving DONE-{M} would short-circuit a
+    # later M-bucket build onto this layout's files, silently misrouting
+    # every url_hash % M lookup
     for name in os.listdir(store_dir):
-        if name.startswith("bucket-"):
+        if name.startswith("bucket-") or name.startswith("DONE-"):
             os.remove(os.path.join(store_dir, name))
     dataset = pads.dataset(pages_path, format="parquet")
     if distributed is None:

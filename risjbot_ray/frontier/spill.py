@@ -107,9 +107,13 @@ class BucketedFrontier:
         Returns None when neither stats files nor legacy eager counts
         exist (old layout without counts) — the caller falls back to
         scanning every bucket."""
+        legacy_part: dict[str, dict[int, int]] = {}
         if self.host_bucket_counts is not None:
-            return {h: self.host_bucket_counts[h] for h in hosts
-                    if h in self.host_bucket_counts}
+            legacy_part = {h: dict(self.host_bucket_counts[h])
+                           for h in hosts if h in self.host_bucket_counts}
+            # pure-legacy directory: the eager dict is complete
+            if not self.stats_files:
+                return legacy_part
         if not self.stats_files:
             return None
         if not hosts:
@@ -144,6 +148,13 @@ class BucketedFrontier:
                            agg.column("bucket").to_pylist(),
                            agg.column(col).to_pylist()):
             out.setdefault(h, {})[int(b)] = int(c)
+        # mixed-generation directory (resume across releases): v1 parts
+        # carry no hb- stats rows, so their eager counts must be ADDED to
+        # the stats-file scan or the politeness pre-pass under-counts
+        for h, d in legacy_part.items():
+            tgt = out.setdefault(h, {})
+            for b, c in d.items():
+                tgt[b] = tgt.get(b, 0) + c
         return out
 
     def to_manifest(self) -> dict:
@@ -271,16 +282,20 @@ def load_bucketed_frontier(directory: str) -> BucketedFrontier | None:
         return None
     stats_files = sorted(glob.glob(
         os.path.join(directory, "stats", "hb-*.parquet")))
-    if not legacy:
-        hosts_files = sorted(glob.glob(
-            os.path.join(directory, "stats", "hosts-*.parquet")))
-        if hosts_files:
-            import pyarrow.dataset as pads
-            tbl = pads.dataset(hosts_files, format="parquet").to_table()
-            agg = tbl.group_by("host").aggregate([("n", "sum")])
-            host_counts = dict(zip(
-                agg.column("host").to_pylist(),
-                (int(x) for x in agg.column("n_sum").to_pylist())))
+    hosts_files = sorted(glob.glob(
+        os.path.join(directory, "stats", "hosts-*.parquet")))
+    if hosts_files:
+        # v2 parts' host totals. In a MIXED directory (a pre-stats-layout
+        # checkpoint resumed under this release and respilled into) the
+        # v1 sidecar counts are already in host_counts — ADD the v2
+        # aggregation so budget gating sees every row; bucket_counts_for
+        # merges the two generations the same way.
+        import pyarrow.dataset as pads
+        tbl = pads.dataset(hosts_files, format="parquet").to_table()
+        agg = tbl.group_by("host").aggregate([("n", "sum")])
+        for h, c in zip(agg.column("host").to_pylist(),
+                        agg.column("n_sum").to_pylist()):
+            host_counts[h] = host_counts.get(h, 0) + int(c)
     return BucketedFrontier(directory, n, host_counts, bucket_files,
                             legacy_hbc if legacy else None,
                             stats_files=stats_files or None)

@@ -50,7 +50,9 @@ def parse_date(s: str | bytes | None) -> datetime | None:
     if s is None:
         return None
     if isinstance(s, bytes):
-        s = s.decode("utf-8")
+        # hostile bytes must not raise out of a parse that promises
+        # datetime-or-None; mojibake dates simply fail every format
+        s = s.decode("utf-8", "replace")
     s = s.strip()
     if not s:
         return None

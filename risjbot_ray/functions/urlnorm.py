@@ -28,7 +28,13 @@ def apply_equivalent_domains(url: str, mappings: dict[str, str]) -> str:
     keys are lowercase): this runs BEFORE canonicalization, so a
     'WWW.CNN.com' URL must still unify with the mapped domain or the
     same article gets two fingerprints."""
-    u = urlparse(url)
+    try:
+        u = urlparse(url)
+    except ValueError:
+        # hostile href ('http://[?x' → "Invalid IPv6 URL"): no netloc to
+        # rewrite — pass through and let canonicalize_url's guarded path
+        # handle it. A wave task must never die over one garbage link.
+        return url
     key = u.netloc.lower()
     if key in mappings:
         return urlunparse(

@@ -608,8 +608,12 @@ class CrawlPipeline:
         and returns only its LOCAL top-``budget x K + 1`` (priority,
         canon_url) keys per host (the +1 is the witness that rank K-1
         overflows — without it the last rank's cutoff could never emit);
-        the driver merges O(#over-hosts x #groups x budget x K) keys and
-        derives each host's global cutoff keys for the next K waves
+        the per-group partials are merged in a distributed
+        ``groupby(host).map_groups`` reduce, so the driver receives only
+        the final O(#over-hosts x lookahead) cutoff rows (below the
+        small-wave threshold the merge runs driver-side on the same
+        O(#groups x budget x K) keys) and derives nothing further:
+        each row already names a host's global cutoff for the next K waves
         (K = ``politeness_lookahead``): cutoffs[h][r] bounds the rows
         host h may schedule in wave now+r. Rows are totally ordered by
         (priority desc, canon_url asc) — canon_url is unique per host

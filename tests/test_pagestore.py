@@ -106,3 +106,24 @@ def test_crawl_e2e_over_distributed_store(ray_session, pages, tmp_path):
     got = set(ext.column("url").to_pylist())
     want = {r["url"] for r in expected.to_pylist() if not r["dropped"]}
     assert got == want
+
+
+def test_stale_done_marker_other_bucket_count_cleared(ray_session, pages):
+    """A rebuild with num_buckets=M deletes every bucket file but used to
+    leave DONE-{N} markers from other bucket counts behind: a THIRD build
+    asking for N again would short-circuit on the stale marker and serve
+    the M-bucket layout — url_hash % N routing onto missing/misbucketed
+    files, pages silently never crawled."""
+    root, path, *_ = pages
+    sd = str(root / "st-stale-done")
+    build_page_store(path, sd, num_buckets=NB, distributed=False)
+    first = _bucket_tables(sd)
+    build_page_store(path, sd, num_buckets=NB * 2, distributed=False)
+    assert not os.path.exists(os.path.join(sd, f"DONE-{NB}"))
+    # the third build must REBUILD (not reuse the 2*NB layout)
+    store = build_page_store(path, sd, num_buckets=NB, distributed=False)
+    assert store.num_buckets == NB
+    again = _bucket_tables(sd)
+    assert set(again) == set(first)
+    for k in first:
+        assert again[k].equals(first[k])

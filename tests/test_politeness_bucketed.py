@@ -324,3 +324,44 @@ def test_window_last_rank_holds_budget(ray_session, tmp_path):
             remaining.column("canon_url").to_pylist())
     finally:
         pipe.shutdown()
+
+
+def test_mixed_generation_spill_dir_counts_both(ray_session, tmp_path):
+    """A pre-stats-layout (v1, host_counts-in-sidecar) checkpoint resumed
+    under the current release and respilled into leaves ONE directory with
+    both sidecar generations. Host totals and the lazy per-bucket counts
+    must cover BOTH generations' rows — the loader used to take totals
+    only from the v1 sidecars (v2 hosts evade budget gating) and
+    bucket_counts_for returned only the partial legacy dict."""
+    import os
+
+    sdir = str(tmp_path / "mixed")
+
+    def _cand(host, n):
+        rows = [{"url": f"https://{host}/p/{i}", "priority": 0,
+                 "depth": 0, "source_kind": "article", "meta": None}
+                for i in range(n)]
+        return dedupe_wave(canonicalize_batch(
+            pa.Table.from_pylist(rows, schema=CHILD_SCHEMA)))
+
+    # v2 half: 6 rows on hostv2.example via the current spill writer
+    cand = _cand("hostv2.example", 6)
+    assert spill_bucketed(cand, sdir, num_buckets=4) == 6
+    # v1 half: hand-written part + sidecar with the legacy host_counts
+    # field, 3 rows on hostv1.example in bucket 2
+    old = _cand("hostv1.example", 3)
+    bdir = os.path.join(sdir, "bucket=00002")
+    os.makedirs(bdir, exist_ok=True)
+    part = os.path.join(bdir, "part-legacy0000.parquet")
+    pq.write_table(old, part)
+    with open(part + ".json", "w") as f:
+        json.dump({"bucket": 2, "n": 3,
+                   "host_counts": {"hostv1.example": 3}}, f)
+
+    bf = load_bucketed_frontier(sdir)
+    assert bf.num_rows == 9
+    assert bf.host_counts["hostv1.example"] == 3
+    assert bf.host_counts.get("hostv2.example") == 6  # was ABSENT pre-fix
+    hbc = bf.bucket_counts_for(["hostv1.example", "hostv2.example"])
+    assert sum(hbc["hostv1.example"].values()) == 3
+    assert sum(hbc.get("hostv2.example", {}).values()) == 6

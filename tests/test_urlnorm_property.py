@@ -79,3 +79,22 @@ def test_hostile_ipv6_bracket_href_regression():
     c2 = canonicalize_url("http://[?x#frag")
     assert canonicalize_url(c2) == c2
     assert host_of("//[?") == ""
+
+
+def test_hostile_href_survives_equivalence_and_batch():
+    """apply_equivalent_domains ran urlparse UNGUARDED, so a hostile
+    href like 'http://[?x' crashed canonicalize_batch (and with it the
+    whole harvest/spill task) even after canonicalize_url was hardened.
+    The rewrite must pass garbage through untouched."""
+    import pyarrow as pa
+
+    from risjbot_ray.frontier.canon import canonicalize_batch
+    from risjbot_ray.functions.urlnorm import apply_equivalent_domains
+
+    assert apply_equivalent_domains(
+        "http://[?x", {"www.cnn.com": "edition.cnn.com"}) == "http://[?x"
+    batch = pa.table({"url": ["http://[?x", "http://ok.com/a"],
+                      "meta": [None, None]})
+    out = canonicalize_batch(batch)
+    assert out.num_rows == 2
+    assert "canon_url" in out.column_names
