@@ -733,14 +733,43 @@ class CrawlPipeline:
                              str(df["canon_url"].iloc[pos])))
             return rows
 
+        # the merged local-top-k volume is bounded IN ADVANCE by the
+        # sidecar counts: each host contributes at most cap_of[h] keys
+        # per group, and never more rows than it has
+        if over_rows_of and hbc:
+            est_keys = sum(
+                min(sum(hbc.get(h, {}).values()),
+                    cap_of.get(h, local_cap) * max(1, len(items)))
+                for h in over)
+        else:
+            est_keys = total_over
+
+        def _derive_driver(merged: pa.Table) -> list:
+            return [t for _, grp in merged.to_pandas()
+                    .groupby("host", sort=False)
+                    for t in _derive(grp)]
+
         if total_over <= cfg.small_wave_rows:
             # tiny over-volume: one driver-side scan beats a Ray job
             merged = local_topk(pa.Table.from_pylist(items))
             if merged.num_rows == 0:
                 return {}
-            key_rows = [t for _, grp in merged.to_pandas()
-                        .groupby("host", sort=False)
-                        for t in _derive(grp)]
+            key_rows = _derive_driver(merged)
+        elif est_keys <= 250_000:
+            # bounded merge volume (<= ~25 MB transient): scan the
+            # buckets distributed but merge driver-side — a per-wave
+            # groupby shuffle costs more than it saves at this size
+            # (BENCH r4: +20% on the budget-bound crawl when every wave
+            # paid the all-to-all for kilorow key tables)
+            scan = ray.remote(num_cpus=1)(local_topk)
+            merged_tbl = pa.concat_tables(
+                [t for t in ray.get(
+                    [scan.remote(pa.Table.from_pylist([it]))
+                     for it in items])
+                 if t.num_rows] or [key_schema.empty_table()])
+            if merged_tbl.num_rows == 0:
+                return {}
+            key_rows = _derive_driver(merged_tbl)
         else:
             # distributed per-host reduce: the groupby brings every
             # group's local top-k for a host together in ONE task, which

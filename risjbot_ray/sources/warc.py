@@ -134,34 +134,60 @@ def iter_warc_records(stream: IO[bytes],
                "offset": rec_start, "length": stream.tell() - rec_start}
 
 
-class _TolerantStream:
-    """Gzip-stream adapter that converts mid-stream decompression
+class _TolerantRaw(io.RawIOBase):
+    """Raw-level gzip adapter that converts mid-stream decompression
     failures (truncated member, garbage after the magic number, bad
     deflate blocks) into clean EOF: one corrupt .warc.gz must cost its
     unread tail, never the whole ingest task. BadGzipFile subclasses
     OSError; EOFError covers truncated members; zlib.error covers
-    corrupt deflate streams."""
+    corrupt deflate streams. Sits UNDER an io.BufferedReader so the
+    try/except runs once per 64 KB chunk, not once per header line
+    (the per-line Python wrapper cost +30% on warc_cdx_index)."""
 
     def __init__(self, inner: IO[bytes]):
+        super().__init__()
         self._inner = inner
         self.decode_error = False
 
-    def readline(self, n: int = -1) -> bytes:
+    def readable(self) -> bool:
+        return True
+
+    def readinto(self, b) -> int:
         try:
-            return self._inner.readline(n)
+            chunk = self._inner.read(len(b))
         except (EOFError, OSError, zlib.error):
             self.decode_error = True
-            return b""
+            return 0
+        b[: len(chunk)] = chunk
+        return len(chunk)
+
+
+class _TolerantStream:
+    """C-buffered readline over ``_TolerantRaw`` with a byte-exact
+    ``tell()`` (decompressed offset — BufferedReader.tell needs a
+    seekable raw, which gzip is not)."""
+
+    def __init__(self, inner: IO[bytes]):
+        self._raw = _TolerantRaw(inner)
+        self._br = io.BufferedReader(self._raw, 1 << 16)
+        self._pos = 0
+
+    @property
+    def decode_error(self) -> bool:
+        return self._raw.decode_error
+
+    def readline(self, n: int = -1) -> bytes:
+        line = self._br.readline(n)
+        self._pos += len(line)
+        return line
 
     def read(self, n: int = -1) -> bytes:
-        try:
-            return self._inner.read(n)
-        except (EOFError, OSError, zlib.error):
-            self.decode_error = True
-            return b""
+        data = self._br.read(n)
+        self._pos += len(data)
+        return data
 
     def tell(self) -> int:
-        return self._inner.tell()
+        return self._pos
 
 
 def _open_stream(raw: bytes) -> IO[bytes]:
