@@ -874,6 +874,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative Lloyd's over the full embeddings table — rows-only
         # driver row; kmeans_check (in-window) carries the self-check
         "embedding_kmeans": lambda sf: similarity.kmeans_embeddings(sf),
+        # near-dup cluster representative selection (keep-longest per
+        # minhash cluster, ties to min doc_id — the FineWeb/RefinedWeb
+        # curation rule); exact window-function oracle
+        "minhash_cluster_keep": dedup.minhash_cluster_keep,
         # RANGE join (overlapping windows broadcast into the map tasks;
         # only O(#windows) partials per block reach the exchange)
         "events_window_counts": relational.events_window_counts,
@@ -2376,4 +2380,54 @@ def oracle_sql() -> dict[str, str]:
     # incremental dedup against a fresh ledger reproduces batch
     # tile_dedup exactly — same oracle
     sql["doc_tile_dedup_incr"] = sql["doc_tile_dedup"]
+    # cluster-representative selection: the minhash cluster CTE plus
+    # keep-longest-per-cluster (n_words desc, doc_id asc) via a window;
+    # singleton docs label and keep themselves
+    sql["minhash_cluster_keep"] = r"""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id,
+                 list_distinct(CASE
+                    WHEN len(toks) = 0 THEN ['∅ ∅ ∅']
+                    WHEN len(toks) = 1
+                      THEN [toks[1] || ' ∅ ∅']
+                    WHEN len(toks) = 2
+                      THEN [toks[1] || ' ' || toks[2] || ' ∅']
+                    ELSE list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' '
+                                || toks[i+2])
+                 END) AS s
+          FROM (SELECT doc_id,
+                       regexp_extract_all(lower(text),
+                                          '[a-z0-9]+') AS toks
+                FROM documents)
+        ), pairs AS (
+          SELECT a.doc_id AS a, b.doc_id AS b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(a.s || b.s)) >= 0.7
+        ), edges AS (
+          SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+        ), reach(node, lbl) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.b, r.lbl FROM reach r
+          JOIN edges e ON e.a = r.node
+        ), cl AS (
+          SELECT node AS doc_id, MIN(lbl) AS cluster_id
+          FROM reach GROUP BY node
+        ), allc AS (
+          SELECT d.doc_id,
+                 COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+                 CASE WHEN length(trim(d.text)) = 0 THEN 0
+                      ELSE length(regexp_split_to_array(trim(d.text),
+                                                        '\s+'))
+                 END AS n_words
+          FROM documents d LEFT JOIN cl USING (doc_id)
+        )
+        SELECT doc_id, cluster_id,
+               doc_id = first_value(doc_id) OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY n_words DESC, doc_id ASC) AS kept
+        FROM allc
+    """
     return sql

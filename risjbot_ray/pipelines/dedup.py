@@ -1217,3 +1217,67 @@ def embedding_semdedup_clustered(sf_dir: str, eps: float = 0.95,
         "check_mismatch": pa.array([mism] * len(rows), pa.int64()),
         "checked_n": pa.array([len(ids)] * len(rows), pa.int64()),
     })
+
+
+# --------------------------------------------------------------------------
+# near-dup cluster representative selection (FineWeb/RefinedWeb-style
+# "keep the best doc per duplicate cluster" — the curation step after
+# clustering, instead of blind keep-first)
+# --------------------------------------------------------------------------
+
+def minhash_cluster_keep(sf_dir: str, threshold: float = 0.7):
+    """(doc_id, cluster_id, kept) for EVERY document: cluster_id is the
+    MinHash/exact-Jaccard component label (singletons label themselves),
+    and exactly one doc per cluster is kept — the longest by n_words,
+    ties to the smallest doc_id (the usual keep-longest curation rule;
+    RefinedWeb §"deduplication" keeps one representative per cluster).
+
+    Scale shape: the cluster table is LSH-bounded small (it already
+    lands on the driver in :func:`minhash_dedup`); per-doc word counts
+    for MEMBER docs come back via one column-pruned streaming filter
+    pass (``_broadcast_fetch`` — the corpus never shuffles), and the
+    final kept-marking is a stateless map_batches over a broadcast
+    {cluster -> representative} map, one small dict per actor, never a
+    join exchange."""
+    clusters = minhash_dedup(sf_dir, threshold=threshold)
+    cl_of = dict(zip(clusters.column("doc_id").to_pylist(),
+                     clusters.column("cluster_id").to_pylist()))
+
+    member_ids = np.fromiter(cl_of, dtype=np.int64, count=len(cl_of))
+
+    def _count_words(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array([len(t.split()) if t else 0
+                                 for t in texts], pa.int64())})
+
+    nw_ds = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+             .map_batches(_count_words, batch_format="pyarrow"))
+    # only the members' (doc_id, n_words) ints reach the driver — the
+    # texts never do
+    nw_of = _broadcast_fetch(nw_ds, "doc_id", member_ids, "n_words")
+    # representative per cluster: (n_words desc, doc_id asc)
+    best: dict[int, tuple[int, int]] = {}
+    for doc, cl in cl_of.items():
+        key = (-int(nw_of.get(doc, 0)), doc)
+        if cl not in best or key < best[cl]:
+            best[cl] = key
+    rep_of = {cl: k[1] for cl, k in best.items()}
+
+    cl_ref = ray.put(cl_of)
+    rep_ref = ray.put(rep_of)
+
+    def mark(batch: pa.Table) -> pa.Table:
+        cmap, rmap = ray.get(cl_ref), ray.get(rep_ref)
+        ids = batch.column("doc_id").to_pylist()
+        cls = [cmap.get(i, i) for i in ids]
+        kept = [rmap.get(c, c) == i for i, c in zip(ids, cls)]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "cluster_id": pa.array(cls, pa.int64()),
+                         "kept": pa.array(kept, pa.bool_())})
+
+    return (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id"])
+            .map_batches(mark, batch_format="pyarrow"))

@@ -151,3 +151,32 @@ def test_embedding_neardup_join_fallback_matches_broadcast(
     slow = dedup.embedding_neardup_pairs(root, threshold=0.95)
     assert fast.equals(slow)
     assert fast.num_rows > 0
+
+
+def test_minhash_cluster_keep_longest(ray_session, planted_dir):
+    """Representative selection: in each near-dup cluster exactly one
+    doc survives — the longest by word count, ties to the min doc_id;
+    singletons keep themselves. (Planted: 100 == doc 0 byte-identical
+    and equal-length -> tie, doc 0 kept; 101 ~ doc 1 with one word
+    edited, equal word count -> doc 1 kept; 102 is a singleton.)"""
+    root, _, _, docs = planted_dir
+    out = dedup.minhash_cluster_keep(root).to_pandas().set_index("doc_id")
+    assert len(out) == len(docs)
+    # every cluster keeps exactly one doc
+    for cl, grp in out.groupby("cluster_id"):
+        assert int(grp["kept"].sum()) == 1, cl
+    # planted near-dups land in their partners' clusters (the 30 base
+    # variants may merge into one big cluster — that is fine; the rule
+    # below still pins the representative exactly)
+    assert out.loc[100, "cluster_id"] == out.loc[0, "cluster_id"]
+    assert not bool(out.loc[100, "kept"])  # identical twin of doc 0 loses
+    assert out.loc[101, "cluster_id"] == out.loc[1, "cluster_id"]
+    # the unrelated doc is a self-labeled kept singleton
+    assert out.loc[102, "cluster_id"] == 102 and bool(out.loc[102, "kept"])
+    # keep-longest, ties to min doc_id: the kept doc IS the rule's pick
+    nw = {i: len(t.split()) for i, t in docs.items()}
+    for cl, grp in out.groupby("cluster_id"):
+        members = sorted(grp.index)
+        rep = grp[grp["kept"]].index[0]
+        expect = min(members, key=lambda i: (-nw[i], i))
+        assert rep == expect, (cl, rep, expect)
