@@ -878,6 +878,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # minhash cluster, ties to min doc_id — the FineWeb/RefinedWeb
         # curation rule); exact window-function oracle
         "minhash_cluster_keep": dedup.minhash_cluster_keep,
+        # fuzzy decontamination: max exact 3-shingle Jaccard vs any
+        # benchmark doc (catches lightly-edited benchmark copies the
+        # exact 8-gram probe misses); exact cross-join oracle
+        "doc_decontaminate_fuzzy": dedup.decontaminate_fuzzy,
         # RANGE join (overlapping windows broadcast into the map tasks;
         # only O(#windows) partials per block reach the exchange)
         "events_window_counts": relational.events_window_counts,
@@ -2429,5 +2433,48 @@ def oracle_sql() -> dict[str, str]:
                    PARTITION BY cluster_id
                    ORDER BY n_words DESC, doc_id ASC) AS kept
         FROM allc
+    """
+    # fuzzy decontamination: per non-bench doc the max 3-shingle Jaccard
+    # against any bench doc (doc_id % 97 == 0), argmax ties to the
+    # smallest bench id, -1 when no shingle is shared
+    sql["doc_decontaminate_fuzzy"] = r"""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(CASE
+                    WHEN len(toks) = 0 THEN ['∅ ∅ ∅']
+                    WHEN len(toks) = 1
+                      THEN [toks[1] || ' ∅ ∅']
+                    WHEN len(toks) = 2
+                      THEN [toks[1] || ' ' || toks[2] || ' ∅']
+                    ELSE list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' '
+                                || toks[i+2])
+                 END) AS s
+          FROM (SELECT doc_id,
+                       regexp_extract_all(lower(text),
+                                          '[a-z0-9]+') AS toks
+                FROM documents)
+        ), bench AS (
+          SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 97 = 0
+        ), d AS (
+          SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0
+        ), pair AS (
+          SELECT d.doc_id, b.bench_id,
+                 CAST(len(list_intersect(d.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(d.s || b.s)) AS j
+          FROM d CROSS JOIN bench b
+          WHERE len(list_intersect(d.s, b.s)) > 0
+        ), best AS (
+          SELECT doc_id, bench_id, j, ROW_NUMBER() OVER (
+              PARTITION BY doc_id
+              ORDER BY j DESC, bench_id ASC) AS rk
+          FROM pair
+        )
+        SELECT d.doc_id,
+               ROUND(COALESCE(b.j, 0.0), 5) AS max_jaccard,
+               COALESCE(b.bench_id, -1) AS bench_id,
+               COALESCE(b.j, 0.0) >= 0.5 AS contaminated_fuzzy
+        FROM d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+        USING (doc_id)
     """
     return sql

@@ -1281,3 +1281,100 @@ def minhash_cluster_keep(sf_dir: str, threshold: float = 0.7):
     return (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                   columns=["doc_id"])
             .map_batches(mark, batch_format="pyarrow"))
+
+
+# --------------------------------------------------------------------------
+# fuzzy decontamination (near-duplicate overlap with a held-out benchmark
+# suite — the GPT-3/GPT-4-style eval decontamination step where EXACT
+# n-gram matching misses lightly-edited benchmark copies)
+# --------------------------------------------------------------------------
+
+def decontaminate_fuzzy(sf_dir: str, threshold: float = 0.5):
+    """Per non-benchmark document: the maximum exact 3-shingle Jaccard
+    against ANY benchmark document (``doc_id % BENCH_MOD == 0`` stands in
+    for the held-out suite, as in :func:`webtext.decontaminate`), the
+    arg-max benchmark doc (ties to the smallest id; -1 when the doc
+    shares no shingle with any benchmark doc) and a ``contaminated_fuzzy``
+    flag at ``threshold``.
+
+    Scale shape: the benchmark side is an external eval suite (hundreds
+    to low thousands of docs), broadcast ONCE as sorted hash arrays; the
+    corpus streams through a stateless probe. A union-of-bench-grams
+    prefilter skips the per-bench loop for the overwhelming majority of
+    docs that share no shingle at all, so per-doc cost is one sorted
+    membership test; only prefilter survivors pay O(#bench) set
+    intersections (for very large suites, add the minhash band prefilter
+    from :func:`minhash_candidate_pairs` in front)."""
+    from .webtext import BENCH_MOD
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def _bench_sets(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out_id, out_sh = [], []
+        for did, t in zip(ids, texts):
+            if did % BENCH_MOD == 0:
+                out_id.append(did)
+                out_sh.append(_shingle_hashes(t or "").tolist())
+        return pa.table({
+            "bench_id": pa.array(out_id, pa.int64()),
+            "sh": pa.array(out_sh, pa.list_(pa.uint64()))})
+
+    bench: list[tuple[int, np.ndarray]] = []
+    for t in ray.get(docs.map_batches(_bench_sets,
+                                      batch_format="pyarrow")
+                     .to_arrow_refs()):
+        if t.num_rows and "bench_id" in t.column_names:
+            for bid, sh in zip(t.column("bench_id").to_pylist(),
+                               t.column("sh").to_pylist()):
+                bench.append((int(bid),
+                              np.asarray(sh, dtype=np.uint64)))
+    bench.sort()
+    union = (np.unique(np.concatenate([a for _, a in bench]))
+             if bench else np.empty(0, dtype=np.uint64))
+    ref = ray.put((bench, union))
+
+    class _Probe:
+        def __init__(self, r):
+            self.bench, self.union = ray.get(r)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_pylist()
+            texts = b.column("text").to_pylist()
+            o_id, o_j, o_b = [], [], []
+            for did, t in zip(ids, texts):
+                if did % BENCH_MOD == 0:
+                    continue
+                grams = _shingle_hashes(t or "")
+                best_j, best_b = 0.0, -1
+                if self.union.size:
+                    pos = np.searchsorted(self.union, grams)
+                    pos[pos >= self.union.size] = 0
+                    if bool((self.union[pos] == grams).any()):
+                        for bid, arr in self.bench:
+                            inter = np.intersect1d(
+                                grams, arr, assume_unique=True).size
+                            if not inter:
+                                continue
+                            j = inter / (grams.size + arr.size - inter)
+                            if j > best_j:
+                                best_j, best_b = j, bid
+                o_id.append(did)
+                o_j.append(best_j)
+                o_b.append(best_b)
+            return pa.table({
+                "doc_id": pa.array(o_id, pa.int64()),
+                # half_towards_infinity == SQL ROUND's half-away-from-zero
+                # (pc.round defaults to half-even and diverges on exact
+                # binary halves like 1/64 = 0.015625)
+                "max_jaccard": pc.round(
+                    pa.array(o_j, pa.float64()), 5,
+                    round_mode="half_towards_infinity"),
+                "bench_id": pa.array(o_b, pa.int64()),
+                "contaminated_fuzzy": pa.array(
+                    [j >= threshold for j in o_j], pa.bool_())})
+
+    return docs.map_batches(_Probe, fn_constructor_args=(ref,),
+                            batch_format="pyarrow", concurrency=(1, 8))
