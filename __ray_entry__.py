@@ -906,6 +906,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_normalize": ts.q_normalize,
         "doc_tokencount": ts.q_tokencount,
         "doc_quality": ts.q_quality,
+        # Gopher rule features + combined gate (Rae et al. 2021 A1);
+        # exact int/int-double oracle
+        "doc_gopher_quality": ts.q_gopher,
+        # corpus-wide duplicated-line removal (CCNet boilerplate pass):
+        # combiner counts -> hot-set broadcast -> stateless rebuild;
+        # exact unnest+window oracle
+        "doc_line_dedup": wt.line_dedup,
         "doc_lang_counts": ts.q_lang_counts,
         "corpus_token_stats": ts.corpus_token_stats,
         "doc_langid": ts.q_langid,
@@ -2476,5 +2483,108 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(b.j, 0.0) >= 0.5 AS contaminated_fuzzy
         FROM d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
         USING (doc_id)
+    """
+    # Gopher rule features (Rae et al. 2021 A1): exact int/int doubles;
+    # '//' keeps the '...' count integral (DuckDB '/' is float division)
+    sql["doc_gopher_quality"] = r"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 CASE WHEN length(trim(text)) = 0
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\s+')
+                 END AS words,
+                 string_split(text, chr(10)) AS lines
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+            len(words) AS n_words,
+            CASE WHEN len(words) = 0 THEN 0.0
+                 ELSE CAST(length(regexp_replace(text, '\s', '', 'g'))
+                           AS DOUBLE) / len(words)
+            END AS mean_word_len,
+            CASE WHEN len(words) = 0 THEN 0.0
+                 ELSE CAST((length(text) - length(replace(text, '#', '')))
+                         + (length(text) - length(replace(text, '…', '')))
+                         + (length(text)
+                            - length(replace(text, '...', ''))) // 3
+                        AS DOUBLE) / len(words)
+            END AS symbol_ratio,
+            CAST(len(list_filter(lines,
+                 l -> substr(ltrim(l, ' '), 1, 1)
+                      IN ('•', '‣', '▪', '-', '*')))
+                 AS DOUBLE) / len(lines) AS bullet_ratio,
+            CAST(len(list_filter(lines,
+                 l -> ends_with(rtrim(l, ' '), '...')
+                   OR ends_with(rtrim(l, ' '), '…')))
+                 AS DOUBLE) / len(lines) AS ellipsis_ratio,
+            CASE WHEN len(words) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(words,
+                      w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                      / len(words)
+            END AS alpha_word_ratio,
+            len(list_intersect(list_distinct(list_transform(words,
+                w -> trim(lower(w), '.,;:!?''"()'))),
+                ['the','be','to','of','and','that','have','with']))
+                AS n_req_stop
+          FROM base
+        )
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+               bullet_ratio, ellipsis_ratio, alpha_word_ratio,
+               n_req_stop,
+               (n_words BETWEEN 50 AND 100000
+                AND mean_word_len BETWEEN 3.0 AND 10.0
+                AND symbol_ratio < 0.1 AND bullet_ratio <= 0.9
+                AND ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+                AND n_req_stop >= 2) AS pass_gopher
+        FROM m
+    """
+    # corpus-wide duplicated-line removal over the derived multi-line
+    # view (reflow 12 words/line, boilerplate head on doc_id%3==0 /
+    # tail on doc_id%5==0 — mirrors webtext.lined_view_batch exactly)
+    sql["doc_line_dedup"] = r"""
+        WITH base AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\s+')
+                 END AS words
+          FROM documents
+        ), lined AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0
+                 THEN ['Subscribe to our newsletter']
+                 ELSE CAST([] AS VARCHAR[]) END
+            || CASE WHEN len(words) = 0 THEN ['']
+                 ELSE list_transform(
+                        range(1, CAST(ceil(len(words) / 12.0) AS BIGINT)
+                                 + 1),
+                        i -> array_to_string(
+                               words[((i-1)*12 + 1)
+                                     : least(i*12, len(words))], ' '))
+               END
+            || CASE WHEN doc_id % 5 = 0
+                 THEN ['All rights reserved. Terms of use apply.']
+                 ELSE CAST([] AS VARCHAR[]) END AS ls
+          FROM base
+        ), e AS (
+          SELECT doc_id, unnest(ls) AS line,
+                 unnest(range(1, len(ls) + 1)) AS pos FROM lined
+        ), c AS (
+          SELECT line, COUNT(DISTINCT doc_id) AS nd FROM e
+          WHERE trim(line, ' ' || chr(9) || chr(13)) <> ''
+          GROUP BY line
+        ), k AS (
+          SELECT e.doc_id, e.pos, e.line,
+                 (trim(e.line, ' ' || chr(9) || chr(13)) = ''
+                  OR COALESCE(c.nd, 0) <= 1) AS keep
+          FROM e LEFT JOIN c USING (line)
+        )
+        SELECT doc_id, COUNT(*) AS n_lines,
+               CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_dropped,
+               COALESCE(string_agg(CASE WHEN keep THEN line END,
+                                   chr(10) ORDER BY pos), '')
+                   AS text_clean
+        FROM k GROUP BY doc_id
     """
     return sql

@@ -155,6 +155,66 @@ def quality_batch(batch: pa.Table) -> pa.Table:
 
 
 # --------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models",
+# appendix A — the published repetition/format heuristics used to filter
+# MassiveWeb; here the per-document rule features plus the combined gate)
+# --------------------------------------------------------------------------
+
+_GOPHER_REQ_STOP = frozenset(
+    ("the", "be", "to", "of", "and", "that", "have", "with"))
+_GOPHER_BULLETS = ("•", "‣", "▪", "-", "*")
+
+
+def gopher_quality_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc Gopher rule features and the combined ``pass_gopher``
+    gate. All ratios are exact int/int doubles so an ANSI-SQL oracle
+    computing the same counts is bit-identical. Rules (thresholds per
+    the paper): 50 <= n_words <= 100000; 3 <= mean_word_len <= 10;
+    symbol-to-word ratio ('#', '…', '...') < 0.1; <= 90% of lines
+    bullet-led; <= 30% of lines ellipsis-ended; >= 80% of words
+    contain an ASCII letter; >= 2 distinct required stop words."""
+    texts = batch.column("text").to_pylist()
+    cols = {k: [] for k in (
+        "n_words", "mean_word_len", "symbol_ratio", "bullet_ratio",
+        "ellipsis_ratio", "alpha_word_ratio", "n_req_stop",
+        "pass_gopher")}
+    for t in texts:
+        t = t or ""
+        words = t.split()
+        nw = len(words)
+        lines = t.split("\n")
+        nl = len(lines)  # >= 1 always ('' -> [''])
+        mwl = (sum(len(w) for w in words) / nw) if nw else 0.0
+        symbols = t.count("#") + t.count("…") + t.count("...")
+        sym_r = symbols / nw if nw else 0.0
+        nb = sum(ln.lstrip(" ")[:1] in _GOPHER_BULLETS for ln in lines)
+        ne = sum(ln.rstrip(" ").endswith(("...", "…")) for ln in lines)
+        alpha_w = sum(
+            any("A" <= c <= "Z" or "a" <= c <= "z" for c in w)
+            for w in words)
+        alpha_r = alpha_w / nw if nw else 0.0
+        n_stop = len({w.lower().strip(".,;:!?'\"()") for w in words}
+                     & _GOPHER_REQ_STOP)
+        ok = (50 <= nw <= 100_000 and 3.0 <= mwl <= 10.0
+              and sym_r < 0.1 and nb / nl <= 0.9 and ne / nl <= 0.3
+              and alpha_r >= 0.8 and n_stop >= 2)
+        cols["n_words"].append(nw)
+        cols["mean_word_len"].append(mwl)
+        cols["symbol_ratio"].append(sym_r)
+        cols["bullet_ratio"].append(nb / nl)
+        cols["ellipsis_ratio"].append(ne / nl)
+        cols["alpha_word_ratio"].append(alpha_r)
+        cols["n_req_stop"].append(n_stop)
+        cols["pass_gopher"].append(ok)
+    out = {"doc_id": batch.column("doc_id")}
+    for k, v in cols.items():
+        typ = (pa.int64() if k in ("n_words", "n_req_stop")
+               else pa.bool_() if k == "pass_gopher" else pa.float64())
+        out[k] = pa.array(v, typ)
+    return pa.table(out)
+
+
+# --------------------------------------------------------------------------
 # document fingerprinting (rolling hash)
 # --------------------------------------------------------------------------
 
@@ -225,6 +285,12 @@ def q_tokencount(sf_dir: str):
 def q_quality(sf_dir: str):
     return documents_ds(sf_dir).map_batches(
         quality_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_gopher(sf_dir: str):
+    return documents_ds(sf_dir).map_batches(
+        gopher_quality_batch, batch_format="pyarrow",
+        zero_copy_batch=True)
 
 
 def q_langid(sf_dir: str):

@@ -1049,6 +1049,149 @@ def doc_snapshot_diff(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# corpus-wide duplicated-line removal (the CCNet/C4 boilerplate pass:
+# lines that recur across documents — nav menus, cookie banners,
+# share-button strings — are dropped everywhere they appear)
+# --------------------------------------------------------------------------
+
+_HOT_LINES_MAX = 2_000_000   # broadcast-side cap (rows, 8 bytes each)
+_LINE_BLANK = " \t\r"
+
+
+def _line_hash64(line: str) -> int:
+    """Stable signed-int64 hash of a line (blake2b-derived)."""
+    return int.from_bytes(
+        hashlib.blake2b(line.encode("utf-8", "surrogatepass"),
+                        digest_size=8).digest(), "big", signed=True)
+
+
+# deterministic boilerplate injected into the derived multi-line view
+# (the documents table is single-line; the view reflows it and plants
+# the nav/footer lines a real crawl carries, so the drop path is
+# exercised end to end — same injector convention as doc_snapshot_diff
+# and the mojibake check)
+_BOILER_HEAD = "Subscribe to our newsletter"
+_BOILER_TAIL = "All rights reserved. Terms of use apply."
+_LINE_WORDS = 12
+
+
+def lined_view_batch(batch: pa.Table) -> pa.Table:
+    """Derived multi-line corpus: reflow each doc into
+    ``_LINE_WORDS``-word lines ([''] for empty docs), prepend
+    ``_BOILER_HEAD`` when doc_id % 3 == 0, append ``_BOILER_TAIL``
+    when doc_id % 5 == 0."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    out = []
+    for d, t in zip(ids, texts):
+        words = (t or "").split()
+        lines = [" ".join(words[i:i + _LINE_WORDS])
+                 for i in range(0, len(words), _LINE_WORDS)] or [""]
+        if d % 3 == 0:
+            lines.insert(0, _BOILER_HEAD)
+        if d % 5 == 0:
+            lines.append(_BOILER_TAIL)
+        out.append("\n".join(lines))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(out, pa.string())})
+
+
+def line_dedup(sf_dir: str, max_docs: int = 1):
+    """Remove every NON-BLANK line that occurs in more than ``max_docs``
+    distinct documents (exact content match), rebuilding each doc from
+    its kept lines — per doc: ``n_lines``, ``n_dropped``,
+    ``text_clean``. Blank lines (only spaces/tabs/CR) never participate.
+    Runs over the :func:`lined_view_batch` derived corpus.
+
+    Scale shape: pass 1 ships 16-byte (line-hash, partial-count) rows
+    — per-block combiner first, so the ``groupby`` exchange carries one
+    row per distinct line per block, never line text. The hot set
+    (count > max_docs) is boilerplate — a vanishing fraction of
+    distinct lines — collected under an explicit count gate and
+    broadcast once as a sorted int64 array; pass 2 is a stateless
+    rebuild filter (one vectorized ``searchsorted`` per batch). For a
+    corpus whose hot set itself exceeds the gate, shard pass 1/2 by
+    ``hash % n_shards`` and run per shard."""
+    docs = _documents(sf_dir, ["doc_id", "text"]) \
+        .map_batches(lined_view_batch, batch_format="pyarrow",
+                     zero_copy_batch=True)
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        counts: dict[int, int] = {}
+        for t in batch.column("text").to_pylist():
+            seen: set[int] = set()
+            for ln in (t or "").split("\n"):
+                if ln.strip(_LINE_BLANK):
+                    seen.add(_line_hash64(ln))
+            for h in seen:
+                counts[h] = counts.get(h, 0) + 1
+        return pa.table({
+            "h": pa.array(list(counts.keys()), pa.int64()),
+            "c": pa.array(list(counts.values()), pa.int64())})
+
+    def _hot_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.greater(t.column("sum(c)"),
+                                   pa.scalar(max_docs)))
+
+    hot_ds = (docs.map_batches(partial_counts, batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .groupby("h").sum("c")
+              .map_batches(_hot_only, batch_format="pyarrow",
+                           zero_copy_batch=True))
+    n_hot = hot_ds.count()
+    if n_hot > _HOT_LINES_MAX:
+        raise RuntimeError(
+            f"line_dedup hot set {n_hot} exceeds broadcast cap "
+            f"{_HOT_LINES_MAX}; shard by hash % n_shards and run "
+            "per shard")
+    hot_parts = [t.column("h").to_numpy(zero_copy_only=False)
+                 for t in ray.get(hot_ds.select_columns(["h"])
+                                  .to_arrow_refs()) if t.num_rows]
+    hot = (np.sort(np.concatenate(hot_parts).astype(np.int64))
+           if hot_parts else np.empty(0, dtype=np.int64))
+    ref = ray.put(hot)
+
+    class _Rebuild:
+        def __init__(self, r):
+            self.hot = ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            doc_lines = [(t or "").split("\n") for t in texts]
+            # one flat hash array + one searchsorted per batch
+            flat, owners = [], []
+            for i, lines in enumerate(doc_lines):
+                for j, ln in enumerate(lines):
+                    if ln.strip(_LINE_BLANK):
+                        flat.append(_line_hash64(ln))
+                        owners.append((i, j))
+            drop_at: set[tuple[int, int]] = set()
+            if flat and self.hot.size:
+                arr = np.asarray(flat, dtype=np.int64)
+                pos = np.searchsorted(self.hot, arr)
+                pos[pos >= self.hot.size] = 0
+                for k in np.nonzero(self.hot[pos] == arr)[0]:
+                    drop_at.add(owners[int(k)])
+            o_n, o_d, o_t = [], [], []
+            for i, lines in enumerate(doc_lines):
+                kept = [ln for j, ln in enumerate(lines)
+                        if (i, j) not in drop_at]
+                o_n.append(len(lines))
+                o_d.append(len(lines) - len(kept))
+                o_t.append("\n".join(kept))
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_lines": pa.array(o_n, pa.int64()),
+                "n_dropped": pa.array(o_d, pa.int64()),
+                "text_clean": pa.array(o_t, pa.string())})
+
+    return docs.map_batches(_Rebuild, fn_constructor_args=(ref,),
+                            batch_format="pyarrow", concurrency=(1, 8))
+
+
+# --------------------------------------------------------------------------
 # distributed global shuffle rank
 # --------------------------------------------------------------------------
 

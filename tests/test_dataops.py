@@ -1118,3 +1118,97 @@ def test_corpus_diff_all_statuses(ray_session):
     got = {r["doc_id"]: r["status"]
            for r in corpus_diff(a, b).take_all()}
     assert got == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_gopher_quality_discriminates(ray_session, tmp_path):
+    """Real prose passes every Gopher rule; bullet spam, symbol spam
+    and too-short docs each fail their specific rule."""
+    from risjbot_ray.pipelines.textstats import q_gopher
+    prose = ("the quick brown fox jumps over that lazy dog with great "
+             "delight and it runs to be free of all the trouble it has "
+             "seen before in its long and winding life near the river "
+             "bank where tall green trees grow beside the old stone "
+             "bridge that many travellers have crossed with heavy packs")
+    bullets = "\n".join("• item number %d here" % i for i in range(10))
+    hashes = " ".join("#tag%d" % i for i in range(60))
+    sf = _write_docs(tmp_path, [
+        (1, prose),
+        (2, bullets),
+        (3, hashes),
+        (4, "too short to pass the gate"),
+    ])
+    df = q_gopher(sf).to_pandas().set_index("doc_id").sort_index()
+    assert bool(df.loc[1, "pass_gopher"])
+    assert df.loc[1, "n_req_stop"] >= 2
+    assert not bool(df.loc[2, "pass_gopher"])
+    assert df.loc[2, "bullet_ratio"] == 1.0
+    assert not bool(df.loc[3, "pass_gopher"])
+    assert df.loc[3, "symbol_ratio"] >= 0.1
+    assert not bool(df.loc[4, "pass_gopher"])
+    assert df.loc[4, "n_words"] < 50
+
+
+def test_gopher_features_exact():
+    """Feature values are exact int/int doubles on a hand-checked doc."""
+    import pyarrow as pa
+
+    from risjbot_ray.pipelines.textstats import gopher_quality_batch
+    t = "ab cd…\n• x...\nthe be"
+    out = gopher_quality_batch(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array([t], pa.string())})).to_pandas().iloc[0]
+    # words: ab cd… • x... the be (6); non-space chars 15
+    assert out.n_words == 6
+    assert out.mean_word_len == 15 / 6
+    # symbols: one '…' + one '...' = 2
+    assert out.symbol_ratio == 2 / 6
+    assert out.bullet_ratio == 1 / 3       # the '• x...' line
+    assert out.ellipsis_ratio == 2 / 3     # 'ab cd…' and '• x...'
+    assert out.alpha_word_ratio == 5 / 6   # all but '•'
+    assert out.n_req_stop == 2             # the, be
+    assert not out.pass_gopher
+
+
+def test_line_dedup_planted(ray_session, tmp_path):
+    """Boilerplate head/tail lines (injected on doc_id % 3 / % 5) and a
+    naturally repeated reflow line are dropped everywhere; unique lines
+    survive; empty docs come back empty."""
+    from risjbot_ray.pipelines.webtext import line_dedup
+    first12 = ("alpha beta gamma delta epsilon zeta eta theta iota "
+               "kappa lambda mu")
+    sf = _write_docs(tmp_path, [
+        (1, f"{first12} nu xi omicron"),
+        (2, f"{first12} pi rho sigma"),
+        (3, "tau upsilon phi"),
+        (5, "chi psi omega"),
+        (15, "digamma qoppa sampi"),
+        (7, ""),
+    ])
+    df = line_dedup(sf).to_pandas().set_index("doc_id").sort_index()
+    # shared 12-word reflow line dropped from both 1 and 2
+    assert df.loc[1, "text_clean"] == "nu xi omicron"
+    assert df.loc[2, "text_clean"] == "pi rho sigma"
+    assert df.loc[1, "n_lines"] == 2 and df.loc[1, "n_dropped"] == 1
+    # head boilerplate (docs 3 and 15) and tail (docs 5 and 15) dropped
+    assert df.loc[3, "text_clean"] == "tau upsilon phi"
+    assert df.loc[5, "text_clean"] == "chi psi omega"
+    assert df.loc[15, "text_clean"] == "digamma qoppa sampi"
+    assert df.loc[15, "n_lines"] == 3 and df.loc[15, "n_dropped"] == 2
+    # empty doc: single blank line, kept (blank lines never participate)
+    assert df.loc[7, "n_lines"] == 1 and df.loc[7, "n_dropped"] == 0
+    assert df.loc[7, "text_clean"] == ""
+
+
+def test_line_dedup_same_doc_repeat_kept(ray_session, tmp_path):
+    """A line repeated only WITHIN one doc stays (distinct-doc
+    semantics): max_docs counts documents, not occurrences."""
+    from risjbot_ray.pipelines.webtext import line_dedup
+    twelve = "one two three four five six seven eight nine ten eleven " \
+             "twelve"
+    sf = _write_docs(tmp_path, [
+        (1, f"{twelve} {twelve}"),      # reflows to the same line twice
+        (2, "entirely different words here"),
+    ])
+    df = line_dedup(sf).to_pandas().set_index("doc_id")
+    assert df.loc[1, "n_dropped"] == 0
+    assert df.loc[1, "text_clean"] == f"{twelve}\n{twelve}"
