@@ -913,6 +913,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # combiner counts -> hot-set broadcast -> stateless rebuild;
         # exact unnest+window oracle
         "doc_line_dedup": wt.line_dedup,
+        # C4 line-level cleaning rules (terminal punct / >=5 words /
+        # javascript / lorem / brace); stateless streaming pass,
+        # exact list_filter oracle
+        "doc_c4_clean": wt.c4_clean,
         "doc_lang_counts": ts.q_lang_counts,
         "corpus_token_stats": ts.corpus_token_stats,
         "doc_langid": ts.q_langid,
@@ -2586,5 +2590,59 @@ def oracle_sql() -> dict[str, str]:
                                    chr(10) ORDER BY pos), '')
                    AS text_clean
         FROM k GROUP BY doc_id
+    """
+    # C4 line-level cleaning rules over the same derived lined view;
+    # list_filter preserves order so text_clean needs no unnest
+    sql["doc_c4_clean"] = r"""
+        WITH base AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\s+')
+                 END AS words
+          FROM documents
+        ), lined AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0
+                 THEN ['Subscribe to our newsletter']
+                 ELSE CAST([] AS VARCHAR[]) END
+            || CASE WHEN len(words) = 0 THEN ['']
+                 ELSE list_transform(
+                        range(1, CAST(ceil(len(words) / 12.0) AS BIGINT)
+                                 + 1),
+                        i -> array_to_string(
+                               words[((i-1)*12 + 1)
+                                     : least(i*12, len(words))], ' '))
+               END
+            || CASE WHEN doc_id % 5 = 0
+                 THEN ['All rights reserved. Terms of use apply.']
+                 ELSE CAST([] AS VARCHAR[]) END AS ls
+          FROM base
+        ), f AS (
+          SELECT doc_id, ls,
+                 array_to_string(ls, chr(10)) AS txt,
+                 list_filter(ls, l ->
+                   (ends_with(rtrim(l, ' '), '.')
+                    OR ends_with(rtrim(l, ' '), '!')
+                    OR ends_with(rtrim(l, ' '), '?')
+                    OR ends_with(rtrim(l, ' '), '"'))
+                   AND (CASE WHEN length(trim(l, ' ' || chr(9)
+                                              || chr(13))) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(
+                               trim(l, ' ' || chr(9) || chr(13)),
+                               '\s+')) END) >= 5
+                   AND NOT contains(lower(l), 'javascript')) AS kept
+          FROM lined
+        )
+        SELECT doc_id,
+               len(ls) AS n_lines,
+               len(kept) AS n_kept,
+               contains(lower(txt), 'lorem ipsum') AS has_lorem,
+               contains(txt, '{') AS has_brace,
+               (len(kept) >= 3
+                AND NOT contains(lower(txt), 'lorem ipsum')
+                AND NOT contains(txt, '{')) AS keep_doc,
+               array_to_string(kept, chr(10)) AS text_clean
+        FROM f
     """
     return sql

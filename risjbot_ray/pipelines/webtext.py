@@ -1096,6 +1096,55 @@ def lined_view_batch(batch: pa.Table) -> pa.Table:
                      "text": pa.array(out, pa.string())})
 
 
+_C4_TERMINAL = (".", "!", "?", '"')
+_C4_MIN_LINE_WORDS = 5
+_C4_MIN_KEPT_LINES = 3
+
+
+def c4_clean_batch(batch: pa.Table) -> pa.Table:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) per doc of the lined
+    view: keep lines that end in terminal punctuation, have >= 5 words
+    and don't mention 'javascript'; flag docs containing 'lorem ipsum'
+    or '{'; ``keep_doc`` iff >= 3 kept lines and neither flag."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    cols = {k: [] for k in ("n_lines", "n_kept", "has_lorem",
+                            "has_brace", "keep_doc", "text_clean")}
+    for t in texts:
+        t = t or ""
+        lines = t.split("\n")
+        kept = [ln for ln in lines
+                if ln.rstrip(" ").endswith(_C4_TERMINAL)
+                and len(ln.split()) >= _C4_MIN_LINE_WORDS
+                and "javascript" not in ln.lower()]
+        lorem = "lorem ipsum" in t.lower()
+        brace = "{" in t
+        cols["n_lines"].append(len(lines))
+        cols["n_kept"].append(len(kept))
+        cols["has_lorem"].append(lorem)
+        cols["has_brace"].append(brace)
+        cols["keep_doc"].append(
+            len(kept) >= _C4_MIN_KEPT_LINES and not lorem and not brace)
+        cols["text_clean"].append("\n".join(kept))
+    out = {"doc_id": pa.array(ids, pa.int64())}
+    for k, v in cols.items():
+        typ = (pa.int64() if k in ("n_lines", "n_kept")
+               else pa.string() if k == "text_clean" else pa.bool_())
+        out[k] = pa.array(v, typ)
+    return pa.table(out)
+
+
+def c4_clean(sf_dir: str):
+    """C4 line-level cleaning over the :func:`lined_view_batch` derived
+    corpus — one stateless fully-streaming ``map_batches`` pass, no
+    shuffle, no state."""
+    return (_documents(sf_dir, ["doc_id", "text"])
+            .map_batches(lined_view_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(c4_clean_batch, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
 def line_dedup(sf_dir: str, max_docs: int = 1):
     """Remove every NON-BLANK line that occurs in more than ``max_docs``
     distinct documents (exact content match), rebuilding each doc from

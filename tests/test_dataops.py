@@ -1212,3 +1212,51 @@ def test_line_dedup_same_doc_repeat_kept(ray_session, tmp_path):
     df = line_dedup(sf).to_pandas().set_index("doc_id")
     assert df.loc[1, "n_dropped"] == 0
     assert df.loc[1, "text_clean"] == f"{twelve}\n{twelve}"
+
+
+def test_c4_clean_rules(ray_session, tmp_path):
+    """C4 line rules discriminate: punctuated >=5-word prose lines
+    survive; unpunctuated, short and javascript lines are dropped;
+    lorem-ipsum and brace docs are rejected wholesale."""
+    import pyarrow as pa
+
+    from risjbot_ray.pipelines.webtext import c4_clean_batch
+    good = ("This is a proper first sentence of prose.\n"
+            "Here comes another full sentence with enough words.\n"
+            "And a third complete sentence closes the document.")
+    mixed = ("no terminal punctuation on this line\n"
+             "Too short.\n"
+             "Please enable javascript to view this page.\n"
+             "Only this well formed sentence actually survives here.")
+    lorem = ("One proper sentence stands right here today.\n"
+             "Lorem ipsum dolor sit amet, consectetur adipiscing elit.\n"
+             "A third full sentence would otherwise keep the doc.")
+    brace = "A sentence with code { return 0; } inside it stays not."
+    out = c4_clean_batch(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([good, mixed, lorem, brace], pa.string()),
+    })).to_pandas().set_index("doc_id")
+    assert bool(out.loc[1, "keep_doc"]) and out.loc[1, "n_kept"] == 3
+    assert out.loc[1, "text_clean"] == good
+    assert out.loc[2, "n_kept"] == 1
+    assert (out.loc[2, "text_clean"]
+            == "Only this well formed sentence actually survives here.")
+    assert not bool(out.loc[2, "keep_doc"])
+    assert bool(out.loc[3, "has_lorem"]) and not bool(
+        out.loc[3, "keep_doc"])
+    assert bool(out.loc[4, "has_brace"]) and not bool(
+        out.loc[4, "keep_doc"])
+
+
+def test_c4_clean_e2e(ray_session, tmp_path):
+    """End-to-end over the derived lined view: the injected boilerplate
+    tail (ends in '.', 7 words) survives the line rules while the
+    unpunctuated reflow lines drop."""
+    from risjbot_ray.pipelines.webtext import c4_clean
+    sf = _write_docs(tmp_path, [
+        (5, "just a bag of words with no punctuation at all here"),
+    ])
+    df = c4_clean(sf).to_pandas().set_index("doc_id")
+    assert df.loc[5, "n_kept"] == 1
+    assert df.loc[5, "text_clean"] == \
+        "All rights reserved. Terms of use apply."
