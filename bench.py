@@ -228,9 +228,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         from risjbot_ray.testsupport.docgen import gen_docs_corpus
         n_docs = int(os.environ.get("GRAFT_DOCS_N", 100_000))
         docs_root = gen_docs_corpus(n_docs)
+        from risjbot_ray.pipelines import dedup as dedup_mod
+        from risjbot_ray.pipelines import textstats as ts_wt
         for name, fn in (("tile_dedup", webtext.tile_dedup),
                          ("curate_corpus", webtext.curate_corpus),
-                         ("quality_rank", webtext.quality_rank)):
+                         ("quality_rank", webtext.quality_rank),
+                         ("line_dedup", webtext.line_dedup),
+                         ("c4_clean", webtext.c4_clean),
+                         ("gopher_quality", ts_wt.q_gopher),
+                         ("decontaminate_fuzzy",
+                          dedup_mod.decontaminate_fuzzy)):
             out = f"/tmp/bench_wt_{name}"
             shutil.rmtree(out, ignore_errors=True)
             t0 = time.time()

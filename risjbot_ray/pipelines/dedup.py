@@ -1297,14 +1297,14 @@ def decontaminate_fuzzy(sf_dir: str, threshold: float = 0.5):
     shares no shingle with any benchmark doc) and a ``contaminated_fuzzy``
     flag at ``threshold``.
 
-    Scale shape: the benchmark side is an external eval suite (hundreds
-    to low thousands of docs), broadcast ONCE as sorted hash arrays; the
-    corpus streams through a stateless probe. A union-of-bench-grams
-    prefilter skips the per-bench loop for the overwhelming majority of
-    docs that share no shingle at all, so per-doc cost is one sorted
-    membership test; only prefilter survivors pay O(#bench) set
-    intersections (for very large suites, add the minhash band prefilter
-    from :func:`minhash_candidate_pairs` in front)."""
+    Scale shape: the benchmark side is an external eval suite (small and
+    fixed regardless of corpus size), broadcast ONCE as an inverted
+    shingle index — sorted gram vocabulary + flattened posting lists of
+    bench-doc indices. The corpus streams through a stateless probe:
+    per doc, ONE ``searchsorted`` into the vocabulary, one ragged
+    posting gather, one ``bincount`` — intersection counts against ALL
+    bench docs at once, O(doc_grams x avg_postings) with no per-bench
+    loop, so cost is independent of suite size for the typical doc."""
     from .webtext import BENCH_MOD
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
@@ -1332,35 +1332,60 @@ def decontaminate_fuzzy(sf_dir: str, threshold: float = 0.5):
                 bench.append((int(bid),
                               np.asarray(sh, dtype=np.uint64)))
     bench.sort()
-    union = (np.unique(np.concatenate([a for _, a in bench]))
-             if bench else np.empty(0, dtype=np.uint64))
-    ref = ray.put((bench, union))
+    # inverted shingle index: sorted vocab + flattened posting lists of
+    # bench positions (bench is id-sorted, so "first max" = smallest id)
+    bench_ids = np.asarray([b for b, _ in bench], dtype=np.int64)
+    bench_sizes = np.asarray([a.size for _, a in bench], dtype=np.int64)
+    if bench:
+        flat = np.concatenate([a for _, a in bench])
+        owner = np.repeat(np.arange(len(bench), dtype=np.int32),
+                          bench_sizes)
+        order = np.argsort(flat, kind="stable")
+        flat, owner = flat[order], owner[order]
+        vocab, start = np.unique(flat, return_index=True)
+        post_off = np.append(start, flat.size).astype(np.int64)
+    else:
+        vocab = np.empty(0, dtype=np.uint64)
+        owner = np.empty(0, dtype=np.int32)
+        post_off = np.zeros(1, dtype=np.int64)
+    ref = ray.put((bench_ids, bench_sizes, vocab, post_off, owner))
 
     class _Probe:
         def __init__(self, r):
-            self.bench, self.union = ray.get(r)
+            (self.bench_ids, self.bench_sizes, self.vocab,
+             self.post_off, self.owner) = ray.get(r)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             ids = b.column("doc_id").to_pylist()
             texts = b.column("text").to_pylist()
             o_id, o_j, o_b = [], [], []
+            n_bench = self.bench_ids.size
             for did, t in zip(ids, texts):
                 if did % BENCH_MOD == 0:
                     continue
                 grams = _shingle_hashes(t or "")
                 best_j, best_b = 0.0, -1
-                if self.union.size:
-                    pos = np.searchsorted(self.union, grams)
-                    pos[pos >= self.union.size] = 0
-                    if bool((self.union[pos] == grams).any()):
-                        for bid, arr in self.bench:
-                            inter = np.intersect1d(
-                                grams, arr, assume_unique=True).size
-                            if not inter:
-                                continue
-                            j = inter / (grams.size + arr.size - inter)
-                            if j > best_j:
-                                best_j, best_b = j, bid
+                if self.vocab.size:
+                    pos = np.searchsorted(self.vocab, grams)
+                    pos[pos >= self.vocab.size] = 0
+                    hit = pos[self.vocab[pos] == grams]
+                    if hit.size:
+                        starts = self.post_off[hit]
+                        lens = self.post_off[hit + 1] - starts
+                        total = int(lens.sum())
+                        offs = np.concatenate(
+                            ([0], np.cumsum(lens)[:-1]))
+                        flat_ix = (np.arange(total)
+                                   - np.repeat(offs, lens)
+                                   + np.repeat(starts, lens))
+                        inter = np.bincount(self.owner[flat_ix],
+                                            minlength=n_bench)
+                        j = inter / (grams.size + self.bench_sizes
+                                     - inter)
+                        k = int(np.argmax(j))
+                        if j[k] > 0.0:
+                            best_j = float(j[k])
+                            best_b = int(self.bench_ids[k])
                 o_id.append(did)
                 o_j.append(best_j)
                 o_b.append(best_b)

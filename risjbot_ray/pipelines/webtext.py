@@ -1058,11 +1058,28 @@ _HOT_LINES_MAX = 2_000_000   # broadcast-side cap (rows, 8 bytes each)
 _LINE_BLANK = " \t\r"
 
 
-def _line_hash64(line: str) -> int:
-    """Stable signed-int64 hash of a line (blake2b-derived)."""
-    return int.from_bytes(
-        hashlib.blake2b(line.encode("utf-8", "surrogatepass"),
-                        digest_size=8).digest(), "big", signed=True)
+def _split_lines(text_col: pa.ChunkedArray | pa.Array):
+    """Vectorized '\\n' split of a string column. Returns
+    ``(values, offsets, blank)``: the flat line array, per-doc int64
+    offsets into it, and a bool numpy mask of blank lines (only
+    spaces/tabs/CR — these never participate in dedup)."""
+    import pyarrow.compute as pc
+    col = (text_col.combine_chunks()
+           if isinstance(text_col, pa.ChunkedArray) else text_col)
+    lst = pc.split_pattern(col, pattern="\n")
+    values = lst.values
+    offsets = np.asarray(lst.offsets, dtype=np.int64)
+    blank = np.asarray(
+        pc.equal(pc.utf8_trim(values, _LINE_BLANK), ""))
+    return values, offsets, blank
+
+
+def _line_hashes(values: pa.Array) -> np.ndarray:
+    """64-bit content hashes of a flat line array (polars xxhash with a
+    fixed seed — deterministic across processes; used only INTERNALLY
+    between the two passes, never persisted)."""
+    import polars as pl
+    return pl.from_arrow(values).hash(seed=0).to_numpy().view(np.int64)
 
 
 # deterministic boilerplate injected into the derived multi-line view
@@ -1158,86 +1175,151 @@ def line_dedup(sf_dir: str, max_docs: int = 1):
     (count > max_docs) is boilerplate — a vanishing fraction of
     distinct lines — collected under an explicit count gate and
     broadcast once as a sorted int64 array; pass 2 is a stateless
-    rebuild filter (one vectorized ``searchsorted`` per batch). For a
-    corpus whose hot set itself exceeds the gate, shard pass 1/2 by
-    ``hash % n_shards`` and run per shard."""
+    rebuild filter (one vectorized ``searchsorted`` per batch). Both
+    passes are loop-free: Arrow ``split_pattern`` + a vectorized
+    64-bit string hash + structured ``np.unique`` for per-doc-distinct,
+    and an Arrow ``binary_join`` rebuild. For a corpus whose hot set
+    itself exceeds the gate, shard pass 1/2 by ``hash % n_shards`` and
+    run per shard."""
     docs = _documents(sf_dir, ["doc_id", "text"]) \
         .map_batches(lined_view_batch, batch_format="pyarrow",
                      zero_copy_batch=True)
+    return line_dedup_over(docs, max_docs=max_docs)
+
+
+def line_dedup_over(docs: "ray.data.Dataset", max_docs: int = 1,
+                    driver_merge_rows: int = 5_000_000):
+    """Core of :func:`line_dedup` over any (doc_id, text) Dataset whose
+    text is already multi-line.
+
+    The hot-set reduce is size-gated (same convention as the frontier
+    cutoff reduce, ``pipelines/crawl.py`` ``_compute_cutoffs``): partial
+    (hash, count) volume at or under ``driver_merge_rows`` (~24 bytes a
+    row) merges driver-side in one ``np.unique`` — Ray's sort-based
+    groupby costs seconds of fixed all-to-all overhead that dwarfs the
+    actual work at this size — while anything larger takes the
+    coarse-bucketed ``map_groups`` shuffle. Pass ``driver_merge_rows=0``
+    at extreme scale to stream straight into the shuffle without
+    materializing the partials."""
+    import pyarrow.compute as pc
 
     def partial_counts(batch: pa.Table) -> pa.Table:
-        counts: dict[int, int] = {}
-        for t in batch.column("text").to_pylist():
-            seen: set[int] = set()
-            for ln in (t or "").split("\n"):
-                if ln.strip(_LINE_BLANK):
-                    seen.add(_line_hash64(ln))
-            for h in seen:
-                counts[h] = counts.get(h, 0) + 1
+        values, offsets, blank = _split_lines(batch.column("text"))
+        doc_ix = np.repeat(
+            np.arange(batch.num_rows, dtype=np.uint64),
+            np.diff(offsets))
+        h = _line_hashes(values)
+        nz = ~blank
+        # per-doc-distinct then per-block counts per hash — both via
+        # lexsort + boundary masks (much cheaper than structured
+        # np.unique's void-dtype sort)
+        hd = h[nz].view(np.uint64)
+        dd = doc_ix[nz]
+        order = np.lexsort((dd, hd))
+        hd, dd = hd[order], dd[order]
+        if hd.size:
+            new = np.empty(hd.size, dtype=bool)
+            new[0] = True
+            new[1:] = (hd[1:] != hd[:-1]) | (dd[1:] != dd[:-1])
+            hu = hd[new]                       # distinct pairs, h-sorted
+            hb = np.empty(hu.size, dtype=bool)
+            hb[0] = True
+            hb[1:] = hu[1:] != hu[:-1]
+            starts = np.flatnonzero(hb)
+            hh = hu[starts]
+            cc = np.diff(np.append(starts, hu.size))
+        else:
+            hh = np.empty(0, dtype=np.uint64)
+            cc = np.empty(0, dtype=np.int64)
         return pa.table({
-            "h": pa.array(list(counts.keys()), pa.int64()),
-            "c": pa.array(list(counts.values()), pa.int64())})
+            "h": pa.array(hh.view(np.int64), pa.int64()),
+            "c": pa.array(cc.astype(np.int64), pa.int64()),
+            # coarse bucket key: the exchange sorts 128 small ints, not
+            # 64-bit hashes (same shape as tile_dedup's winner shuffle)
+            "bucket": pa.array((hh & np.uint64(127)).astype(np.int64),
+                               pa.int64())})
 
-    def _hot_only(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        return t.filter(pc.greater(t.column("sum(c)"),
-                                   pa.scalar(max_docs)))
+    def _sum_filter(df):
+        import pandas as pd
+        h = df["h"].to_numpy()
+        c = df["c"].to_numpy()
+        hh, inv = np.unique(h, return_inverse=True)
+        tot = np.bincount(inv, weights=c).astype(np.int64)
+        sel = tot > max_docs
+        return pd.DataFrame({"h": hh[sel]})
 
-    hot_ds = (docs.map_batches(partial_counts, batch_format="pyarrow",
-                               zero_copy_batch=True)
-              .groupby("h").sum("c")
-              .map_batches(_hot_only, batch_format="pyarrow",
-                           zero_copy_batch=True))
-    n_hot = hot_ds.count()
-    if n_hot > _HOT_LINES_MAX:
-        raise RuntimeError(
-            f"line_dedup hot set {n_hot} exceeds broadcast cap "
-            f"{_HOT_LINES_MAX}; shard by hash % n_shards and run "
-            "per shard")
-    hot_parts = [t.column("h").to_numpy(zero_copy_only=False)
-                 for t in ray.get(hot_ds.select_columns(["h"])
-                                  .to_arrow_refs()) if t.num_rows]
-    hot = (np.sort(np.concatenate(hot_parts).astype(np.int64))
-           if hot_parts else np.empty(0, dtype=np.int64))
-    ref = ray.put(hot)
+    parts = docs.map_batches(partial_counts, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    if driver_merge_rows > 0:
+        parts = parts.materialize()
+    if driver_merge_rows > 0 and parts.count() <= driver_merge_rows:
+        tabs = [t for t in ray.get(parts.to_arrow_refs())
+                if t.num_rows]
+        if tabs:
+            hcat = np.concatenate(
+                [t.column("h").to_numpy(zero_copy_only=False)
+                 for t in tabs])
+            ccat = np.concatenate(
+                [t.column("c").to_numpy(zero_copy_only=False)
+                 for t in tabs])
+            order = np.argsort(hcat, kind="stable")
+            hs, cs = hcat[order], ccat[order]
+            nb = np.empty(hs.size, dtype=bool)
+            nb[0] = True
+            nb[1:] = hs[1:] != hs[:-1]
+            starts = np.flatnonzero(nb)
+            tot = np.add.reduceat(cs, starts)
+            hot = hs[starts][tot > max_docs]   # sorted by construction
+        else:
+            hot = np.empty(0, dtype=np.int64)
+    else:
+        # materialize the POST-aggregation hot set (boilerplate lines
+        # only — kilorows) so count() + collect don't re-execute
+        hot_ds = parts.groupby("bucket").map_groups(
+            _sum_filter).materialize()
+        n_hot = hot_ds.count()
+        if n_hot > _HOT_LINES_MAX:
+            raise RuntimeError(
+                f"line_dedup hot set {n_hot} exceeds broadcast cap "
+                f"{_HOT_LINES_MAX}; shard by hash % n_shards and run "
+                "per shard")
+        hot_parts = [t.column("h").to_numpy(zero_copy_only=False)
+                     for t in ray.get(hot_ds.select_columns(["h"])
+                                      .to_arrow_refs()) if t.num_rows]
+        hot = (np.sort(np.concatenate(hot_parts).astype(np.int64))
+               if hot_parts else np.empty(0, dtype=np.int64))
+    ref = ray.put(np.ascontiguousarray(hot))
 
-    class _Rebuild:
-        def __init__(self, r):
-            self.hot = ray.get(r)
+    # task pool, not actors: the only state is the broadcast hot array,
+    # and ray.get of a plasma numpy array is zero-copy per task —
+    # cheaper than paying actor-pool spawn latency for a stateless map
+    def _rebuild(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        hot_arr = ray.get(_ref)
+        values, offsets, blank = _split_lines(batch.column("text"))
+        n_lines = np.diff(offsets)
+        doc_ix = np.repeat(
+            np.arange(batch.num_rows, dtype=np.int64), n_lines)
+        keep = np.ones(len(values), dtype=bool)
+        if hot_arr.size and len(values):
+            h = _line_hashes(values)
+            pos = np.searchsorted(hot_arr, h)
+            pos[pos >= hot_arr.size] = 0
+            keep = blank | (hot_arr[pos] != h)
+        kept_counts = np.bincount(
+            doc_ix[keep], minlength=batch.num_rows).astype(np.int64)
+        new_off = np.concatenate(
+            ([0], np.cumsum(kept_counts))).astype(np.int64)
+        kept_lines = pa.LargeListArray.from_arrays(
+            pa.array(new_off, pa.int64()),
+            values.filter(pa.array(keep)))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_dropped": pa.array(n_lines - kept_counts, pa.int64()),
+            "text_clean": pc.binary_join(kept_lines, "\n")})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column("doc_id").to_pylist()
-            texts = batch.column("text").to_pylist()
-            doc_lines = [(t or "").split("\n") for t in texts]
-            # one flat hash array + one searchsorted per batch
-            flat, owners = [], []
-            for i, lines in enumerate(doc_lines):
-                for j, ln in enumerate(lines):
-                    if ln.strip(_LINE_BLANK):
-                        flat.append(_line_hash64(ln))
-                        owners.append((i, j))
-            drop_at: set[tuple[int, int]] = set()
-            if flat and self.hot.size:
-                arr = np.asarray(flat, dtype=np.int64)
-                pos = np.searchsorted(self.hot, arr)
-                pos[pos >= self.hot.size] = 0
-                for k in np.nonzero(self.hot[pos] == arr)[0]:
-                    drop_at.add(owners[int(k)])
-            o_n, o_d, o_t = [], [], []
-            for i, lines in enumerate(doc_lines):
-                kept = [ln for j, ln in enumerate(lines)
-                        if (i, j) not in drop_at]
-                o_n.append(len(lines))
-                o_d.append(len(lines) - len(kept))
-                o_t.append("\n".join(kept))
-            return pa.table({
-                "doc_id": pa.array(ids, pa.int64()),
-                "n_lines": pa.array(o_n, pa.int64()),
-                "n_dropped": pa.array(o_d, pa.int64()),
-                "text_clean": pa.array(o_t, pa.string())})
-
-    return docs.map_batches(_Rebuild, fn_constructor_args=(ref,),
-                            batch_format="pyarrow", concurrency=(1, 8))
+    return docs.map_batches(_rebuild, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 # --------------------------------------------------------------------------
