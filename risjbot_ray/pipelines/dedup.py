@@ -1289,6 +1289,40 @@ def minhash_cluster_keep(sf_dir: str, threshold: float = 0.7):
 # n-gram matching misses lightly-edited benchmark copies)
 # --------------------------------------------------------------------------
 
+_SHINGLE_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _shingle_hash_batch(texts: list[str], k: int = 3) -> list[np.ndarray]:
+    """Vectorized k-token shingle hashes for a whole batch: ONE string
+    hash call over all tokens (polars, fixed seed), then a numpy
+    sliding multiply-xor mix per doc. Same padding convention as
+    :func:`_shingle_hashes` (docs shorter than k pad with '∅' so an
+    empty doc still has exactly one shingle), but a different hash
+    function — used only where hashes stand in for shingle IDENTITY
+    (set intersection/Jaccard), never where hash VALUES matter (MinHash
+    signatures keep the blake2b path)."""
+    import polars as pl
+    padded = []
+    for t in texts:
+        tl = _tokens(t or "")
+        if len(tl) < k:
+            tl = tl + ["∅"] * (k - len(tl))
+        padded.append(tl)
+    all_toks = [w for tl in padded for w in tl]
+    th = pl.Series(all_toks).hash(seed=0).to_numpy()
+    out, pos = [], 0
+    for tl in padded:
+        n = len(tl)
+        h = th[pos:pos + n]
+        pos += n
+        m = n - k + 1
+        acc = h[:m].copy()
+        for j in range(1, k):
+            acc = (acc * _SHINGLE_MIX) ^ h[j:j + m]
+        out.append(np.unique(acc))
+    return out
+
+
 def decontaminate_fuzzy(sf_dir: str, threshold: float = 0.5):
     """Per non-benchmark document: the maximum exact 3-shingle Jaccard
     against ANY benchmark document (``doc_id % BENCH_MOD == 0`` stands in
@@ -1313,14 +1347,13 @@ def decontaminate_fuzzy(sf_dir: str, threshold: float = 0.5):
     def _bench_sets(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_pylist()
         texts = b.column("text").to_pylist()
-        out_id, out_sh = [], []
-        for did, t in zip(ids, texts):
-            if did % BENCH_MOD == 0:
-                out_id.append(did)
-                out_sh.append(_shingle_hashes(t or "").tolist())
+        sel = [(did, t) for did, t in zip(ids, texts)
+               if did % BENCH_MOD == 0]
+        hashes = _shingle_hash_batch([t for _, t in sel])
         return pa.table({
-            "bench_id": pa.array(out_id, pa.int64()),
-            "sh": pa.array(out_sh, pa.list_(pa.uint64()))})
+            "bench_id": pa.array([d for d, _ in sel], pa.int64()),
+            "sh": pa.array([h.tolist() for h in hashes],
+                           pa.list_(pa.uint64()))})
 
     bench: list[tuple[int, np.ndarray]] = []
     for t in ray.get(docs.map_batches(_bench_sets,
@@ -1358,37 +1391,59 @@ def decontaminate_fuzzy(sf_dir: str, threshold: float = 0.5):
         def __call__(self, b: pa.Table) -> pa.Table:
             ids = b.column("doc_id").to_pylist()
             texts = b.column("text").to_pylist()
-            o_id, o_j, o_b = [], [], []
+            sel = [(did, t) for did, t in zip(ids, texts)
+                   if did % BENCH_MOD != 0]
+            gram_sets = _shingle_hash_batch([t for _, t in sel])
+            n_sel = len(sel)
             n_bench = self.bench_ids.size
-            for did, t in zip(ids, texts):
-                if did % BENCH_MOD == 0:
-                    continue
-                grams = _shingle_hashes(t or "")
-                best_j, best_b = 0.0, -1
-                if self.vocab.size:
-                    pos = np.searchsorted(self.vocab, grams)
-                    pos[pos >= self.vocab.size] = 0
-                    hit = pos[self.vocab[pos] == grams]
-                    if hit.size:
-                        starts = self.post_off[hit]
-                        lens = self.post_off[hit + 1] - starts
-                        total = int(lens.sum())
-                        offs = np.concatenate(
-                            ([0], np.cumsum(lens)[:-1]))
-                        flat_ix = (np.arange(total)
-                                   - np.repeat(offs, lens)
-                                   + np.repeat(starts, lens))
-                        inter = np.bincount(self.owner[flat_ix],
-                                            minlength=n_bench)
-                        j = inter / (grams.size + self.bench_sizes
-                                     - inter)
-                        k = int(np.argmax(j))
-                        if j[k] > 0.0:
-                            best_j = float(j[k])
-                            best_b = int(self.bench_ids[k])
-                o_id.append(did)
-                o_j.append(best_j)
-                o_b.append(best_b)
+            # whole-batch probe: one searchsorted, one ragged posting
+            # gather, one (doc, bench) key sort, one lexsort winner pick
+            o_j = np.zeros(n_sel, dtype=np.float64)
+            o_b = np.full(n_sel, -1, dtype=np.int64)
+            if self.vocab.size and n_sel:
+                glens = np.asarray([g.size for g in gram_sets],
+                                   dtype=np.int64)
+                cat = (np.concatenate(gram_sets) if glens.sum()
+                       else np.empty(0, dtype=np.uint64))
+                doc_of = np.repeat(np.arange(n_sel, dtype=np.int64),
+                                   glens)
+                pos = np.searchsorted(self.vocab, cat)
+                pos[pos >= self.vocab.size] = 0
+                ok = self.vocab[pos] == cat
+                vix, dix = pos[ok], doc_of[ok]
+                if vix.size:
+                    starts = self.post_off[vix]
+                    plens = self.post_off[vix + 1] - starts
+                    total = int(plens.sum())
+                    offs = np.concatenate(([0], np.cumsum(plens)[:-1]))
+                    flat_ix = (np.arange(total)
+                               - np.repeat(offs, plens)
+                               + np.repeat(starts, plens))
+                    hit_doc = np.repeat(dix, plens)
+                    hit_bench = self.owner[flat_ix].astype(np.int64)
+                    key = hit_doc * n_bench + hit_bench
+                    key.sort()
+                    nb = np.empty(key.size, dtype=bool)
+                    nb[0] = True
+                    nb[1:] = key[1:] != key[:-1]
+                    kstarts = np.flatnonzero(nb)
+                    inter = np.diff(np.append(kstarts, key.size))
+                    uk = key[kstarts]
+                    d = uk // n_bench
+                    bb = uk - d * n_bench
+                    j = inter / (glens[d] + self.bench_sizes[bb]
+                                 - inter)
+                    # winner per doc: j desc, bench index (= id) asc
+                    order = np.lexsort((bb, -j, d))
+                    ds_, js_, bs_ = d[order], j[order], bb[order]
+                    first = np.empty(ds_.size, dtype=bool)
+                    first[0] = True
+                    first[1:] = ds_[1:] != ds_[:-1]
+                    o_j[ds_[first]] = js_[first]
+                    o_b[ds_[first]] = self.bench_ids[bs_[first]]
+            o_id = [did for did, _ in sel]
+            o_j = o_j.tolist()
+            o_b = o_b.tolist()
             return pa.table({
                 "doc_id": pa.array(o_id, pa.int64()),
                 # half_towards_infinity == SQL ROUND's half-away-from-zero
@@ -1402,4 +1457,4 @@ def decontaminate_fuzzy(sf_dir: str, threshold: float = 0.5):
                     [j >= threshold for j in o_j], pa.bool_())})
 
     return docs.map_batches(_Probe, fn_constructor_args=(ref,),
-                            batch_format="pyarrow", concurrency=(1, 8))
+                            batch_format="pyarrow", concurrency=(1, 16))

@@ -1066,7 +1066,8 @@ def _split_lines(text_col: pa.ChunkedArray | pa.Array):
     import pyarrow.compute as pc
     col = (text_col.combine_chunks()
            if isinstance(text_col, pa.ChunkedArray) else text_col)
-    lst = pc.split_pattern(col, pattern="\n")
+    # null text == empty doc (one blank line), same as ''.split('\n')
+    lst = pc.split_pattern(pc.fill_null(col, ""), pattern="\n")
     values = lst.values
     offsets = np.asarray(lst.offsets, dtype=np.int64)
     blank = np.asarray(
