@@ -860,20 +860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (within_bound), crawl_vs_expected-style; the estimate itself
         # is not SQL-expressible
         "corpus_hll_distinct": wt.hll_distinct,
-        # ---- relational / windowed flagships (SQL-checkable) ----
-        "lineitem_pricing_summary": relational.q1_pricing_summary,
-        "top_customers_by_nation": relational.top_customers_by_nation,
-        "events_hourly": relational.events_hourly,
-        "events_sessionize": relational.sessionize_events,
-        # AS-OF join (co-partition on user, one vectorized merge_asof
-        # per bucket — no global sort, no inequality join)
-        "events_asof_purchase": relational.purchase_attribution,
-        # ===================== driver window boundary =====================
-        # Entries below are past the driver's first-50 CORRECTNESS window
-        # and are verified by the pytest oracle gate / self-checks only.
-        # iterative Lloyd's over the full embeddings table — rows-only
-        # driver row; kmeans_check (in-window) carries the self-check
-        "embedding_kmeans": lambda sf: similarity.kmeans_embeddings(sf),
+        # ---- round-4 curation operators (SQL-checkable) ----
         # near-dup cluster representative selection (keep-longest per
         # minhash cluster, ties to min doc_id — the FineWeb/RefinedWeb
         # curation rule); exact window-function oracle
@@ -882,6 +869,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # benchmark doc (catches lightly-edited benchmark copies the
         # exact 8-gram probe misses); exact cross-join oracle
         "doc_decontaminate_fuzzy": dedup.decontaminate_fuzzy,
+        # Gopher rule features + combined gate (Rae et al. 2021 A1);
+        # exact int/int-double oracle
+        "doc_gopher_quality": ts.q_gopher,
+        # corpus-wide duplicated-line removal (CCNet boilerplate pass):
+        # combiner counts -> hot-set broadcast -> stateless rebuild;
+        # exact unnest+window oracle
+        "doc_line_dedup": wt.line_dedup,
+        # C4 line-level cleaning rules (terminal punct / >=5 words /
+        # javascript / lorem / brace); stateless streaming pass,
+        # exact list_filter oracle
+        "doc_c4_clean": wt.c4_clean,
+        # ===================== driver window boundary =====================
+        # Entries below are past the driver's first-50 CORRECTNESS window
+        # and are verified by the pytest oracle gate / self-checks only
+        # (the relational flagships here were driver-green in r03).
+        # ---- relational / windowed flagships (SQL-checkable) ----
+        "lineitem_pricing_summary": relational.q1_pricing_summary,
+        "top_customers_by_nation": relational.top_customers_by_nation,
+        "events_hourly": relational.events_hourly,
+        "events_sessionize": relational.sessionize_events,
+        # AS-OF join (co-partition on user, one vectorized merge_asof
+        # per bucket — no global sort, no inequality join)
+        "events_asof_purchase": relational.purchase_attribution,
+        # iterative Lloyd's over the full embeddings table — rows-only
+        # driver row; kmeans_check (in-window) carries the self-check
+        "embedding_kmeans": lambda sf: similarity.kmeans_embeddings(sf),
         # RANGE join (overlapping windows broadcast into the map tasks;
         # only O(#windows) partials per block reach the exchange)
         "events_window_counts": relational.events_window_counts,
@@ -906,17 +919,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_normalize": ts.q_normalize,
         "doc_tokencount": ts.q_tokencount,
         "doc_quality": ts.q_quality,
-        # Gopher rule features + combined gate (Rae et al. 2021 A1);
-        # exact int/int-double oracle
-        "doc_gopher_quality": ts.q_gopher,
-        # corpus-wide duplicated-line removal (CCNet boilerplate pass):
-        # combiner counts -> hot-set broadcast -> stateless rebuild;
-        # exact unnest+window oracle
-        "doc_line_dedup": wt.line_dedup,
-        # C4 line-level cleaning rules (terminal punct / >=5 words /
-        # javascript / lorem / brace); stateless streaming pass,
-        # exact list_filter oracle
-        "doc_c4_clean": wt.c4_clean,
         "doc_lang_counts": ts.q_lang_counts,
         "corpus_token_stats": ts.corpus_token_stats,
         "doc_langid": ts.q_langid,
