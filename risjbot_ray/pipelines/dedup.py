@@ -1293,28 +1293,31 @@ _SHINGLE_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _shingle_hash_batch(texts: list[str], k: int = 3) -> list[np.ndarray]:
-    """Vectorized k-token shingle hashes for a whole batch: ONE string
-    hash call over all tokens (polars, fixed seed), then a numpy
-    sliding multiply-xor mix per doc. Same padding convention as
-    :func:`_shingle_hashes` (docs shorter than k pad with '∅' so an
-    empty doc still has exactly one shingle), but a different hash
-    function — used only where hashes stand in for shingle IDENTITY
-    (set intersection/Jaccard), never where hash VALUES matter (MinHash
-    signatures keep the blake2b path)."""
+    """Vectorized k-token shingle hashes for a whole batch: tokenize the
+    whole column in polars (lowercase + ``[a-z0-9]+`` extract_all — the
+    exact `_tokens` semantics), ONE string hash call over the exploded
+    tokens (fixed seed), then a numpy sliding multiply-xor mix per doc.
+    Same padding convention as :func:`_shingle_hashes` (docs shorter
+    than k pad with '∅' so an empty doc still has exactly one shingle),
+    but a different hash function — used only where hashes stand in for
+    shingle IDENTITY (set intersection/Jaccard), never where hash
+    VALUES matter (MinHash signatures keep the blake2b path)."""
     import polars as pl
-    padded = []
-    for t in texts:
-        tl = _tokens(t or "")
-        if len(tl) < k:
-            tl = tl + ["∅"] * (k - len(tl))
-        padded.append(tl)
-    all_toks = [w for tl in padded for w in tl]
-    th = pl.Series(all_toks).hash(seed=0).to_numpy()
+    toks = (pl.Series("t", texts, dtype=pl.String).fill_null("")
+            .str.to_lowercase().str.extract_all(r"[a-z0-9]+"))
+    lens = toks.list.len().to_numpy().astype(np.int64)
+    # explode() emits ONE null row per empty list; mask those out so
+    # offsets derived from `lens` (0 for empty docs) stay aligned
+    flat = toks.explode()
+    th = flat.hash(seed=0).to_numpy()[flat.is_not_null().to_numpy()]
+    pad = pl.Series(["∅"]).hash(seed=0).to_numpy()
     out, pos = [], 0
-    for tl in padded:
-        n = len(tl)
+    for n in lens:
         h = th[pos:pos + n]
         pos += n
+        if n < k:
+            h = np.concatenate([h, np.repeat(pad, k - n)])
+            n = k
         m = n - k + 1
         acc = h[:m].copy()
         for j in range(1, k):
@@ -1345,25 +1348,25 @@ def decontaminate_fuzzy(sf_dir: str, threshold: float = 0.5):
                                  columns=["doc_id", "text"])
 
     def _bench_sets(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_pylist()
-        texts = b.column("text").to_pylist()
-        sel = [(did, t) for did, t in zip(ids, texts)
-               if did % BENCH_MOD == 0]
-        hashes = _shingle_hash_batch([t for _, t in sel])
+        keep = np.flatnonzero(
+            b.column("doc_id").to_numpy() % BENCH_MOD == 0)
+        sub = b.take(pa.array(keep))
+        hashes = _shingle_hash_batch(sub.column("text").to_pylist())
         return pa.table({
-            "bench_id": pa.array([d for d, _ in sel], pa.int64()),
-            "sh": pa.array([h.tolist() for h in hashes],
-                           pa.list_(pa.uint64()))})
+            "bench_id": sub.column("doc_id"),
+            "sh": pa.array(hashes, pa.list_(pa.uint64()))})
 
     bench: list[tuple[int, np.ndarray]] = []
     for t in ray.get(docs.map_batches(_bench_sets,
                                       batch_format="pyarrow")
                      .to_arrow_refs()):
         if t.num_rows and "bench_id" in t.column_names:
-            for bid, sh in zip(t.column("bench_id").to_pylist(),
-                               t.column("sh").to_pylist()):
-                bench.append((int(bid),
-                              np.asarray(sh, dtype=np.uint64)))
+            ids = t.column("bench_id").to_numpy()
+            lst = t.column("sh").combine_chunks()
+            offs = lst.offsets.to_numpy()
+            vals = lst.values.to_numpy().astype(np.uint64, copy=False)
+            for i, bid in enumerate(ids):
+                bench.append((int(bid), vals[offs[i]:offs[i + 1]]))
     bench.sort()
     # inverted shingle index: sorted vocab + flattened posting lists of
     # bench positions (bench is id-sorted, so "first max" = smallest id)
@@ -1456,5 +1459,10 @@ def decontaminate_fuzzy(sf_dir: str, threshold: float = 0.5):
                 "contaminated_fuzzy": pa.array(
                     [j >= threshold for j in o_j], pa.bool_())})
 
+    # fixed pool sized like the curation gate (half the CPUs, two left
+    # free for the upstream read) — an autoscaling pool ramps from one
+    # actor and pays its spawn latency on the critical path
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    pool = 1 if cpus < 4 else max(1, min(cpus // 2, cpus - 2, 16))
     return docs.map_batches(_Probe, fn_constructor_args=(ref,),
-                            batch_format="pyarrow", concurrency=(1, 16))
+                            batch_format="pyarrow", concurrency=pool)
