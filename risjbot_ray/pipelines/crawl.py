@@ -1744,13 +1744,17 @@ class CrawlPipeline:
         # pre-pass scan only the counted buckets and under-set the
         # cutoffs — so if ANY piece lacks BOTH stats files and legacy
         # eager counts, the merged piece carries neither and the
-        # consumer takes its full-scan fallback. Stats files merge as
-        # a path union (bucket_counts_for aggregates across them);
-        # legacy eager dicts merge additively.
-        all_have_stats = all(p.stats_files for p in pieces)
-        all_have_hbc = (not all_have_stats and
-                        all(p.host_bucket_counts is not None
-                            for p in pieces))
+        # consumer takes its full-scan fallback. Otherwise stats files
+        # merge as a path union (bucket_counts_for aggregates across
+        # them) AND legacy eager dicts merge additively — a
+        # mixed-generation piece (v1 checkpoint respilled under v2)
+        # carries both, with the hb- stats covering only its v2 spills
+        # and the eager dict its v1 parts; dropping either side would
+        # under-count and let an over-budget host exceed its politeness
+        # budget (bucket_counts_for sums the two per directory, and the
+        # merged piece must preserve that).
+        have_detail = all(p.stats_files or p.host_bucket_counts is not None
+                          for p in pieces)
         stats_files: list[str] = []
         hbc: dict[str, dict[int, int]] = {}
         n = 0
@@ -1760,15 +1764,15 @@ class CrawlPipeline:
                 bucket_files.setdefault(b, []).extend(fs)
             for h, c in p.host_counts.items():
                 host_counts[h] = host_counts.get(h, 0) + c
-            if all_have_stats:
-                stats_files.extend(p.stats_files)
-            elif all_have_hbc:
+            if have_detail:
+                if p.stats_files:
+                    stats_files.extend(p.stats_files)
                 for h, bc in (p.host_bucket_counts or {}).items():
                     d = hbc.setdefault(h, {})
                     for b, c in bc.items():
                         d[b] = d.get(b, 0) + c
         return BucketedFrontier(mdir, n, host_counts, bucket_files,
-                                (hbc or None) if all_have_hbc else None,
+                                (hbc or None) if have_detail else None,
                                 sources=[p.directory for p in pieces],
                                 stats_files=stats_files or None)
 

@@ -1243,12 +1243,26 @@ def minhash_cluster_keep(sf_dir: str, threshold: float = 0.7):
     cl_of = dict(zip(clusters.column("doc_id").to_pylist(),
                      clusters.column("cluster_id").to_pylist()))
 
-    member_ids = np.fromiter(cl_of, dtype=np.int64, count=len(cl_of))
+    member_ids = np.sort(np.fromiter(cl_of, dtype=np.int64,
+                                     count=len(cl_of)))
+    member_ref = ray.put(member_ids)  # zero-copy numpy per task
 
     def _count_words(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
+        # word counts are only needed for CLUSTER MEMBERS (~1% of the
+        # corpus); filter by the broadcast member set BEFORE paying the
+        # text materialization + split
+        mem = ray.get(member_ref)
+        ids = batch.column("doc_id").to_numpy()
+        if mem.size:
+            pos = np.searchsorted(mem, ids)
+            pos[pos >= mem.size] = 0
+            keep = np.flatnonzero(mem[pos] == ids)
+        else:
+            keep = np.empty(0, dtype=np.int64)
+        sub = batch.take(pa.array(keep))
+        texts = sub.column("text").to_pylist()
         return pa.table({
-            "doc_id": batch.column("doc_id"),
+            "doc_id": sub.column("doc_id"),
             "n_words": pa.array([len(t.split()) if t else 0
                                  for t in texts], pa.int64())})
 
@@ -1266,17 +1280,34 @@ def minhash_cluster_keep(sf_dir: str, threshold: float = 0.7):
             best[cl] = key
     rep_of = {cl: k[1] for cl, k in best.items()}
 
-    cl_ref = ray.put(cl_of)
-    rep_ref = ray.put(rep_of)
+    # broadcast as sorted int64 arrays: dict payloads re-deserialize in
+    # full on every task's ray.get, numpy arrays come back zero-copy
+    m_doc = np.fromiter(cl_of.keys(), dtype=np.int64, count=len(cl_of))
+    m_cl = np.fromiter(cl_of.values(), dtype=np.int64, count=len(cl_of))
+    order = np.argsort(m_doc, kind="stable")
+    r_cl = np.asarray(sorted(rep_of), dtype=np.int64)
+    r_rep = np.asarray([rep_of[c] for c in r_cl], dtype=np.int64)
+    maps_ref = ray.put((m_doc[order], m_cl[order], r_cl, r_rep))
 
     def mark(batch: pa.Table) -> pa.Table:
-        cmap, rmap = ray.get(cl_ref), ray.get(rep_ref)
-        ids = batch.column("doc_id").to_pylist()
-        cls = [cmap.get(i, i) for i in ids]
-        kept = [rmap.get(c, c) == i for i, c in zip(ids, cls)]
+        m_doc, m_cl, r_cl, r_rep = ray.get(maps_ref)
+        ids = batch.column("doc_id").to_numpy().astype(np.int64,
+                                                       copy=False)
+        cls = ids.copy()  # singletons label themselves
+        if m_doc.size and ids.size:
+            pos = np.searchsorted(m_doc, ids)
+            pos[pos >= m_doc.size] = 0
+            hit = m_doc[pos] == ids
+            cls[hit] = m_cl[pos[hit]]
+        reps = cls.copy()  # unknown cluster -> representative == label
+        if r_cl.size and ids.size:
+            pos = np.searchsorted(r_cl, cls)
+            pos[pos >= r_cl.size] = 0
+            hit = r_cl[pos] == cls
+            reps[hit] = r_rep[pos[hit]]
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "cluster_id": pa.array(cls, pa.int64()),
-                         "kept": pa.array(kept, pa.bool_())})
+                         "kept": pa.array(reps == ids, pa.bool_())})
 
     return (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                   columns=["doc_id"])

@@ -12,7 +12,9 @@ import pyarrow.parquet as pq
 
 from risjbot_ray.frontier.canon import canonicalize_batch, dedupe_wave
 from risjbot_ray.frontier.politeness import schedule_wave
-from risjbot_ray.frontier.spill import load_bucketed_frontier, spill_bucketed
+from risjbot_ray.frontier.spill import (BucketedFrontier,
+                                         load_bucketed_frontier,
+                                         spill_bucketed)
 from risjbot_ray.pipelines.crawl import CrawlConfig, CrawlPipeline
 from risjbot_ray.sources.stage import CHILD_SCHEMA
 from risjbot_ray.testsupport.pagegen import EQUIVALENT_DOMAINS, gen_corpus
@@ -365,3 +367,70 @@ def test_mixed_generation_spill_dir_counts_both(ray_session, tmp_path):
     hbc = bf.bucket_counts_for(["hostv1.example", "hostv2.example"])
     assert sum(hbc["hostv1.example"].values()) == 3
     assert sum(hbc.get("hostv2.example", {}).values()) == 6
+
+
+def test_merge_preserves_mixed_generation_counts(ray_session, tmp_path):
+    """_merge_bucketed must keep a mixed-generation piece's legacy eager
+    counts ALONGSIDE the stats-file union: its hb- stats cover only the
+    v2 spills, the eager dict the v1 parts. The merge used to discard
+    the legacy dict whenever every piece had stats files, so the merged
+    politeness pre-pass under-counted the v1 rows and an over-budget
+    host could exceed its per-host budget."""
+    import os
+
+    def _cand(host, n):
+        rows = [{"url": f"https://{host}/p/{i}", "priority": 0,
+                 "depth": 0, "source_kind": "article", "meta": None}
+                for i in range(n)]
+        return dedupe_wave(canonicalize_batch(
+            pa.Table.from_pylist(rows, schema=CHILD_SCHEMA)))
+
+    # piece A: mixed generation — 6 v2 rows + 3 hand-written v1 rows
+    adir = str(tmp_path / "mixed")
+    assert spill_bucketed(_cand("hostv2.example", 6), adir,
+                          num_buckets=4) == 6
+    old = _cand("hostv1.example", 3)
+    bdir = os.path.join(adir, "bucket=00002")
+    os.makedirs(bdir, exist_ok=True)
+    part = os.path.join(bdir, "part-legacy0000.parquet")
+    pq.write_table(old, part)
+    with open(part + ".json", "w") as f:
+        json.dump({"bucket": 2, "n": 3,
+                   "host_counts": {"hostv1.example": 3}}, f)
+    piece_a = load_bucketed_frontier(adir)
+    assert piece_a.stats_files and piece_a.host_bucket_counts
+
+    # piece B: pure v2, more rows on the v1 host (so the merged count
+    # for hostv1 must combine legacy eager + stats sources)
+    bdir2 = str(tmp_path / "purev2")
+    assert spill_bucketed(_cand("hostv1.example", 5), bdir2,
+                          num_buckets=4) == 5
+    piece_b = load_bucketed_frontier(bdir2)
+    assert piece_b.stats_files and piece_b.host_bucket_counts is None
+
+    pages, _, _, robots = gen_corpus(20, seed=5)
+    ppath = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, ppath)
+    cfg = CrawlConfig(out_dir=str(tmp_path / "out"),
+                      checkpoint_dir=str(tmp_path / "ckpt"),
+                      num_seen_shards=2, num_fetch_buckets=4)
+    pipe = CrawlPipeline(cfg, ppath, str(tmp_path / "store"),
+                         robots_bodies=robots)
+    try:
+        merged = pipe._merge_bucketed([piece_a, piece_b])
+        assert merged.num_rows == 14
+        assert merged.host_counts["hostv1.example"] == 8
+        assert merged.host_counts["hostv2.example"] == 6
+        hbc = merged.bucket_counts_for(
+            ["hostv1.example", "hostv2.example"])
+        # pre-fix: hostv1 summed to 5 (legacy 3 dropped on merge)
+        assert sum(hbc["hostv1.example"].values()) == 8
+        assert sum(hbc["hostv2.example"].values()) == 6
+        # a piece with NO detail at all still disables per-bucket counts
+        bare = BucketedFrontier(str(tmp_path / "bare"), 1,
+                                {"x.example": 1}, {0: []})
+        nodetail = pipe._merge_bucketed([piece_b, bare])
+        assert nodetail.stats_files is None
+        assert nodetail.host_bucket_counts is None
+    finally:
+        pipe.shutdown()
