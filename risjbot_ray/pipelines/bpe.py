@@ -102,8 +102,14 @@ def bpe_train_from_freqs(freqs: dict[str, int],
     are maintained across iterations, so each merge costs
     O(occurrences of the merged pair), not a full recount
     (``_naive_bpe_train`` in tests recomputes from scratch every round
-    and must agree exactly). Tie-break is deterministic: highest count,
-    then lexicographically smallest pair."""
+    and must agree exactly). Selection is a LAZY max-heap — every count
+    change pushes a (-n, pair) entry and pops validate against the live
+    count — so the per-round argmax is amortized O(updates log P), not
+    a full O(|pairs|) dict scan (which would dominate at the documented
+    ~1M-word scale knob: millions of pairs x n_merges rounds).
+    Tie-break is deterministic: highest count, then lexicographically
+    smallest pair (exactly the (-n, pair) heap order)."""
+    import heapq
     words = sorted(freqs)            # deterministic iteration order
     counts = [freqs[w] for w in words]
     seqs = [list(w) + [EOW] for w in words]
@@ -116,13 +122,18 @@ def bpe_train_from_freqs(freqs: dict[str, int],
             pair_n[p] = pair_n.get(p, 0) + c
             pair_words.setdefault(p, set()).add(i)
 
+    heap = [(-n, p) for p, n in pair_n.items()]
+    heapq.heapify(heap)
+
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         best = None
         best_n = 0
-        for p, n in pair_n.items():
-            if n > best_n or (n == best_n and (best is None or p < best)):
-                best, best_n = p, n
+        while heap:
+            neg_n, p = heapq.heappop(heap)
+            if pair_n.get(p, 0) == -neg_n:  # live entry, else stale
+                best, best_n = p, -neg_n
+                break
         if best is None or best_n <= 0:
             break
         merges.append(best)
@@ -135,6 +146,8 @@ def bpe_train_from_freqs(freqs: dict[str, int],
                 pair_n[p] -= c
                 if pair_n[p] <= 0:
                     del pair_n[p]
+                else:
+                    heapq.heappush(heap, (-pair_n[p], p))
                 ws = pair_words.get(p)
                 if ws is not None:
                     ws.discard(i)
@@ -155,6 +168,7 @@ def bpe_train_from_freqs(freqs: dict[str, int],
             # add the new contributions back
             for p in zip(out, out[1:]):
                 pair_n[p] = pair_n.get(p, 0) + c
+                heapq.heappush(heap, (-pair_n[p], p))
                 pair_words.setdefault(p, set()).add(i)
     return merges
 

@@ -55,15 +55,19 @@ def _out_degrees(edges: "ray.data.Dataset", n_nodes: int) -> np.ndarray:
     """Dense out-degree vector via per-batch bincount + tree-combine."""
     def partial(batch: pa.Table) -> pa.Table:
         src = batch.column("src").to_numpy(zero_copy_only=False)
+        dst = batch.column("dst").to_numpy(zero_copy_only=False)
         # contract check (vectorized, one pass): pagerank requires
         # node ids in [0, n_nodes) — a gapped/renumbered id space must
         # be densified by the caller, not crash with an IndexError
-        # deep in the rank update (or allocate a max(id)-sized array)
-        if len(src) and (src.min() < 0 or src.max() >= n_nodes):
-            raise ValueError(
-                f"pagerank: src ids outside [0, {n_nodes}): "
-                f"min={src.min()}, max={src.max()} — densify doc_ids "
-                "before deriving edges")
+        # deep in the rank update (or allocate a max(id)-sized array).
+        # BOTH endpoints: an out-of-range dst would sail past a
+        # src-only check and blow up in contrib's bincount instead
+        for name, col in (("src", src), ("dst", dst)):
+            if len(col) and (col.min() < 0 or col.max() >= n_nodes):
+                raise ValueError(
+                    f"pagerank: {name} ids outside [0, {n_nodes}): "
+                    f"min={col.min()}, max={col.max()} — densify "
+                    "doc_ids before deriving edges")
         deg = np.bincount(src, minlength=1)
         nz = np.nonzero(deg)[0]
         return pa.table({"node": pa.array(nz, pa.int64()),

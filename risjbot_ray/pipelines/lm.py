@@ -29,7 +29,6 @@ parallel whole-batch-vectorized ``map_batches`` with no exchange.
 
 from __future__ import annotations
 
-import re
 
 import numpy as np
 import pyarrow as pa
@@ -37,7 +36,6 @@ import ray
 
 from .webtext import _GRAM_MULT, _coalesce_for_exchange, _token_h64
 
-_WORD_RE = re.compile(r"[a-z0-9]+")
 _TOKEN_CACHE_MAX = 1 << 20
 
 
@@ -196,8 +194,11 @@ class BigramLM:
         bn = np.empty(len(bi), np.int64)
         for i, (g, n) in enumerate(bi.items()):
             a, b = g.split(" ")
-            bh[i] = (np.uint64(_token_h64(a, cache)) * _GRAM_MULT
-                     + np.uint64(_token_h64(b, cache)))
+            # Python-int arithmetic masked to 64 bits: same wraparound
+            # as the vectorized uint64 Horner, without numpy's scalar
+            # overflow warnings (same hazard DSIRModel.gh avoids)
+            bh[i] = ((_token_h64(a, cache) * int(_GRAM_MULT)
+                      + _token_h64(b, cache)) & 0xFFFFFFFFFFFFFFFF)
             bn[i] = n
         o = np.argsort(bh, kind="stable")
         self.bi_h, self.bi_n = bh[o], bn[o]

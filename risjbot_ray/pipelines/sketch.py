@@ -10,8 +10,11 @@ small no matter how big the input gets. Two families here:
   batch collapses to (value, n_docs) value-counts, partials
   tree-combine (the same no-shuffle path the LM trainers use), and the
   driver walks the cumulative distribution. Semantics match DuckDB's
-  ``quantile_disc``: result = sorted_values[floor((n-1) * q)] — which
-  makes the operator exactly SQL-checkable.
+  ``quantile_disc`` with DECIMAL-literal q EXACTLY — 0-based rank
+  ``max(1, n - floor(n * (1 - q))) - 1`` in rational arithmetic (see
+  ``quantiles_from_value_counts``; the float convention
+  ``floor((n-1) * q)`` drifts off-by-one at integer boundaries) —
+  which makes the operator exactly SQL-checkable.
 
 * ``heavy_hitters`` — Misra-Gries frequent-tokens sketch, the
   bounded-memory companion to webtext.top_ngrams (which is exact but
@@ -98,23 +101,24 @@ def wordcount_quantiles(sf_dir: str, qs=_QS_DEFAULT) -> pa.Table:
 
 
 def _wc_lang_value_counts(batch: pa.Table) -> pa.Table:
-    """Per-batch (lang, wordcount value, n_docs) counts."""
-    import pandas as pd
+    """Per-batch (lang, wordcount value, n_docs) counts. Arrow
+    group_by (not pandas): a zero-row batch keeps the typed schema
+    (pandas infers a null-typed key column that breaks concat during
+    coalesce), and a NULL lang forms its own group, matching SQL."""
     wc = np.array([len(t.split()) if t else 0
                    for t in batch.column("text").to_pylist()],
                   dtype=np.int64)
-    df = pd.DataFrame({"lang": batch.column("lang").to_pandas(),
-                       "val": wc})
-    g = df.groupby(["lang", "val"], sort=False).size()
-    g = g.rename("n").reset_index()
-    return pa.Table.from_pandas(g, preserve_index=False)
+    t = pa.table({"lang": batch.column("lang"),
+                  "val": pa.array(wc, pa.int64())})
+    g = t.group_by(["lang", "val"]).aggregate([([], "count_all")])
+    return g.select(["lang", "val", "count_all"]).rename_columns(
+        ["lang", "val", "n"])
 
 
 def _merge_lang_counts(batch: pa.Table) -> pa.Table:
-    import pandas as pd
-    df = batch.to_pandas()
-    g = df.groupby(["lang", "val"], sort=False, as_index=False)["n"].sum()
-    return pa.Table.from_pandas(g, preserve_index=False)
+    g = batch.group_by(["lang", "val"]).aggregate([("n", "sum")])
+    return g.select(["lang", "val", "n_sum"]).rename_columns(
+        ["lang", "val", "n"])
 
 
 def wordcount_quantiles_by_lang(sf_dir: str, qs=_QS_DEFAULT) -> pa.Table:
@@ -134,12 +138,15 @@ def wordcount_quantiles_by_lang(sf_dir: str, qs=_QS_DEFAULT) -> pa.Table:
         return pa.table({"lang": pa.array([], pa.string()),
                          "q": pa.array([], pa.float64()),
                          "value": pa.array([], pa.int64())})
+    import pandas as pd
     df = t.to_pandas()
     langs, out_q, out_v = [], [], []
-    for lang, sub in df.groupby("lang", sort=True):
+    # dropna=False: a NULL lang is a group of its own (SQL GROUP BY);
+    # pandas labels it NaN — normalize back to None for the Arrow column
+    for lang, sub in df.groupby("lang", sort=True, dropna=False):
         v = quantiles_from_value_counts(
             sub["val"].to_numpy(), sub["n"].to_numpy(), qs)
-        langs.extend([lang] * len(qs))
+        langs.extend([None if pd.isna(lang) else lang] * len(qs))
         out_q.extend(qs)
         out_v.extend(v.tolist())
     return pa.table({"lang": pa.array(langs, pa.string()),
@@ -171,18 +178,29 @@ _DD_QS = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
 def dd_bucket_ids(v: np.ndarray, alpha: float) -> np.ndarray:
     """THE bucket-assignment convention, shared by the global and
     grouped sketches (any drift would make their merged results
-    disagree): bucket i = ceil(log_gamma(v)) for v > 0, with
-    non-positive values pinned to a reserved underflow bucket
-    (int64 min + 1) so nothing is silently dropped. Only the COUNTS of
-    non-positives are exact — their values are not recoverable, and
-    dd_quantiles_from_buckets estimates any quantile landing in the
-    underflow bucket as 0.0 (the alpha guarantee is positive-values-
-    only)."""
+    disagree): bucket i = ceil(log_gamma(v)) for finite v > 0, with
+    non-positive values (incl. -inf) pinned to a reserved underflow
+    bucket (int64 min + 1) and +inf / NaN pinned to a reserved
+    OVERFLOW bucket (int64 max - 1) so nothing is silently dropped and
+    nothing lands in an arbitrary rank position (the naive int64 cast
+    of ceil(log(inf)) wraps to int64 MIN, which would sort the largest
+    value BELOW every real bucket; NaN sorts last, matching DuckDB
+    ORDER BY). Only the COUNTS of the reserved buckets are exact —
+    dd_quantiles_from_buckets estimates a quantile landing in them as
+    0.0 / +inf respectively (the alpha guarantee is
+    finite-positive-values-only)."""
     gamma = (1.0 + alpha) / (1.0 - alpha)
     under = np.iinfo(np.int64).min + 1
-    pos = v > 0.0
+    over = np.iinfo(np.int64).max - 1
+    pos = v > 0.0  # False for NaN and non-positives
     b = np.full(len(v), under, dtype=np.int64)
-    b[pos] = np.ceil(np.log(v[pos]) / np.log(gamma)).astype(np.int64)
+    if pos.any():
+        raw = np.ceil(np.log(v[pos]) / np.log(gamma))
+        fin = np.isfinite(raw)
+        ids = np.full(raw.shape, over, dtype=np.int64)
+        ids[fin] = raw[fin].astype(np.int64)
+        b[pos] = ids
+    b[np.isnan(v)] = over
     return b
 
 
@@ -210,6 +228,7 @@ def dd_quantiles_from_buckets(buckets: np.ndarray, counts: np.ndarray,
     import math
     gamma = (1.0 + alpha) / (1.0 - alpha)
     under = np.iinfo(np.int64).min + 1
+    over = np.iinfo(np.int64).max - 1
     order = np.argsort(buckets, kind="stable")
     buckets, counts = buckets[order], counts[order]
     cum = np.cumsum(counts)
@@ -218,8 +237,11 @@ def dd_quantiles_from_buckets(buckets: np.ndarray, counts: np.ndarray,
                      dtype=np.int64)
     idx = np.searchsorted(cum, ranks, side="right")
     picked = buckets[idx]
-    est = 2.0 * np.power(gamma, picked.astype(np.float64)) / (gamma + 1.0)
+    with np.errstate(over="ignore"):  # huge real buckets -> inf is fine
+        est = (2.0 * np.power(gamma, picked.astype(np.float64))
+               / (gamma + 1.0))
     est[picked == under] = 0.0
+    est[picked == over] = np.inf
     return est
 
 
@@ -296,18 +318,20 @@ def value_quantile_sketch_by_group(sf_dir: str, alpha: float = 0.01,
                                columns=[group_col, column])
 
     def partial(b: pa.Table) -> pa.Table:
+        # Arrow group_by (not pandas): zero-row batches keep the typed
+        # schema and NULL group keys form their own group (SQL GROUP BY)
         v = b.column(column).to_numpy(zero_copy_only=False)
-        df = pd.DataFrame({"g": b.column(group_col).to_pandas(),
-                           "bucket": dd_bucket_ids(v, alpha)})
-        out = df.groupby(["g", "bucket"], sort=False).size()
-        out = out.rename("n").reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        t = pa.table({"g": b.column(group_col),
+                      "bucket": pa.array(dd_bucket_ids(v, alpha),
+                                         pa.int64())})
+        out = t.group_by(["g", "bucket"]).aggregate([([], "count_all")])
+        return out.select(["g", "bucket", "count_all"]).rename_columns(
+            ["g", "bucket", "n"])
 
     def merge(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        g = df.groupby(["g", "bucket"], sort=False,
-                       as_index=False)["n"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = b.group_by(["g", "bucket"]).aggregate([("n", "sum")])
+        return g.select(["g", "bucket", "n_sum"]).rename_columns(
+            ["g", "bucket", "n"])
 
     t = _agg_count_partials(
         ds.map_batches(partial, batch_format="pyarrow",
@@ -330,12 +354,16 @@ def value_quantile_sketch_by_group(sf_dir: str, alpha: float = 0.01,
          for b in ds.iter_batches(batch_format="pyarrow",
                                   batch_size=65536)],
         ignore_index=True)
-    vals = {g: sub["v"].to_numpy() for g, sub in gt.groupby("g")}
+    # dropna=False + None-normalized keys: a NULL group key is a group
+    # of its own (SQL GROUP BY), and NaN labels are unusable dict keys
+    vals = {None if pd.isna(g) else g: sub["v"].to_numpy()
+            for g, sub in gt.groupby("g", dropna=False)}
 
     df = t.to_pandas()
     rows = {group_col: [], "q": [], "est": [], "exact": [],
             "rel_err": [], "within_alpha": []}
-    for gname, sub in df.groupby("g", sort=True):
+    for gname, sub in df.groupby("g", sort=True, dropna=False):
+        gname = None if pd.isna(gname) else gname
         est = dd_quantiles_from_buckets(
             sub["bucket"].to_numpy(), sub["n"].to_numpy(), alpha, qs)
         s = np.sort(np.asarray(vals[gname]))

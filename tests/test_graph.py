@@ -89,3 +89,18 @@ def test_doc_link_pagerank_e2e(ray_session):
     # authority skew exists (dangling targets vs sources)
     r = got.column("rank").to_numpy()
     assert r.max() / r.min() > 1.01
+
+
+def test_pagerank_rejects_out_of_range_dst(ray_session):
+    """The id-range contract must check BOTH endpoints: an out-of-range
+    dst used to sail past the src-only check and crash with an
+    IndexError deep in the rank update."""
+    import pytest
+    import ray
+
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([0, 1], pa.int64()),
+        "dst": pa.array([1, 5], pa.int64()),   # 5 >= n_nodes
+    }))
+    with pytest.raises(Exception, match="dst ids outside"):
+        pagerank(ds, n_nodes=3, n_iters=2)

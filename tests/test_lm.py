@@ -178,3 +178,19 @@ def test_train_bigram_lm_counts(ray_session):
             total += len(ws)
     assert lm.v == len(seen)
     assert int(lm.uni_n.sum()) == total
+
+
+def test_bigramlm_dict_construction_emits_no_overflow_warnings():
+    """Scalar uint64 Horner arithmetic used to warn ('overflow
+    encountered in scalar multiply') on essentially every bigram; the
+    masked Python-int path must be warning-free and agree with the
+    vectorized hashes."""
+    import warnings
+
+    from risjbot_ray.pipelines.lm import BigramLM
+    uni = {"the": 5, "cat": 3, "sat": 2}
+    bi = {"the cat": 3, "cat sat": 2}
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        m = BigramLM(uni, bi)
+    assert m.v == 3 and len(m.bi_h) == 2

@@ -213,3 +213,58 @@ def test_heavy_hitters_e2e(ray_session):
     for tok, c in true.items():
         if c > bound:
             assert tok in est
+
+
+def test_ddsketch_nonfinite_pinned_to_overflow_bucket():
+    """+inf / NaN must land in the reserved OVERFLOW bucket (sorting
+    ABOVE every real bucket), never wrap to int64 min — pre-fix a
+    single inf shifted every quantile rank and the median of
+    [1, 2, inf, nan] was estimated 0.0."""
+    import warnings
+
+    from risjbot_ray.pipelines.sketch import (dd_bucket_counts,
+                                              dd_bucket_ids,
+                                              dd_quantiles_from_buckets)
+    over = np.iinfo(np.int64).max - 1
+    under = np.iinfo(np.int64).min + 1
+    v = np.array([1.0, 2.0, np.inf, np.nan, -np.inf])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the old cast warned
+        b = dd_bucket_ids(v, 0.01)
+    assert b[2] == over and b[3] == over
+    assert b[4] == under
+    assert b[0] != under and b[1] != under
+
+    t = dd_bucket_counts(np.array([1.0, 2.0, np.inf]), 0.01)
+    est = dd_quantiles_from_buckets(
+        np.asarray(t.column("bucket").to_pylist(), np.int64),
+        np.asarray(t.column("n").to_pylist(), np.int64),
+        0.01, (0.5, 0.99))
+    assert abs(est[0] - 2.0) / 2.0 <= 0.01 + 1e-12  # median ~2
+    assert np.isinf(est[1])                          # p99 = inf
+
+
+def test_grouped_partials_keep_types_on_empty_and_null_keys():
+    """Zero-row batches must emit TYPED partials (pandas inferred a
+    null lang column that broke Arrow concat), and a NULL group key is
+    a group of its own, matching SQL GROUP BY."""
+    import pyarrow as pa
+
+    from risjbot_ray.pipelines.sketch import (_merge_lang_counts,
+                                              _wc_lang_value_counts)
+    empty = pa.table({"lang": pa.array([], pa.string()),
+                      "text": pa.array([], pa.string())})
+    pe = _wc_lang_value_counts(empty)
+    assert pe.schema.field("lang").type == pa.string()
+    full = pa.table({"lang": pa.array(["en", None, "en"]),
+                     "text": pa.array(["a b", "c", "a b"])})
+    pf = _wc_lang_value_counts(full)
+    # concat across the two partials must not raise (pre-fix:
+    # 'Schema at index 1 was different')
+    merged = _merge_lang_counts(pa.concat_tables([pe, pf]))
+    d = {(lg, v): n for lg, v, n in zip(
+        merged.column("lang").to_pylist(),
+        merged.column("val").to_pylist(),
+        merged.column("n").to_pylist())}
+    assert d[("en", 2)] == 2
+    assert d[(None, 1)] == 1  # NULL lang kept as its own group
