@@ -72,12 +72,15 @@ def parse_date(s: str | bytes | None) -> datetime | None:
     except ValueError:
         pass
 
-    # RFC 2822 (RSS pubDate, HTTP Date headers).
+    # RFC 2822 (RSS pubDate, HTTP Date headers). OverflowError: the
+    # stdlib tokenizer accepts absurd year strings ('…201720172017')
+    # and overflows C int inside datetime(*dtuple) instead of raising
+    # ValueError — found by the property fuzz, must not kill a batch.
     try:
         dt = parsedate_to_datetime(s)
         if dt is not None:
             return _aware(dt)
-    except (TypeError, ValueError, IndexError):
+    except (TypeError, ValueError, IndexError, OverflowError):
         pass
 
     # Unix timestamp (seconds or milliseconds).

@@ -133,6 +133,27 @@ class _TreeBuilder(HTMLParser):
         self.stack: list[Node] = [self.root]
         self._textbuf: list[str] = []
 
+    # -- stdlib wart shields ------------------------------------------------
+    # _markupbase raises bare AssertionError on malformed declarations /
+    # marked sections real crawls do contain ('<![0', '<!x<'…; found by
+    # the property fuzz). Treat them as bogus comments: skip to the next
+    # '>' (or end of input — the builder feeds whole documents).
+    def _skip_bogus(self, i: int) -> int:
+        j = self.rawdata.find(">", i)
+        return len(self.rawdata) if j < 0 else j + 1
+
+    def parse_marked_section(self, i: int, report: int = 1) -> int:
+        try:
+            return super().parse_marked_section(i, report)
+        except AssertionError:
+            return self._skip_bogus(i)
+
+    def parse_declaration(self, i: int) -> int:
+        try:
+            return super().parse_declaration(i)
+        except AssertionError:
+            return self._skip_bogus(i)
+
     # -- text buffering ----------------------------------------------------
     def _flush_text(self) -> None:
         if self._textbuf:

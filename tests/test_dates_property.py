@@ -6,7 +6,7 @@ the same instant)."""
 
 from datetime import datetime
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from risjbot_ray.functions.dates import parse_date, parse_date_iso
@@ -28,6 +28,8 @@ _datish = st.lists(_fragment, min_size=0, max_size=8).map("".join)
 
 
 @given(st.one_of(_junk, _datish))
+# stdlib parsedate OverflowError on absurd years (fuzz-found)
+@example('28 Feb 2017:0228 Feb 201720172017')
 @settings(max_examples=1000, deadline=None)
 def test_parse_date_total_and_aware(s):
     dt = parse_date(s)

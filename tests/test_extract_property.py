@@ -8,7 +8,7 @@ one garbage page. Same technique as the WARC/urlnorm/feed fuzz modules
 import json
 
 import pyarrow as pa
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from risjbot_ray.extract.ensemble import extract_jsonld_blocks
@@ -39,6 +39,7 @@ _XPATHS = [
 
 
 @given(_markup)
+@example('<![0')  # stdlib _markupbase AssertionError (fuzz-found)
 @settings(max_examples=500, deadline=None)
 def test_xpath_eval_total_over_random_markup(text):
     root = parse_html(text)
