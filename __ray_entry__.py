@@ -1105,10 +1105,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_wordcount": r"""
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE length(regexp_split_to_array(trim(text),
-                                                          '\s+'))
+                        ELSE length(regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+'))
                    END AS wordcount
-            FROM documents
+            FROM (SELECT doc_id, COALESCE(text, '') AS text
+                  FROM documents) documents
         """,
         "doc_perplexity": r"""
             WITH toks AS (
@@ -1209,24 +1209,24 @@ def oracle_sql() -> dict[str, str]:
         "doc_tokencount": r"""
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE length(regexp_split_to_array(trim(text),
-                                                          '\s+'))
+                        ELSE length(regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+'))
                    END AS n_ws_tokens,
                    length(regexp_extract_all(text,
                        '[A-Za-z]+(''[A-Za-z]+)?|[0-9]+|[^\w\s]'))
                        AS n_bpeish_tokens
-            FROM documents
+            FROM (SELECT doc_id, COALESCE(text, '') AS text
+                  FROM documents) documents
         """,
         "doc_quality": rf"""
             SELECT doc_id,
               length(text) AS n_chars,
               CASE WHEN length(trim(text)) = 0 THEN 0
-                   ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                   ELSE length(regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+'))
               END AS n_words,
               CASE WHEN length(trim(text)) = 0 THEN 0.0
-                   ELSE CAST(length(regexp_replace(text, '\s', '', 'g'))
+                   ELSE CAST(length(regexp_replace(text, '[\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]', '', 'g'))
                              AS DOUBLE)
-                        / length(regexp_split_to_array(trim(text), '\s+'))
+                        / length(regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+'))
               END AS mean_word_len,
               CASE WHEN length(text) = 0 THEN 0.0
                    ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '',
@@ -1241,15 +1241,16 @@ def oracle_sql() -> dict[str, str]:
                         / length(text) END AS punct_ratio,
               CASE WHEN length(trim(text)) = 0 THEN 0.0
                    ELSE CAST(length(list_filter(
-                        regexp_split_to_array(trim(lower(text)), '\s+'),
+                        regexp_extract_all(lower(text), '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+'),
                         x -> list_contains([{stop}],
                              trim(x, '.,;:!?''"()')))) AS DOUBLE)
-                        / length(regexp_split_to_array(trim(text), '\s+'))
+                        / length(regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+'))
               END AS stopword_ratio,
               CASE WHEN length(rtrim(text)) = 0 THEN FALSE
                    ELSE substr(rtrim(text), length(rtrim(text)), 1)
                         IN ('.', '!', '?', '"', '''') END AS ends_with_punct
-            FROM documents
+            FROM (SELECT doc_id, COALESCE(text, '') AS text
+                  FROM documents) documents
         """,
         "doc_lang_counts": """
             SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
@@ -1258,8 +1259,7 @@ def oracle_sql() -> dict[str, str]:
             WITH m AS (
               SELECT doc_id, md5(text) AS h,
                      CASE WHEN length(trim(text)) = 0 THEN 0
-                          ELSE length(regexp_split_to_array(trim(text),
-                                                            '\s+'))
+                          ELSE length(regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+'))
                      END AS n_words,
                      CASE WHEN length(text) = 0 THEN 0.0
                           ELSE CAST(length(regexp_replace(text,
@@ -1267,8 +1267,7 @@ def oracle_sql() -> dict[str, str]:
                                / length(text) END AS alpha,
                      CASE WHEN length(trim(text)) = 0 THEN 0.0
                           ELSE CAST(length(list_filter(
-                               regexp_split_to_array(trim(lower(text)),
-                                                     '\s+'),
+                               regexp_extract_all(lower(text), '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+'),
                                x -> list_contains([{",".join(
                                    f"'{w}'" for w in sorted(
                                        'the a an and or of to in is was '
@@ -1277,8 +1276,7 @@ def oracle_sql() -> dict[str, str]:
                                        'you his her its not have had but'
                                        .split()))}],
                                     trim(x, '.,;:!?''"()')))) AS DOUBLE)
-                               / length(regexp_split_to_array(trim(text),
-                                                              '\s+'))
+                               / length(regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+'))
                      END AS stop
               FROM documents
             )
@@ -1301,7 +1299,8 @@ def oracle_sql() -> dict[str, str]:
                             '[\x00-\x08\x0e-\x1f\x7f]', '', 'g'),
                         '[ \t\n\r\f\x0b]+', ' ', 'g'), ' '))
                      AS n_chars_norm
-            FROM documents
+            FROM (SELECT doc_id, COALESCE(text, '') AS text
+                  FROM documents) documents
         """,
         # grouped Pearson correlation; corr() and the sufficient-stat
         # algebra agree to well past the 5dp rounding
@@ -1327,8 +1326,7 @@ def oracle_sql() -> dict[str, str]:
             WITH m AS (
               SELECT doc_id,
                      CASE WHEN length(trim(text)) = 0 THEN 0
-                          ELSE length(regexp_split_to_array(trim(text),
-                                                            '\s+'))
+                          ELSE length(regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+'))
                      END AS n_words,
                      CASE WHEN length(text) = 0 THEN 0.0
                           ELSE CAST(length(regexp_replace(text,
@@ -1336,8 +1334,7 @@ def oracle_sql() -> dict[str, str]:
                                / length(text) END AS alpha,
                      CASE WHEN length(trim(text)) = 0 THEN 0.0
                           ELSE CAST(length(list_filter(
-                               regexp_split_to_array(trim(lower(text)),
-                                                     '\s+'),
+                               regexp_extract_all(lower(text), '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+'),
                                x -> list_contains([{",".join(
                                    f"'{w}'" for w in sorted(
                                        'the a an and or of to in is was '
@@ -1346,8 +1343,7 @@ def oracle_sql() -> dict[str, str]:
                                        'you his her its not have had but'
                                        .split()))}],
                                     trim(x, '.,;:!?''"()')))) AS DOUBLE)
-                               / length(regexp_split_to_array(trim(text),
-                                                              '\s+'))
+                               / length(regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+'))
                      END AS stop
               FROM documents
             )
@@ -1431,8 +1427,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_token_stats": r"""
             SELECT COUNT(*) AS n_docs,
                    CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
-                       ELSE length(regexp_split_to_array(trim(text),
-                                                         '\s+')) END)
+                       ELSE length(regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+')) END)
                        AS BIGINT) AS total_words,
                    CAST(SUM(length(regexp_extract_all(text,
                        '[A-Za-z]+(''[A-Za-z]+)?|[0-9]+|[^\w\s]')))
@@ -1861,7 +1856,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": r"""
             WITH w AS (
               SELECT doc_id,
-                     unnest(regexp_split_to_array(trim(text), '\s+'))
+                     unnest(regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+'))
                        AS tok
               FROM documents WHERE length(trim(text)) > 0
             ), c AS (
@@ -1884,7 +1879,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      CASE WHEN length(trim(text)) = 0
                           THEN CAST([] AS VARCHAR[])
-                          ELSE regexp_split_to_array(trim(text), '\s+')
+                          ELSE regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+')
                      END AS tk
               FROM documents
             ), g AS (
@@ -1910,8 +1905,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
               SELECT doc_id,
                      CASE WHEN length(trim(text)) = 0 THEN 0
-                          ELSE length(regexp_split_to_array(trim(text),
-                                                            '\s+'))
+                          ELSE length(regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+'))
                      END AS n
               FROM documents
             ), p AS (
@@ -2005,8 +1999,7 @@ def oracle_sql() -> dict[str, str]:
             WITH base AS (
               SELECT doc_id, text, source,
                      CASE WHEN length(trim(text)) = 0 THEN 0
-                          ELSE length(regexp_split_to_array(trim(text),
-                                                            '\s+'))
+                          ELSE length(regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+'))
                      END AS n_words,
                      CASE WHEN length(text) = 0 THEN 0.0
                           ELSE CAST(length(regexp_replace(text,
@@ -2014,12 +2007,10 @@ def oracle_sql() -> dict[str, str]:
                                / length(text) END AS alpha,
                      CASE WHEN length(trim(text)) = 0 THEN 0.0
                           ELSE CAST(length(list_filter(
-                               regexp_split_to_array(trim(lower(text)),
-                                                     '\s+'),
+                               regexp_extract_all(lower(text), '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+'),
                                x -> list_contains([{stop}],
                                     trim(x, '.,;:!?''"()')))) AS DOUBLE)
-                               / length(regexp_split_to_array(trim(text),
-                                                              '\s+'))
+                               / length(regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+'))
                      END AS stop
               FROM documents
             ), gated AS (
@@ -2075,8 +2066,8 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(r.n_tiles_kept, 0) AS n_tiles_kept,
                    CASE WHEN length(trim(COALESCE(r.text_final, '')))
                              = 0 THEN 0
-                        ELSE length(regexp_split_to_array(
-                               trim(r.text_final), '\s+'))
+                        ELSE length(regexp_extract_all(
+                               r.text_final, '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+'))
                    END AS n_tokens_final,
                    ROW_NUMBER() OVER (
                      ORDER BY md5(k.doc_id::VARCHAR || ':shuf'),
@@ -2205,13 +2196,11 @@ def oracle_sql() -> dict[str, str]:
                                 / length(text) END)
                      + (CASE WHEN length(trim(text)) = 0 THEN 0.0
                              ELSE CAST(length(list_filter(
-                                  regexp_split_to_array(
-                                    trim(lower(text)), '\s+'),
+                                  regexp_extract_all(lower(text), '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+'),
                                   x -> list_contains([{stop}],
                                        trim(x, '.,;:!?''"()'))))
                                   AS DOUBLE)
-                                  / length(regexp_split_to_array(
-                                      trim(text), '\s+'))
+                                  / length(regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+'))
                         END) AS score
               FROM documents
             )
@@ -2224,8 +2213,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_histogram": r"""
             WITH t AS (
               SELECT CASE WHEN length(trim(text)) = 0 THEN 0
-                          ELSE length(regexp_split_to_array(trim(text),
-                                                            '\s+'))
+                          ELSE length(regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+'))
                      END AS nw
               FROM documents
             )
@@ -2321,8 +2309,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
               SELECT doc_id, source,
                      CASE WHEN length(trim(text)) = 0 THEN 0
-                          ELSE length(regexp_split_to_array(trim(text),
-                                                            '\s+'))
+                          ELSE length(regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+'))
                      END AS n_words,
                      md5(doc_id::VARCHAR || ':cap') AS key
               FROM documents),
@@ -2341,8 +2328,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_wordcount_quantiles": r"""
             WITH t AS (
               SELECT CASE WHEN length(trim(text)) = 0 THEN 0
-                          ELSE length(regexp_split_to_array(trim(text),
-                                                            '\s+'))
+                          ELSE length(regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+'))
                      END AS nw
               FROM documents
             )
@@ -2356,8 +2342,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
               SELECT lang,
                      CASE WHEN length(trim(text)) = 0 THEN 0
-                          ELSE length(regexp_split_to_array(trim(text),
-                                                            '\s+'))
+                          ELSE length(regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+'))
                      END AS nw
               FROM documents
             )
@@ -2436,8 +2421,8 @@ def oracle_sql() -> dict[str, str]:
           SELECT d.doc_id,
                  COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
                  CASE WHEN length(trim(d.text)) = 0 THEN 0
-                      ELSE length(regexp_split_to_array(trim(d.text),
-                                                        '\s+'))
+                      ELSE length(regexp_extract_all(d.text,
+                                 '[^\t-\r\x1c-\x1f \x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+'))
                  END AS n_words
           FROM documents d LEFT JOIN cl USING (doc_id)
         )
@@ -2497,15 +2482,16 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, text,
                  CASE WHEN length(trim(text)) = 0
                       THEN CAST([] AS VARCHAR[])
-                      ELSE regexp_split_to_array(trim(text), '\s+')
+                      ELSE regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+')
                  END AS words,
                  string_split(text, chr(10)) AS lines
-          FROM documents
+          FROM (SELECT doc_id, COALESCE(text, '') AS text
+                  FROM documents) documents
         ), m AS (
           SELECT doc_id,
             len(words) AS n_words,
             CASE WHEN len(words) = 0 THEN 0.0
-                 ELSE CAST(length(regexp_replace(text, '\s', '', 'g'))
+                 ELSE CAST(length(regexp_replace(text, '[\t-\r\x1c-\x1f \x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]', '', 'g'))
                            AS DOUBLE) / len(words)
             END AS mean_word_len,
             CASE WHEN len(words) = 0 THEN 0.0
@@ -2552,9 +2538,10 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id,
                  CASE WHEN length(trim(text)) = 0
                       THEN CAST([] AS VARCHAR[])
-                      ELSE regexp_split_to_array(trim(text), '\s+')
+                      ELSE regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+')
                  END AS words
-          FROM documents
+          FROM (SELECT doc_id, COALESCE(text, '') AS text
+                  FROM documents) documents
         ), lined AS (
           SELECT doc_id,
             CASE WHEN doc_id % 3 = 0
@@ -2600,9 +2587,10 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id,
                  CASE WHEN length(trim(text)) = 0
                       THEN CAST([] AS VARCHAR[])
-                      ELSE regexp_split_to_array(trim(text), '\s+')
+                      ELSE regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+')
                  END AS words
-          FROM documents
+          FROM (SELECT doc_id, COALESCE(text, '') AS text
+                  FROM documents) documents
         ), lined AS (
           SELECT doc_id,
             CASE WHEN doc_id % 3 = 0
@@ -2630,9 +2618,8 @@ def oracle_sql() -> dict[str, str]:
                     OR ends_with(rtrim(l, ' '), '"'))
                    AND (CASE WHEN length(trim(l, ' ' || chr(9)
                                               || chr(13))) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(
-                               trim(l, ' ' || chr(9) || chr(13)),
-                               '\s+')) END) >= 5
+                        ELSE len(regexp_extract_all(
+                               l, '[^\t-\r\x1c-\x1f \x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+')) END) >= 5
                    AND NOT contains(lower(l), 'javascript')) AS kept
           FROM lined
         )

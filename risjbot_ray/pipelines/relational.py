@@ -17,6 +17,30 @@ import ray
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
+def _null_key_split(b: pa.Table, col: str) -> pa.Table:
+    """Make a nullable string groupby key safe for Ray Data's
+    sort-based exchange (which raises "'<' not supported between
+    'NoneType' and 'str'" on null partition boundaries): fill the key
+    with '' and carry a ``<col>__nn`` null marker as a SECOND key, so
+    a real empty string and SQL's NULL group stay distinct."""
+    c = b.column(col)
+    b = b.append_column(col + "__nn",
+                        pc.cast(pc.is_null(c), pa.int8()))
+    return b.set_column(b.column_names.index(col), col,
+                        pc.fill_null(c, ""))
+
+
+def _null_key_restore(b: pa.Table, col: str) -> pa.Table:
+    """Inverse of _null_key_split after the aggregate: restore NULL
+    where the marker says so and drop the marker column."""
+    nn = b.column(col + "__nn")
+    restored = pc.if_else(pc.equal(nn, 1),
+                          pa.scalar(None, pa.string()),
+                          b.column(col))
+    return (b.set_column(b.column_names.index(col), col, restored)
+            .drop_columns([col + "__nn"]))
+
+
 def q1_pricing_summary(sf_dir: str):
     """TPC-H Q1 shape: filter -> computed columns -> grouped aggregate.
 
@@ -136,17 +160,19 @@ def events_hourly(sf_dir: str):
 
     def window(b: pa.Table) -> pa.Table:
         hours = pc.floor_temporal(b.column("ts"), unit="hour")
-        return b.append_column("hour", hours).drop_columns(["ts"])
+        b = b.append_column("hour", hours).drop_columns(["ts"])
+        return _null_key_split(b, "event_type")
 
     agg = (ds.map_batches(window, batch_format="pyarrow",
                           zero_copy_batch=True)
-           .groupby(["hour", "event_type"])
+           .groupby(["hour", "event_type__nn", "event_type"])
            .aggregate(Count(alias_name="n_events"),
                       Sum("value", alias_name="sum_value"),
                       Min("value", alias_name="min_value"),
                       Max("value", alias_name="max_value")))
 
     def finish(b: pa.Table) -> pa.Table:
+        b = _null_key_restore(b, "event_type")
         for c in ("sum_value", "min_value", "max_value"):
             b = b.set_column(b.column_names.index(c), c,
                              pc.round(b.column(c), 2))
@@ -179,7 +205,10 @@ def purchase_attribution(sf_dir: str, nbuckets: int = 512):
         return batch.append_column("ub", pa.array(ub, pa.int64()))
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        left = (df[df["event_type"] != "purchase"]
+        # notna AND != : SQL's `event_type <> 'purchase'` is NULL for
+        # NULL rows (dropped); pandas `None != 'purchase'` keeps them
+        left = (df[df["event_type"].notna()
+                   & (df["event_type"] != "purchase")]
                 [["event_id", "ts", "user_id", "event_type", "value"]]
                 .sort_values(["ts", "event_id"], kind="mergesort"))
         right = (df[df["event_type"] == "purchase"]
@@ -271,23 +300,29 @@ def user_distinct_by_type(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_type", "user_id"])
 
-    def pair_dedup(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates()
+    def pair_dedup(b: pa.Table) -> pa.Table:
+        # arrow distinct (null event_type kept as its own key), then
+        # the null-safe key split so BOTH downstream Ray groupbys sort
+        # only non-null values
+        g = b.group_by(["event_type", "user_id"]).aggregate([])
+        return _null_key_split(g, "event_type")
 
-    pairs = (ds.map_batches(pair_dedup, batch_format="pandas")
-             .groupby(["event_type", "user_id"])
+    pairs = (ds.map_batches(pair_dedup, batch_format="pyarrow")
+             .groupby(["event_type__nn", "event_type", "user_id"])
              .aggregate(Count(alias_name="_n")))
 
     def type_partial(b: pa.Table) -> pa.Table:
-        enc = b.column("event_type").combine_chunks().dictionary_encode()
-        idx = enc.indices.to_numpy(zero_copy_only=False)
-        n = np.bincount(idx, minlength=len(enc.dictionary))
-        return pa.table({"event_type": enc.dictionary,
-                         "n": pa.array(n.astype(np.int64), pa.int64())})
+        g = (b.group_by(["event_type__nn", "event_type"])
+             .aggregate([([], "count_all")]))
+        return g.select(["event_type__nn", "event_type",
+                         "count_all"]).rename_columns(
+            ["event_type__nn", "event_type", "n"])
 
-    return (pairs.map_batches(type_partial, batch_format="pyarrow")
-            .groupby("event_type")
-            .aggregate(Sum("n", alias_name="n_users")))
+    agg = (pairs.map_batches(type_partial, batch_format="pyarrow")
+           .groupby(["event_type__nn", "event_type"])
+           .aggregate(Sum("n", alias_name="n_users")))
+    return agg.map_batches(lambda b: _null_key_restore(b, "event_type"),
+                           batch_format="pyarrow")
 
 
 def rolling_user_value(sf_dir: str, window: int = 5,

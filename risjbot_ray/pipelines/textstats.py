@@ -20,8 +20,13 @@ import ray
 # --------------------------------------------------------------------------
 
 # BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
-# (the GPT-2-style pretoken split, simplified to pure regex)
-_BPEISH_RE = re.compile(r"[A-Za-z]+(?:'[A-Za-z]+)?|\d+|[^\w\s]")
+# (the GPT-2-style pretoken split, simplified to pure regex). The symbol
+# class spells out RE2's ASCII [^\w\s] ([^0-9A-Za-z_] minus [\t\n\f\r ])
+# explicitly — Python's \w/\s are Unicode, so the shorthand would count
+# 'café' as ONE token while the DuckDB oracle counts two (empirically
+# parity-checked against regexp_extract_all on é/\x0b/\xa0 inputs)
+_BPEISH_RE = re.compile(
+    r"[A-Za-z]+(?:'[A-Za-z]+)?|[0-9]+|[^0-9A-Za-z_\t\n\f\r ]")
 
 
 def wordcount_batch(batch: pa.Table) -> pa.Table:
@@ -144,8 +149,11 @@ def quality_batch(batch: pa.Table) -> pa.Table:
         rows["digit_ratio"].append(digit / n if n else 0.0)
         rows["punct_ratio"].append(punct / n if n else 0.0)
         rows["stopword_ratio"].append(stop / nw if nw else 0.0)
+        # tuple membership, not substring: whitespace-only text rstrips
+        # to '' and '' in ".!?" is substring-True — the oracle's
+        # CASE WHEN length(rtrim(text))=0 THEN FALSE says False
         rows["ends_with_punct"].append(
-            bool(t) and t.rstrip()[-1:] in ".!?\"'")
+            t.rstrip()[-1:] in (".", "!", "?", '"', "'"))
     out = {"doc_id": batch.column("doc_id")}
     for k, v in rows.items():
         typ = (pa.int64() if k in ("n_chars", "n_words")
