@@ -83,12 +83,13 @@ def q1_pricing_summary(sf_dir: str):
     def finish(b: pa.Table) -> pa.Table:
         units = b.column("sum_units").to_numpy(zero_copy_only=False)
         price = ((units + 50) // 100) / 100.0    # exact cents
-        b = b.append_column("sum_disc_price",
-                            pa.array(price, pa.float64()))
-        return (b.drop_columns(["sum_units"])
-                 .set_column(
-                    b.column_names.index("sum_qty"), "sum_qty",
-                    pc.round(b.column("sum_qty"), 2)))
+        b = (b.append_column("sum_disc_price",
+                             pa.array(price, pa.float64()))
+             .drop_columns(["sum_units"]))
+        # index resolved on the POST-drop table: resolving it pre-drop
+        # happened to work only because sum_units sorted after sum_qty
+        return b.set_column(b.column_names.index("sum_qty"), "sum_qty",
+                            pc.round(b.column("sum_qty"), 2))
 
     return agg.map_batches(finish, batch_format="pyarrow")
 
@@ -106,7 +107,11 @@ def top_customers_by_nation(sf_dir: str, k: int = 5):
                            columns=["n_nationkey", "n_name"])
     cdf = cust.to_pandas().merge(
         nation.to_pandas(), left_on="c_nationkey", right_on="n_nationkey")
-    lookup_ref = ray.put(cdf.set_index("c_custkey")[["c_name", "n_name"]])
+    # broadcast as ARROW: a pandas frame with object-dtype strings
+    # re-unpickles in full on every task's ray.get; an Arrow table
+    # reads zero-copy from plasma
+    lookup_ref = ray.put(pa.Table.from_pandas(
+        cdf[["c_custkey", "c_name", "n_name"]], preserve_index=False))
 
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_custkey", "o_totalprice"])
@@ -128,10 +133,12 @@ def top_customers_by_nation(sf_dir: str, k: int = 5):
         """Broadcast-join the (customer, nation) lookup onto the
         per-customer aggregate — runs per batch in the tasks, so the
         aggregate never materializes on the driver."""
-        lk = ray.get(lookup_ref)
-        df = b.to_pandas().join(lk, on="o_custkey", how="inner")
-        df["total_spent"] = df["total_spent"].round(2)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        lk = ray.get(lookup_ref)  # zero-copy arrow table
+        j = b.join(lk, keys="o_custkey", right_keys="c_custkey",
+                   join_type="inner")
+        return j.set_column(j.column_names.index("total_spent"),
+                            "total_spent",
+                            pc.round(j.column("total_spent"), 2))
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["total_spent", "o_custkey"],

@@ -323,8 +323,8 @@ def q_lang_counts(sf_dir: str):
 # composed curation pipelines (filter + dedup + aggregate at corpus scale)
 # --------------------------------------------------------------------------
 
-_CTRL_RE = None
-_WS_RE = None
+_CTRL_RE = re.compile(r"[\x00-\x08\x0e-\x1f\x7f]")
+_WS_RE = re.compile(r"[ \t\n\r\f\x0b]+")
 
 
 def normalize_batch(batch: pa.Table) -> pa.Table:
@@ -333,11 +333,6 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
     one space, trim. Explicit character classes (not ``\\s``) so an
     ANSI-SQL RE2 oracle computes the identical result. Compiled
     regexes are module-level (C-speed per batch)."""
-    global _CTRL_RE, _WS_RE
-    import re
-    if _CTRL_RE is None:
-        _CTRL_RE = re.compile(r"[\x00-\x08\x0e-\x1f\x7f]")
-        _WS_RE = re.compile(r"[ \t\n\r\f\x0b]+")
     out = []
     for t in batch.column("text").to_pylist():
         t = _CTRL_RE.sub("", t or "")
@@ -426,7 +421,7 @@ def curate_documents(sf_dir: str, min_words: int = 50,
     def prep(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
         ids = batch.column("doc_id").to_pylist()
-        out_id, out_md5, out_nw = [], [], []
+        out_id, out_t, out_nw = [], [], []
         for i, t in zip(ids, texts):
             t = t or ""
             words = t.split()
@@ -440,11 +435,10 @@ def curate_documents(sf_dir: str, min_words: int = 50,
             if alpha / n < min_alpha or stop / nw < min_stop:
                 continue
             out_id.append(i)
-            out_md5.append(hashlib.md5(t.encode("utf-8")).digest())
+            out_t.append(t)
             out_nw.append(nw)
-        from risjbot_ray.functions.digests import (bucket_of,
-                                                   pack_digests)
-        hs = pack_digests(b"".join(out_md5))
+        from risjbot_ray.functions.digests import bucket_of, md5_pack
+        hs = md5_pack(out_t)  # the shared engine-wide digest convention
         return pa.table({"doc_id": pa.array(out_id, pa.int64()),
                          "h_hi": pa.array(hs[:, 0], pa.int64()),
                          "h_lo": pa.array(hs[:, 1], pa.int64()),
