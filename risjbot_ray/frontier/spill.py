@@ -169,8 +169,19 @@ class BucketedFrontier:
 
     @classmethod
     def from_manifest(cls, pb: dict) -> "BucketedFrontier | None":
-        # v1 manifests embedded the full counts — honor them on resume
+        # v1 manifests embedded the full counts — honor them on resume,
+        # UNLESS the directory has since received v2 respills (stats/
+        # hb-*.parquet present): then the embedded counts are stale —
+        # they miss every respilled row — and the directory itself is
+        # the authority (load_bucketed_frontier merges both
+        # generations, same as the first resume did)
         if pb.get("host_counts") is not None:
+            if glob.glob(os.path.join(pb["directory"], "stats",
+                                      "hb-*.parquet")):
+                bf = load_bucketed_frontier(pb["directory"])
+                if bf is not None:
+                    bf.parent = pb.get("parent")
+                    return bf
             hbc = pb.get("host_bucket_counts")
             return cls(
                 pb["directory"], pb["num_rows"], pb["host_counts"],

@@ -1045,6 +1045,13 @@ class CrawlPipeline:
         def run_bucket(batch: pa.Table) -> pa.Table:
             import pyarrow.dataset as _pads
             outs = []
+            # scheduled/deferred are LOAD-BEARING: the driver snapshots
+            # them right after the job to write the outputs marker, so
+            # they flush with ONE blocking incr at task end (task done
+            # => delta processed); fire-and-forget incrs elsewhere in
+            # this function may lag, but nothing reads them in-band
+            n_sched = 0
+            n_deferred = 0
             for row in batch.to_pylist():
                 # one dataset scan over the group's parts (cheaper than
                 # per-file read_table when a bucket holds many small
@@ -1065,9 +1072,9 @@ class CrawlPipeline:
                             n_def = spill_bucketed(
                                 dropped, deferred_dirs[int(r)],
                                 num_buckets)
-                            metrics.incr({"bucketed_deferred": n_def})
+                            n_deferred += n_def
                         tbl = tbl.filter(pa.array(rank == 0))
-                metrics.incr({"bucketed_scheduled": tbl.num_rows})
+                n_sched += tbl.num_rows
                 if tbl.num_rows == 0:
                     continue
                 fetched = _fetch_rows(tbl, store, metrics, at_on)
@@ -1077,6 +1084,8 @@ class CrawlPipeline:
                                  cfg.equivalent_domains, num_buckets,
                                  metrics)
                 outs.append(extract_commit(fetched))
+            metrics.incr_sync({"bucketed_scheduled": n_sched,
+                               "bucketed_deferred": n_deferred})
             if not outs:
                 return _empty_extracted()
             return pa.concat_tables(outs, promote_options="default")

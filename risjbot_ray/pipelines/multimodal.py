@@ -394,17 +394,17 @@ class FrameSampler:
                         frames.append(
                             (off, frame_features(luma).tolist()))
                     sampled_real = True
-                except ValueError:
-                    pass      # corrupt/frameless: fall to stub path
+                except (ValueError, ZeroDivisionError):
+                    # corrupt/frameless/zero-fps (F0:1 headers parse
+                    # fine but divide by zero here): fall to stub path
+                    pass
                 if sampled_real:        # commit only complete decodes
                     for off, feat in frames:
                         out_id.append(row["media_id"])
                         out_off.append(off)
                         out_dec.append(True)
                         out_feat.append(feat)
-            if sampled_real:
-                pass
-            elif row["duration_ms"]:
+            if not sampled_real and row["duration_ms"]:
                 offsets = range(0, row["duration_ms"], self.every_ms)
                 for j, off in zip(range(self.max_frames), offsets):
                     out_id.append(row["media_id"])
@@ -597,15 +597,22 @@ class MediaPHash:
         self.modality = modality
 
     def _hash(self, payload: bytes) -> int | None:
-        if self.modality == "visual":
-            luma = _payload_luma(payload)
-            return None if luma is None else ahash64(luma)
-        if self.modality == "video":
-            return video_fingerprint64(payload)
-        if codecs.sniff(payload) != "wav":
+        # every modality drops corrupt payloads (None) instead of
+        # letting a decode ValueError kill the task — the audio/video
+        # decoders raise on truncated/float-PCM/parameterized inputs a
+        # real crawl does contain, same contract as _payload_luma
+        try:
+            if self.modality == "visual":
+                luma = _payload_luma(payload)
+                return None if luma is None else ahash64(luma)
+            if self.modality == "video":
+                return video_fingerprint64(payload)
+            if codecs.sniff(payload) != "wav":
+                return None
+            samples, sr = codecs.decode_wav(payload)
+            return audio_fingerprint64(samples, sr)
+        except (ValueError, ZeroDivisionError):
             return None
-        samples, sr = codecs.decode_wav(payload)
-        return audio_fingerprint64(samples, sr)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()

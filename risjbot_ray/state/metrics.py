@@ -42,6 +42,16 @@ class Metrics:
         # fire-and-forget: never blocks the data plane
         self.actor.incr.remote(deltas)
 
+    def incr_sync(self, deltas: dict[str, int]) -> None:
+        """Blocking increment for LOAD-BEARING counters read back by
+        the driver right after a job completes (e.g. the bucketed
+        wave's scheduled/deferred counts, which feed the outputs
+        marker and resume manifests): the task returns only after the
+        actor has processed the delta, so job-done => counts visible.
+        Fire-and-forget deltas may still be in flight at that point —
+        use one sync flush per task, not per batch."""
+        ray.get(self.actor.incr.remote(deltas))
+
     def snapshot(self) -> dict[str, int]:
         return ray.get(self.actor.snapshot.remote())
 

@@ -406,3 +406,43 @@ def test_audio_features_pure_tone_centroid():
     # centroid of a 1 kHz tone ~ 1000/4000 of Nyquist
     assert abs(f[3] - 0.25) < 0.02
     assert np.isclose(f[4:32].sum(), 1.0, atol=1e-5)
+
+
+def test_corrupt_payloads_drop_instead_of_crash():
+    """MediaPHash audio/video and FrameSampler must DROP undecodable
+    payloads (truncated WAV/y4m, zero-fps headers), never raise — a
+    real crawl contains them and one bad row must not kill the task."""
+    from risjbot_ray.media import codecs as cd
+    from risjbot_ray.pipelines.multimodal import FrameSampler, MediaPHash
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(4, 4, 4), dtype=np.uint8)
+    good_y4m = cd.encode_y4m(frames, fps_num=25, fps_den=1)
+    trunc_y4m = good_y4m[: len(good_y4m) // 2]
+    zerofps = good_y4m.replace(b"F25:1", b"F0:1", 1)
+    trunc_wav = b"RIFF\x10\x00\x00\x00WAVEfmt "  # sniffs wav, truncated
+
+    # truncated y4m still decodes its complete prefix frames (kept);
+    # outright garbage and truncated WAV must DROP, never raise
+    for modality, payloads, max_kept in (
+            ("video", [trunc_y4m, zerofps, b"garbage"], 2),
+            ("audio", [trunc_wav, b"RIFFxxxxWAVE", b""], 0)):
+        batch = pa.table({
+            "media_id": pa.array(range(len(payloads)), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+        out = MediaPHash(modality=modality)(batch)
+        assert out.num_rows <= max_kept  # bad rows dropped, no raise
+        assert 2 not in out.column("media_id").to_pylist()  # garbage/''
+
+    fs_batch = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "kind": pa.array(["video", "video"], pa.string()),
+        "payload": pa.array([zerofps, trunc_y4m], pa.binary()),
+        "duration_ms": pa.array([160, 160], pa.int32()),
+    })
+    out = FrameSampler(every_ms=100, max_frames=2)(fs_batch).to_pylist()
+    # the zero-fps doc must fall to the stub path (ZeroDivisionError
+    # caught), not crash; the truncated doc may decode prefix frames
+    z = [r for r in out if r["media_id"] == 1]
+    assert z and all(not r["decoded"] for r in z)

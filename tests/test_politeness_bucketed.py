@@ -434,3 +434,51 @@ def test_merge_preserves_mixed_generation_counts(ray_session, tmp_path):
         assert nodetail.host_bucket_counts is None
     finally:
         pipe.shutdown()
+
+
+def test_v1_manifest_defers_to_directory_after_respill(ray_session,
+                                                       tmp_path):
+    """A v1 manifest (embedded host_counts) whose directory later
+    received v2 respills must load from the DIRECTORY — the embedded
+    counts predate the respill and would hide those rows from budget
+    gating."""
+    import os
+
+    def _cand(host, n):
+        rows = [{"url": f"https://{host}/p/{i}", "priority": 0,
+                 "depth": 0, "source_kind": "article", "meta": None}
+                for i in range(n)]
+        return dedupe_wave(canonicalize_batch(
+            pa.Table.from_pylist(rows, schema=CHILD_SCHEMA)))
+
+    sdir = str(tmp_path / "dir")
+    # v1-era part: hand-written with a legacy sidecar
+    old = _cand("hostv1.example", 3)
+    bdir = os.path.join(sdir, "bucket=00002")
+    os.makedirs(bdir, exist_ok=True)
+    part = os.path.join(bdir, "part-legacy0000.parquet")
+    pq.write_table(old, part)
+    with open(part + ".json", "w") as f:
+        json.dump({"bucket": 2, "n": 3,
+                   "host_counts": {"hostv1.example": 3}}, f)
+    manifest = {"directory": sdir, "num_rows": 3,
+                "host_counts": {"hostv1.example": 3},
+                "bucket_files": {"2": [part]},
+                "host_bucket_counts": {"hostv1.example": {"2": 3}},
+                "parent": None}
+
+    # no respill yet: the embedded counts are authoritative
+    bf0 = BucketedFrontier.from_manifest(manifest)
+    assert bf0.num_rows == 3 and bf0.stats_files is None
+
+    # v2 respill into the same directory, then resume from the SAME
+    # v1 manifest: the directory is now the authority
+    assert spill_bucketed(_cand("hostv2.example", 5), sdir,
+                          num_buckets=4) == 5
+    bf = BucketedFrontier.from_manifest(manifest)
+    assert bf.num_rows == 8
+    assert bf.host_counts == {"hostv1.example": 3,
+                              "hostv2.example": 5}
+    hbc = bf.bucket_counts_for(["hostv1.example", "hostv2.example"])
+    assert sum(hbc["hostv1.example"].values()) == 3
+    assert sum(hbc["hostv2.example"].values()) == 5
