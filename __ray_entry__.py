@@ -884,6 +884,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Entries below are past the driver's first-50 CORRECTNESS window
         # and are verified by the pytest oracle gate / self-checks only
         # (the relational flagships here were driver-green in r03).
+        # per-host boilerplate removal (line recurrence counted within
+        # each host only; host folded into the line hash — exact oracle)
+        "doc_host_line_dedup": wt.host_line_dedup,
         # ---- relational / windowed flagships (SQL-checkable) ----
         "lineitem_pricing_summary": relational.q1_pricing_summary,
         "top_customers_by_nation": relational.top_customers_by_nation,
@@ -2573,6 +2576,59 @@ def oracle_sql() -> dict[str, str]:
           FROM e LEFT JOIN c USING (line)
         )
         SELECT doc_id, COUNT(*) AS n_lines,
+               CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_dropped,
+               COALESCE(string_agg(CASE WHEN keep THEN line END,
+                                   chr(10) ORDER BY pos), '')
+                   AS text_clean
+        FROM k GROUP BY doc_id
+    """
+    # per-host boilerplate removal: same derived-view convention, but
+    # the injected lines are host-branded and recurrence is counted per
+    # (source, line) — a line is dropped only where it recurs within
+    # the SAME host
+    sql["doc_host_line_dedup"] = r"""
+        WITH base AS (
+          SELECT doc_id, source,
+                 CASE WHEN length(trim(text)) = 0
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+')
+                 END AS words
+          FROM (SELECT doc_id, COALESCE(source, '') AS source,
+                       COALESCE(text, '') AS text
+                  FROM documents) documents
+        ), lined AS (
+          SELECT doc_id, source,
+            CASE WHEN doc_id % 3 = 0
+                 THEN ['Subscribe to the ' || source || ' newsletter']
+                 ELSE CAST([] AS VARCHAR[]) END
+            || CASE WHEN len(words) = 0 THEN ['']
+                 ELSE list_transform(
+                        range(1, CAST(ceil(len(words) / 12.0) AS BIGINT)
+                                 + 1),
+                        i -> array_to_string(
+                               words[((i-1)*12 + 1)
+                                     : least(i*12, len(words))], ' '))
+               END
+            || CASE WHEN doc_id % 5 = 0
+                 THEN ['(c) ' || source || '. All rights reserved.']
+                 ELSE CAST([] AS VARCHAR[]) END AS ls
+          FROM base
+        ), e AS (
+          SELECT doc_id, source, unnest(ls) AS line,
+                 unnest(range(1, len(ls) + 1)) AS pos FROM lined
+        ), c AS (
+          SELECT source, line, COUNT(DISTINCT doc_id) AS nd FROM e
+          WHERE trim(line, ' ' || chr(9) || chr(13)) <> ''
+          GROUP BY source, line
+        ), k AS (
+          SELECT e.doc_id, e.source, e.pos, e.line,
+                 (trim(e.line, ' ' || chr(9) || chr(13)) = ''
+                  OR COALESCE(c.nd, 0) <= 1) AS keep
+          FROM e LEFT JOIN c USING (source, line)
+        )
+        SELECT doc_id, ANY_VALUE(source) AS source,
+               COUNT(*) AS n_lines,
                CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
                    AS n_dropped,
                COALESCE(string_agg(CASE WHEN keep THEN line END,

@@ -1188,10 +1188,36 @@ def line_dedup(sf_dir: str, max_docs: int = 1):
     return line_dedup_over(docs, max_docs=max_docs)
 
 
+_SCOPE_SEP = "\x1f"
+
+
+def _scoped_line_hashes(batch: pa.Table, values: pa.Array,
+                        offsets: np.ndarray,
+                        scope_col: str | None) -> np.ndarray:
+    """Line hashes, optionally salted with the row's ``scope_col`` value
+    (joined ahead of the line with an unambiguous separator) so equal
+    lines under different scopes never share a hash. Null scopes salt
+    as ''."""
+    import pyarrow.compute as pc
+    if scope_col is None:
+        return _line_hashes(values)
+    scope = pc.fill_null(
+        batch.column(scope_col).combine_chunks().cast(pa.string()), "")
+    rep = scope.take(pa.array(np.repeat(
+        np.arange(batch.num_rows, dtype=np.int64), np.diff(offsets))))
+    return _line_hashes(
+        pc.binary_join_element_wise(rep, values, _SCOPE_SEP))
+
+
 def line_dedup_over(docs: "ray.data.Dataset", max_docs: int = 1,
-                    driver_merge_rows: int = 5_000_000):
+                    driver_merge_rows: int = 5_000_000,
+                    scope_col: str | None = None):
     """Core of :func:`line_dedup` over any (doc_id, text) Dataset whose
-    text is already multi-line.
+    text is already multi-line. With ``scope_col`` (e.g. the host), line
+    occurrences are counted and dropped PER SCOPE VALUE — the CCNet
+    boilerplate rule: a nav line recurring on one host is removed from
+    that host's docs only, while the same line appearing once on
+    another host survives there.
 
     The hot-set reduce is size-gated (same convention as the frontier
     cutoff reduce, ``pipelines/crawl.py`` ``_compute_cutoffs``): partial
@@ -1209,7 +1235,7 @@ def line_dedup_over(docs: "ray.data.Dataset", max_docs: int = 1,
         doc_ix = np.repeat(
             np.arange(batch.num_rows, dtype=np.uint64),
             np.diff(offsets))
-        h = _line_hashes(values)
+        h = _scoped_line_hashes(batch, values, offsets, scope_col)
         nz = ~blank
         # per-doc-distinct then per-block counts per hash — both via
         # lexsort + boundary masks (much cheaper than structured
@@ -1302,7 +1328,7 @@ def line_dedup_over(docs: "ray.data.Dataset", max_docs: int = 1,
             np.arange(batch.num_rows, dtype=np.int64), n_lines)
         keep = np.ones(len(values), dtype=bool)
         if hot_arr.size and len(values):
-            h = _line_hashes(values)
+            h = _scoped_line_hashes(batch, values, offsets, scope_col)
             pos = np.searchsorted(hot_arr, h)
             pos[pos >= hot_arr.size] = 0
             keep = blank | (hot_arr[pos] != h)
@@ -1313,14 +1339,71 @@ def line_dedup_over(docs: "ray.data.Dataset", max_docs: int = 1,
         kept_lines = pa.LargeListArray.from_arrays(
             pa.array(new_off, pa.int64()),
             values.filter(pa.array(keep)))
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "n_lines": pa.array(n_lines, pa.int64()),
-            "n_dropped": pa.array(n_lines - kept_counts, pa.int64()),
-            "text_clean": pc.binary_join(kept_lines, "\n")})
+        out = {"doc_id": batch.column("doc_id")}
+        if scope_col is not None:
+            out[scope_col] = batch.column(scope_col)
+        out["n_lines"] = pa.array(n_lines, pa.int64())
+        out["n_dropped"] = pa.array(n_lines - kept_counts, pa.int64())
+        out["text_clean"] = pc.binary_join(kept_lines, "\n")
+        return pa.table(out)
 
     return docs.map_batches(_rebuild, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# per-host boilerplate removal (CCNet §3.2 deduplication is corpus-wide;
+# this is the complementary per-domain rule trafilatura/boilerpipe-style
+# cleaners apply: nav menus and footer strings recur across ONE host's
+# pages — drop a line from a host's docs iff it recurs within that host,
+# leaving the identical line untouched on hosts where it is unique)
+# --------------------------------------------------------------------------
+
+def hosted_lined_view_batch(batch: pa.Table) -> pa.Table:
+    """Derived multi-line corpus KEEPING the host (``source``) column:
+    reflow each doc into ``_LINE_WORDS``-word lines ([''] for empty
+    docs), prepend ``'Subscribe to the {source} newsletter'`` when
+    doc_id % 3 == 0 and append ``'(c) {source}. All rights reserved.'``
+    when doc_id % 5 == 0 — host-branded boilerplate, so each planted
+    line recurs within exactly one host and the per-host drop path is
+    exercised end to end (same injector convention as
+    :func:`lined_view_batch`). Null sources render as ''."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    srcs = [s if s is not None else ""
+            for s in batch.column("source").to_pylist()]
+    out = []
+    for d, t, s in zip(ids, texts, srcs):
+        words = (t or "").split()
+        lines = [" ".join(words[i:i + _LINE_WORDS])
+                 for i in range(0, len(words), _LINE_WORDS)] or [""]
+        if d % 3 == 0:
+            lines.insert(0, f"Subscribe to the {s} newsletter")
+        if d % 5 == 0:
+            lines.append(f"(c) {s}. All rights reserved.")
+        out.append("\n".join(lines))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "source": pa.array(srcs, pa.string()),
+                     "text": pa.array(out, pa.string())})
+
+
+def host_line_dedup(sf_dir: str, max_docs: int = 1):
+    """Per-host boilerplate line removal over the
+    :func:`hosted_lined_view_batch` derived corpus: a non-blank line is
+    dropped from a host's documents iff it appears in more than
+    ``max_docs`` distinct documents OF THAT HOST. Returns per doc:
+    (doc_id, source, n_lines, n_dropped, text_clean).
+
+    Scale shape: identical to :func:`line_dedup` — the exchange carries
+    (host-salted line hash, partial count) int64 pairs with a per-block
+    combiner, the hot set broadcasts once as a sorted int64 array, and
+    the rebuild is a stateless vectorized filter pass. The per-host
+    scoping costs nothing extra: the scope is folded into the hash, so
+    no (host, line) string pair ever rides the exchange."""
+    docs = _documents(sf_dir, ["doc_id", "text", "source"]) \
+        .map_batches(hosted_lined_view_batch, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    return line_dedup_over(docs, max_docs=max_docs, scope_col="source")
 
 
 # --------------------------------------------------------------------------

@@ -1214,6 +1214,66 @@ def test_line_dedup_same_doc_repeat_kept(ray_session, tmp_path):
     assert df.loc[1, "text_clean"] == f"{twelve}\n{twelve}"
 
 
+def test_host_line_dedup_scoped_to_host(ray_session, tmp_path):
+    """Per-host boilerplate scoping: a line recurring across two docs of
+    host A is dropped from A only — the identical line on host B (one
+    occurrence there) survives; injected host-branded boilerplate drops
+    exactly on hosts where it recurs."""
+    from risjbot_ray.pipelines.webtext import host_line_dedup
+    first12 = ("alpha beta gamma delta epsilon zeta eta theta iota "
+               "kappa lambda mu")
+    sf = _write_docs(tmp_path, [
+        (1, f"{first12} nu xi", "a.com"),       # shared reflow line on A
+        (2, f"{first12} pi rho", "a.com"),      # shared reflow line on A
+        (4, f"{first12} tau phi", "b.com"),     # same line, unique on B
+        (3, "upsilon chi psi", "c.com"),        # %3: branded head on C
+        (6, "omega digamma qoppa", "c.com"),    # %3: branded head on C
+        (9, "sampi heta sho", "d.com"),         # %3: branded head on D
+    ])
+    df = host_line_dedup(sf).to_pandas().set_index("doc_id").sort_index()
+    # the 12-word line recurs on a.com -> dropped there only
+    assert df.loc[1, "text_clean"] == "nu xi"
+    assert df.loc[2, "text_clean"] == "pi rho"
+    assert df.loc[4, "text_clean"] == f"{first12}\ntau phi"
+    assert df.loc[4, "n_dropped"] == 0
+    # branded head recurs on c.com (docs 3 and 6) -> dropped on C...
+    assert df.loc[3, "text_clean"] == "upsilon chi psi"
+    assert df.loc[6, "text_clean"] == "omega digamma qoppa"
+    # ...but doc 9 is d.com's ONLY %3 doc: its branded head is unique
+    # within d.com and survives
+    assert df.loc[9, "text_clean"] == \
+        "Subscribe to the d.com newsletter\nsampi heta sho"
+    assert df.loc[9, "n_dropped"] == 0
+    assert (df["source"] == df.index.to_series().map(
+        {1: "a.com", 2: "a.com", 4: "b.com", 3: "c.com",
+         6: "c.com", 9: "d.com"})).all()
+
+
+def test_host_line_dedup_shuffle_path_parity(ray_session, tmp_path):
+    """The grouped-shuffle hot-set path (driver_merge_rows=0) and the
+    driver-merge path agree row for row on a scoped corpus."""
+    from risjbot_ray.pipelines.webtext import (host_line_dedup,
+                                               hosted_lined_view_batch,
+                                               line_dedup_over)
+    import ray as _ray
+    first12 = ("alpha beta gamma delta epsilon zeta eta theta iota "
+               "kappa lambda mu")
+    rows = [(i, f"{first12} tail{i % 4}",
+             f"h{i % 3}.com") for i in range(1, 31)]
+    sf = _write_docs(tmp_path, rows)
+    a = (host_line_dedup(sf).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    docs = (_ray.data.read_parquet(
+                f"{sf}/documents.parquet",
+                columns=["doc_id", "text", "source"])
+            .map_batches(hosted_lined_view_batch, batch_format="pyarrow"))
+    b = (line_dedup_over(docs, max_docs=1, driver_merge_rows=0,
+                         scope_col="source").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(a, b)
+
+
 def test_c4_clean_rules(ray_session, tmp_path):
     """C4 line rules discriminate: punctuated >=5-word prose lines
     survive; unpunctuated, short and javascript lines are dropped;
