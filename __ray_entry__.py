@@ -887,6 +887,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-host boilerplate removal (line recurrence counted within
         # each host only; host folded into the line hash — exact oracle)
         "doc_host_line_dedup": wt.host_line_dedup,
+        # URL-level curation gate (blocked-domain prefixes + weighted
+        # soft-word score + path-depth rule over a derived URL view;
+        # stateless streaming pass — exact oracle)
+        "doc_url_filter": wt.url_filter,
         # ---- relational / windowed flagships (SQL-checkable) ----
         "lineitem_pricing_summary": relational.q1_pricing_summary,
         "top_customers_by_nation": relational.top_customers_by_nation,
@@ -2635,6 +2639,51 @@ def oracle_sql() -> dict[str, str]:
                                    chr(10) ORDER BY pos), '')
                    AS text_clean
         FROM k GROUP BY doc_id
+    """
+    # URL-level curation gate over the derived URL view; DuckDB's
+    # regexp_extract is RE2 like pyarrow's extract_regex, so host/path
+    # parsing agrees byte for byte
+    sql["doc_url_filter"] = r"""
+        WITH u AS (
+          SELECT doc_id,
+            'https://'
+            || CASE WHEN doc_id % 23 = 0 THEN 'ads.' ELSE '' END
+            || COALESCE(source, '')
+            || CASE WHEN doc_id % 29 = 0
+                    THEN '/a/b/c/d/e/f/g' ELSE '' END
+            || '/' || COALESCE(lang, '') || '/article-' || doc_id
+            || CASE WHEN doc_id % 17 = 0
+                    THEN '?utm_source=feed&sessionid=' || doc_id
+                    ELSE '' END AS url
+          FROM documents
+        ), p AS (
+          SELECT doc_id, url,
+                 regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+                 regexp_extract(url,
+                                '^https?://[^/?#]+([^?#]*)', 1) AS path
+          FROM u
+        ), s AS (
+          SELECT doc_id, url, host,
+                 (CASE WHEN contains(lower(url), 'sessionid')
+                       THEN 2.0 ELSE 0.0 END
+                  + CASE WHEN contains(lower(url), 'utm_')
+                         THEN 1.0 ELSE 0.0 END
+                  + CASE WHEN contains(lower(url), 'clickthrough')
+                         THEN 1.5 ELSE 0.0 END) AS url_score,
+                 CAST(length(path) - length(replace(path, '/', ''))
+                      AS BIGINT) AS n_segments,
+                 (starts_with(host, 'ads.')
+                  OR starts_with(host, 'tracker.')) AS blocked
+          FROM p
+        )
+        SELECT doc_id, url, host, url_score, n_segments,
+               (NOT blocked AND url_score < 2.5
+                AND n_segments <= 6) AS keep,
+               CASE WHEN blocked THEN 'blocked_domain'
+                    WHEN url_score >= 2.5 THEN 'url_score'
+                    WHEN n_segments > 6 THEN 'too_deep'
+                    ELSE '' END AS reason
+        FROM s
     """
     # C4 line-level cleaning rules over the same derived lined view;
     # list_filter preserves order so text_clean needs no unnest

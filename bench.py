@@ -234,6 +234,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                          ("curate_corpus", webtext.curate_corpus),
                          ("quality_rank", webtext.quality_rank),
                          ("line_dedup", webtext.line_dedup),
+                         ("host_line_dedup", webtext.host_line_dedup),
                          ("c4_clean", webtext.c4_clean),
                          ("gopher_quality", ts_wt.q_gopher),
                          ("decontaminate_fuzzy",

@@ -1407,6 +1407,96 @@ def host_line_dedup(sf_dir: str, max_docs: int = 1):
 
 
 # --------------------------------------------------------------------------
+# URL-level curation filtering (RefinedWeb §3.1 / UT1-style: reject a
+# page by its URL alone BEFORE paying for fetch/extract — blocked-domain
+# prefixes, weighted soft-word scoring over the full URL, and structural
+# path rules; the cheapest gate in the funnel, so it runs first)
+# --------------------------------------------------------------------------
+
+_URL_BLOCK_PREFIXES = ("ads.", "tracker.")
+_URL_BAD_WORDS = (("sessionid", 2.0), ("utm_", 1.0), ("clickthrough", 1.5))
+_URL_SCORE_REJECT = 2.5
+_URL_MAX_SEGMENTS = 6
+# pyarrow extract_regex requires NAMED groups; the DuckDB oracle uses
+# the same RE2 patterns with plain groups + regexp_extract(..., 1)
+_URL_HOST_RE = r"^https?://(?P<host>[^/?#]+)"
+_URL_PATH_RE = r"^https?://[^/?#]+(?P<path>[^?#]*)"
+
+
+def urled_view_batch(batch: pa.Table) -> pa.Table:
+    """Derived URL view of the documents table (it carries no url
+    column): ``https://{source}/{lang}/article-{doc_id}``, with
+    deterministic bad-URL injections — an ``ads.`` host prefix when
+    doc_id % 23 == 0, a 7-level path prefix when % 29 == 0, and a
+    ``?utm_source=feed&sessionid=`` query when % 17 == 0 — so every
+    reject rule fires on real rows (same injector convention as
+    :func:`hosted_lined_view_batch`)."""
+    ids = batch.column("doc_id").to_pylist()
+    srcs = batch.column("source").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    urls = []
+    for d, s, lg in zip(ids, srcs, langs):
+        host = ("ads." if d % 23 == 0 else "") + (s or "")
+        path = ("/a/b/c/d/e/f/g" if d % 29 == 0 else "") \
+            + f"/{lg or ''}/article-{d}"
+        q = f"?utm_source=feed&sessionid={d}" if d % 17 == 0 else ""
+        urls.append(f"https://{host}{path}{q}")
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "url": pa.array(urls, pa.string())})
+
+
+def url_filter_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized URL gate over a (doc_id, url) batch: parse host and
+    path with one regex each, then apply three rules —
+    ``blocked_domain`` (host prefix in the blocklist), ``url_score``
+    (weighted soft-word hits over the lowercased URL at or above
+    ``_URL_SCORE_REJECT``) and ``too_deep`` (more than
+    ``_URL_MAX_SEGMENTS`` path segments). Emits (doc_id, url, host,
+    url_score, n_segments, keep, reason) with reason = the FIRST
+    failing rule in that order ('' when kept). All-Arrow kernels —
+    no per-row Python."""
+    import pyarrow.compute as pc
+    url = pc.fill_null(batch.column("url").combine_chunks(), "")
+    host = pc.struct_field(pc.extract_regex(url, _URL_HOST_RE), "host")
+    host = pc.fill_null(host, "")
+    path = pc.struct_field(pc.extract_regex(url, _URL_PATH_RE), "path")
+    path = pc.fill_null(path, "")
+    low = pc.utf8_lower(url)
+    score = np.zeros(batch.num_rows, dtype=np.float64)
+    for word, w in _URL_BAD_WORDS:
+        score += np.asarray(pc.match_substring(low, word)) * w
+    nseg = np.asarray(pc.count_substring(path, "/"), dtype=np.int64)
+    blocked = np.zeros(batch.num_rows, dtype=bool)
+    for pref in _URL_BLOCK_PREFIXES:
+        blocked |= np.asarray(pc.starts_with(host, pref))
+    scored = score >= _URL_SCORE_REJECT
+    deep = nseg > _URL_MAX_SEGMENTS
+    keep = ~(blocked | scored | deep)
+    reason = np.select([blocked, scored, deep],
+                       ["blocked_domain", "url_score", "too_deep"],
+                       default="")
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "url": url, "host": host,
+        "url_score": pa.array(score, pa.float64()),
+        "n_segments": pa.array(nseg, pa.int64()),
+        "keep": pa.array(keep, pa.bool_()),
+        "reason": pa.array(reason.tolist(), pa.string())})
+
+
+def url_filter(sf_dir: str):
+    """URL-level curation gate over the :func:`urled_view_batch`
+    derived corpus — one stateless fully-streaming ``map_batches``
+    chain, no shuffle, no state; at crawl scale this same kernel gates
+    the frontier before fetch."""
+    return (_documents(sf_dir, ["doc_id", "source", "lang"])
+            .map_batches(urled_view_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(url_filter_batch, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
+# --------------------------------------------------------------------------
 # distributed global shuffle rank
 # --------------------------------------------------------------------------
 

@@ -1274,6 +1274,38 @@ def test_host_line_dedup_shuffle_path_parity(ray_session, tmp_path):
     pdt.assert_frame_equal(a, b)
 
 
+def test_url_filter_rules(ray_session, tmp_path):
+    """URL gate truth table: blocked ads. host, soft-word score
+    (sessionid 2.0 + utm_ 1.0 = 3.0 >= 2.5), deep path, and a clean
+    keeper — with blocked_domain taking precedence over url_score when
+    both fire."""
+    from risjbot_ray.pipelines.webtext import url_filter
+    sf = _write_docs(tmp_path, [
+        (1, "clean doc", "news.example"),     # keep
+        (23, "ad doc", "news.example"),       # ads. prefix -> blocked
+        (17, "tracked doc", "news.example"),  # sessionid+utm_ -> 3.0
+        (29, "deep doc", "news.example"),     # 9 path segments
+        (391, "both doc", "news.example"),    # 23*17: blocked wins
+    ])
+    df = url_filter(sf).to_pandas().set_index("doc_id").sort_index()
+    assert df.loc[1, "keep"] and df.loc[1, "reason"] == ""
+    assert df.loc[1, "url"] == "https://news.example/en/article-1"
+    assert df.loc[1, "host"] == "news.example"
+    assert not df.loc[23, "keep"]
+    assert df.loc[23, "reason"] == "blocked_domain"
+    assert df.loc[23, "host"] == "ads.news.example"
+    assert not df.loc[17, "keep"]
+    assert df.loc[17, "reason"] == "url_score"
+    assert df.loc[17, "url_score"] == 3.0
+    assert not df.loc[29, "keep"]
+    assert df.loc[29, "reason"] == "too_deep"
+    assert df.loc[29, "n_segments"] == 9
+    # query string never counts toward path segments
+    assert df.loc[17, "n_segments"] == 2
+    assert df.loc[391, "reason"] == "blocked_domain"
+    assert df.loc[391, "url_score"] == 3.0
+
+
 def test_c4_clean_rules(ray_session, tmp_path):
     """C4 line rules discriminate: punctuated >=5-word prose lines
     survive; unpunctuated, short and javascript lines are dropped;
