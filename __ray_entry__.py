@@ -891,6 +891,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # soft-word score + path-depth rule over a derived URL view;
         # stateless streaming pass — exact oracle)
         "doc_url_filter": wt.url_filter,
+        # per-doc TF-IDF top-k keywords (vocab-bounded df broadcast,
+        # zero-exchange scoring pass — exact oracle)
+        "doc_tfidf_topk": wt.tfidf_topk,
         # ---- relational / windowed flagships (SQL-checkable) ----
         "lineitem_pricing_summary": relational.q1_pricing_summary,
         "top_customers_by_nation": relational.top_customers_by_nation,
@@ -2639,6 +2642,35 @@ def oracle_sql() -> dict[str, str]:
                                    chr(10) ORDER BY pos), '')
                    AS text_clean
         FROM k GROUP BY doc_id
+    """
+    # per-doc TF-IDF top-k keywords: tfidf = tf * ln(N/df) rounded 5dp
+    # (the PMI convention), ranked (tfidf desc, token asc) per doc;
+    # the tokenizer is the exact Python-str.split() whitespace class
+    sql["doc_tfidf_topk"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(COALESCE(text, ''), '[^\t-\r\x1c-\x1f \x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+')) AS token
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, token, COUNT(*) AS tf
+          FROM toks GROUP BY doc_id, token
+        ), dft AS (
+          SELECT token, COUNT(DISTINCT doc_id) AS df
+          FROM toks GROUP BY token
+        ), nd AS (SELECT COUNT(*) AS n FROM documents
+        ), s AS (
+          SELECT tf.doc_id, tf.token, tf.tf, dft.df,
+                 round(tf.tf * ln(CAST(nd.n AS DOUBLE) / dft.df), 5)
+                     AS tfidf
+          FROM tf JOIN dft USING (token) CROSS JOIN nd
+        ), r AS (
+          SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY tfidf DESC, token) AS "rank"
+          FROM s
+        )
+        SELECT doc_id, token, tf, df, tfidf, "rank"
+        FROM r WHERE "rank" <= 3
     """
     # URL-level curation gate over the derived URL view; DuckDB's
     # regexp_extract is RE2 like pyarrow's extract_regex, so host/path

@@ -236,6 +236,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                          ("line_dedup", webtext.line_dedup),
                          ("host_line_dedup", webtext.host_line_dedup),
                          ("c4_clean", webtext.c4_clean),
+                         ("url_filter", webtext.url_filter),
+                         ("tfidf_topk", webtext.tfidf_topk),
                          ("gopher_quality", ts_wt.q_gopher),
                          ("decontaminate_fuzzy",
                           dedup_mod.decontaminate_fuzzy)):

@@ -1704,6 +1704,87 @@ def top_pmi_bigrams(sf_dir: str, k: int = 100, min_count: int = 5):
             .limit(k))
 
 
+def tfidf_topk(sf_dir: str, k: int = 3):
+    """Top-``k`` TF-IDF keywords per document (the classic
+    keyword-extraction / search-feature stage): tfidf = tf x
+    ln(N / df), rounded to 5dp (the PMI convention), ranked per doc by
+    (tfidf desc, token asc). Emits (doc_id, token, tf, df, tfidf,
+    rank); empty docs emit nothing.
+
+    Scale shape: the document-frequency table is vocabulary-bounded
+    (the PMI/BPE/LM broadcast assumption), built with in-batch
+    per-doc-distinct partials and ONE tree-combine — no groupby
+    exchange — then broadcast once via ``ray.put``. The scoring pass is
+    stateless and zero-exchange: each doc's top-k needs only its own
+    term counts plus the broadcast df map."""
+    from collections import Counter
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    # parquet metadata count — no data scan
+    n_docs = _documents(sf_dir, ["doc_id"]).count()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(set((t or "").split()))
+        return pa.table({
+            "w": pa.array(list(c.keys()), pa.string()),
+            "n": pa.array(list(c.values()), pa.int64())})
+
+    def df_merge(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = (batch.to_pandas().groupby("w", sort=False, as_index=False)
+             ["n"].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from risjbot_ray.pipelines.lm import _agg_count_partials
+    dt = _agg_count_partials(
+        docs.map_batches(df_partial, batch_format="pyarrow",
+                         zero_copy_batch=True), df_merge)
+    empty = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "token": pa.array([], pa.string()),
+        "tf": pa.array([], pa.int64()),
+        "df": pa.array([], pa.int64()),
+        "tfidf": pa.array([], pa.float64()),
+        "rank": pa.array([], pa.int64())})
+    if dt is None:
+        return ray.data.from_arrow(empty)
+    df_ref = ray.put(dict(zip(dt.column("w").to_pylist(),
+                              dt.column("n").to_pylist())))
+
+    def score(batch: pa.Table) -> pa.Table:
+        dfm = ray.get(df_ref)
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_id, o_tok, o_tf, o_df, o_ti, o_rk = [], [], [], [], [], []
+        for d, t in zip(ids, texts):
+            c = Counter((t or "").split())
+            if not c:
+                continue
+            toks = np.array(list(c.keys()), dtype=object)
+            tf = np.array(list(c.values()), dtype=np.int64)
+            dfv = np.array([dfm[w] for w in toks], dtype=np.float64)
+            ti = np.round(tf * np.log(float(n_docs) / dfv), 5)
+            order = np.lexsort((toks, -ti))[:k]
+            o_id.extend([d] * len(order))
+            o_tok.extend(toks[order].tolist())
+            o_tf.extend(tf[order].tolist())
+            o_df.extend(dfv[order].astype(np.int64).tolist())
+            o_ti.extend(ti[order].tolist())
+            o_rk.extend(range(1, len(order) + 1))
+        return pa.table({
+            "doc_id": pa.array(o_id, pa.int64()),
+            "token": pa.array(o_tok, pa.string()),
+            "tf": pa.array(o_tf, pa.int64()),
+            "df": pa.array(o_df, pa.int64()),
+            "tfidf": pa.array(o_ti, pa.float64()),
+            "rank": pa.array(o_rk, pa.int64())}) if o_id else empty
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def source_unigram_kl(sf_dir: str) -> pa.Table:
     """Domain-shift diagnostic: KL(P_source || P_corpus) of unigram
     token distributions, one row per source. Every source token is by

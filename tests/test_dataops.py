@@ -1274,6 +1274,37 @@ def test_host_line_dedup_shuffle_path_parity(ray_session, tmp_path):
     pdt.assert_frame_equal(a, b)
 
 
+def test_tfidf_topk_hand_computed(ray_session, tmp_path):
+    """TF-IDF keywords against hand-computed values: tfidf =
+    tf * ln(N/df) at 5dp; equal scores break to token ascending; empty
+    docs emit nothing."""
+    import math
+
+    from risjbot_ray.pipelines.webtext import tfidf_topk
+    sf = _write_docs(tmp_path, [
+        (1, "apple apple banana"),
+        (2, "apple cherry"),
+        (3, "banana banana banana cherry"),
+        (4, ""),
+    ])
+    df = (tfidf_topk(sf).to_pandas()
+          .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+    ln2_5 = round(math.log(2.0), 5)           # every df is 2 of N=4
+    assert 4 not in set(df["doc_id"])         # empty doc: no rows
+    d1 = df[df.doc_id == 1]
+    assert list(d1.token) == ["apple", "banana"]
+    assert list(d1.tfidf) == [round(2 * math.log(2.0), 5), ln2_5]
+    assert list(d1.tf) == [2, 1] and list(d1.df) == [2, 2]
+    # doc 2: identical scores -> token ascending breaks the tie
+    d2 = df[df.doc_id == 2]
+    assert list(d2.token) == ["apple", "cherry"]
+    assert list(d2.tfidf) == [ln2_5, ln2_5]
+    d3 = df[df.doc_id == 3]
+    assert list(d3.token) == ["banana", "cherry"]
+    assert list(d3.tfidf) == [round(3 * math.log(2.0), 5), ln2_5]
+    assert list(df["rank"]) == [1, 2, 1, 2, 1, 2]
+
+
 def test_url_filter_rules(ray_session, tmp_path):
     """URL gate truth table: blocked ads. host, soft-word score
     (sessionid 2.0 + utm_ 1.0 = 3.0 >= 2.5), deep path, and a clean
