@@ -282,6 +282,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         queries["dsir_bucketed"] = round(time.time() - t0, 3)
         throughput["dsir_docs_per_sec"] = round(
             n_docs / queries["dsir_bucketed"], 1)
+        # CCNet tercile split: LM train + fp-NLL scoring + the exact
+        # per-language prefix-sum rank exchange, end to end
+        out = "/tmp/bench_ccnet"
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.time()
+        lm.ccnet_ppl_buckets(docs_root,
+                             concurrency=(1, 24)).write_parquet(out)
+        queries["ccnet_buckets"] = round(time.time() - t0, 3)
+        throughput["ccnet_buckets_docs_per_sec"] = round(
+            n_docs / queries["ccnet_buckets"], 1)
 
         # model-based quality: logistic-regression trainer (featurize
         # once + 12 full-batch GD streaming passes) and the mojibake

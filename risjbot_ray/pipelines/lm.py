@@ -568,3 +568,132 @@ def dsir_resample(sf_dir: str, k: int = 100, ref_mod: int = 10,
         _key_batch, batch_format="pyarrow", zero_copy_batch=True)
     return part.sort(["sample_key", "doc_id"],
                      descending=[True, False]).limit(k)
+
+
+# --------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020 §4.3 —
+# the public method: per LANGUAGE, rank documents by LM perplexity and
+# split the corpus into equal head/middle/tail terciles; "head" is the
+# most-fluent third that CCNet keeps for LM training data)
+# --------------------------------------------------------------------------
+
+_NLL_FP_SCALE = 1_000_000.0   # fixed-point grid for the per-bigram NLL
+_PPL_BIN_WIDTH = 250_000.0    # rank-bin width in fp units (0.25 nat)
+_PPL_BINS = 128               # bins above 32 nats clamp into the last
+
+
+class _FPNLLScorer(PerplexityScorer):
+    """PerplexityScorer twin that emits the SUM of per-bigram
+    ``floor(1e6 * nll)`` as an int64 (plus a ``lang`` passthrough)
+    instead of the float mean. The fixed-point floor makes the
+    document score an integer DuckDB reproduces exactly: SUM of
+    identical integers is summation-order-independent, and the only
+    cross-engine freedom left is a 1-ulp difference in ln(), which
+    flips a floor only when 1e6*nll sits within ~1e-9 of an integer —
+    vanishing for irrational logs. Ranks over the score therefore
+    admit an exact SQL oracle where ranking the float mean
+    (summation-order-dependent) would not."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        th, lens = _batch_token_hashes(batch.column("text"), self.cache)
+        gh, doc_idx, w1 = _batch_bigram_hashes(th, lens)
+        ndocs = len(lens)
+        cu = _lookup(self.uni_h, self.uni_n, w1)
+        cb = _lookup(self.bi_h, self.bi_n, gh)
+        fp = np.floor(_NLL_FP_SCALE * (np.log(cu + float(self.v))
+                                       - np.log(cb + 1.0)))
+        n_bi = np.bincount(doc_idx, minlength=ndocs)
+        # per-bigram fp is a non-negative integer < ~5e7 (cu >= cb and
+        # V >= 1 make every term >= 0), so a doc total stays far under
+        # 2^53 and the float-weighted bincount is exact
+        tot = np.bincount(doc_idx, weights=fp, minlength=ndocs)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "n_bigrams": pa.array(n_bi.astype(np.int64), pa.int64()),
+            "nll_fp": pa.array(tot.astype(np.int64), pa.int64()),
+        })
+
+
+def ccnet_ppl_buckets(sf_dir: str, ref_mod: int = 10,
+                      concurrency: tuple[int, int] = (1, 8)
+                      ) -> "ray.data.Dataset":
+    """CCNet's per-language head/middle/tail perplexity split.
+
+    Scale shape: score with the broadcast bigram LM (zero-exchange,
+    same as ``perplexity_score``), then assign EXACT per-language
+    ranks with the two-pass prefix-sum used by ``shuffle_rank`` /
+    ``pack_stream`` — documents key into (lang, coarse-NLL-bin)
+    groups, a combiner count pass hands the driver one integer per
+    non-empty group (bounded by #langs x 128 bins, never by corpus
+    size), the driver turns those into prefix bases, and ranks are
+    assigned inside ``groupby(gkey).map_groups``. Because the bin is
+    a monotone function of the sort key (mean NLL), within-bin local
+    order + prefix base = the exact global per-language rank; no
+    corpus-wide sort exchange. Bin balance (not correctness) assumes
+    mean NLL < 32 nats — pathological corpora clamp into the last bin
+    and only lose parallelism there. Tercile rule on the 0-based
+    rank r with n docs in the language: head iff 3r < n, middle iff
+    3r < 2n, else tail (ties broken by doc_id, so the split is
+    deterministic and SQL-reproducible).
+
+    Returns (doc_id, lang, n_bigrams, nll_fp, avg_nll_fp, ppl_rank,
+    bucket); docs with < 2 tokens score 0 and land in head — CCNet
+    leaves length gating to the quality rules (gopher/C4), not the
+    LM stage."""
+    from .webtext import _counts_by
+    model = train_bigram_lm(sf_dir, ref_mod=ref_mod)
+    ref = ray.put(model.packed())
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"])
+    scored = docs.map_batches(_FPNLLScorer, fn_constructor_args=(ref,),
+                              batch_format="pyarrow",
+                              concurrency=concurrency)
+
+    def key(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_bigrams").to_numpy(zero_copy_only=False)
+        fp = batch.column("nll_fp").to_numpy(zero_copy_only=False)
+        avg = np.divide(fp.astype(np.float64), n,
+                        out=np.zeros(len(n), np.float64), where=n > 0)
+        bins = np.clip((avg // _PPL_BIN_WIDTH).astype(np.int64),
+                       0, _PPL_BINS - 1)
+        # null lang shares the "" group key (SQL's one-NULL-group
+        # semantics); the lang COLUMN itself passes through untouched
+        gk = [f"{l or ''}\x1f{b:03d}" for l, b in
+              zip(batch.column("lang").to_pylist(), bins)]
+        return (batch
+                .append_column("avg_nll_fp", pa.array(avg, pa.float64()))
+                .append_column("gkey", pa.array(gk, pa.string())))
+
+    keyed = _coalesce_for_exchange(
+        scored.map_batches(key, batch_format="pyarrow"))
+
+    # one tiny int per non-empty (lang, bin): prefix bases + totals
+    bases: dict[str, int] = {}
+    totals: dict[str, int] = {}
+    per_lang: dict[str, list[tuple[str, int]]] = {}
+    for gk, c in _counts_by(keyed, "gkey").items():
+        per_lang.setdefault(gk.rpartition("\x1f")[0], []).append((gk, c))
+    for lang, items in per_lang.items():
+        run = 0
+        for gk, c in sorted(items):   # %03d bin pads: lexicographic
+            bases[gk] = run           # order == numeric bin order
+            run += c
+        totals[lang] = run
+    meta_ref = ray.put((bases, totals))
+
+    def assign(df):
+        order = np.lexsort((df["doc_id"].to_numpy(),
+                            df["avg_nll_fp"].to_numpy()))
+        df = df.iloc[order]
+        b, t = ray.get(meta_ref)
+        gk = df["gkey"].iloc[0]
+        base, n = b[gk], t[gk.rpartition("\x1f")[0]]
+        rank = np.arange(base, base + len(df), dtype=np.int64)
+        bucket = np.where(3 * rank < n, "head",
+                          np.where(3 * rank < 2 * n, "middle", "tail"))
+        return (df.assign(ppl_rank=rank, bucket=bucket)
+                  .drop(columns=["gkey"]))
+
+    return keyed.groupby("gkey").map_groups(assign,
+                                            batch_format="pandas")

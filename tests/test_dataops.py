@@ -1383,3 +1383,51 @@ def test_c4_clean_e2e(ray_session, tmp_path):
     assert df.loc[5, "n_kept"] == 1
     assert df.loc[5, "text_clean"] == \
         "All rights reserved. Terms of use apply."
+
+
+def test_ccnet_buckets_terciles(ray_session, tmp_path):
+    """CCNet bucketing: ranks are a 0..n-1 bijection PER LANGUAGE
+    ordered by mean fixed-point NLL (ties doc_id), tercile sizes obey
+    3r < n / 3r < 2n, and a gibberish doc lands in its language's
+    tail while reference-slice prose lands in head."""
+    import pyarrow.parquet as pq
+
+    from risjbot_ray.pipelines.lm import ccnet_ppl_buckets
+    fluent = ("the quick brown fox jumps over the lazy dog and then "
+              "the dog sleeps near the quiet river all afternoon")
+    rows = []
+    for i in range(12):                       # en: 12 docs, ids 0..11
+        # doc_id % 10 == 0 trains the LM -> fluent refs score low
+        rows.append((i, fluent if i < 8 else
+                     f"zzq{i} vvk{i} qqj{i} xxw{i} jjp{i} kkz{i}", "en"))
+    for i in range(101, 106):                 # fr: 5 docs, none in the
+        # doc_id % 10 == 0 reference slice
+        rows.append((i, fluent if i > 102 else
+                     f"qxz{i} wvu{i} ppl{i} mmn{i}", "fr"))
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array(["s"] * len(rows), pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    df = ccnet_ppl_buckets(str(tmp_path)).to_pandas()
+    assert len(df) == len(rows)
+    for lang, g in df.groupby("lang"):
+        n = len(g)
+        assert sorted(g["ppl_rank"]) == list(range(n))
+        g = g.sort_values("ppl_rank")
+        # ranks ascend with (avg nll, doc_id)
+        key = list(zip(g["avg_nll_fp"], g["doc_id"]))
+        assert key == sorted(key)
+        want = ["head" if 3 * r < n else
+                "middle" if 3 * r < 2 * n else "tail" for r in range(n)]
+        assert list(g["bucket"]) == want
+    by_id = df.set_index("doc_id")
+    assert by_id.loc[0, "bucket"] == "head"        # the training ref
+    assert by_id.loc[11, "bucket"] == "tail"       # en gibberish
+    # fr gibberish docs tie exactly (every unseen bigram scores
+    # ln(V)) -> doc_id order: 101 -> rank 3 (middle), 102 -> rank 4
+    assert by_id.loc[101, "bucket"] == "middle"
+    assert by_id.loc[102, "bucket"] == "tail"
