@@ -237,6 +237,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                          ("host_line_dedup", webtext.host_line_dedup),
                          ("c4_clean", webtext.c4_clean),
                          ("url_filter", webtext.url_filter),
+                         ("gram_dup", webtext.gram_duplication),
+                         ("domain_filter", webtext.domain_quality_filter),
+                         ("token_budget", webtext.quality_token_budget),
                          ("tfidf_topk", webtext.tfidf_topk),
                          ("gopher_quality", ts_wt.q_gopher),
                          ("decontaminate_fuzzy",

@@ -1209,6 +1209,66 @@ def _scoped_line_hashes(batch: pa.Table, values: pa.Array,
         pc.binary_join_element_wise(rep, values, _SCOPE_SEP))
 
 
+def _hot_hash_set(parts: "ray.data.Dataset", max_docs: int,
+                  driver_merge_rows: int) -> np.ndarray:
+    """Reduce (h, c, bucket) partial-count blocks to the SORTED int64
+    array of hashes whose summed count exceeds ``max_docs`` — the
+    size-gated reduce shared by the line- and gram-duplication passes.
+    At or under ``driver_merge_rows`` partial rows (~24 bytes each) one
+    driver-side merge beats Ray's sort-based groupby's fixed all-to-all
+    overhead; above it, the coarse-bucketed ``map_groups`` shuffle runs
+    and the driver only ever holds the POST-aggregation hot set (gated
+    at ``_HOT_LINES_MAX`` — past that, shard by hash and run per
+    shard)."""
+
+    def _sum_filter(df):
+        import pandas as pd
+        h = df["h"].to_numpy()
+        c = df["c"].to_numpy()
+        hh, inv = np.unique(h, return_inverse=True)
+        tot = np.bincount(inv, weights=c).astype(np.int64)
+        sel = tot > max_docs
+        return pd.DataFrame({"h": hh[sel]})
+
+    if driver_merge_rows > 0:
+        parts = parts.materialize()
+    if driver_merge_rows > 0 and parts.count() <= driver_merge_rows:
+        tabs = [t for t in ray.get(parts.to_arrow_refs())
+                if t.num_rows]
+        if tabs:
+            hcat = np.concatenate(
+                [t.column("h").to_numpy(zero_copy_only=False)
+                 for t in tabs])
+            ccat = np.concatenate(
+                [t.column("c").to_numpy(zero_copy_only=False)
+                 for t in tabs])
+            order = np.argsort(hcat, kind="stable")
+            hs, cs = hcat[order], ccat[order]
+            nb = np.empty(hs.size, dtype=bool)
+            nb[0] = True
+            nb[1:] = hs[1:] != hs[:-1]
+            starts = np.flatnonzero(nb)
+            tot = np.add.reduceat(cs, starts)
+            return hs[starts][tot > max_docs]  # sorted by construction
+        return np.empty(0, dtype=np.int64)
+    # materialize the POST-aggregation hot set (boilerplate lines /
+    # duplicated grams only — kilorows) so count() + collect don't
+    # re-execute
+    hot_ds = parts.groupby("bucket").map_groups(
+        _sum_filter).materialize()
+    n_hot = hot_ds.count()
+    if n_hot > _HOT_LINES_MAX:
+        raise RuntimeError(
+            f"hot set {n_hot} exceeds broadcast cap "
+            f"{_HOT_LINES_MAX}; shard by hash % n_shards and run "
+            "per shard")
+    hot_parts = [t.column("h").to_numpy(zero_copy_only=False)
+                 for t in ray.get(hot_ds.select_columns(["h"])
+                                  .to_arrow_refs()) if t.num_rows]
+    return (np.sort(np.concatenate(hot_parts).astype(np.int64))
+            if hot_parts else np.empty(0, dtype=np.int64))
+
+
 def line_dedup_over(docs: "ray.data.Dataset", max_docs: int = 1,
                     driver_merge_rows: int = 5_000_000,
                     scope_col: str | None = None):
@@ -1266,55 +1326,9 @@ def line_dedup_over(docs: "ray.data.Dataset", max_docs: int = 1,
             "bucket": pa.array((hh & np.uint64(127)).astype(np.int64),
                                pa.int64())})
 
-    def _sum_filter(df):
-        import pandas as pd
-        h = df["h"].to_numpy()
-        c = df["c"].to_numpy()
-        hh, inv = np.unique(h, return_inverse=True)
-        tot = np.bincount(inv, weights=c).astype(np.int64)
-        sel = tot > max_docs
-        return pd.DataFrame({"h": hh[sel]})
-
     parts = docs.map_batches(partial_counts, batch_format="pyarrow",
                              zero_copy_batch=True)
-    if driver_merge_rows > 0:
-        parts = parts.materialize()
-    if driver_merge_rows > 0 and parts.count() <= driver_merge_rows:
-        tabs = [t for t in ray.get(parts.to_arrow_refs())
-                if t.num_rows]
-        if tabs:
-            hcat = np.concatenate(
-                [t.column("h").to_numpy(zero_copy_only=False)
-                 for t in tabs])
-            ccat = np.concatenate(
-                [t.column("c").to_numpy(zero_copy_only=False)
-                 for t in tabs])
-            order = np.argsort(hcat, kind="stable")
-            hs, cs = hcat[order], ccat[order]
-            nb = np.empty(hs.size, dtype=bool)
-            nb[0] = True
-            nb[1:] = hs[1:] != hs[:-1]
-            starts = np.flatnonzero(nb)
-            tot = np.add.reduceat(cs, starts)
-            hot = hs[starts][tot > max_docs]   # sorted by construction
-        else:
-            hot = np.empty(0, dtype=np.int64)
-    else:
-        # materialize the POST-aggregation hot set (boilerplate lines
-        # only — kilorows) so count() + collect don't re-execute
-        hot_ds = parts.groupby("bucket").map_groups(
-            _sum_filter).materialize()
-        n_hot = hot_ds.count()
-        if n_hot > _HOT_LINES_MAX:
-            raise RuntimeError(
-                f"line_dedup hot set {n_hot} exceeds broadcast cap "
-                f"{_HOT_LINES_MAX}; shard by hash % n_shards and run "
-                "per shard")
-        hot_parts = [t.column("h").to_numpy(zero_copy_only=False)
-                     for t in ray.get(hot_ds.select_columns(["h"])
-                                      .to_arrow_refs()) if t.num_rows]
-        hot = (np.sort(np.concatenate(hot_parts).astype(np.int64))
-               if hot_parts else np.empty(0, dtype=np.int64))
+    hot = _hot_hash_set(parts, max_docs, driver_merge_rows)
     ref = ray.put(np.ascontiguousarray(hot))
 
     # task pool, not actors: the only state is the broadcast hot array,
@@ -1404,6 +1418,162 @@ def host_line_dedup(sf_dir: str, max_docs: int = 1):
         .map_batches(hosted_lined_view_batch, batch_format="pyarrow",
                      zero_copy_batch=True)
     return line_dedup_over(docs, max_docs=max_docs, scope_col="source")
+
+
+# --------------------------------------------------------------------------
+# Onion-style duplicated n-gram gating (Pomikálek 2011 "Removing
+# boilerplate and duplicate content from web corpora", the ONION tool;
+# also the "duplicated 13-gram fraction" signal in Gopher/MassiveText,
+# Rae et al. 2021 A1.1): per document, the fraction of its 13-gram
+# POSITIONS whose gram occurs in more than ``max_docs`` distinct
+# documents corpus-wide; documents past 50% duplication are dropped.
+# Complements tile_dedup (which REMOVES duplicated spans) — this is the
+# classifier-style whole-doc gate over the same evidence.
+# --------------------------------------------------------------------------
+
+# the exact Python-str.split() whitespace class (the 29 whitespace
+# codepoints), identical to the RE2 class the DuckDB oracles tokenize
+# with — Arrow-side split on it == ''.split() per row
+_PY_WS_CLASS = ("[\t-\r\x1c-\x1f \x85\xa0\u1680\u2000-\u200a"
+                "\u2028\u2029\u202f\u205f\u3000]+")
+_ONION_N = 13       # Onion / MassiveText gram width
+_WS_TOK_CACHE: dict = {}
+
+
+def _ws_token_hashes(texts, cache: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized exact-``str.split()`` batch tokenizer: all token
+    hashes flattened across the batch plus per-doc token counts. Same
+    shape as ``lm._batch_token_hashes`` but WITHOUT lowercasing/
+    alnum-folding — gram identity here is the raw whitespace-split
+    token, matching the SQL oracle's ``array_to_string(w[i:i+n])``
+    grams. md5 hashing touches only the per-batch dictionary (unique
+    tokens); the hot path is Arrow split + numpy takes."""
+    import pyarrow.compute as pc
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.split_pattern_regex(pc.fill_null(texts, ""), _PY_WS_CLASS)
+    lens = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    empty = pc.equal(pc.utf8_length(flat), 0)
+    emp_np = empty.to_numpy(zero_copy_only=False)
+    if emp_np.any():   # boundary empties: ' a '.split() has none
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        lens = lens - np.bincount(doc_idx[emp_np], minlength=len(lens))
+        flat = flat.filter(pc.invert(empty))
+    if len(flat) == 0:
+        return np.empty(0, np.uint64), lens
+    de = flat.dictionary_encode()
+    if len(cache) >= _TOKEN_CACHE_MAX:
+        cache.clear()
+    vocab_h = np.fromiter(
+        (_token_h64(w, cache) for w in de.dictionary.to_pylist()),
+        dtype=np.uint64, count=len(de.dictionary))
+    return vocab_h[de.indices.to_numpy(zero_copy_only=False)], lens
+
+
+def _window_gram_hashes(th: np.ndarray, lens: np.ndarray, n: int
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Horner hashes of every length-``n`` token window per doc:
+    (gram hashes, doc index per gram). A doc with fewer than ``n``
+    tokens contributes no windows. n-1 vectorized multiply-adds over
+    the flat window-start gather — no per-doc loop."""
+    m = np.maximum(lens - (n - 1), 0)
+    total = int(m.sum())
+    if total == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    bases = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), m)
+    gstart = np.concatenate(([0], np.cumsum(m)))[:-1]
+    within = np.arange(total, dtype=np.int64) - np.repeat(gstart, m)
+    start = bases[doc_idx] + within
+    g = th[start].copy()
+    for s in range(1, n):
+        g = g * _GRAM_MULT + th[start + s]
+    return g, doc_idx
+
+
+def gram_duplication(sf_dir: str, n: int = _ONION_N, max_docs: int = 1,
+                     driver_merge_rows: int = 5_000_000):
+    """Per-doc duplicated-``n``-gram fraction + keep gate: a gram is
+    "hot" when it occurs in more than ``max_docs`` distinct documents;
+    ``dup_ratio`` is the fraction of the doc's gram positions that are
+    hot, and the doc is kept iff at most half its positions are
+    (``2*n_dup <= n_grams`` — integer arithmetic, no float threshold).
+    Docs with fewer than ``n`` tokens have no grams and always keep.
+    Returns (doc_id, n_grams, n_dup, dup_ratio, keep).
+
+    Scale shape — the ``line_dedup`` twin at gram granularity: pass 1
+    ships 16-byte (gram-hash, per-block distinct-doc partial count)
+    rows through the size-gated :func:`_hot_hash_set` reduce (combiner
+    first, coarse 128-bucket shuffle only past the driver-merge gate);
+    the hot set — duplicated grams only, a vanishing fraction of
+    distinct grams on a deduplicated crawl — broadcasts once as a
+    sorted int64 array; pass 2 is a stateless vectorized recount
+    (one searchsorted per batch). Gram text never leaves the task."""
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        th, lens = _ws_token_hashes(batch.column("text"), _WS_TOK_CACHE)
+        gh, doc_idx = _window_gram_hashes(th, lens, n)
+        hd = gh
+        dd = doc_idx
+        # per-doc-distinct then per-block counts per hash (a (doc,
+        # gram) pair lives in exactly one block, so summed partials
+        # are exact distinct-doc counts) — lexsort + boundary masks
+        order = np.lexsort((dd, hd))
+        hd, dd = hd[order], dd[order]
+        if hd.size:
+            new = np.empty(hd.size, dtype=bool)
+            new[0] = True
+            new[1:] = (hd[1:] != hd[:-1]) | (dd[1:] != dd[:-1])
+            hu = hd[new]
+            hb = np.empty(hu.size, dtype=bool)
+            hb[0] = True
+            hb[1:] = hu[1:] != hu[:-1]
+            starts = np.flatnonzero(hb)
+            hh = hu[starts]
+            cc = np.diff(np.append(starts, hu.size))
+        else:
+            hh = np.empty(0, dtype=np.uint64)
+            cc = np.empty(0, dtype=np.int64)
+        return pa.table({
+            "h": pa.array(hh.view(np.int64), pa.int64()),
+            "c": pa.array(cc.astype(np.int64), pa.int64()),
+            "bucket": pa.array((hh & np.uint64(127)).astype(np.int64),
+                               pa.int64())})
+
+    parts = docs.map_batches(partial_counts, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    hot = _hot_hash_set(parts, max_docs, driver_merge_rows)
+    ref = ray.put(np.ascontiguousarray(hot))
+
+    def _count(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        hot_arr = ray.get(_ref)
+        th, lens = _ws_token_hashes(batch.column("text"), _WS_TOK_CACHE)
+        gh, doc_idx = _window_gram_hashes(th, lens, n)
+        n_grams = np.maximum(lens - (n - 1), 0)
+        ndocs = batch.num_rows
+        if hot_arr.size and gh.size:
+            # the hot set is int64-SORTED; compare in int64 space
+            dup = _in_sorted(hot_arr, gh.view(np.int64))
+            n_dup = np.bincount(doc_idx[dup], minlength=ndocs)
+        else:
+            n_dup = np.zeros(ndocs, np.int64)
+        ratio = np.divide(n_dup.astype(np.float64), n_grams,
+                          out=np.zeros(ndocs, np.float64),
+                          where=n_grams > 0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_grams": pa.array(n_grams.astype(np.int64), pa.int64()),
+            "n_dup": pa.array(n_dup.astype(np.int64), pa.int64()),
+            "dup_ratio": pa.array(ratio, pa.float64()),
+            "keep": pa.array(2 * n_dup <= n_grams, pa.bool_()),
+        })
+
+    return docs.map_batches(_count, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 # --------------------------------------------------------------------------
@@ -1952,6 +2122,203 @@ def quality_rank(sf_dir: str, nparts: int = 256):
         base = ray.get(bases_ref)[int(df["part"].iloc[0])]
         df = df.assign(rank=np.arange(base, base + len(df),
                                       dtype=np.int64))
+        return df.drop(columns=["part"])
+
+    return parts.groupby("part").map_groups(assign,
+                                            batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# domain-level quality gating (the C4/RefinedWeb practice of judging
+# QUALITY AT THE DOMAIN, not just the page: spam/SEO farms produce many
+# individually-borderline pages; their domain-mean score is the robust
+# signal. Drop every doc whose domain has mean quality below tau or too
+# few docs to judge)
+# --------------------------------------------------------------------------
+
+_DOMAIN_TAU_FP = 885_000    # mean floor(1e6*(alpha+stopword)) >= 0.885
+_DOMAIN_MIN_DOCS = 3        # below this a domain can't be judged: drop
+_DOMAIN_BCAST_MAX = 20_000_000   # verdict-map cap (rows; ~50 B each)
+
+
+def _score_fp_batch(batch: pa.Table) -> np.ndarray:
+    """floor(1e6 * (alpha_ratio + stopword_ratio)) per doc as int64 —
+    the fixed-point quality score whose per-domain SUM is an exact
+    integer any engine reproduces (float means are summation-order-
+    dependent; integer sums are not). The two ratios are exact int/int
+    doubles (``textstats.quality_batch``), so the product/floor is
+    bit-identical across engines."""
+    import pyarrow.compute as pc
+
+    from risjbot_ray.pipelines.textstats import quality_batch
+    q = quality_batch(batch)
+    s = pc.add(q.column("alpha_ratio"), q.column("stopword_ratio"))
+    return np.floor(1e6 * s.to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+
+
+def domain_quality_filter(sf_dir: str, tau_fp: int = _DOMAIN_TAU_FP,
+                          min_docs: int = _DOMAIN_MIN_DOCS):
+    """Keep a doc iff its domain (``source``) has at least ``min_docs``
+    documents AND mean fixed-point quality >= ``tau_fp``. Returns
+    (doc_id, source, domain_n_docs, domain_mean_fp, keep).
+
+    Scale shape: the per-domain aggregate is domain-bounded, not
+    corpus-bounded — a per-batch combiner emits (source, n, sum_fp)
+    rows and ONE tree-combine (``lm._agg_count_partials``) hands the
+    driver the verdict table, which broadcasts once via ``ray.put``
+    (gated at ``_DOMAIN_BCAST_MAX`` rows — ~10M web domains is ~0.5 GB,
+    at which point swap the broadcast for a hash-join on a salted
+    domain key). Pass 2 is a stateless zero-exchange annotate."""
+
+    docs = _documents(sf_dir, ["doc_id", "text", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        fp = _score_fp_batch(batch)
+        src = pc.fill_null(batch.column("source").combine_chunks(), "")
+        u, inv = np.unique(np.asarray(src.to_pylist(), dtype=object),
+                           return_inverse=True)
+        n = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        s = np.bincount(inv, weights=fp,
+                        minlength=len(u)).astype(np.int64)
+        return pa.table({"source": pa.array(u.tolist(), pa.string()),
+                         "n": pa.array(n, pa.int64()),
+                         "s": pa.array(s, pa.int64())})
+
+    def merge(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = (batch.to_pandas().groupby("source", sort=False,
+                                       as_index=False)[["n", "s"]].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from risjbot_ray.pipelines.lm import _agg_count_partials
+    dt = _agg_count_partials(
+        docs.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True), merge)
+    verdicts: dict[str, tuple[int, int]] = {}
+    if dt is not None:
+        if dt.num_rows > _DOMAIN_BCAST_MAX:
+            raise RuntimeError(
+                f"domain verdict table {dt.num_rows} rows exceeds "
+                f"broadcast cap {_DOMAIN_BCAST_MAX}; switch to the "
+                "salted-key hash-join path")
+        verdicts = dict(zip(
+            dt.column("source").to_pylist(),
+            zip(dt.column("n").to_pylist(), dt.column("s").to_pylist())))
+    vref = ray.put(verdicts)
+
+    def annotate(batch: pa.Table, *, _vref=vref) -> pa.Table:
+        import pyarrow.compute as pc
+        v = ray.get(_vref)
+        src = pc.fill_null(batch.column("source").combine_chunks(),
+                           "").to_pylist()
+        n = np.array([v[x][0] for x in src], np.int64)
+        s = np.array([v[x][1] for x in src], np.float64)
+        mean = s / n          # int/int in double: deterministic
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "domain_n_docs": pa.array(n, pa.int64()),
+            "domain_mean_fp": pa.array(mean, pa.float64()),
+            "keep": pa.array((n >= min_docs) & (mean >= float(tau_fp)),
+                             pa.bool_()),
+        })
+
+    return docs.map_batches(annotate, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# global token-budget selection (the "data diet": spend a fixed token
+# budget on the highest-quality documents — the selection step after
+# scoring in DoReMi/DSIR-style pipelines when the training run has a
+# fixed token count)
+# --------------------------------------------------------------------------
+
+def quality_token_budget(sf_dir: str, budget: int = 12_000,
+                         nparts: int = 256):
+    """Keep the highest-quality docs whose CUMULATIVE token count (in
+    quality order: score desc, doc_id asc) stays within ``budget``.
+    Returns (doc_id, score, n_tokens, cum_tokens, keep) for every doc.
+
+    Scale shape — the ``quality_rank`` machinery extended with a token
+    prefix: equi-depth range partitions on the score (ties share a
+    partition, so partition order + local order is the exact global
+    order), per-partition TOKEN SUMS reduce to <= ``nparts`` ints on
+    the driver, which turns them into cumulative bases; one vectorized
+    per-partition sort + cumsum assigns exact global running totals.
+    No corpus-wide sort exchange; the driver never holds rows."""
+    import pyarrow.compute as pc
+
+    from risjbot_ray.pipelines.textstats import quality_batch
+
+    def score_batch(b: pa.Table) -> pa.Table:
+        q = quality_batch(b)
+        return pa.table({
+            "doc_id": q.column("doc_id"),
+            "score": pc.add(q.column("alpha_ratio"),
+                            q.column("stopword_ratio")),
+            "n_tokens": q.column("n_words"),
+        })
+
+    scored = _coalesce(
+        _documents(sf_dir, ["doc_id", "text"])
+        .map_batches(score_batch, batch_format="pyarrow").materialize())
+
+    n = scored.count()
+    samp = (scored.random_sample(min(1.0, 20_000 / max(n, 1)), seed=7)
+            .to_pandas())
+    if len(samp) > 4:
+        keys = np.sort(-samp["score"].to_numpy())
+        cuts = np.linspace(0, len(keys) - 1,
+                           num=min(nparts, len(keys) // 4) + 1
+                           )[1:-1].astype(int)
+        bounds = np.unique(keys[cuts])
+    else:
+        bounds = np.empty(0, dtype=np.float64)
+    bounds_ref = ray.put(bounds)
+
+    def part_of(b: pa.Table) -> pa.Table:
+        bs = ray.get(bounds_ref)
+        p = np.searchsorted(bs, -b.column("score").to_numpy(),
+                            side="right")
+        return b.append_column("part", pa.array(p, pa.int64()))
+
+    parts = (scored.map_batches(part_of, batch_format="pyarrow")
+             .materialize())
+
+    # per-partition token sums -> driver prefix bases (<= nparts ints)
+    def tok_partial(b: pa.Table) -> pa.Table:
+        p = b.column("part").to_numpy(zero_copy_only=False)
+        t = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        up, inv = np.unique(p, return_inverse=True)
+        s = np.bincount(inv, weights=t).astype(np.int64)
+        return pa.table({"part": pa.array(up, pa.int64()),
+                         "s": pa.array(s, pa.int64())})
+
+    sums: dict[int, int] = {}
+    for t in ray.get(parts.map_batches(
+            tok_partial, batch_format="pyarrow").to_arrow_refs()):
+        if t.num_rows == 0:      # empty pass-through blocks carry no
+            continue             # schema
+        for p_, s_ in zip(t.column("part").to_pylist(),
+                          t.column("s").to_pylist()):
+            sums[p_] = sums.get(p_, 0) + s_
+    bases, run = {}, 0
+    for p_ in sorted(sums):
+        bases[p_] = run
+        run += sums[p_]
+    bases_ref = ray.put(bases)
+
+    def assign(df):
+        order = np.lexsort((df["doc_id"].to_numpy(),
+                            -df["score"].to_numpy()))
+        df = df.iloc[order]
+        base = ray.get(bases_ref)[int(df["part"].iloc[0])]
+        cum = base + np.cumsum(df["n_tokens"].to_numpy(),
+                               dtype=np.int64)
+        df = df.assign(cum_tokens=cum, keep=cum <= budget)
         return df.drop(columns=["part"])
 
     return parts.groupby("part").map_groups(assign,

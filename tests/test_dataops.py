@@ -1431,3 +1431,123 @@ def test_ccnet_buckets_terciles(ray_session, tmp_path):
     # ln(V)) -> doc_id order: 101 -> rank 3 (middle), 102 -> rank 4
     assert by_id.loc[101, "bucket"] == "middle"
     assert by_id.loc[102, "bucket"] == "tail"
+
+
+def test_gram_duplication_planted(ray_session, tmp_path):
+    """A 13-gram shared between two docs marks BOTH docs' positions hot;
+    a unique doc and a short (<13 tokens) doc keep with zero dups."""
+    from risjbot_ray.pipelines.webtext import gram_duplication
+    shared = " ".join(f"w{i}" for i in range(20))    # 8 dup positions
+    uniq = " ".join(f"u{i}" for i in range(20))
+    sf = _write_docs(tmp_path, [
+        (1, shared),
+        (2, shared),                   # exact dup: all positions hot
+        (3, uniq),                     # unique: no hot positions
+        (4, "a b c"),                  # too short: no grams at all
+        (5, "   "),                    # whitespace-only: no tokens
+    ])
+    df = (gram_duplication(sf).to_pandas()
+          .set_index("doc_id").sort_index())
+    assert df.loc[1, "n_grams"] == 8 and df.loc[1, "n_dup"] == 8
+    assert not df.loc[1, "keep"] and not df.loc[2, "keep"]
+    assert df.loc[3, "n_grams"] == 8 and df.loc[3, "n_dup"] == 0
+    assert df.loc[3, "keep"]
+    assert df.loc[4, "n_grams"] == 0 and df.loc[4, "keep"]
+    assert df.loc[5, "n_grams"] == 0 and df.loc[5, "dup_ratio"] == 0.0
+    assert df.loc[5, "keep"]
+
+
+def test_gram_duplication_half_rule(ray_session, tmp_path):
+    """The keep gate is the INTEGER rule 2*n_dup <= n_grams: exactly
+    half duplicated keeps, one position past half drops."""
+    from risjbot_ray.pipelines.webtext import gram_duplication
+    shared = " ".join(f"s{i}" for i in range(13))    # 1 dup position
+    sf = _write_docs(tmp_path, [
+        # 14 tokens -> 2 grams, 1 hot (the shared prefix window is not
+        # aligned: craft instead doc with shared 13-gram + 1 extra tok)
+        (1, shared + " x1"),           # grams: [s0..s12],[s1..s12 x1]
+        (2, shared + " y1"),           # shares only [s0..s12]
+        (3, shared + " z1 z2"),        # 3 grams, 1 hot -> keep
+    ])
+    df = (gram_duplication(sf).to_pandas()
+          .set_index("doc_id").sort_index())
+    # docs 1,2: n_grams=2, n_dup=1 -> 2*1 <= 2 keeps (exactly half)
+    assert df.loc[1, "n_grams"] == 2 and df.loc[1, "n_dup"] == 1
+    assert df.loc[1, "keep"] and df.loc[2, "keep"]
+    assert df.loc[3, "n_grams"] == 3 and df.loc[3, "n_dup"] == 1
+    assert df.loc[3, "keep"]
+
+
+def test_gram_duplication_shuffle_path_parity(ray_session, tmp_path):
+    """driver_merge_rows=0 (bucketed shuffle reduce) returns the exact
+    same table as the driver-merge fast path."""
+    from risjbot_ray.pipelines.webtext import gram_duplication
+    shared = " ".join(f"w{i}" for i in range(30))
+    rows = [(i, shared if i % 3 == 0 else
+             " ".join(f"t{i}_{j}" for j in range(25)))
+            for i in range(12)]
+    sf = _write_docs(tmp_path, rows)
+    a = (gram_duplication(sf).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (gram_duplication(sf, driver_merge_rows=0).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_domain_quality_filter_rules(ray_session, tmp_path):
+    """min_docs drops small domains regardless of score; the tau gate
+    splits domains by mean fixed-point score."""
+    from risjbot_ray.pipelines.webtext import domain_quality_filter
+    good = "the cat and the dog are in the house with a bird"  # alpha+stop high
+    bad = "0123456789 0123456789 0123456789"                   # digits: low
+    sf = _write_docs(tmp_path, [
+        (1, good, "good.com"), (2, good, "good.com"),
+        (3, good, "good.com"),
+        (4, bad, "bad.com"), (5, bad, "bad.com"), (6, bad, "bad.com"),
+        (7, good, "tiny.com"), (8, good, "tiny.com"),  # only 2 docs
+    ])
+    df = (domain_quality_filter(sf).to_pandas()
+          .set_index("doc_id").sort_index())
+    assert df.loc[1, "keep"] and df.loc[2, "keep"] and df.loc[3, "keep"]
+    assert not df.loc[4, "keep"] and not df.loc[6, "keep"]
+    assert not df.loc[7, "keep"] and not df.loc[8, "keep"]  # min_docs
+    assert df.loc[7, "domain_n_docs"] == 2
+    assert (df.loc[[1, 2, 3], "domain_mean_fp"]
+            > df.loc[[4, 5, 6], "domain_mean_fp"].max()).all()
+
+
+def test_quality_token_budget_order_and_ties(ray_session, tmp_path):
+    """Cumulative token accounting follows (score desc, doc_id asc)
+    exactly; the keep boundary is cum <= budget."""
+    from risjbot_ray.pipelines.webtext import quality_token_budget
+    hi = "the cat and the dog are here"       # 7 tokens, high score
+    lo = "0123 4567 8901 2345 6789 0000 1111"  # 7 tokens, low score
+    sf = _write_docs(tmp_path, [
+        (2, hi), (1, hi),        # tie on score -> doc 1 ranks first
+        (3, lo), (4, lo),
+    ])
+    df = (quality_token_budget(sf, budget=14).to_pandas()
+          .set_index("doc_id").sort_index())
+    # ordered: doc1 (cum 7), doc2 (14), doc3 (21), doc4 (28)
+    assert df.loc[1, "cum_tokens"] == 7
+    assert df.loc[2, "cum_tokens"] == 14
+    assert df.loc[1, "keep"] and df.loc[2, "keep"]
+    assert not df.loc[3, "keep"] and not df.loc[4, "keep"]
+    assert df.loc[3, "cum_tokens"] + 7 == df.loc[4, "cum_tokens"]
+
+
+def test_ws_token_hashes_python_split_parity():
+    """The Arrow-side whitespace tokenizer counts exactly what
+    ''.split() produces, across the nasty whitespace codepoints."""
+    from risjbot_ray.pipelines.webtext import _ws_token_hashes
+    cases = ["", "  ", "a", " a ", "a b　c", "x\x1c\x1dy",
+             " start mid end ", "tab\tand\nnl",
+             "\x85nel", "mixed  thin space"]
+    th, lens = _ws_token_hashes(pa.array(cases, pa.string()), {})
+    assert lens.tolist() == [len(c.split()) for c in cases]
+    assert len(th) == sum(lens)
+    # null text tokenizes as empty
+    th2, lens2 = _ws_token_hashes(
+        pa.array([None, "a b"], pa.string()), {})
+    assert lens2.tolist() == [0, 2]
