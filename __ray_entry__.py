@@ -284,6 +284,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "recall_ok": pa.array([rec >= 0.6], pa.bool_()),
         })
 
+    def ann_hamming_recall(sf_dir: str):
+        """Driver-visible self-check for the signature-based ANN scale
+        path (`ann_ivf_recall`-style): exact brute-force top-k vs the
+        Hamming-preranked top-k in one query, returning checkable
+        counters + a pass flag at the operator's documented accuracy
+        contract (recall@10 >= 0.6 at the default 128-bit / C=100
+        configuration)."""
+        import pyarrow as pa
+
+        qids, k = [0, 1, 2], 10
+        exact = similarity.ann_topk(sf_dir, query_ids=qids, k=k)
+        ham = similarity.ann_hamming_topk(sf_dir, query_ids=qids, k=k)
+        ed: dict[int, set] = {}
+        for r in exact.to_pylist():
+            ed.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hd: dict[int, set] = {}
+        for r in ham.to_pylist():
+            hd.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hits = sum(len(ed[q] & hd.get(q, set())) for q in ed)
+        total = sum(len(s) for s in ed.values())
+        rec = hits / max(total, 1)
+        return pa.table({
+            "n_queries": pa.array([len(qids)], pa.int64()),
+            "k": pa.array([k], pa.int64()),
+            "exact_hits_found": pa.array([hits], pa.int64()),
+            "exact_hits_total": pa.array([total], pa.int64()),
+            "recall_at_k": pa.array([round(rec, 5)], pa.float64()),
+            "recall_ok": pa.array([rec >= 0.6], pa.bool_()),
+        })
+
     def media_features_check(sf_dir: str):
         """Driver-visible multimodal self-check (`crawl_vs_expected`
         style): run the actor-pool media pipeline (REAL pure-numpy
@@ -795,10 +825,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (VERDICT r3 item 7) — single counters row, check_ok flag
         "kmeans_check": similarity.kmeans_check,
         # ---- similarity search / retrieval ----
-        # BM25 text retrieval (two-pass broadcast: stats -> idf ->
-        # score + partial top-k); exact SQL oracle
-        "doc_bm25_topk": lambda sf: similarity.bm25_topk(
-            sf, query="vector hash join stream", k=20),
+        # signature-based ANN scale path (128-bit hyperplane signatures
+        # + Hamming pre-rank + exact rerank): recall@10 vs the exact
+        # path as a driver-readable pass flag
+        "ann_hamming_recall": ann_hamming_recall,
         # covariance-moment partials of the distributed PCA — the
         # SQL-expressible half (the eigenvector row embedding_pca sits
         # past the window; both are pytest-gated)
@@ -905,6 +935,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_filter_funnel": ts.filter_funnel,
         "ann_topk": lambda sf: similarity.ann_topk(sf, query_ids=[0, 1, 2],
                                                    k=10),
+        # BM25 text retrieval (two-pass broadcast: stats -> idf ->
+        # score + partial top-k); exact SQL oracle (driver-green r03)
+        "doc_bm25_topk": lambda sf: similarity.bm25_topk(
+            sf, query="vector hash join stream", k=20),
+        # Hamming-preranked ANN top-k (rows-only; its accuracy gate is
+        # the in-window ann_hamming_recall row + pytest parity)
+        "ann_hamming_topk": lambda sf: similarity.ann_hamming_topk(
+            sf, query_ids=[0, 1, 2], k=10),
         # Gumbel-top-k importance resampling over the DSIR weights
         # (deterministic hash-based uniforms -> SQL-expressible)
         "doc_dsir_resample": lambda sf: lm_mod.dsir_resample(sf, k=100),

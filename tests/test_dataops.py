@@ -96,6 +96,55 @@ def test_ann_ivf_recall_vs_exact():
     assert len(exact & approx) >= 6  # decent recall with nprobe=8/16 cells
 
 
+def test_ann_hamming_recall_and_determinism():
+    from risjbot_ray.pipelines.similarity import ann_hamming_topk, ann_topk
+    exact = set(ann_topk(SF, query_ids=[0], k=10)
+                .to_pandas()["vec_id"])
+    out = ann_hamming_topk(SF, query_ids=[0], k=10)
+    approx = set(out.to_pandas()["vec_id"])
+    assert len(exact & approx) >= 6   # the documented >=0.6 contract
+    assert out.equals(ann_hamming_topk(SF, query_ids=[0], k=10))
+    assert 0 not in approx            # query row excluded
+
+
+def test_ann_hamming_matches_numpy_reference():
+    """Full-pipeline parity with a local numpy implementation of the
+    same signature/pre-rank/rerank algorithm (same seed, same ties)."""
+    import heapq
+
+    import pyarrow.parquet as pq
+
+    from risjbot_ray.pipelines.similarity import (_pack_signatures,
+                                                  ann_hamming_topk)
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in t.column("embedding").to_pylist()])
+    unit = vecs / np.maximum(
+        np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    k, C, qid = 10, 100, 1
+    rng = np.random.default_rng(99)
+    planes = rng.standard_normal((unit.shape[1], 128))
+    sig = _pack_signatures(unit, planes)
+    qi = int(np.where(ids == qid)[0][0])
+    ham = np.zeros(len(ids), np.int64)
+    for w in range(sig.shape[1]):
+        x = (sig[:, w] ^ sig[qi, w]).astype(np.uint64)
+        ham += np.array([bin(int(v)).count("1") for v in x])
+    mask = ids != qid
+    order = sorted(zip(ham[mask], ids[mask]))[:C]
+    cand = np.array([v for _, v in order], dtype=np.int64)
+    sel = np.isin(ids, cand)
+    sims = unit[sel] @ unit[qi]
+    cids = ids[sel]
+    ref = sorted(zip(-sims, cids))[:k]
+    want = [(int(v), round(float(-s), 5)) for s, v in ref]
+    got = [(r["vec_id"], r["cosine"]) for r in
+           ann_hamming_topk(SF, query_ids=[qid], k=k).to_pylist()]
+    assert got == want
+
+
 def test_langid_separates_languages():
     from risjbot_ray.pipelines.textstats import LangId
     li = LangId()
