@@ -989,6 +989,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pre-tokenization text normalization (control strip +
         # whitespace collapse), RE2-oracle-exact
         "doc_normalize": ts.q_normalize,
+        # Unicode NFC normalization over a deterministic decomposed
+        # injector view (ASCII rows skip the normalize call) — exact
+        # nfc_normalize oracle
+        "doc_nfc_normalize": ts.q_nfc_normalize,
         "doc_tokencount": ts.q_tokencount,
         "doc_quality": ts.q_quality,
         "doc_lang_counts": ts.q_lang_counts,
@@ -1429,6 +1433,26 @@ def oracle_sql() -> dict[str, str]:
                      AS n_chars_norm
             FROM (SELECT doc_id, COALESCE(text, '') AS text
                   FROM documents) documents
+        """,
+        # NFC normalization over the same deterministic decomposed
+        # injector (chr(769)=COMBINING ACUTE, chr(776)=COMBINING
+        # DIAERESIS); DuckDB length() counts codepoints like Python len
+        "doc_nfc_normalize": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     COALESCE(text, '')
+                     || CASE WHEN doc_id % 4 = 0
+                             THEN ' Cafe' || chr(769)
+                                  || ' nai' || chr(776) || 've'
+                             ELSE '' END AS txt
+              FROM documents
+            )
+            SELECT doc_id, nfc_normalize(txt) AS text_nfc,
+                   nfc_normalize(txt) <> txt AS changed,
+                   CAST(length(txt) AS BIGINT) AS n_chars_in,
+                   CAST(length(nfc_normalize(txt)) AS BIGINT)
+                       AS n_chars_nfc
+            FROM t
         """,
         # grouped Pearson correlation; corr() and the sufficient-stat
         # algebra agree to well past the 5dp rounding

@@ -350,6 +350,45 @@ def q_normalize(sf_dir: str):
         normalize_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# deterministic decomposed-Unicode suffix planted on doc_id % 4 == 0
+# (the corpus is ASCII; the injector exercises the NFC path end to end
+# — same derived-view convention as the mojibake check and the
+# line-dedup boilerplate): 'Cafe'+COMBINING ACUTE, 'nai'+DIAERESIS+'ve'
+_NFC_SUFFIX = " Cafe\u0301 nai\u0308ve"
+
+
+def nfc_normalize_batch(batch: pa.Table) -> pa.Table:
+    """Unicode NFC normalization (the standard first step before
+    tokenization/hashing so visually-identical strings dedup and match
+    consistently): per doc emit (text_nfc, changed, n_chars_in,
+    n_chars_nfc). ASCII rows skip the normalize call entirely (one
+    vectorized Arrow ascii check per batch) — on real web text the
+    non-ASCII fraction pays, the rest streams through untouched."""
+    import pyarrow.compute as pc
+    import unicodedata
+    ids = batch.column("doc_id").to_pylist()
+    texts = [(t or "") + (_NFC_SUFFIX if d % 4 == 0 else "")
+             for d, t in zip(ids, batch.column("text").to_pylist())]
+    arr = pa.array(texts, pa.string())
+    ascii_mask = pc.string_is_ascii(arr).to_numpy(zero_copy_only=False)
+    out = [t if a else unicodedata.normalize("NFC", t)
+           for t, a in zip(texts, ascii_mask)]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "text_nfc": pa.array(out, pa.string()),
+        "changed": pa.array([o != t for o, t in zip(out, texts)],
+                            pa.bool_()),
+        "n_chars_in": pa.array([len(t) for t in texts], pa.int64()),
+        "n_chars_nfc": pa.array([len(o) for o in out], pa.int64())})
+
+
+def q_nfc_normalize(sf_dir: str):
+    """Stateless NFC pass over the injector-derived corpus view."""
+    return documents_ds(sf_dir).map_batches(
+        nfc_normalize_batch, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
 def filter_funnel(sf_dir: str, min_words: int = 50,
                   min_alpha: float = 0.5, min_stop: float = 0.02
                   ) -> pa.Table:

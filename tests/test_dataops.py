@@ -1600,3 +1600,27 @@ def test_ws_token_hashes_python_split_parity():
     th2, lens2 = _ws_token_hashes(
         pa.array([None, "a b"], pa.string()), {})
     assert lens2.tolist() == [0, 2]
+
+
+def test_nfc_normalize_kernel():
+    """Decomposed sequences compose; ASCII and already-NFC rows pass
+    through unchanged; the injector plants the suffix on doc_id%4==0."""
+    import unicodedata
+
+    from risjbot_ray.pipelines.textstats import (_NFC_SUFFIX,
+                                                 nfc_normalize_batch)
+    b = pa.table({
+        "doc_id": pa.array([4, 1, 2], pa.int64()),
+        "text": pa.array(["plain", "x̧́y", None], pa.string()),
+    })
+    out = nfc_normalize_batch(b).to_pandas().set_index("doc_id")
+    # doc 4: ascii text + injected decomposed suffix -> composes
+    want = "plain" + unicodedata.normalize("NFC", _NFC_SUFFIX)
+    assert out.loc[4, "text_nfc"] == want
+    assert out.loc[4, "changed"]
+    assert out.loc[4, "n_chars_in"] - out.loc[4, "n_chars_nfc"] == 2
+    # doc 1: combining marks on x have no composed form -> may reorder
+    assert out.loc[1, "text_nfc"] == unicodedata.normalize(
+        "NFC", "x̧́y")
+    # doc 2: null text, no injection -> empty, unchanged
+    assert out.loc[2, "text_nfc"] == "" and not out.loc[2, "changed"]
