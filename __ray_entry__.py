@@ -1355,7 +1355,7 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN length(trim(text)) = 0 THEN 0
                    ELSE length(regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+'))
               END AS n_words,
-              CASE WHEN length(trim(text)) = 0 THEN 0.0
+              CASE WHEN length(regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+')) = 0 THEN 0.0
                    ELSE CAST(length(regexp_replace(text, '[\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]', '', 'g'))
                              AS DOUBLE)
                         / length(regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+'))
@@ -1371,7 +1371,7 @@ def oracle_sql() -> dict[str, str]:
                    ELSE CAST(length(regexp_replace(text,
                         '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
                         / length(text) END AS punct_ratio,
-              CASE WHEN length(trim(text)) = 0 THEN 0.0
+              CASE WHEN length(regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+')) = 0 THEN 0.0
                    ELSE CAST(length(list_filter(
                         regexp_extract_all(lower(text), '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+'),
                         x -> list_contains([{stop}],
@@ -1397,7 +1397,7 @@ def oracle_sql() -> dict[str, str]:
                           ELSE CAST(length(regexp_replace(text,
                                '[^A-Za-z]', '', 'g')) AS DOUBLE)
                                / length(text) END AS alpha,
-                     CASE WHEN length(trim(text)) = 0 THEN 0.0
+                     CASE WHEN length(regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+')) = 0 THEN 0.0
                           ELSE CAST(length(list_filter(
                                regexp_extract_all(lower(text), '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+'),
                                x -> list_contains([{",".join(
@@ -1484,7 +1484,7 @@ def oracle_sql() -> dict[str, str]:
                           ELSE CAST(length(regexp_replace(text,
                                '[^A-Za-z]', '', 'g')) AS DOUBLE)
                                / length(text) END AS alpha,
-                     CASE WHEN length(trim(text)) = 0 THEN 0.0
+                     CASE WHEN length(regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+')) = 0 THEN 0.0
                           ELSE CAST(length(list_filter(
                                regexp_extract_all(lower(text), '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+'),
                                x -> list_contains([{",".join(
@@ -2157,7 +2157,7 @@ def oracle_sql() -> dict[str, str]:
                           ELSE CAST(length(regexp_replace(text,
                                '[^A-Za-z]', '', 'g')) AS DOUBLE)
                                / length(text) END AS alpha,
-                     CASE WHEN length(trim(text)) = 0 THEN 0.0
+                     CASE WHEN length(regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+')) = 0 THEN 0.0
                           ELSE CAST(length(list_filter(
                                regexp_extract_all(lower(text), '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+'),
                                x -> list_contains([{stop}],
@@ -2346,7 +2346,7 @@ def oracle_sql() -> dict[str, str]:
                            ELSE CAST(length(regexp_replace(text,
                                 '[^A-Za-z]', '', 'g')) AS DOUBLE)
                                 / length(text) END)
-                     + (CASE WHEN length(trim(text)) = 0 THEN 0.0
+                     + (CASE WHEN length(regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+')) = 0 THEN 0.0
                              ELSE CAST(length(list_filter(
                                   regexp_extract_all(lower(text), '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+'),
                                   x -> list_contains([{stop}],
@@ -2354,7 +2354,8 @@ def oracle_sql() -> dict[str, str]:
                                   AS DOUBLE)
                                   / length(regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+'))
                         END) AS score
-              FROM documents
+              FROM (SELECT doc_id, COALESCE(text, '') AS text
+                      FROM documents) documents
             )
             SELECT doc_id, score,
                    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1
@@ -2957,7 +2958,7 @@ def oracle_sql() -> dict[str, str]:
                          ELSE CAST(length(regexp_replace(text,
                               '[^A-Za-z]', '', 'g')) AS DOUBLE)
                               / length(text) END)
-                   + (CASE WHEN length(trim(text)) = 0 THEN 0.0
+                   + (CASE WHEN length(regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+')) = 0 THEN 0.0
                            ELSE CAST(length(list_filter(
                                 regexp_extract_all(lower(text), '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+'),
                                 x -> list_contains([{stop}],
@@ -2985,7 +2986,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(length(regexp_replace(text,
                              '[^A-Za-z]', '', 'g')) AS DOUBLE)
                              / length(text) END)
-                  + (CASE WHEN length(trim(text)) = 0 THEN 0.0
+                  + (CASE WHEN length(regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+')) = 0 THEN 0.0
                           ELSE CAST(length(list_filter(
                                regexp_extract_all(lower(text), '[^\t-\r\x1c-\x1f \x{{0085}}\x{{00a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+'),
                                x -> list_contains([{stop}],

@@ -267,9 +267,13 @@ _HAM_CANDIDATES = 100    # per-query pre-rank depth before exact rerank
 
 
 def _pack_signatures(unit: np.ndarray, planes: np.ndarray) -> np.ndarray:
-    """(N, n_bits) sign pattern packed into (N, n_bits//64) uint64."""
+    """(N, n_bits) sign pattern packed into (N, n_bits//64) uint64.
+    Scale-invariant: sign(v @ planes) == sign(unit(v) @ planes), so
+    callers may pass raw or unit vectors interchangeably."""
     bits = (unit @ planes) > 0
     n, nb = bits.shape
+    if nb % 64:
+        raise ValueError(f"n_bits must be a multiple of 64, got {nb}")
     w = np.uint64(1) << np.arange(64, dtype=np.uint64)
     words = np.empty((n, nb // 64), dtype=np.uint64)
     for j in range(nb // 64):
@@ -317,7 +321,8 @@ def ann_hamming_topk(sf_dir: str, query_ids: list[int] | None = None,
                          dtype=np.int64)
         vecs = np.stack([np.asarray(v, dtype=np.float64)
                          for v in batch.column("embedding").to_pylist()])
-        sig = _pack_signatures(_unit(vecs), pl)
+        # raw vectors: signatures are scale-invariant, no _unit pass
+        sig = _pack_signatures(vecs, pl)
         out_q, out_id, out_h = [], [], []
         for qi in range(len(qs)):
             ham = np.zeros(len(ids), np.int64)
@@ -326,7 +331,13 @@ def ann_hamming_topk(sf_dir: str, query_ids: list[int] | None = None,
             mask = ids != qid_arr[qi]          # exclude the query row
             cids, chs = ids[mask], ham[mask]
             if len(cids) > n_candidates:
-                # deterministic partial top-C by (hamming, vec_id)
+                # O(N) argpartition prefilter, widened to include every
+                # boundary tie, then the deterministic (hamming,
+                # vec_id) sort over just that slice
+                kth = np.partition(chs, n_candidates - 1)[
+                    n_candidates - 1]
+                near = chs <= kth
+                cids, chs = cids[near], chs[near]
                 order = np.lexsort((cids, chs))[:n_candidates]
                 cids, chs = cids[order], chs[order]
             out_q.extend([int(qid_arr[qi])] * len(cids))

@@ -1517,13 +1517,11 @@ def gram_duplication(sf_dir: str, n: int = _ONION_N, max_docs: int = 1,
     def partial_counts(batch: pa.Table) -> pa.Table:
         th, lens = _ws_token_hashes(batch.column("text"), _WS_TOK_CACHE)
         gh, doc_idx = _window_gram_hashes(th, lens, n)
-        hd = gh
-        dd = doc_idx
         # per-doc-distinct then per-block counts per hash (a (doc,
         # gram) pair lives in exactly one block, so summed partials
         # are exact distinct-doc counts) — lexsort + boundary masks
-        order = np.lexsort((dd, hd))
-        hd, dd = hd[order], dd[order]
+        order = np.lexsort((doc_idx, gh))
+        hd, dd = gh[order], doc_idx[order]
         if hd.size:
             new = np.empty(hd.size, dtype=bool)
             new[0] = True
@@ -2059,33 +2057,40 @@ def lang_balance_sample(sf_dir: str):
 # global quality-ordered rank (distributed ORDER BY)
 # --------------------------------------------------------------------------
 
-def quality_rank(sf_dir: str, nparts: int = 256):
-    """Global rank of every doc ordered by quality score DESC (ties by
-    doc_id ASC) — the distributed ORDER BY pattern: a stateless score
-    pass, equi-depth range-partition boundaries from a seeded sample,
-    per-partition counts -> driver prefix offsets (<= ``nparts`` ints),
-    then one vectorized per-partition sort+assign. The sample controls
-    only partition BALANCE; rank exactness never depends on it (every
-    partition holds a contiguous key range, so offset + local position
-    is the exact global position). Score = alpha_ratio +
-    stopword_ratio, the same bit-exact double arithmetic as
-    ``doc_quality``. Returns (doc_id, score, rank)."""
+def _quality_scored(sf_dir: str, extra_cols: dict[str, str] | None = None
+                    ) -> "ray.data.Dataset":
+    """Materialized (doc_id, score[, extra quality columns]) dataset;
+    ``extra_cols`` maps output name -> ``quality_batch`` column. Score
+    = alpha_ratio + stopword_ratio, the same bit-exact double
+    arithmetic as ``doc_quality``."""
     import pyarrow.compute as pc
 
     from risjbot_ray.pipelines.textstats import quality_batch
 
     def score_batch(b: pa.Table) -> pa.Table:
         q = quality_batch(b)
-        return pa.table({
-            "doc_id": q.column("doc_id"),
-            "score": pc.add(q.column("alpha_ratio"),
-                            q.column("stopword_ratio")),
-        })
+        out = {"doc_id": q.column("doc_id"),
+               "score": pc.add(q.column("alpha_ratio"),
+                               q.column("stopword_ratio"))}
+        for name, col in (extra_cols or {}).items():
+            out[name] = q.column(col)
+        return pa.table(out)
 
-    scored = _coalesce(
+    return _coalesce(
         _documents(sf_dir, ["doc_id", "text"])
         .map_batches(score_batch, batch_format="pyarrow").materialize())
 
+
+def _score_range_partitions(scored: "ray.data.Dataset",
+                            nparts: int) -> "ray.data.Dataset":
+    """Append a ``part`` column of equi-depth range partitions on
+    ``score`` DESC (boundaries from a seeded sample) and materialize.
+    The sample controls only partition BALANCE; order exactness never
+    depends on it: boundaries are score VALUES, so ties always share a
+    partition and partition order + local (-score, doc_id) order IS
+    the exact global order. Shared by ``quality_rank`` and
+    ``quality_token_budget`` — their global orders must never
+    diverge."""
     n = scored.count()
     samp = (scored.random_sample(min(1.0, 20_000 / max(n, 1)), seed=7)
             .to_pandas())
@@ -2105,8 +2110,18 @@ def quality_rank(sf_dir: str, nparts: int = 256):
                             side="right")
         return b.append_column("part", pa.array(p, pa.int64()))
 
-    parts = (scored.map_batches(part_of, batch_format="pyarrow")
-             .materialize())
+    return (scored.map_batches(part_of, batch_format="pyarrow")
+            .materialize())
+
+
+def quality_rank(sf_dir: str, nparts: int = 256):
+    """Global rank of every doc ordered by quality score DESC (ties by
+    doc_id ASC) — the distributed ORDER BY pattern: a stateless score
+    pass, sampled range partitions (:func:`_score_range_partitions`),
+    per-partition counts -> driver prefix offsets (<= ``nparts`` ints),
+    then one vectorized per-partition sort+assign. Returns
+    (doc_id, score, rank)."""
+    parts = _score_range_partitions(_quality_scored(sf_dir), nparts)
 
     # per-partition totals -> prefix-sum bases, no sort exchange
     bases, run = {}, 0
@@ -2196,25 +2211,44 @@ def domain_quality_filter(sf_dir: str, tau_fp: int = _DOMAIN_TAU_FP,
     dt = _agg_count_partials(
         docs.map_batches(partial, batch_format="pyarrow",
                          zero_copy_batch=True), merge)
-    verdicts: dict[str, tuple[int, int]] = {}
-    if dt is not None:
+    # verdicts broadcast as SORTED md5-hash + aligned count arrays —
+    # ray.get of numpy arrays is a zero-copy plasma read per task,
+    # where a python dict would re-unpickle per batch (the same
+    # failure mode the decontamination gram set hit, see _GRAM_MULT
+    # comment). Lookup = one searchsorted per batch.
+    if dt is None:
+        vh = np.empty(0, np.uint64)
+        vn = vs = np.empty(0, np.int64)
+    else:
         if dt.num_rows > _DOMAIN_BCAST_MAX:
             raise RuntimeError(
                 f"domain verdict table {dt.num_rows} rows exceeds "
                 f"broadcast cap {_DOMAIN_BCAST_MAX}; switch to the "
                 "salted-key hash-join path")
-        verdicts = dict(zip(
-            dt.column("source").to_pylist(),
-            zip(dt.column("n").to_pylist(), dt.column("s").to_pylist())))
-    vref = ray.put(verdicts)
+        cache: dict = {}
+        vh = np.fromiter(
+            (_token_h64(x, cache) for x in dt.column("source")
+             .to_pylist()), dtype=np.uint64, count=dt.num_rows)
+        o = np.argsort(vh, kind="stable")
+        vh = vh[o]
+        vn = dt.column("n").to_numpy(zero_copy_only=False)[o]
+        vs = dt.column("s").to_numpy(zero_copy_only=False)[o]
+    vref = ray.put((np.ascontiguousarray(vh), np.ascontiguousarray(vn),
+                    np.ascontiguousarray(vs)))
 
     def annotate(batch: pa.Table, *, _vref=vref) -> pa.Table:
         import pyarrow.compute as pc
-        v = ray.get(_vref)
-        src = pc.fill_null(batch.column("source").combine_chunks(),
-                           "").to_pylist()
-        n = np.array([v[x][0] for x in src], np.int64)
-        s = np.array([v[x][1] for x in src], np.float64)
+        vh_, vn_, vs_ = ray.get(_vref)
+        src = pc.fill_null(batch.column("source").combine_chunks(), "")
+        de = src.dictionary_encode()
+        cache: dict = {}
+        uh = np.fromiter(
+            (_token_h64(x, cache) for x in de.dictionary.to_pylist()),
+            dtype=np.uint64, count=len(de.dictionary))
+        h = uh[de.indices.to_numpy(zero_copy_only=False)]
+        pos = np.searchsorted(vh_, h)   # every batch source is in the
+        n = vn_[pos]                    # verdict table by construction
+        s = vs_[pos].astype(np.float64)
         mean = s / n          # int/int in double: deterministic
         return pa.table({
             "doc_id": batch.column("doc_id"),
@@ -2242,51 +2276,15 @@ def quality_token_budget(sf_dir: str, budget: int = 12_000,
     quality order: score desc, doc_id asc) stays within ``budget``.
     Returns (doc_id, score, n_tokens, cum_tokens, keep) for every doc.
 
-    Scale shape — the ``quality_rank`` machinery extended with a token
-    prefix: equi-depth range partitions on the score (ties share a
-    partition, so partition order + local order is the exact global
-    order), per-partition TOKEN SUMS reduce to <= ``nparts`` ints on
-    the driver, which turns them into cumulative bases; one vectorized
-    per-partition sort + cumsum assigns exact global running totals.
-    No corpus-wide sort exchange; the driver never holds rows."""
-    import pyarrow.compute as pc
-
-    from risjbot_ray.pipelines.textstats import quality_batch
-
-    def score_batch(b: pa.Table) -> pa.Table:
-        q = quality_batch(b)
-        return pa.table({
-            "doc_id": q.column("doc_id"),
-            "score": pc.add(q.column("alpha_ratio"),
-                            q.column("stopword_ratio")),
-            "n_tokens": q.column("n_words"),
-        })
-
-    scored = _coalesce(
-        _documents(sf_dir, ["doc_id", "text"])
-        .map_batches(score_batch, batch_format="pyarrow").materialize())
-
-    n = scored.count()
-    samp = (scored.random_sample(min(1.0, 20_000 / max(n, 1)), seed=7)
-            .to_pandas())
-    if len(samp) > 4:
-        keys = np.sort(-samp["score"].to_numpy())
-        cuts = np.linspace(0, len(keys) - 1,
-                           num=min(nparts, len(keys) // 4) + 1
-                           )[1:-1].astype(int)
-        bounds = np.unique(keys[cuts])
-    else:
-        bounds = np.empty(0, dtype=np.float64)
-    bounds_ref = ray.put(bounds)
-
-    def part_of(b: pa.Table) -> pa.Table:
-        bs = ray.get(bounds_ref)
-        p = np.searchsorted(bs, -b.column("score").to_numpy(),
-                            side="right")
-        return b.append_column("part", pa.array(p, pa.int64()))
-
-    parts = (scored.map_batches(part_of, batch_format="pyarrow")
-             .materialize())
+    Scale shape — the ``quality_rank`` machinery
+    (:func:`_score_range_partitions`, shared code) extended with a
+    token prefix: per-partition TOKEN SUMS reduce to <= ``nparts``
+    ints on the driver, which turns them into cumulative bases; one
+    vectorized per-partition sort + cumsum assigns exact global
+    running totals. No corpus-wide sort exchange; the driver never
+    holds rows."""
+    scored = _quality_scored(sf_dir, extra_cols={"n_tokens": "n_words"})
+    parts = _score_range_partitions(scored, nparts)
 
     # per-partition token sums -> driver prefix bases (<= nparts ints)
     def tok_partial(b: pa.Table) -> pa.Table:

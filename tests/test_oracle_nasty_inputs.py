@@ -27,6 +27,10 @@ _NASTY_TEXTS = [
     "\tleading tab and trailing newline\n",
     "ï¿½ mojibake-ish bytes André",
     "word " * 60 + "end.",                 # long ASCII control doc
+    "\t\n\x0b",                     # whitespace-only with NO spaces:
+                                       # DuckDB trim() strips spaces
+                                       # only, so trim-based emptiness
+                                       # guards diverge on this row
 ]
 
 
@@ -90,7 +94,11 @@ def _compare(name: str, sf_dir: str):
 
 _DOC_QUERIES = ["doc_wordcount", "doc_tokencount", "doc_quality",
                 "doc_gopher_quality", "corpus_token_stats",
-                "doc_c4_clean", "doc_normalize", "doc_line_dedup"]
+                "doc_c4_clean", "doc_normalize", "doc_line_dedup",
+                "doc_quality_rank", "domain_quality_filter",
+                "doc_quality_token_budget", "doc_gram_dup",
+                "doc_nfc_normalize", "doc_tfidf_topk",
+                "doc_host_line_dedup", "doc_url_filter"]
 
 
 @pytest.mark.parametrize("name", _DOC_QUERIES)
