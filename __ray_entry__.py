@@ -845,7 +845,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CCNet-style perplexity under an add-one bigram LM trained on
         # the doc_id%10 reference slice (broadcast model, zero-exchange
         # scoring) — exact DuckDB oracle below
-        "doc_perplexity": lambda sf: lm_mod.perplexity_score(sf),
+        # the composed six-stage curation cascade (URL gate -> gram-dup
+        # doc dedup -> corpus line dedup -> quality gate -> domain-mean
+        # gate -> decontamination), each stage over the previous
+        # stage's survivors/cleaned text; counts-only funnel with an
+        # exact chained-CTE oracle
+        "corpus_curate_cascade": wt.curate_cascade,
         # DSIR importance weights (exact-bigram feature space — the
         # SQL-checkable configuration; hashed-bucket scale path is
         # pytest-gated)
@@ -943,6 +948,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the in-window ann_hamming_recall row + pytest parity)
         "ann_hamming_topk": lambda sf: similarity.ann_hamming_topk(
             sf, query_ids=[0, 1, 2], k=10),
+        # CCNet-style perplexity (driver-green r03, swapped below the
+        # boundary to make room for the cascade)
+        "doc_perplexity": lambda sf: lm_mod.perplexity_score(sf),
         # Gumbel-top-k importance resampling over the DSIR weights
         # (deterministic hash-based uniforms -> SQL-expressible)
         "doc_dsir_resample": lambda sf: lm_mod.dsir_resample(sf, k=100),
@@ -3008,5 +3016,197 @@ def oracle_sql() -> dict[str, str]:
                                    ROWS UNBOUNDED PRECEDING) <= 12000
                    AS keep
         FROM s
+    """
+    # the composed six-stage curation cascade, counts-only funnel: each
+    # stage's CTE consumes the previous stage's survivors (and from the
+    # line-dedup stage on, the CLEANED text); fragments are the same
+    # parity-proven expressions as the standalone oracles above
+    _WSC = (r"'[^\t-\r\x1c-\x1f \x{0085}\x{00a0}\x{1680}"
+            r"\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}"
+            r"\x{3000}]+'")
+    sql["corpus_curate_cascade"] = f"""
+        WITH d0 AS MATERIALIZED (
+          SELECT doc_id, COALESCE(text, '') AS text, source, lang
+          FROM documents
+        ), u AS MATERIALIZED (
+          SELECT doc_id,
+                 'https://'
+                 || CASE WHEN doc_id % 23 = 0 THEN 'ads.' ELSE '' END
+                 || COALESCE(source, '')
+                 || CASE WHEN doc_id % 29 = 0
+                         THEN '/a/b/c/d/e/f/g' ELSE '' END
+                 || '/' || COALESCE(lang, '') || '/article-' || doc_id
+                 || CASE WHEN doc_id % 17 = 0
+                         THEN '?utm_source=feed&sessionid=' || doc_id
+                         ELSE '' END AS url
+          FROM d0
+        ), ug AS MATERIALIZED (
+          SELECT doc_id,
+                 (NOT (starts_with(regexp_extract(url,
+                          '^https?://([^/?#]+)', 1), 'ads.')
+                       OR starts_with(regexp_extract(url,
+                          '^https?://([^/?#]+)', 1), 'tracker.'))
+                  AND (CASE WHEN contains(lower(url), 'sessionid')
+                            THEN 2.0 ELSE 0.0 END
+                       + CASE WHEN contains(lower(url), 'utm_')
+                              THEN 1.0 ELSE 0.0 END
+                       + CASE WHEN contains(lower(url), 'clickthrough')
+                              THEN 1.5 ELSE 0.0 END) < 2.5
+                  AND (length(regexp_extract(url,
+                          '^https?://[^/?#]+([^?#]*)', 1))
+                       - length(replace(regexp_extract(url,
+                          '^https?://[^/?#]+([^?#]*)', 1), '/', '')))
+                      <= 6) AS keep
+          FROM u
+        ), s1w AS MATERIALIZED (
+          SELECT d0.doc_id, d0.text, d0.source, d0.lang,
+                 regexp_extract_all(d0.text, {_WSC}) AS words
+          FROM d0 JOIN ug USING (doc_id) WHERE ug.keep
+        ), s1 AS MATERIALIZED (
+          SELECT doc_id, text, source, lang,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN ['Subscribe to our newsletter']
+                      ELSE CAST([] AS VARCHAR[]) END
+                 || CASE WHEN len(words) = 0 THEN ['']
+                      ELSE list_transform(
+                             range(1, CAST(ceil(len(words) / 12.0)
+                                           AS BIGINT) + 1),
+                             i -> array_to_string(
+                                    words[((i-1)*12 + 1)
+                                      : least(i*12, len(words))], ' '))
+                    END
+                 || CASE WHEN doc_id % 5 = 0
+                      THEN ['All rights reserved. Terms of use apply.']
+                      ELSE CAST([] AS VARCHAR[]) END AS ls
+          FROM s1w
+        ), s1t AS MATERIALIZED (
+          SELECT doc_id, source, lang, ls,
+                 array_to_string(ls, chr(10)) AS ltxt
+          FROM s1
+        ), s1tok AS MATERIALIZED (
+          SELECT doc_id, regexp_extract_all(ltxt, {_WSC}) AS w
+          FROM s1t
+        ), g13 AS MATERIALIZED (
+          SELECT doc_id, array_to_string(w[i : i + 12], ' ') AS gram
+          FROM s1tok,
+               unnest(range(1, greatest(len(w) - 12, 0) + 1)) AS t(i)
+        ), hot13 AS MATERIALIZED (
+          SELECT gram FROM g13 GROUP BY gram
+          HAVING COUNT(DISTINCT doc_id) > 1
+        ), gd AS MATERIALIZED (
+          SELECT s1tok.doc_id,
+                 greatest(len(s1tok.w) - 12, 0) AS n_grams,
+                 COALESCE(h.nd, 0) AS n_dup
+          FROM s1tok
+          LEFT JOIN (SELECT g.doc_id, COUNT(*) AS nd
+                     FROM g13 g JOIN hot13 USING (gram)
+                     GROUP BY g.doc_id) h USING (doc_id)
+        ), s2 AS MATERIALIZED (
+          SELECT s1t.* FROM s1t JOIN gd USING (doc_id)
+          WHERE 2 * gd.n_dup <= gd.n_grams
+        ), e AS MATERIALIZED (
+          SELECT doc_id, unnest(ls) AS line,
+                 unnest(range(1, len(ls) + 1)) AS pos FROM s2
+        ), lc AS MATERIALIZED (
+          SELECT line, COUNT(DISTINCT doc_id) AS nd FROM e
+          WHERE trim(line, ' ' || chr(9) || chr(13)) <> ''
+          GROUP BY line
+        ), kept AS MATERIALIZED (
+          SELECT e.doc_id,
+                 COALESCE(string_agg(
+                   CASE WHEN trim(e.line, ' ' || chr(9) || chr(13)) = ''
+                             OR COALESCE(lc.nd, 0) <= 1
+                        THEN e.line END, chr(10) ORDER BY e.pos), '')
+                   AS text_clean,
+                 COUNT(*) FILTER (
+                   WHERE (trim(e.line, ' ' || chr(9) || chr(13)) = ''
+                          OR COALESCE(lc.nd, 0) <= 1)
+                         AND e.line <> '') AS n_kept_content
+          FROM e LEFT JOIN lc USING (line) GROUP BY e.doc_id
+        ), s3 AS MATERIALIZED (
+          SELECT s2.doc_id, s2.source, s2.lang, k.text_clean AS text
+          FROM s2 JOIN kept k USING (doc_id)
+          WHERE k.n_kept_content > 0
+        ), q AS MATERIALIZED (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, {_WSC})) AS nw,
+                 CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE CAST(length(regexp_replace(text,
+                           '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                           / length(text) END AS alpha,
+                 CASE WHEN length(regexp_extract_all(text, {_WSC})) = 0
+                      THEN 0.0
+                      ELSE CAST(length(list_filter(
+                           regexp_extract_all(lower(text), {_WSC}),
+                           x -> list_contains([{stop}],
+                                trim(x, '.,;:!?''"()')))) AS DOUBLE)
+                           / length(regexp_extract_all(text, {_WSC}))
+                 END AS stopr
+          FROM s3
+        ), s4 AS MATERIALIZED (
+          SELECT s3.* FROM s3 JOIN q USING (doc_id)
+          WHERE q.nw >= 50 AND q.alpha >= 0.5 AND q.stopr >= 0.02
+        ), dq AS MATERIALIZED (
+          SELECT doc_id, COALESCE(source, '') AS src,
+                 CAST(floor(1000000 * (
+                   (CASE WHEN length(text) = 0 THEN 0.0
+                         ELSE CAST(length(regexp_replace(text,
+                              '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                              / length(text) END)
+                   + (CASE WHEN length(regexp_extract_all(text,
+                               {_WSC})) = 0 THEN 0.0
+                           ELSE CAST(length(list_filter(
+                                regexp_extract_all(lower(text), {_WSC}),
+                                x -> list_contains([{stop}],
+                                     trim(x, '.,;:!?''"()'))))
+                                AS DOUBLE)
+                                / length(regexp_extract_all(text,
+                                         {_WSC}))
+                      END))) AS BIGINT) AS fp
+          FROM s4
+        ), dv AS MATERIALIZED (
+          SELECT src, COUNT(*) AS n, SUM(fp) AS sfp FROM dq
+          GROUP BY src
+        ), s5 AS MATERIALIZED (
+          SELECT s4.* FROM s4
+          JOIN dq USING (doc_id) JOIN dv USING (src)
+          WHERE dv.n >= 3
+            AND CAST(dv.sfp AS DOUBLE) / dv.n >= 885000.0
+        ), bench AS MATERIALIZED (
+          SELECT DISTINCT array_to_string(w[i : i + 7], ' ') AS g
+          FROM (SELECT doc_id, regexp_extract_all(text, {_WSC}) AS w
+                FROM d0 WHERE doc_id % 97 = 0) bw,
+               unnest(range(1, greatest(len(w) - 7, 0) + 1)) AS t(i)
+        ), cont AS MATERIALIZED (
+          SELECT DISTINCT sg.doc_id
+          FROM (SELECT doc_id,
+                       array_to_string(w[i : i + 7], ' ') AS g
+                FROM (SELECT doc_id,
+                             regexp_extract_all(text, {_WSC}) AS w
+                      FROM s5) sw,
+                     unnest(range(1, greatest(len(w) - 7, 0) + 1))
+                       AS t(i)) sg
+          JOIN bench USING (g)
+        ), s6 AS MATERIALIZED (
+          SELECT s5.doc_id FROM s5
+          WHERE s5.doc_id % 97 <> 0
+            AND s5.doc_id NOT IN (SELECT doc_id FROM cont)
+        ), c AS MATERIALIZED (
+          SELECT (SELECT COUNT(*) FROM d0) AS c0,
+                 (SELECT COUNT(*) FROM s1) AS c1,
+                 (SELECT COUNT(*) FROM s2) AS c2,
+                 (SELECT COUNT(*) FROM s3) AS c3,
+                 (SELECT COUNT(*) FROM s4) AS c4,
+                 (SELECT COUNT(*) FROM s5) AS c5,
+                 (SELECT COUNT(*) FROM s6) AS c6
+        )
+        SELECT 1 AS stage_no, 'url_filter' AS stage, c0 AS n_in,
+               c0 - c1 AS n_dropped, c1 AS n_out FROM c
+        UNION ALL SELECT 2, 'gram_dup', c1, c1 - c2, c2 FROM c
+        UNION ALL SELECT 3, 'line_dedup', c2, c2 - c3, c3 FROM c
+        UNION ALL SELECT 4, 'quality', c3, c3 - c4, c4 FROM c
+        UNION ALL SELECT 5, 'domain_quality', c4, c4 - c5, c5 FROM c
+        UNION ALL SELECT 6, 'decontaminate', c5, c5 - c6, c6 FROM c
+        ORDER BY stage_no
     """
     return sql

@@ -243,6 +243,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                          ("domain_filter", webtext.domain_quality_filter),
                          ("token_budget", webtext.quality_token_budget),
                          ("tfidf_topk", webtext.tfidf_topk),
+                         ("curate_cascade",
+                          lambda sf: ray.data.from_arrow(
+                              webtext.curate_cascade(sf))),
                          ("gopher_quality", ts_wt.q_gopher),
                          ("decontaminate_fuzzy",
                           dedup_mod.decontaminate_fuzzy)):

@@ -1271,7 +1271,8 @@ def _hot_hash_set(parts: "ray.data.Dataset", max_docs: int,
 
 def line_dedup_over(docs: "ray.data.Dataset", max_docs: int = 1,
                     driver_merge_rows: int = 5_000_000,
-                    scope_col: str | None = None):
+                    scope_col: str | None = None,
+                    passthrough: bool = False):
     """Core of :func:`line_dedup` over any (doc_id, text) Dataset whose
     text is already multi-line. With ``scope_col`` (e.g. the host), line
     occurrences are counted and dropped PER SCOPE VALUE — the CCNet
@@ -1353,9 +1354,13 @@ def line_dedup_over(docs: "ray.data.Dataset", max_docs: int = 1,
         kept_lines = pa.LargeListArray.from_arrays(
             pa.array(new_off, pa.int64()),
             values.filter(pa.array(keep)))
-        out = {"doc_id": batch.column("doc_id")}
-        if scope_col is not None:
-            out[scope_col] = batch.column(scope_col)
+        if passthrough:
+            out = {c: batch.column(c) for c in batch.column_names
+                   if c != "text"}
+        else:
+            out = {"doc_id": batch.column("doc_id")}
+            if scope_col is not None:
+                out[scope_col] = batch.column(scope_col)
         out["n_lines"] = pa.array(n_lines, pa.int64())
         out["n_dropped"] = pa.array(n_lines - kept_counts, pa.int64())
         out["text_clean"] = pc.binary_join(kept_lines, "\n")
@@ -1511,8 +1516,20 @@ def gram_duplication(sf_dir: str, n: int = _ONION_N, max_docs: int = 1,
     distinct grams on a deduplicated crawl — broadcasts once as a
     sorted int64 array; pass 2 is a stateless vectorized recount
     (one searchsorted per batch). Gram text never leaves the task."""
+    return gram_duplication_over(
+        _documents(sf_dir, ["doc_id", "text"]), n=n, max_docs=max_docs,
+        driver_merge_rows=driver_merge_rows)
 
-    docs = _documents(sf_dir, ["doc_id", "text"])
+
+def gram_duplication_over(docs: "ray.data.Dataset", n: int = _ONION_N,
+                          max_docs: int = 1,
+                          driver_merge_rows: int = 5_000_000,
+                          passthrough: bool = False):
+    """Core of :func:`gram_duplication` over any (doc_id, text, ...)
+    Dataset. With ``passthrough`` the output keeps EVERY input column
+    and appends the gate columns (row-aligned) — the cascade
+    composition's shape; the default emits the flags-only table the
+    oracle checks."""
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         th, lens = _ws_token_hashes(batch.column("text"), _WS_TOK_CACHE)
@@ -1562,13 +1579,13 @@ def gram_duplication(sf_dir: str, n: int = _ONION_N, max_docs: int = 1,
         ratio = np.divide(n_dup.astype(np.float64), n_grams,
                           out=np.zeros(ndocs, np.float64),
                           where=n_grams > 0)
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "n_grams": pa.array(n_grams.astype(np.int64), pa.int64()),
-            "n_dup": pa.array(n_dup.astype(np.int64), pa.int64()),
-            "dup_ratio": pa.array(ratio, pa.float64()),
-            "keep": pa.array(2 * n_dup <= n_grams, pa.bool_()),
-        })
+        out = ({c: batch.column(c) for c in batch.column_names}
+               if passthrough else {"doc_id": batch.column("doc_id")})
+        out["n_grams"] = pa.array(n_grams.astype(np.int64), pa.int64())
+        out["n_dup"] = pa.array(n_dup.astype(np.int64), pa.int64())
+        out["dup_ratio"] = pa.array(ratio, pa.float64())
+        out["keep"] = pa.array(2 * n_dup <= n_grams, pa.bool_())
+        return pa.table(out)
 
     return docs.map_batches(_count, batch_format="pyarrow",
                             zero_copy_batch=True)
@@ -1662,6 +1679,126 @@ def url_filter(sf_dir: str):
                          zero_copy_batch=True)
             .map_batches(url_filter_batch, batch_format="pyarrow",
                          zero_copy_batch=True))
+
+
+# --------------------------------------------------------------------------
+# the composed curation cascade: every round-4 gate chained in funnel
+# order, each stage consuming the previous stage's SURVIVORS (and from
+# C4 on, its CLEANED text) — the full modern training-data pipeline
+# (RefinedWeb/FineWeb shape): URL gate -> C4 line cleaning -> Gopher
+# rules -> duplicated-gram gate -> domain-mean quality gate ->
+# benchmark decontamination
+# --------------------------------------------------------------------------
+
+def curate_cascade(sf_dir: str, min_words: int = 50,
+                   min_alpha: float = 0.5,
+                   min_stop: float = 0.02) -> pa.Table:
+    """Run the six-stage curation cascade and return the funnel report:
+    one row per stage with (stage_no, stage, n_in, n_dropped, n_out).
+
+    Composition semantics (what the exact oracle reproduces): stage 1
+    gates on the derived URL view; stage 2 is the duplicated-13-gram
+    doc gate over the LINED view of stage-1 survivors (dedup-early,
+    Lee et al. — whole-doc duplicates die before any downstream
+    compute is spent on them); stage 3 removes corpus-wide duplicated
+    lines (hot set over stage-2 survivors only) and drops docs whose
+    cleaned text is blank; stages 4-6 run on that CLEANED text — the
+    ``curate_documents`` quality gate (min_words / min_alpha /
+    min_stop), the domain-mean quality gate (means over stage-4
+    survivors only), and 8-gram decontamination against the benchmark
+    slice of the ORIGINAL corpus (bench members themselves drop here,
+    as an eval suite must).
+
+    Scale shape: stages 1 and 3 are stateless row-aligned gates —
+    fused single ``map_batches`` passes with no exchange; the funnel
+    report is the only reason they materialize (a production run that
+    doesn't need per-stage counts streams them unmaterialized into the
+    next two-pass operator). Stages 2 and 4-6 reuse the operators' own
+    scale paths (:func:`line_dedup_over`'s and
+    :func:`gram_duplication_over`'s size-gated hot-set reduces,
+    :func:`domain_quality_filter_over`'s tree-combine + broadcast, the
+    decontamination probe's broadcast bench array)."""
+    import pyarrow.compute as pc
+
+    from risjbot_ray.pipelines.textstats import quality_batch
+
+    def stage1(batch: pa.Table) -> pa.Table:
+        keep = url_filter_batch(urled_view_batch(batch)).column("keep")
+        return batch.filter(keep)
+
+    def lined(batch: pa.Table) -> pa.Table:
+        lv = lined_view_batch(batch.select(["doc_id", "text"]))
+        return batch.drop_columns(["text"]).append_column(
+            "text", lv.column("text"))
+
+    def stage2_finish(batch: pa.Table) -> pa.Table:
+        blank = pc.equal(pc.utf8_trim_whitespace(
+            batch.column("text_clean")), "")
+        out = batch.filter(pc.invert(blank)).drop_columns(
+            ["n_lines", "n_dropped"])
+        t = out.column("text_clean")
+        return out.drop_columns(["text_clean"]).append_column("text", t)
+
+    def stage3(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch.select(["doc_id", "text"]))
+        nw = q.column("n_words").to_numpy(zero_copy_only=False)
+        al = q.column("alpha_ratio").to_numpy(zero_copy_only=False)
+        st = q.column("stopword_ratio").to_numpy(zero_copy_only=False)
+        keep = (nw >= min_words) & (al >= min_alpha) & (st >= min_stop)
+        return batch.filter(pa.array(keep))
+
+    base = _documents(
+        sf_dir, ["doc_id", "text", "lang", "source"]).materialize()
+    s1 = (base.map_batches(stage1, batch_format="pyarrow",
+                           zero_copy_batch=True)
+          .map_batches(lined, batch_format="pyarrow",
+                       zero_copy_batch=True).materialize())
+
+    def keep_filter(ds, gate_cols):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(b.column("keep")).drop_columns(
+                list(gate_cols) + ["keep"])
+        return ds.map_batches(f, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    s2 = keep_filter(gram_duplication_over(s1, passthrough=True),
+                     ["n_grams", "n_dup", "dup_ratio"])
+    s3 = (line_dedup_over(s2, passthrough=True)
+          .map_batches(stage2_finish, batch_format="pyarrow",
+                       zero_copy_batch=True).materialize())
+    s4 = s3.map_batches(stage3, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+    s5 = keep_filter(domain_quality_filter_over(s4, passthrough=True),
+                     ["domain_n_docs", "domain_mean_fp"])
+
+    bench_ref = _bench_gram_ref(sf_dir)   # grams of the RAW bench docs
+
+    def stage6(batch: pa.Table) -> pa.Table:
+        probe = _ContaminationProbe(bench_ref)
+        flags = probe(batch.select(["doc_id", "text"]))
+        # probe excludes bench members from its output; align by id
+        ok = set(flags.filter(pc.invert(
+            flags.column("contaminated"))).column("doc_id").to_pylist())
+        keep = pa.array([d in ok for d in
+                         batch.column("doc_id").to_pylist()], pa.bool_())
+        return batch.filter(keep)
+
+    s6 = s5.map_batches(stage6, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+
+    counts = [base.count(), s1.count(), s2.count(), s3.count(),
+              s4.count(), s5.count(), s6.count()]
+    stages = ["url_filter", "gram_dup", "line_dedup", "quality",
+              "domain_quality", "decontaminate"]
+    return pa.table({
+        "stage_no": pa.array(range(1, 7), pa.int64()),
+        "stage": pa.array(stages, pa.string()),
+        "n_in": pa.array(counts[:-1], pa.int64()),
+        "n_dropped": pa.array(
+            [a - b for a, b in zip(counts[:-1], counts[1:])],
+            pa.int64()),
+        "n_out": pa.array(counts[1:], pa.int64()),
+    })
 
 
 # --------------------------------------------------------------------------
@@ -2185,8 +2322,19 @@ def domain_quality_filter(sf_dir: str, tau_fp: int = _DOMAIN_TAU_FP,
     (gated at ``_DOMAIN_BCAST_MAX`` rows — ~10M web domains is ~0.5 GB,
     at which point swap the broadcast for a hash-join on a salted
     domain key). Pass 2 is a stateless zero-exchange annotate."""
+    return domain_quality_filter_over(
+        _documents(sf_dir, ["doc_id", "text", "source"]),
+        tau_fp=tau_fp, min_docs=min_docs)
 
-    docs = _documents(sf_dir, ["doc_id", "text", "source"])
+
+def domain_quality_filter_over(docs: "ray.data.Dataset",
+                               tau_fp: int = _DOMAIN_TAU_FP,
+                               min_docs: int = _DOMAIN_MIN_DOCS,
+                               passthrough: bool = False):
+    """Core of :func:`domain_quality_filter` over any (doc_id, text,
+    source, ...) Dataset (consumed twice — pass a materialized dataset
+    unless upstream recompute is cheap). With ``passthrough`` the
+    output keeps every input column and appends the verdict columns."""
 
     def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -2250,14 +2398,15 @@ def domain_quality_filter(sf_dir: str, tau_fp: int = _DOMAIN_TAU_FP,
         n = vn_[pos]                    # verdict table by construction
         s = vs_[pos].astype(np.float64)
         mean = s / n          # int/int in double: deterministic
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "source": batch.column("source"),
-            "domain_n_docs": pa.array(n, pa.int64()),
-            "domain_mean_fp": pa.array(mean, pa.float64()),
-            "keep": pa.array((n >= min_docs) & (mean >= float(tau_fp)),
-                             pa.bool_()),
-        })
+        out = ({c: batch.column(c) for c in batch.column_names}
+               if passthrough else
+               {"doc_id": batch.column("doc_id"),
+                "source": batch.column("source")})
+        out["domain_n_docs"] = pa.array(n, pa.int64())
+        out["domain_mean_fp"] = pa.array(mean, pa.float64())
+        out["keep"] = pa.array((n >= min_docs) & (mean >= float(tau_fp)),
+                               pa.bool_())
+        return pa.table(out)
 
     return docs.map_batches(annotate, batch_format="pyarrow",
                             zero_copy_batch=True)

@@ -1624,3 +1624,22 @@ def test_nfc_normalize_kernel():
         "NFC", "x̧́y")
     # doc 2: null text, no injection -> empty, unchanged
     assert out.loc[2, "text_nfc"] == "" and not out.loc[2, "changed"]
+
+
+def test_curate_cascade_funnel_consistency(ray_session):
+    """Funnel arithmetic is exact (n_out == n_in - n_dropped, chained),
+    stage order is fixed, and each count matches the standalone
+    operator run on the same corpus where the stage is first."""
+    from risjbot_ray.pipelines.webtext import curate_cascade, url_filter
+    t = curate_cascade(SF).to_pandas()
+    assert list(t["stage"]) == ["url_filter", "gram_dup", "line_dedup",
+                                "quality", "domain_quality",
+                                "decontaminate"]
+    for i in range(len(t)):
+        assert t.loc[i, "n_out"] == t.loc[i, "n_in"] - t.loc[i, "n_dropped"]
+        if i:
+            assert t.loc[i, "n_in"] == t.loc[i - 1, "n_out"]
+    # stage 1 must equal the standalone URL gate's keep count
+    uf = url_filter(SF).to_pandas()
+    assert t.loc[0, "n_out"] == int(uf["keep"].sum())
+    assert (t["n_out"] > 0).all()     # the funnel never annihilates
