@@ -77,6 +77,69 @@ def ham_pairs_recursive(ids: np.ndarray, sig: np.ndarray, max_h: int,
                                     free_mask & ~int(cmask), out)
 
 
+def row_pairs_recursive(ids: np.ndarray, sig: np.ndarray, max_d: int,
+                        free_rows: list, out: list,
+                        brute_max: int = BRUTE_MAX) -> None:
+    """Exact pairs differing in <= ``max_d`` ROWS between (n, P) uint64
+    signature matrices — the :func:`ham_pairs_recursive` pigeonhole
+    generalized from bits to MinHash rows. A qualifying pair mismatches
+    at most ``max_d`` of the ``free_rows``, so among ``max_d + 1``
+    disjoint row-chunks at least one chunk matches WHOLE; group on each
+    chunk's values and recurse per sub-bucket with that chunk pinned.
+
+    This is the hot-bucket guard for the text-LSH pair paths: a
+    boilerplate-heavy corpus drops 10^4+ docs into ONE band bucket, and
+    enumerating its all-pairs there emits O(n^2) candidate rows that
+    the downstream est>=threshold verify would mostly discard. The
+    recursion emits only pairs that PASS the row-mismatch bound, so
+    the final (verified) output is unchanged while the emitted volume
+    tracks true duplicates. Sets that stay large with too few free
+    rows to re-split ARE near-identical — their pairs are real output,
+    so the brute-force floor is the true cost (same argument as the
+    bit version). Emissions may repeat across chunks; callers dedupe.
+    ``out`` collects (a, b, d) triples with a < b."""
+    n = len(ids)
+    if n < 2:
+        return
+    if n <= brute_max or len(free_rows) < 2 * (max_d + 1):
+        ai, aj = np.triu_indices(n, 1)
+        d = (sig[ai] != sig[aj]).sum(axis=1)
+        keep = d <= max_d
+        a, b = ids[ai[keep]], ids[aj[keep]]
+        out.append((np.minimum(a, b), np.maximum(a, b), d[keep]))
+        return
+    n_chunks = max_d + 1
+    for c in range(n_chunks):
+        chunk = free_rows[c::n_chunks]
+        sub = sig[:, chunk]
+        order = np.lexsort(sub.T[::-1])
+        ss = sub[order]
+        neq = (ss[1:] != ss[:-1]).any(axis=1)
+        starts = np.flatnonzero(np.r_[True, neq])
+        ends = np.r_[starts[1:], n]
+        pinned = set(chunk)
+        rest = [r for r in free_rows if r not in pinned]
+        for s, e in zip(starts, ends):
+            if e - s > 1:
+                g = order[s:e]
+                row_pairs_recursive(ids[g], sig[g], max_d, rest, out,
+                                    brute_max)
+
+
+def row_pairs_dedup(out: list) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate + (a, b)-dedupe :func:`row_pairs_recursive` output."""
+    if not out:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    a = np.concatenate([f[0] for f in out]).astype(np.int64)
+    b = np.concatenate([f[1] for f in out]).astype(np.int64)
+    if not len(a):
+        return a, b
+    order = np.lexsort((b, a))
+    a_s, b_s = a[order], b[order]
+    first = np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
+    return a_s[first], b_s[first]
+
+
 def band_run_pairs(ids: np.ndarray, keys: np.ndarray, sig: np.ndarray,
                    max_h: int, band_mask: int
                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

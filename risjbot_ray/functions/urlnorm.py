@@ -49,6 +49,32 @@ def canonicalize_url(url: str) -> str:
     simplified): sort query params, drop fragment, normalize empty path to
     '/'. Used to build the request fingerprint.
 
+    The single-pass kernel is iterated to a FIXED POINT: on degenerate
+    hostile hrefs one urlparse/urlunparse round trip is not idempotent
+    (urlunparse(('http', '', '//', ...)) collapses to 'http://', which
+    reparses differently), and the seen-ledger key must be a function
+    of a stable canonical form. Well-formed URLs hit the kernel's
+    identity fast path, so the loop costs them one extra comparison at
+    most; a parse/unparse CYCLE (never observed, but hostile input is
+    hostile) resolves deterministically to the cycle's lexicographic
+    minimum, which re-canonicalizes to itself."""
+    seen: list = []
+    cur = url
+    for _ in range(8):
+        nxt = _canon_once(cur)
+        if nxt == cur:
+            return cur
+        if nxt in seen:
+            cyc = seen[seen.index(nxt):] + [cur]
+            return min(cyc)
+        seen.append(cur)
+        cur = nxt
+    return cur
+
+
+def _canon_once(url: str) -> str:
+    """One canonicalization pass (see :func:`canonicalize_url`).
+
     Fast path: query/fragment-free http(s) URLs (the overwhelming crawl
     case) skip urlparse entirely — one split, no re-assembly."""
     url = url.strip()
@@ -76,7 +102,7 @@ def canonicalize_url(url: str) -> str:
         # to fragment-drop and re-canonicalize the rest (idempotent: the
         # recursion input has no '#', so it cannot recurse again)
         base = url.split("#", 1)[0]
-        return canonicalize_url(base) if base != url else url
+        return _canon_once(base) if base != url else url
     query = urlencode(sorted(parse_qsl(u.query, keep_blank_values=True)))
     path = u.path or "/"
     # strip the REASSEMBLY too: dropping ';params'/'#frag' can expose a

@@ -149,18 +149,38 @@ def _explode_bands_light(batch: pa.Table, bands: int, rows_per_band: int
                      "band_hash": pa.array(out_hash, pa.int64())})
 
 
-def _band_cands(group):
+#: band-bucket occupancy above which pair enumeration defers to the
+#: signature-pigeonhole hot path: a bucket AT the cap emits at most
+#: cap*(cap-1)/2 ~ 5e5 pair rows; past it the all-pairs output grows
+#: quadratically with boilerplate skew, which is the norm at scale
+_HOT_BUCKET_CAP = 1024
+
+
+def _band_cands(group, hot_cap: int | None = None):
     """Colliding pairs within ONE BAND: almost all band_hash buckets are
     singletons, so keep only duplicated hashes (vectorized), then
     enumerate pairs bucket-by-bucket. Grouping by band (few, large
     groups) instead of (band, band_hash) (millions of tiny groups) keeps
-    the Ray groupby shuffle coarse."""
+    the Ray groupby shuffle coarse.
+
+    HOT buckets (> ``_HOT_BUCKET_CAP`` members) do NOT enumerate: they
+    emit one MARKER row per member (hot=band_hash, a=doc_id, b=band)
+    and the caller routes them through the signature-pigeonhole hot
+    path (``_hot_band_pairs_task``), which emits only pairs that pass
+    the est>=threshold row-mismatch bound — the final verified output
+    is identical, but one boilerplate bucket can no longer flood the
+    exchange with O(n^2) candidate rows. Normal pair rows carry
+    hot=-1."""
     import pandas as pd
 
+    if hot_cap is None:
+        hot_cap = _HOT_BUCKET_CAP
+    empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                          "b": pd.Series(dtype="int64"),
+                          "hot": pd.Series(dtype="int64")})
     hot = group[group.duplicated("band_hash", keep=False)]
     if not len(hot):
-        return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                             "b": pd.Series(dtype="int64")})
+        return empty
     # vectorized run-length + batched-triu enumeration (the
     # hamming.band_run_pairs pattern): a boilerplate-heavy corpus can
     # put 10^4+ docs in ONE bucket, and a per-pair Python append loop
@@ -172,7 +192,8 @@ def _band_cands(group):
     starts = np.r_[0, np.flatnonzero(bh[1:] != bh[:-1]) + 1]
     counts = np.diff(np.r_[starts, len(bh)])
     a_parts, b_parts = [], []
-    for length in np.unique(counts[counts > 1]):
+    for length in np.unique(counts[(counts > 1)
+                                   & (counts <= hot_cap)]):
         s = starts[counts == length]
         ti, tj = np.triu_indices(int(length), 1)
         a_parts.append(ids[(s[:, None] + ti[None, :]).ravel()])
@@ -181,8 +202,19 @@ def _band_cands(group):
          else np.empty(0, np.int64))
     b = (np.concatenate(b_parts) if b_parts
          else np.empty(0, np.int64))
+    h = np.full(len(a), -1, np.int64)
+    hot_idx = np.flatnonzero(counts > hot_cap)
+    if len(hot_idx):
+        band = np.int64(group["band"].iloc[0])
+        m_id = np.concatenate([
+            ids[starts[i]:starts[i] + counts[i]] for i in hot_idx])
+        m_hash = np.repeat(bh[starts[hot_idx]], counts[hot_idx])
+        a = np.concatenate([a, m_id])
+        b = np.concatenate([b, np.full(len(m_id), band, np.int64)])
+        h = np.concatenate([h, m_hash])
     return pd.DataFrame({"a": pd.Series(a, dtype="int64"),
-                         "b": pd.Series(b, dtype="int64")})
+                         "b": pd.Series(b, dtype="int64"),
+                         "hot": pd.Series(h, dtype="int64")})
 
 
 _PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
@@ -221,14 +253,148 @@ _BROADCAST_PAIRS_MAX = 200_000
 _BROADCAST_TEXT_MAX_BYTES = 256 << 20
 
 
-def _collect_pairs(pairs_ds) -> pa.Table | None:
+def _minhash_max_d(num_perm: int, threshold: float) -> int:
+    """Largest row-mismatch count d with (P - d)/P >= threshold under
+    the SAME float64 comparison the est-verify stage applies — so the
+    hot path's integer bound and the verify filter agree exactly."""
+    md = -1
+    for d in range(num_perm + 1):
+        if (num_perm - d) / num_perm >= threshold:
+            md = d
+    return md
+
+
+@ray.remote
+def _hot_band_pairs_task(ids, sig_block_refs, num_perm: int,
+                         max_d: int) -> pa.Table:
+    """Qualifying pairs for ONE hot band bucket via the signature-row
+    pigeonhole (``functions/hamming.row_pairs_recursive`` — the media
+    phash pipeline's hot-bucket defense, ported to MinHash rows).
+    Streams the signature blocks one ref at a time and keeps only this
+    bucket's rows, so task memory is O(bucket x num_perm x 8 B + one
+    block). Emits exactly the bucket pairs with row-mismatch <= max_d,
+    i.e. est_jaccard >= threshold — the same set the downstream verify
+    keeps, so routing hot buckets here leaves the final output
+    byte-identical while avoiding the O(n^2) candidate flood."""
+    from risjbot_ray.functions.hamming import (row_pairs_dedup,
+                                               row_pairs_recursive)
+    need = np.asarray(ids, np.int64)
+    got_ids, got_sigs = [], []
+    for ref in sig_block_refs:
+        t = ray.get(ref)
+        blk = np.asarray(t.column("doc_id").to_pylist(), np.int64)
+        m = np.isin(blk, need)
+        if m.any():
+            tt = t.filter(pa.array(m))
+            got_ids.append(np.asarray(tt.column("doc_id").to_pylist(),
+                                      np.int64))
+            got_sigs.extend(tt.column("sig").to_pylist())
+    if not got_ids or max_d < 0:
+        return _PAIR_SCHEMA.empty_table()
+    all_ids = np.concatenate(got_ids)
+    sig = np.stack([np.frombuffer(s, dtype=np.uint64)
+                    for s in got_sigs])
+    out: list = []
+    row_pairs_recursive(all_ids, sig, max_d, list(range(num_perm)), out)
+    a, b = row_pairs_dedup(out)
+    return pa.table({"a": pa.array(a, pa.int64()),
+                     "b": pa.array(b, pa.int64())})
+
+
+@ray.remote
+def _hot_cosine_pairs_task(ids, unit_block_refs,
+                           threshold: float) -> pa.Table:
+    """Qualifying pairs for ONE hot embedding-LSH bucket by EXACT
+    cosine: streams the unit-vector blocks (one ref at a time), keeps
+    this bucket's members, then runs a blockwise matmul prefilter (at
+    threshold - 1e-9, far wider than matmul-vs-einsum ulp) followed by
+    the verify stage's exact einsum on the survivors — so the emitted
+    set equals precisely the bucket pairs the downstream
+    cosine>=threshold filter would keep. O(n^2) work becomes flops in
+    one task instead of candidate rows on the exchange."""
+    need = np.asarray(ids, np.int64)
+    got_ids, got_units = [], []
+    for ref in unit_block_refs:
+        t = ray.get(ref)
+        blk = np.asarray(t.column("vec_id").to_pylist(), np.int64)
+        m = np.isin(blk, need)
+        if m.any():
+            tt = t.filter(pa.array(m))
+            got_ids.append(np.asarray(tt.column("vec_id").to_pylist(),
+                                      np.int64))
+            got_units.extend(tt.column("unit").to_pylist())
+    if not got_ids:
+        return _PAIR_SCHEMA.empty_table()
+    all_ids = np.concatenate(got_ids)
+    order = np.argsort(all_ids, kind="stable")
+    all_ids = all_ids[order]
+    unit = np.stack([np.frombuffer(got_units[i], dtype=np.float64)
+                     for i in order])
+    n = len(all_ids)
+    out_a, out_b = [], []
+    chunk = 2048
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        sims = unit[s:e] @ unit.T                  # (chunk, n)
+        ci, cj = np.nonzero(sims >= threshold - 1e-9)
+        gi = ci + s
+        m = gi < cj                                # i < j, skip self
+        gi, cj = gi[m], cj[m]
+        if not len(gi):
+            continue
+        # exact recheck with the verify stage's own formulation
+        cos = np.einsum("ij,ij->i", unit[gi], unit[cj])
+        keep = cos >= threshold
+        out_a.append(all_ids[gi[keep]])
+        out_b.append(all_ids[cj[keep]])
+    a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+    b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+    return pa.table({"a": pa.array(a, pa.int64()),
+                     "b": pa.array(b, pa.int64())})
+
+
+def _split_hot_markers(cands_all, marker_schema=None):
+    """Split the capped pair stream into (pair Dataset, hot marker
+    Table). Marker rows (hot != -1) are the EXCEPTION — only buckets
+    past ``_HOT_BUCKET_CAP`` emit them, one row per member — so
+    collecting them driver-side is O(hot membership), ~24 B/row."""
+    import pyarrow.compute as pc
+
+    def pairs_only(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "a" not in b.column_names:
+            return _PAIR_SCHEMA.empty_table()
+        return (b.filter(pc.equal(b.column("hot"), -1))
+                .select(["a", "b"]).cast(_PAIR_SCHEMA))
+
+    hot_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("hot", pa.int64())])
+
+    def hot_only(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "a" not in b.column_names:
+            return hot_schema.empty_table()
+        return (b.filter(pc.not_equal(b.column("hot"), -1))
+                .select(["a", "b", "hot"]).cast(hot_schema))
+
+    pairs = cands_all.map_batches(pairs_only, batch_format="pyarrow")
+    hot_parts = [t for t in ray.get(
+        cands_all.map_batches(hot_only, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    hot_tbl = (pa.concat_tables(hot_parts) if hot_parts
+               else hot_schema.empty_table())
+    return pairs, hot_tbl
+
+
+def _collect_pairs(pairs_ds, n: int | None = None) -> pa.Table | None:
     """Materialized (a, b) Dataset -> one driver-side Arrow table,
     ONLY if its DISTRIBUTED row count is within _BROADCAST_PAIRS_MAX;
     None past the cutoff. The count gates BEFORE any block reaches
     the driver — an oversized pair set (dup-heavy corpus) must never
     be concatenated into driver heap just to discover it is too big
-    for the broadcast fast path."""
-    if pairs_ds.count() > _BROADCAST_PAIRS_MAX:
+    for the broadcast fast path. ``n`` short-circuits the count when
+    the caller already holds it."""
+    if n is None:
+        n = pairs_ds.count()
+    if n > _BROADCAST_PAIRS_MAX:
         return None
     parts = [t for t in ray.get(pairs_ds.to_arrow_refs()) if t.num_rows]
     return (pa.concat_tables(parts) if parts
@@ -284,21 +450,43 @@ def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64,
     exploded = _coalesce_for_exchange(sigs.map_batches(
         lambda b: _explode_bands_light(b, bands, rows_per_band),
         batch_format="pyarrow"))
-    cands = exploded.groupby("band").map_groups(
-        _band_cands, batch_format="pandas")
-    # a pair can collide in several bands — dedupe on (a, b)
+    # consumed twice (pair split + hot-marker split) — materialized;
+    # hot buckets emit O(membership) marker rows, never O(n^2) pairs,
+    # so the materialized size is bounded by the cap
+    hot_cap = _HOT_BUCKET_CAP          # resolved driver-side
+    cands_all = exploded.groupby("band").map_groups(
+        lambda g: _band_cands(g, hot_cap),
+        batch_format="pandas").materialize()
+    cands, hot_tbl = _split_hot_markers(cands_all)
+    if hot_tbl.num_rows:
+        # HOT buckets: one pigeonhole task per bucket, streaming the
+        # signature blocks; outputs stay in the object store
+        # (from_arrow_refs), never on the driver
+        sig_refs = sigs.to_arrow_refs()
+        max_d = _minhash_max_d(num_perm, threshold)
+        hot_df = hot_tbl.to_pandas()
+        refs = [_hot_band_pairs_task.remote(
+                    g["a"].to_numpy(), sig_refs, num_perm, max_d)
+                for _, g in hot_df.groupby(["b", "hot"], sort=True)]
+        cands = cands.union(ray.data.from_arrow_refs(refs))
+    # a pair can collide in several bands — dedupe on (a, b). An
+    # all-empty multi-block pair side would fail join field
+    # resolution ('No match for FieldRef a'), so the zero-pair case
+    # returns before either join; past that, typed empty blocks
+    # (_norm_pairs) shuffle fine and the pair side stays MULTI-BLOCK
+    # — the dup-heavy past-cutoff case no longer lands on one task.
     from ray.data.aggregate import Count
-    # The pair-side of each join is materialized into ONE block: Ray's
-    # join aggregator fails Arrow field resolution for partitions that
-    # receive no shard from a multi-block lazy left side (zero-column
-    # table), while a single typed block shards to every partition. The
-    # pair set is LSH-bounded small by design, so one block is cheap;
-    # the BIG side (signatures/docs) stays fully partitioned.
     uniq = (cands.groupby(["a", "b"])
             .aggregate(Count(alias_name="n_bands"))
             .select_columns(["a", "b"])
             .map_batches(_norm_pairs, batch_format="pyarrow")
-            .materialize().repartition(1))
+            .materialize())
+    n_pairs = uniq.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64())}))
 
     # FAST PATH (the design case): the pair set is LSH-bounded small,
     # so instead of two distributed hash joins, broadcast the needed
@@ -307,15 +495,10 @@ def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64,
     # call. Each signature is num_perm x 8 bytes, so the cutoff keeps
     # the pulled subset ~O(100 MB). Past the cutoff, fall back to the
     # join plan (the big side stays fully partitioned).
-    pair_tbl = _collect_pairs(uniq)
+    pair_tbl = _collect_pairs(uniq, n_pairs)
     if pair_tbl is not None:
         a_ids = pair_tbl.column("a").to_numpy()
         b_ids = pair_tbl.column("b").to_numpy()
-        if not len(a_ids):
-            return ray.data.from_arrow(pa.table({
-                "a": pa.array([], pa.int64()),
-                "b": pa.array([], pa.int64()),
-                "est_jaccard": pa.array([], pa.float64())}))
         raw = _broadcast_fetch(
             sigs, "doc_id",
             np.unique(np.concatenate([a_ids, b_ids])), "sig")
@@ -344,10 +527,11 @@ def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64,
                               for c in b.column_names])
         return b.select(["a", "b", "sig_a"]).cast(j1_schema)
 
+    # n_pairs > 0 guarantees j1 is non-empty (every pair id has a
+    # signature), so both joins run with MULTI-BLOCK left sides
     j1 = (uniq.join(sigs, join_type="inner", on=("a",),
                     right_on=("doc_id",), num_partitions=num_partitions)
-          .map_batches(_rename_a, batch_format="pyarrow")
-          .materialize().repartition(1))
+          .map_batches(_rename_a, batch_format="pyarrow"))
     j2 = j1.join(sigs, join_type="inner", on=("b",),
                  right_on=("doc_id",), num_partitions=num_partitions)
 
@@ -690,8 +874,12 @@ def ngram_jaccard_pairs(sf_dir: str, shingle_k: int = 3,
         candidates = ray.data.from_arrow(candidates)
     cands = (candidates.select_columns(["a", "b"])
              .map_batches(_norm_pairs, batch_format="pyarrow")
-             .materialize().repartition(1))
-    if not cands.take(1):
+             .materialize())
+    n_pairs = cands.count()
+    if n_pairs == 0:
+        # an all-empty multi-block pair side would fail join field
+        # resolution — return before either join; past this the pair
+        # side stays MULTI-BLOCK (typed empty blocks shuffle fine)
         return _JACCARD_SCHEMA.empty_table()
 
     # FAST PATH (LSH-bounded pair sets): skip both distributed joins —
@@ -700,12 +888,11 @@ def ngram_jaccard_pairs(sf_dir: str, shingle_k: int = 3,
     # verify the pairs with a distributed map over the pair table. The
     # shingle work stays in Ray tasks; only pair ids + their texts
     # touch the driver, both bounded by the cutoffs.
-    pair_tbl = _collect_pairs(cands)
+    pair_tbl = _collect_pairs(cands, n_pairs)
     if pair_tbl is not None:
         a_ids = pair_tbl.column("a").to_numpy()
         b_ids = pair_tbl.column("b").to_numpy()
-        need = np.unique(np.concatenate([a_ids, b_ids])) \
-            if len(a_ids) else np.empty(0, np.int64)
+        need = np.unique(np.concatenate([a_ids, b_ids]))
         # size estimate from the tiny n_chars column BEFORE any text
         # is pulled — the byte guard must run ahead of the fetch it
         # guards, or multi-MB docs land on the driver just to be
@@ -794,10 +981,11 @@ def ngram_jaccard_pairs(sf_dir: str, shingle_k: int = 3,
                               for c in b.column_names])
         return b.select(["a", "b", "text_a"]).cast(j1_schema)
 
+    # n_pairs > 0 guarantees j1 is non-empty (every pair id has a
+    # document), so both joins run with MULTI-BLOCK left sides
     j1 = (cands.join(docs, join_type="inner", on=("a",),
                      right_on=("doc_id",), num_partitions=num_partitions)
-          .map_batches(_rename_a, batch_format="pyarrow")
-          .materialize().repartition(1))
+          .map_batches(_rename_a, batch_format="pyarrow"))
     j2 = j1.join(docs, join_type="inner", on=("b",),
                  right_on=("doc_id",), num_partitions=num_partitions)
 
@@ -917,22 +1105,47 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.95,
                          "bucket": pa.array(out_bucket, pa.int64())})
 
     def bucket_pairs(group) -> "pd.DataFrame":
+        """All-pairs for one LSH bucket — HOT buckets (>
+        ``_HOT_BUCKET_CAP``) emit one marker row per member instead
+        and are routed through the exact-cosine hot task, which emits
+        only pairs passing the final cosine>=threshold filter: the
+        verified output is identical, but a boilerplate bucket can no
+        longer flood the exchange with O(n^2) candidate rows."""
         ids = np.unique(group["vec_id"].to_numpy())
         if len(ids) < 2:
             return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                 "b": pd.Series(dtype="int64")})
+                                 "b": pd.Series(dtype="int64"),
+                                 "hot": pd.Series(dtype="int64")})
+        if len(ids) > _HOT_BUCKET_CAP:
+            bucket = np.int64(group["bucket"].iloc[0])
+            return pd.DataFrame({
+                "a": pd.Series(ids, dtype="int64"),
+                "b": pd.Series(np.full(len(ids), bucket), dtype="int64"),
+                "hot": pd.Series(np.full(len(ids), bucket),
+                                 dtype="int64")})
         ia, ib = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"a": pd.Series(ids[ia], dtype="int64"),
-                             "b": pd.Series(ids[ib], dtype="int64")})
+                             "b": pd.Series(ids[ib], dtype="int64"),
+                             "hot": pd.Series(np.full(len(ia), -1),
+                                              dtype="int64")})
 
     # units are consumed by the bucket explode AND the pair fetch-back
     units = ds.map_batches(unitize, batch_format="pyarrow",
                            zero_copy_batch=True).materialize()
     from risjbot_ray.pipelines.webtext import _coalesce_for_exchange
-    cand = (_coalesce_for_exchange(
-                units.map_batches(bucketize, batch_format="pyarrow"))
-            .groupby("bucket").map_groups(bucket_pairs,
-                                          batch_format="pandas"))
+    cand_all = (_coalesce_for_exchange(
+                    units.map_batches(bucketize, batch_format="pyarrow"))
+                .groupby("bucket").map_groups(bucket_pairs,
+                                              batch_format="pandas")
+                .materialize())
+    cand, hot_tbl = _split_hot_markers(cand_all)
+    if hot_tbl.num_rows:
+        unit_refs = units.to_arrow_refs()
+        refs = [_hot_cosine_pairs_task.remote(
+                    g["a"].to_numpy(), unit_refs, threshold)
+                for _, g in hot_tbl.to_pandas().groupby(["b", "hot"],
+                                                        sort=True)]
+        cand = cand.union(ray.data.from_arrow_refs(refs))
     from ray.data.aggregate import Count
     uniq = (_coalesce_for_exchange(
                 cand.map_batches(_norm_pairs, batch_format="pyarrow"))
@@ -940,8 +1153,9 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.95,
             .aggregate(Count(alias_name="n_hits"))
             .select_columns(["a", "b"])
             .map_batches(_norm_pairs, batch_format="pyarrow")
-            .materialize().repartition(1))
-    if not uniq.take(1):
+            .materialize())
+    n_pairs = uniq.count()
+    if n_pairs == 0:
         return _NEARDUP_SCHEMA.empty_table()
 
     # FAST PATH (LSH-bounded pair sets): broadcast the needed vec_ids,
@@ -949,12 +1163,11 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.95,
     # take every exact cosine in one vectorized einsum — no joins.
     # Bounded by the pair cutoff AND the pulled-bytes cutoff (a unit
     # vector is dim x 8 B); past either, the join plan applies.
-    pair_tbl = _collect_pairs(uniq)
+    pair_tbl = _collect_pairs(uniq, n_pairs)
     if pair_tbl is not None:
         a_ids = pair_tbl.column("a").to_numpy()
         b_ids = pair_tbl.column("b").to_numpy()
-        need = np.unique(np.concatenate([a_ids, b_ids])) \
-            if len(a_ids) else np.empty(0, np.int64)
+        need = np.unique(np.concatenate([a_ids, b_ids]))
         if len(need) * dim * 8 <= _BROADCAST_TEXT_MAX_BYTES:
             raw = _broadcast_fetch(units, "vec_id", need, "unit")
             unit_by_id = {i: np.frombuffer(u, dtype=np.float64)
@@ -990,10 +1203,11 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.95,
                               for c in b.column_names])
         return b.select(["a", "b", "unit_a"]).cast(j1_schema)
 
+    # n_pairs > 0 guarantees j1 is non-empty (every pair id has a
+    # unit vector), so both joins run with MULTI-BLOCK left sides
     j1 = (uniq.join(units, join_type="inner", on=("a",),
                     right_on=("vec_id",), num_partitions=num_partitions)
-          .map_batches(_rename_a, batch_format="pyarrow")
-          .materialize().repartition(1))
+          .map_batches(_rename_a, batch_format="pyarrow"))
     j2 = j1.join(units, join_type="inner", on=("b",),
                  right_on=("vec_id",), num_partitions=num_partitions)
 

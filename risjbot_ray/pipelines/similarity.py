@@ -100,7 +100,18 @@ class IVFIndex:
 
     Search reads ONLY the ``nprobe`` probed cells' files (union across the
     query batch) and brute-forces within them; the full table is never
-    read after build. Cache key covers the index parameters."""
+    read after build. Cache key covers the index parameters.
+
+    Storage contract: the index is a multi-file layout written by every
+    worker and read by the query node, so ``index_dir`` (default: under
+    :func:`risjbot_ray.state.shared.shared_root`, i.e.
+    ``$RISJBOT_SHARED_DIR``) must live on storage visible to all
+    workers AND the driver — the same shared-fs contract the tile
+    ledger and crawl spill dirs state. A violated contract (node-local
+    path on a multi-node cluster) is detected LOUDLY: the DONE manifest
+    records the built row count and both build and load verify that the
+    parquet footers visible from this process sum to exactly that many
+    rows, raising instead of silently searching a partial index."""
 
     def __init__(self, sf_dir: str, n_cells: int = 16, iters: int = 5,
                  seed: int = 5, sample_size: int = 4096,
@@ -108,6 +119,8 @@ class IVFIndex:
         import hashlib
         import json
         import os
+
+        from risjbot_ray.state.shared import shared_subdir
 
         self.n_cells = n_cells
         if index_dir is None:
@@ -127,7 +140,7 @@ class IVFIndex:
                 f"{os.path.abspath(sf_dir)}:{content}:{n_cells}:"
                 f"{iters}:{seed}:{sample_size}:v2".encode()
             ).hexdigest()[:12]
-            index_dir = f"/tmp/risjbot_ivf/{tag}"
+            index_dir = os.path.join(shared_subdir("ivf"), tag)
         self.index_dir = index_dir
         done = os.path.join(index_dir, "DONE")
         if not os.path.exists(done):
@@ -184,48 +197,87 @@ class IVFIndex:
 
             counts = ds.map_batches(assign_and_spill,
                                     batch_format="pyarrow").take_all()
+            built = sum(r["n"] for r in counts)
+            # visibility check BEFORE the manifest commits: on a
+            # multi-node cluster with a node-local index_dir the
+            # workers' parts are invisible here and this raises
+            from risjbot_ray.state.shared import verify_visible
+            verify_visible(built, self._visible_rows(),
+                           "IVF index", index_dir)
             with open(done, "w") as f:
-                json.dump({"rows": sum(r["n"] for r in counts)}, f)
+                json.dump({"rows": built}, f)
+        else:
+            # cached load: re-verify the manifest against the parquet
+            # footers actually visible from THIS process (footer
+            # metadata only — no vector data is read)
+            from risjbot_ray.state.shared import verify_visible
+            with open(done) as f:
+                manifest = json.load(f)
+            verify_visible(manifest["rows"], self._visible_rows(),
+                           "IVF index", index_dir)
         self.centroids = np.load(os.path.join(index_dir, "centroids.npy"))
 
-    def _read_cells(self, cells: np.ndarray) -> tuple[np.ndarray,
-                                                      np.ndarray]:
+    def _visible_rows(self) -> int:
+        """Sum of parquet-footer row counts across every cell part
+        visible from this process — metadata reads only."""
         import glob
         import os
 
         import pyarrow.parquet as pq
-        parts = []
-        for c in sorted(set(int(x) for x in cells)):
-            parts.extend(glob.glob(os.path.join(
-                self.index_dir, f"cell={c:04d}", "part-*.parquet")))
-        if not parts:
-            return np.empty(0, dtype=np.int64), np.empty((0, 0))
-        tbl = pa.concat_tables([pq.read_table(p) for p in parts])
-        ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
-        unit = np.stack([np.asarray(v) for v in
-                         tbl.column("unit").to_pylist()])
-        return ids, unit
+        return sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in glob.glob(os.path.join(self.index_dir, "cell=*",
+                                            "part-*.parquet")))
+
+    def _cell_parts(self, cell: int) -> list[str]:
+        import glob
+        import os
+        return sorted(glob.glob(os.path.join(
+            self.index_dir, f"cell={cell:04d}", "part-*.parquet")))
 
     def search_batch(self, queries: np.ndarray, k: int = 10,
                      nprobe: int = 4) -> list[list[tuple[int, float]]]:
-        """Probe the union of the queries' nprobe cells with ONE read."""
+        """Probe the union of the queries' nprobe cells, STREAMING one
+        cell part at a time with a running per-query top-k merge — the
+        query node's working set is O(k x queries + one part), never
+        the concatenation of every probed cell (a fat cell on a skewed
+        corpus would otherwise land whole in query-node memory)."""
+        import pyarrow.parquet as pq
         q = _unit(queries)
         probe = np.argsort(-(q @ self.centroids.T), axis=1)[:, :nprobe]
-        ids, unit = self._read_cells(probe.ravel())
-        cell_of = (np.argmax(unit @ self.centroids.T, axis=1)
-                   if len(ids) else np.empty(0, dtype=np.int64))
-        out = []
-        for qi in range(len(q)):
-            # restrict to this query's own probed cells
-            mask = np.isin(cell_of, probe[qi])
-            cids, cunit = ids[mask], unit[mask]
-            sims = cunit @ q[qi]
-            # deterministic (-cosine, vec_id) ranking like ann_topk:
-            # row order here derives from uuid part filenames, so an
-            # unstable argsort would flip k-boundary ties per rebuild
-            top = np.lexsort((cids, -sims))[:k]
-            out.append([(int(cids[i]), float(sims[i])) for i in top])
-        return out
+        nq = len(q)
+        best_ids = [np.empty(0, np.int64) for _ in range(nq)]
+        best_sims = [np.empty(0, np.float64) for _ in range(nq)]
+        for c in sorted({int(x) for x in probe.ravel()}):
+            # queries that probed THIS cell (a vector lives in exactly
+            # one cell, so per-cell restriction is by construction)
+            qsel = np.flatnonzero((probe == c).any(axis=1))
+            qmat = q[qsel]
+            for part in self._cell_parts(c):
+                tbl = pq.read_table(part)
+                ids = np.asarray(tbl.column("vec_id").to_pylist(),
+                                 dtype=np.int64)
+                if not len(ids):
+                    continue
+                unit = np.stack([np.asarray(v) for v in
+                                 tbl.column("unit").to_pylist()])
+                sims = unit @ qmat.T                    # (n_part, nq_sel)
+                for col, qi in enumerate(qsel):
+                    cand_i = np.concatenate([best_ids[qi], ids])
+                    cand_s = np.concatenate([best_sims[qi],
+                                             sims[:, col]])
+                    # deterministic (-cosine, vec_id) ranking like
+                    # ann_topk: row order derives from uuid part
+                    # filenames, so an unstable argsort would flip
+                    # k-boundary ties per rebuild; incremental
+                    # truncated merge under this total order equals
+                    # the one-shot top-k of the union
+                    top = np.lexsort((cand_i, -cand_s))[:k]
+                    best_ids[qi] = cand_i[top]
+                    best_sims[qi] = cand_s[top]
+        return [[(int(i), float(s))
+                 for i, s in zip(best_ids[qi], best_sims[qi])]
+                for qi in range(nq)]
 
     def search(self, query: np.ndarray, k: int = 10,
                nprobe: int = 4) -> list[tuple[int, float]]:

@@ -102,6 +102,25 @@ def _counts_by(ds: "ray.data.Dataset", col: str) -> dict:
     return out
 
 
+def _segment_sum_i64(seg: np.ndarray, w: np.ndarray,
+                     n: int) -> np.ndarray:
+    """Exact int64 per-segment sums: sort by segment id and
+    ``np.add.reduceat`` in INTEGER arithmetic. The drop-in
+    ``np.bincount(seg, weights=w)`` accumulates in float64, which
+    silently stops being exact once a per-segment sum passes 2^53 —
+    the operators advertising exact order-independent integer sums
+    must not inherit that cliff."""
+    out = np.zeros(n, np.int64)
+    if not len(seg):
+        return out
+    order = np.argsort(seg, kind="stable")
+    si = seg[order]
+    sw = np.asarray(w)[order].astype(np.int64, copy=False)
+    starts = np.flatnonzero(np.r_[True, si[1:] != si[:-1]])
+    out[si[starts]] = np.add.reduceat(sw, starts)
+    return out
+
+
 def _coalesce_for_exchange(ds: "ray.data.Dataset",
                            floor_blocks: int = 8,
                            target_block_mb: int = 64
@@ -1226,7 +1245,7 @@ def _hot_hash_set(parts: "ray.data.Dataset", max_docs: int,
         h = df["h"].to_numpy()
         c = df["c"].to_numpy()
         hh, inv = np.unique(h, return_inverse=True)
-        tot = np.bincount(inv, weights=c).astype(np.int64)
+        tot = _segment_sum_i64(inv, c, len(hh))
         sel = tot > max_docs
         return pd.DataFrame({"h": hh[sel]})
 
@@ -1684,10 +1703,10 @@ def url_filter(sf_dir: str):
 # --------------------------------------------------------------------------
 # the composed curation cascade: every round-4 gate chained in funnel
 # order, each stage consuming the previous stage's SURVIVORS (and from
-# C4 on, its CLEANED text) — the full modern training-data pipeline
-# (RefinedWeb/FineWeb shape): URL gate -> C4 line cleaning -> Gopher
-# rules -> duplicated-gram gate -> domain-mean quality gate ->
-# benchmark decontamination
+# the line dedup on, its CLEANED text) — the full modern training-data
+# pipeline (RefinedWeb/FineWeb shape): URL gate -> duplicated-gram doc
+# dedup -> corpus line dedup -> basic quality gate -> domain-mean
+# quality gate -> benchmark decontamination
 # --------------------------------------------------------------------------
 
 def curate_cascade(sf_dir: str, min_words: int = 50,
@@ -1701,28 +1720,28 @@ def curate_cascade(sf_dir: str, min_words: int = 50,
     doc gate over the LINED view of stage-1 survivors (dedup-early,
     Lee et al. — whole-doc duplicates die before any downstream
     compute is spent on them); stage 3 removes corpus-wide duplicated
-    lines (hot set over stage-2 survivors only) and drops docs whose
-    cleaned text is blank; stages 4-6 run on that CLEANED text — the
-    ``curate_documents`` quality gate (min_words / min_alpha /
-    min_stop), the domain-mean quality gate (means over stage-4
-    survivors only), and 8-gram decontamination against the benchmark
-    slice of the ORIGINAL corpus (bench members themselves drop here,
-    as an eval suite must).
+    lines (hot set over stage-2 survivors only) and drops docs with no
+    remaining non-empty line (exactly the oracle's n_kept_content > 0
+    rule — any non-newline character in the cleaned text); stages 4-6
+    run on that CLEANED text — the ``curate_documents`` quality gate
+    (min_words / min_alpha / min_stop), the domain-mean quality gate
+    (means over stage-4 survivors only), and 8-gram decontamination
+    against the benchmark slice of the ORIGINAL corpus (bench members
+    themselves drop here, as an eval suite must).
 
-    Scale shape: stages 1 and 3 are stateless row-aligned gates —
-    fused single ``map_batches`` passes with no exchange; the funnel
-    report is the only reason they materialize (a production run that
-    doesn't need per-stage counts streams them unmaterialized into the
-    next two-pass operator). Stages 2 and 4-6 reuse the operators' own
-    scale paths (:func:`line_dedup_over`'s and
-    :func:`gram_duplication_over`'s size-gated hot-set reduces,
-    :func:`domain_quality_filter_over`'s tree-combine + broadcast, the
-    decontamination probe's broadcast bench array)."""
+    Scale shape: barriers exist ONLY where the next operator consumes
+    its input twice (s1 feeds the gram-dup partial+annotate, s2 the
+    line-dedup pair, the marked s3/s4 block the domain-mean pair); the
+    funnel counts are free — parquet/materialized metadata for
+    n0..n2, one vectorized flag-sum pass for n3/n4, and in-band
+    per-batch partials folded into the SINGLE terminal streaming pass
+    for n5/n6. Nothing materializes just to be counted, and stages
+    5-6 stream unmaterialized end to end."""
     import pyarrow.compute as pc
 
     from risjbot_ray.pipelines.textstats import quality_batch
 
-    def stage1(batch: pa.Table) -> pa.Table:
+    def stage1_url(batch: pa.Table) -> pa.Table:
         keep = url_filter_batch(urled_view_batch(batch)).column("keep")
         return batch.filter(keep)
 
@@ -1731,25 +1750,35 @@ def curate_cascade(sf_dir: str, min_words: int = 50,
         return batch.drop_columns(["text"]).append_column(
             "text", lv.column("text"))
 
-    def stage2_finish(batch: pa.Table) -> pa.Table:
-        blank = pc.equal(pc.utf8_trim_whitespace(
-            batch.column("text_clean")), "")
-        out = batch.filter(pc.invert(blank)).drop_columns(
-            ["n_lines", "n_dropped"])
+    def stage34_mark(batch: pa.Table) -> pa.Table:
+        """Mark-not-drop: replace text with the line-dedup CLEANED
+        text and flag stage-3 (some non-empty kept line — the
+        oracle's n_kept_content > 0: a kept whitespace-only line IS
+        content there, so test for any non-newline char, not
+        non-whitespace) and stage-4 (quality gate) survival. Keeping
+        every row lets the funnel read n3/n4 as flag sums and the
+        domain stage re-derive its input from these materialized
+        blocks with a cheap filter instead of another barrier."""
+        keep3 = pc.fill_null(pc.match_substring_regex(
+            batch.column("text_clean"), "[^\n]"), False)
+        out = batch.drop_columns(["n_lines", "n_dropped"])
         t = out.column("text_clean")
-        return out.drop_columns(["text_clean"]).append_column("text", t)
-
-    def stage3(batch: pa.Table) -> pa.Table:
-        q = quality_batch(batch.select(["doc_id", "text"]))
+        out = (out.drop_columns(["text_clean"])
+               .append_column("text", t))
+        q = quality_batch(out.select(["doc_id", "text"]))
         nw = q.column("n_words").to_numpy(zero_copy_only=False)
         al = q.column("alpha_ratio").to_numpy(zero_copy_only=False)
         st = q.column("stopword_ratio").to_numpy(zero_copy_only=False)
-        keep = (nw >= min_words) & (al >= min_alpha) & (st >= min_stop)
-        return batch.filter(pa.array(keep))
+        k3 = np.asarray(keep3.to_numpy(zero_copy_only=False),
+                        dtype=bool)
+        k4 = k3 & (nw >= min_words) & (al >= min_alpha) \
+            & (st >= min_stop)
+        return (out.append_column("keep3", pa.array(k3, pa.bool_()))
+                .append_column("keep4", pa.array(k4, pa.bool_())))
 
-    base = _documents(
-        sf_dir, ["doc_id", "text", "lang", "source"]).materialize()
-    s1 = (base.map_batches(stage1, batch_format="pyarrow",
+    base = _documents(sf_dir, ["doc_id", "text", "lang", "source"])
+    n0 = base.count()              # parquet metadata — no read
+    s1 = (base.map_batches(stage1_url, batch_format="pyarrow",
                            zero_copy_batch=True)
           .map_batches(lined, batch_format="pyarrow",
                        zero_copy_batch=True).materialize())
@@ -1759,21 +1788,46 @@ def curate_cascade(sf_dir: str, min_words: int = 50,
             return b.filter(b.column("keep")).drop_columns(
                 list(gate_cols) + ["keep"])
         return ds.map_batches(f, batch_format="pyarrow",
-                              zero_copy_batch=True).materialize()
+                              zero_copy_batch=True)
 
     s2 = keep_filter(gram_duplication_over(s1, passthrough=True),
-                     ["n_grams", "n_dup", "dup_ratio"])
-    s3 = (line_dedup_over(s2, passthrough=True)
-          .map_batches(stage2_finish, batch_format="pyarrow",
-                       zero_copy_batch=True).materialize())
-    s4 = s3.map_batches(stage3, batch_format="pyarrow",
-                        zero_copy_batch=True).materialize()
+                     ["n_grams", "n_dup", "dup_ratio"]).materialize()
+    s34m = (line_dedup_over(s2, passthrough=True)
+            .map_batches(stage34_mark, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize())
+
+    def flag_sums(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n3": pa.array([int(pc.sum(b.column("keep3")).as_py()
+                                or 0)], pa.int64()),
+            "n4": pa.array([int(pc.sum(b.column("keep4")).as_py()
+                                or 0)], pa.int64())})
+
+    fparts = s34m.map_batches(flag_sums,
+                              batch_format="pyarrow").take_all()
+    n3 = sum(r["n3"] for r in fparts)
+    n4 = sum(r["n4"] for r in fparts)
+
+    def s4_rows(b: pa.Table) -> pa.Table:
+        return b.filter(b.column("keep4")).drop_columns(
+            ["keep3", "keep4"])
+
+    # lazy re-filter of the materialized block set: both domain-mean
+    # passes and the terminal pass read identical rows (ADVICE guard:
+    # the annotate lookup verifies this instead of assuming it)
+    s4 = s34m.map_batches(s4_rows, batch_format="pyarrow",
+                          zero_copy_batch=True)
     s5 = keep_filter(domain_quality_filter_over(s4, passthrough=True),
                      ["domain_n_docs", "domain_mean_fp"])
 
     bench_ref = _bench_gram_ref(sf_dir)   # grams of the RAW bench docs
 
-    def stage6(batch: pa.Table) -> pa.Table:
+    def stage6_counts(batch: pa.Table) -> pa.Table:
+        """Terminal streaming pass: decontaminate AND fold the n5/n6
+        funnel partials in-band — one (n5, n6) row per batch replaces
+        the two materialize()+count() barriers the report used to
+        pay."""
+        n5_part = batch.num_rows
         probe = _ContaminationProbe(bench_ref)
         flags = probe(batch.select(["doc_id", "text"]))
         # probe excludes bench members from its output; align by id
@@ -1781,13 +1835,16 @@ def curate_cascade(sf_dir: str, min_words: int = 50,
             flags.column("contaminated"))).column("doc_id").to_pylist())
         keep = pa.array([d in ok for d in
                          batch.column("doc_id").to_pylist()], pa.bool_())
-        return batch.filter(keep)
+        out = batch.filter(keep)
+        return pa.table({"n5": pa.array([n5_part], pa.int64()),
+                         "n6": pa.array([out.num_rows], pa.int64())})
 
-    s6 = s5.map_batches(stage6, batch_format="pyarrow",
-                        zero_copy_batch=True).materialize()
+    cparts = s5.map_batches(stage6_counts,
+                            batch_format="pyarrow").take_all()
+    n5 = sum(r["n5"] for r in cparts)
+    n6 = sum(r["n6"] for r in cparts)
 
-    counts = [base.count(), s1.count(), s2.count(), s3.count(),
-              s4.count(), s5.count(), s6.count()]
+    counts = [n0, s1.count(), s2.count(), n3, n4, n5, n6]
     stages = ["url_filter", "gram_dup", "line_dedup", "quality",
               "domain_quality", "decontaminate"]
     return pa.table({
@@ -2343,8 +2400,7 @@ def domain_quality_filter_over(docs: "ray.data.Dataset",
         u, inv = np.unique(np.asarray(src.to_pylist(), dtype=object),
                            return_inverse=True)
         n = np.bincount(inv, minlength=len(u)).astype(np.int64)
-        s = np.bincount(inv, weights=fp,
-                        minlength=len(u)).astype(np.int64)
+        s = _segment_sum_i64(inv, fp, len(u))
         return pa.table({"source": pa.array(u.tolist(), pa.string()),
                          "n": pa.array(n, pa.int64()),
                          "s": pa.array(s, pa.int64())})
@@ -2394,8 +2450,19 @@ def domain_quality_filter_over(docs: "ray.data.Dataset",
             (_token_h64(x, cache) for x in de.dictionary.to_pylist()),
             dtype=np.uint64, count=len(de.dictionary))
         h = uh[de.indices.to_numpy(zero_copy_only=False)]
-        pos = np.searchsorted(vh_, h)   # every batch source is in the
-        n = vn_[pos]                    # verdict table by construction
+        pos = np.searchsorted(vh_, h)
+        pos = np.minimum(pos, max(len(vh_) - 1, 0))
+        # every batch source must be in the verdict table (both passes
+        # read the same dataset); verify instead of assuming — a
+        # non-deterministically recomputed input would otherwise index
+        # out of bounds or silently borrow another domain's verdict
+        if len(vh_) == 0 or not bool(np.all(vh_[pos] == h)):
+            raise RuntimeError(
+                "domain verdict lookup miss: annotate saw a source "
+                "absent from the partial pass — the input dataset was "
+                "recomputed non-deterministically between the two "
+                "consumptions; materialize it before this operator")
+        n = vn_[pos]
         s = vs_[pos].astype(np.float64)
         mean = s / n          # int/int in double: deterministic
         out = ({c: batch.column(c) for c in batch.column_names}
@@ -2440,7 +2507,7 @@ def quality_token_budget(sf_dir: str, budget: int = 12_000,
         p = b.column("part").to_numpy(zero_copy_only=False)
         t = b.column("n_tokens").to_numpy(zero_copy_only=False)
         up, inv = np.unique(p, return_inverse=True)
-        s = np.bincount(inv, weights=t).astype(np.int64)
+        s = _segment_sum_i64(inv, t, len(up))
         return pa.table({"part": pa.array(up, pa.int64()),
                          "s": pa.array(s, pa.int64())})
 
@@ -2627,7 +2694,7 @@ def length_histogram(sf_dir: str, bin_width: int = 50):
                       dtype=np.int64)
         bins = nw // bin_width
         n_docs = np.bincount(bins)
-        words = np.bincount(bins, weights=nw).astype(np.int64)
+        words = _segment_sum_i64(bins, nw, len(n_docs))
         nz = np.nonzero(n_docs)[0]
         return pa.table({
             "bin_lo": pa.array(nz * bin_width, pa.int64()),

@@ -96,6 +96,73 @@ def test_ann_ivf_recall_vs_exact():
     assert len(exact & approx) >= 6  # decent recall with nprobe=8/16 cells
 
 
+def test_ivf_index_shared_dir_roundtrip(tmp_path):
+    """The IVF index honors a caller-supplied (shared-fs) index root,
+    round-trips through a cached load, and a PARTIALLY VISIBLE layout
+    — the multi-node signature of a node-local path — fails loudly
+    instead of silently searching a fragment."""
+    import glob
+    import os
+
+    from risjbot_ray.pipelines.similarity import (IVFIndex,
+                                                  _load_query_vectors)
+    idx_dir = str(tmp_path / "clusterfs" / "ivf-explicit")
+    idx = IVFIndex(SF, index_dir=idx_dir)
+    assert idx.index_dir == idx_dir
+    assert os.path.exists(os.path.join(idx_dir, "DONE"))
+    q = _load_query_vectors(SF, [0, 1])
+    r1 = idx.search_batch(q, k=10, nprobe=8)
+    # cached re-open verifies the manifest and returns identical hits
+    r2 = IVFIndex(SF, index_dir=idx_dir).search_batch(q, k=10, nprobe=8)
+    assert r1 == r2 and len(r1[0]) == 10
+    parts = glob.glob(os.path.join(idx_dir, "cell=*", "part-*.parquet"))
+    os.remove(sorted(parts)[0])
+    with pytest.raises(RuntimeError, match="partially visible"):
+        IVFIndex(SF, index_dir=idx_dir)
+
+
+def test_ivf_default_dir_under_shared_root(tmp_path, monkeypatch):
+    """Default index placement follows $RISJBOT_SHARED_DIR — the same
+    shared-storage contract as the tile ledger/checkpoint dirs."""
+    import os
+
+    from risjbot_ray.pipelines.similarity import IVFIndex
+    root = str(tmp_path / "sharedfs")
+    monkeypatch.setenv("RISJBOT_SHARED_DIR", root)
+    idx = IVFIndex(SF)
+    assert idx.index_dir.startswith(os.path.join(root, "ivf"))
+    assert os.path.exists(os.path.join(idx.index_dir, "DONE"))
+
+
+def test_ivf_streaming_search_matches_oneshot(tmp_path):
+    """The per-cell streaming top-k merge equals the one-shot top-k of
+    the probed cells' union under the (-cosine, vec_id) order."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from risjbot_ray.pipelines.similarity import (IVFIndex, _unit,
+                                                  _load_query_vectors)
+    idx = IVFIndex(SF, index_dir=str(tmp_path / "ivf-stream"))
+    q = _unit(_load_query_vectors(SF, [0]))
+    probe = np.argsort(-(q @ idx.centroids.T), axis=1)[:, :4]
+    parts = []
+    for c in sorted({int(x) for x in probe.ravel()}):
+        parts.extend(glob.glob(os.path.join(
+            idx.index_dir, f"cell={c:04d}", "part-*.parquet")))
+    tbl = pa.concat_tables([pq.read_table(p) for p in parts])
+    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    unit = np.stack([np.asarray(v) for v in
+                     tbl.column("unit").to_pylist()])
+    sims = unit @ q[0]
+    top = np.lexsort((ids, -sims))[:10]
+    got = idx.search_batch(q, k=10, nprobe=4)[0]
+    # ids and order exact; cosines to BLAS ulp (matvec vs matmul paths)
+    assert [g[0] for g in got] == [int(ids[i]) for i in top]
+    assert np.allclose([g[1] for g in got], sims[top])
+
+
 def test_ann_hamming_recall_and_determinism():
     from risjbot_ray.pipelines.similarity import ann_hamming_topk, ann_topk
     exact = set(ann_topk(SF, query_ids=[0], k=10)

@@ -180,3 +180,93 @@ def test_minhash_cluster_keep_longest(ray_session, planted_dir):
         rep = grp[grp["kept"]].index[0]
         expect = min(members, key=lambda i: (-nw[i], i))
         assert rep == expect, (cl, rep, expect)
+
+
+def test_row_pairs_recursive_exact_and_bounded():
+    """The signature-row pigeonhole (hot-bucket guard) emits EXACTLY
+    the pairs within the row-mismatch bound — equal to brute force —
+    and its emitted volume tracks true duplicates, not bucket^2: a
+    5000-doc "bucket" of unrelated signatures with 6 planted clone
+    groups yields only the planted pairs."""
+    from risjbot_ray.functions.hamming import (row_pairs_dedup,
+                                               row_pairs_recursive)
+    rng = np.random.default_rng(11)
+    P, max_d = 64, 19                     # num_perm=64, threshold=0.7
+    n_bg = 5000
+    sig = rng.integers(0, 2**63, size=(n_bg, P), dtype=np.uint64)
+    # plant 6 clone groups of 4: each clone flips <= max_d rows
+    planted = []
+    for g in range(6):
+        base = sig[g * 7]
+        for c in range(3):
+            clone = base.copy()
+            flip = rng.choice(P, size=rng.integers(0, max_d + 1),
+                              replace=False)
+            clone[flip] ^= np.uint64(1)
+            planted.append(clone)
+    sig = np.vstack([sig, np.array(planted, dtype=np.uint64)])
+    ids = np.arange(len(sig), dtype=np.int64)
+    out = []
+    # brute_max far below n: the recursion MUST split, not brute-force
+    row_pairs_recursive(ids, sig, max_d, list(range(P)), out,
+                        brute_max=64)
+    a, b = row_pairs_dedup(out)
+    # brute-force reference over all pairs
+    ai, aj = np.triu_indices(len(sig), 1)
+    d = (sig[ai] != sig[aj]).sum(axis=1)
+    keep = d <= max_d
+    ref = set(zip(ai[keep].tolist(), aj[keep].tolist()))
+    assert set(zip(a.tolist(), b.tolist())) == ref
+    assert len(ref) > 0
+    # volume bound: emitted pairs == qualifying pairs, NOT O(n^2)
+    assert len(a) == len(ref) < 200
+
+
+def test_minhash_hot_bucket_path_is_exact(ray_session, planted_dir,
+                                          monkeypatch):
+    """Forcing band buckets through the hot pigeonhole path (cap
+    lowered to 2) must leave minhash_candidate_pairs' verified output
+    byte-identical, and the hot task must actually run."""
+    root, _, _, _ = planted_dir
+    base = (dedup.minhash_candidate_pairs(root, threshold=0.5)
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    calls = []
+    orig = dedup._hot_band_pairs_task
+
+    class Spy:
+        @staticmethod
+        def remote(*args, **kw):
+            calls.append(1)
+            return orig.remote(*args, **kw)
+
+    monkeypatch.setattr(dedup, "_HOT_BUCKET_CAP", 2)
+    monkeypatch.setattr(dedup, "_hot_band_pairs_task", Spy)
+    hot = (dedup.minhash_candidate_pairs(root, threshold=0.5)
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    assert len(calls) > 0
+    assert base.equals(hot)
+    assert len(base) > 0
+
+
+def test_embedding_hot_bucket_path_is_exact(ray_session, planted_dir,
+                                            monkeypatch):
+    """Same exactness gate for the embedding-LSH hot path: lowering
+    the cap so buckets route through the exact-cosine hot task must
+    not change the verified (a, b, cosine) table."""
+    root, _, _, _ = planted_dir
+    base = dedup.embedding_neardup_pairs(root, threshold=0.95)
+    calls = []
+    orig = dedup._hot_cosine_pairs_task
+
+    class Spy:
+        @staticmethod
+        def remote(*args, **kw):
+            calls.append(1)
+            return orig.remote(*args, **kw)
+
+    monkeypatch.setattr(dedup, "_HOT_BUCKET_CAP", 2)
+    monkeypatch.setattr(dedup, "_hot_cosine_pairs_task", Spy)
+    hot = dedup.embedding_neardup_pairs(root, threshold=0.95)
+    assert len(calls) > 0
+    assert base.equals(hot)
+    assert base.num_rows > 0
