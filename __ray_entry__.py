@@ -759,12 +759,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sched, _ = schedule_wave(tbl, per_host_budget=10)
         return sched.select(["canon_url", "host", "priority"])
 
+    def article_comments_join(sf_dir: str):
+        """J5 large-large variant (pipelines/comments.py): every
+        article left-joins its per-article comment aggregate through
+        the distributed bucketed hash join; bodies ordered by
+        comment_id, concatenated for SQL comparability."""
+        import pyarrow as pa
+        import ray
+
+        from risjbot_ray.pipelines.comments import (COMMENTS_SCHEMA,
+                                                    join_comments)
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id"])
+
+        def mk_articles(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_pylist()
+            return pa.table({
+                "articleid": pa.array([f"art-{i}" for i in ids],
+                                      pa.string()),
+                "doc_id": b.column("doc_id")})
+
+        def mk_comments(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_pylist()
+            aid, cid, auth, body = [], [], [], []
+            for i in ids:
+                for j in range(i % 5):
+                    aid.append(f"art-{i}")
+                    cid.append(i * 10 + j)
+                    auth.append(f"u{(i + j) % 7}")
+                    body.append(f"comment {i}-{j}")
+            return pa.Table.from_pydict(
+                {"articleid": aid, "comment_id": cid,
+                 "author": auth, "body": body},
+                schema=COMMENTS_SCHEMA)
+
+        arts = docs.map_batches(mk_articles, batch_format="pyarrow")
+        cds = docs.map_batches(mk_comments, batch_format="pyarrow")
+        joined = join_comments(arts, cds, bcast_max=0)
+
+        def finish(b: pa.Table) -> pa.Table:
+            raw = b.column("rawcomments").to_pylist()
+            return pa.table({
+                "articleid": b.column("articleid"),
+                "n_comments": b.column("n_comments")
+                               .cast(pa.int64()),
+                "comments_cat": pa.array(
+                    [" | ".join(r) if r else "" for r in raw],
+                    pa.string())})
+
+        return joined.map_batches(finish, batch_format="pyarrow")
+
     # Ordering is VALUE-RANKED, not thematic: the driver's CORRECTNESS
-    # window covers only the FIRST 50 entries (VERDICT r3 item 2), so
-    # the flagship crawl-parity rows, every driver-readable self-check,
-    # and the dedup/similarity/graph oracles come first; entries past
-    # the window remain hash-gated by tests/test_oracle_parity.py.
-    return {
+    # window covers only the FIRST 50 entries (VERDICT r3 item 2); the
+    # dict below keeps its thematic grouping and _R5_WINDOW (after the
+    # dict) pins the round-5 attestation order — VERDICT r4 item 5:
+    # the r3-window set (events_*/lineitem_*/doc_wordcount..bpe text
+    # family) rotates back in for driver-level re-attestation at this
+    # HEAD, together with crawl_vs_expected, every operator changed
+    # this round, and the two new round-5 operators; everything else
+    # remains hash-gated at HEAD by tests/test_oracle_parity.py.
+    q = {
         # ---- flagship crawl engine (hermetic corpus; crawl_vs_expected
         # is the driver-readable all-zero-counters parity row; byte-level
         # correctness is additionally gated by the pytest goldens) ----
@@ -918,6 +973,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reduce shared with line_dedup, stateless recount pass) —
         # exact unnest+join oracle
         "doc_gram_dup": wt.gram_duplication,
+        # exact 50-token-window substring dedup (Lee et al. 2021
+        # ExactSubstr): duplicated windows found by occurrence count,
+        # covered tokens removed, text rebuilt from kept tokens —
+        # exact chained-CTE oracle (windows -> hot -> coverage ->
+        # string_agg rebuild)
+        "doc_window_dedup": wt.window_dedup,
+        # J5 large-large comments join: articles + a comments table
+        # derived 1:1 from documents; FORCES the bucketed hash-join
+        # plan (bcast_max=0) so the driver attests the large-large
+        # path, not the broadcast fast path
+        "article_comments_join": article_comments_join,
         # domain-level quality gate (domain-bounded combiner + one
         # tree-combine, broadcast verdicts, zero-exchange annotate) —
         # exact GROUP BY + join oracle
@@ -1051,6 +1117,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_tokencount": lambda sf: bpe_mod.bpe_tokencount(
             sf, n_merges=128),
     }
+    _R5_WINDOW = [
+        # flagship parity + operators whose implementation changed in
+        # round 5 (canonicalizer fixed point, LSH hot-bucket guards,
+        # IVF shared-dir index, streaming cascade counts)
+        "crawl_vs_expected", "frontier_schedule",
+        "minhash_dedup_clusters", "embedding_neardup_pairs",
+        "corpus_curate_cascade", "ann_ivf_recall",
+        # new round-5 operators
+        "doc_window_dedup", "article_comments_join",
+        # the 42 r3-window entries rotated back in (driver-green in
+        # r03, pytest-oracle-green since; due driver re-attestation)
+        "doc_curation", "ann_topk", "doc_bm25_topk", "doc_perplexity",
+        "doc_dsir_resample", "ann_ivf_topk", "doc_index_lookup",
+        "lineitem_pricing_summary", "top_customers_by_nation",
+        "events_hourly", "events_sessionize", "events_asof_purchase",
+        "events_window_counts", "events_user_distinct",
+        "events_rolling_avg", "events_profile", "events_anomaly",
+        "lineitem_corr", "doc_wordcount", "doc_normalize",
+        "doc_nfc_normalize", "doc_tokencount", "doc_quality",
+        "doc_lang_counts", "corpus_token_stats", "doc_langid",
+        "doc_fingerprint", "doc_pii_scrub", "doc_blocklist",
+        "doc_repetition", "doc_chunks", "doc_pack_stream",
+        "doc_domain_sample", "doc_shuffle_rank",
+        "doc_length_histogram", "corpus_top_bigrams", "corpus_top_pmi",
+        "source_unigram_kl", "doc_lang_balance", "corpus_split",
+        "doc_wordcount_quantiles", "doc_wordcount_quantiles_by_lang",
+    ]
+    assert len(_R5_WINDOW) == 50 and len(set(_R5_WINDOW)) == 50
+    return {**{k: q[k] for k in _R5_WINDOW},
+            **{k: v for k, v in q.items() if k not in set(_R5_WINDOW)}}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3024,6 +3120,71 @@ def oracle_sql() -> dict[str, str]:
     _WSC = (r"'[^\t-\r\x1c-\x1f \x{0085}\x{00a0}\x{1680}"
             r"\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}"
             r"\x{3000}]+'")
+    # exact 50-token-window substring dedup: hot windows by TOTAL
+    # occurrence count (self-repeats included), token positions covered
+    # by any hot window removed, text rebuilt by space-joining kept
+    # tokens in order (both engines rebuild from tokens, so whitespace
+    # normalization is identical by construction)
+    sql["doc_window_dedup"] = f"""
+        WITH t AS MATERIALIZED (
+          SELECT doc_id,
+                 regexp_extract_all(COALESCE(text, ''), {_WSC}) AS w
+          FROM documents
+        ), g AS MATERIALIZED (
+          SELECT doc_id, i, array_to_string(w[i : i + 49], ' ') AS gram
+          FROM t, unnest(range(1, greatest(len(w) - 49, 0) + 1)) AS u(i)
+        ), hot AS MATERIALIZED (
+          SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1
+        ), dw AS MATERIALIZED (
+          SELECT g.doc_id, g.i FROM g JOIN hot USING (gram)
+        ), cov AS MATERIALIZED (
+          SELECT DISTINCT dw.doc_id, p
+          FROM dw, unnest(range(dw.i, dw.i + 50)) AS u(p)
+        ), posn AS MATERIALIZED (
+          SELECT doc_id, p, w[p] AS tok
+          FROM t, unnest(range(1, len(w) + 1)) AS u(p)
+        ), k AS MATERIALIZED (
+          SELECT posn.doc_id,
+                 COALESCE(string_agg(posn.tok, ' ' ORDER BY posn.p)
+                          FILTER (WHERE cov.p IS NULL), '')
+                   AS text_kept,
+                 COUNT(*) FILTER (WHERE cov.p IS NOT NULL) AS n_removed
+          FROM posn LEFT JOIN cov
+            ON posn.doc_id = cov.doc_id AND posn.p = cov.p
+          GROUP BY posn.doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.w) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(d.ndw, 0) AS BIGINT) AS n_dup_windows,
+               CAST(COALESCE(k.n_removed, 0) AS BIGINT) AS n_removed,
+               COALESCE(k.text_kept, '') AS text_kept
+        FROM t
+        LEFT JOIN (SELECT doc_id, COUNT(*) AS ndw
+                   FROM dw GROUP BY doc_id) d USING (doc_id)
+        LEFT JOIN k USING (doc_id)
+    """
+    # J5 large-large comments join: the same derived comments table,
+    # grouped per article with ORDER BY comment_id (both plans on the
+    # Ray side pin the same order)
+    sql["article_comments_join"] = """
+        WITH a AS (
+          SELECT 'art-' || doc_id AS articleid FROM documents
+        ), c AS (
+          SELECT 'art-' || doc_id AS articleid,
+                 doc_id * 10 + j AS comment_id,
+                 'comment ' || doc_id || '-' || j AS body
+          FROM documents, unnest(range(0, doc_id % 5)) AS t(j)
+        ), g AS (
+          SELECT articleid, COUNT(*) AS n_comments,
+                 string_agg(body, ' | ' ORDER BY comment_id)
+                   AS comments_cat
+          FROM c GROUP BY articleid
+        )
+        SELECT a.articleid,
+               CAST(COALESCE(g.n_comments, 0) AS BIGINT) AS n_comments,
+               COALESCE(g.comments_cat, '') AS comments_cat
+        FROM a LEFT JOIN g USING (articleid)
+    """
     sql["corpus_curate_cascade"] = f"""
         WITH d0 AS MATERIALIZED (
           SELECT doc_id, COALESCE(text, '') AS text, source, lang

@@ -240,6 +240,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                          ("c4_clean", webtext.c4_clean),
                          ("url_filter", webtext.url_filter),
                          ("gram_dup", webtext.gram_duplication),
+                         ("window_dedup", webtext.window_dedup),
                          ("domain_filter", webtext.domain_quality_filter),
                          ("token_budget", webtext.quality_token_budget),
                          ("tfidf_topk", webtext.tfidf_topk),
@@ -256,6 +257,32 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             queries[name] = round(time.time() - t0, 3)
             throughput[f"{name}_docs_per_sec"] = round(
                 n_docs / queries[name], 1)
+        # full NLP enrichment (Sentiment + WordCount + NamedPeople +
+        # ReadingAge) as ONE actor pool over the same corpus: the
+        # per-doc regex loops are correct-but-unmeasured (VERDICT r4
+        # item 9) — this row makes regressions in them visible
+        from risjbot_ray.enrich.stages import Enrich
+
+        def _as_body(b):
+            import pyarrow as _pa
+            return b.select(["doc_id"]).append_column(
+                "bodytext", b.column("text"))
+
+        out = "/tmp/bench_enrich_full"
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.time()
+        (ray.data.read_parquet(f"{docs_root}/documents.parquet",
+                               columns=["doc_id", "text"])
+         .map_batches(_as_body, batch_format="pyarrow",
+                      zero_copy_batch=True)
+         .map_batches(Enrich, batch_format="pyarrow",
+                      fn_constructor_kwargs={"namedpeople": True,
+                                             "readingage": True},
+                      concurrency=(1, 16))
+         .write_parquet(out))
+        queries["enrich_full"] = round(time.time() - t0, 3)
+        throughput["enrich_full_docs_per_sec"] = round(
+            n_docs / queries["enrich_full"], 1)
         # BPE: train on the corpus (one combiner groupby + driver merge
         # loop), then the actor-pool apply with a parquet sink
         from risjbot_ray.pipelines import bpe

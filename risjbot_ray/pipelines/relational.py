@@ -94,24 +94,36 @@ def q1_pricing_summary(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def top_customers_by_nation(sf_dir: str, k: int = 5):
-    """Join orders⋈customer⋈nation with BROADCAST small sides (customer +
-    nation fit in memory at any sane scale relative to orders), partial
-    per-batch pre-aggregation by customer, then grouped top-k per nation.
-    """
+#: customer rows at or under which the (customer x nation) side
+#: broadcasts; ~100 B/row keeps the ray.put value ~O(200 MB). Past it
+#: the partitioned hash-join plan runs unconditionally — the TPC-H
+#: "fits at any sane scale" assumption no longer needs to hold.
+_CUST_BCAST_MAX = 2_000_000
+
+
+def top_customers_by_nation(sf_dir: str, k: int = 5,
+                            bcast_max: int | None = None):
+    """Join orders⋈customer⋈nation, partial per-batch pre-aggregation
+    by customer, then grouped top-k per nation. The customer side is
+    count-gated (parquet footer metadata — no read): at or under
+    ``bcast_max`` it broadcasts once via ``ray.put`` (the TPC-H shape);
+    past it the per-customer aggregate hash-joins the partitioned
+    customer table instead, with only the 25-row nation map broadcast.
+    Both plans emit identical rows."""
     import pyarrow.parquet as pq
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_name", "c_nationkey"])
+    if bcast_max is None:
+        bcast_max = _CUST_BCAST_MAX
+    try:
+        n_cust = pq.read_metadata(
+            f"{sf_dir}/customer.parquet").num_rows
+    except OSError:          # directory of parts
+        import glob as _glob
+        n_cust = sum(pq.read_metadata(p).num_rows for p in
+                     _glob.glob(f"{sf_dir}/customer.parquet/*.parquet"))
+
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name"])
-    cdf = cust.to_pandas().merge(
-        nation.to_pandas(), left_on="c_nationkey", right_on="n_nationkey")
-    # broadcast as ARROW: a pandas frame with object-dtype strings
-    # re-unpickles in full on every task's ray.get; an Arrow table
-    # reads zero-copy from plasma
-    lookup_ref = ray.put(pa.Table.from_pandas(
-        cdf[["c_custkey", "c_name", "n_name"]], preserve_index=False))
 
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_custkey", "o_totalprice"])
@@ -129,25 +141,69 @@ def top_customers_by_nation(sf_dir: str, k: int = 5):
              .aggregate(Sum("total", alias_name="total_spent"),
                         Sum("n", alias_name="n_orders")))
 
-    def attach(b: pa.Table) -> pa.Table:
-        """Broadcast-join the (customer, nation) lookup onto the
-        per-customer aggregate — runs per batch in the tasks, so the
-        aggregate never materializes on the driver."""
-        lk = ray.get(lookup_ref)  # zero-copy arrow table
-        j = b.join(lk, keys="o_custkey", right_keys="c_custkey",
-                   join_type="inner")
-        return j.set_column(j.column_names.index("total_spent"),
-                            "total_spent",
-                            pc.round(j.column("total_spent"), 2))
-
     def topk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["total_spent", "o_custkey"],
                             ascending=[False, True], kind="mergesort")
         return df.head(k)
 
+    if n_cust <= bcast_max:
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_name",
+                                      "c_nationkey"])
+        cdf = cust.to_pandas().merge(
+            nation.to_pandas(), left_on="c_nationkey",
+            right_on="n_nationkey")
+        # broadcast as ARROW: a pandas frame with object-dtype strings
+        # re-unpickles in full on every task's ray.get; an Arrow table
+        # reads zero-copy from plasma
+        lookup_ref = ray.put(pa.Table.from_pandas(
+            cdf[["c_custkey", "c_name", "n_name"]],
+            preserve_index=False))
+
+        def attach(b: pa.Table) -> pa.Table:
+            """Broadcast-join the (customer, nation) lookup onto the
+            per-customer aggregate — runs per batch in the tasks, so
+            the aggregate never materializes on the driver."""
+            lk = ray.get(lookup_ref)  # zero-copy arrow table
+            j = b.join(lk, keys="o_custkey", right_keys="c_custkey",
+                       join_type="inner")
+            return j.set_column(j.column_names.index("total_spent"),
+                                "total_spent",
+                                pc.round(j.column("total_spent"), 2))
+
+        joined = total.map_batches(attach, batch_format="pyarrow")
+    else:
+        # PARTITIONED plan: nation (25 rows, bounded by geography)
+        # broadcasts onto the customer scan; the aggregate then
+        # hash-joins customers — both big sides stay partitioned
+        nref = ray.put(nation)
+        cust_ds = ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_nationkey"])
+
+        def with_nation(b: pa.Table) -> pa.Table:
+            j = b.join(ray.get(nref), keys="c_nationkey",
+                       right_keys="n_nationkey", join_type="inner")
+            return j.select(["c_custkey", "c_name", "n_name"])
+
+        cn = cust_ds.map_batches(with_nation, batch_format="pyarrow")
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        nparts = max(2, min(32, cpus // 2))
+        j2 = total.join(cn, join_type="inner", on=("o_custkey",),
+                        right_on=("c_custkey",), num_partitions=nparts)
+
+        def finish_round(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return b
+            return b.set_column(b.column_names.index("total_spent"),
+                                "total_spent",
+                                pc.round(b.column("total_spent"), 2))
+
+        joined = j2.map_batches(finish_round, batch_format="pyarrow")
+
     # distributed grouped top-k: one small group per nation
-    ranked = (total.map_batches(attach, batch_format="pyarrow")
-              .groupby("n_name").map_groups(topk, batch_format="pandas"))
+    ranked = joined.groupby("n_name").map_groups(topk,
+                                                 batch_format="pandas")
     out = ranked.to_pandas()  # k x #nations rows — tiny final result
     out = out.rename(columns={"o_custkey": "custkey",
                               "n_name": "nation_name"})

@@ -1464,14 +1464,16 @@ _ONION_N = 13       # Onion / MassiveText gram width
 _WS_TOK_CACHE: dict = {}
 
 
-def _ws_token_hashes(texts, cache: dict) -> tuple[np.ndarray, np.ndarray]:
+def _ws_token_hashes(texts, cache: dict, return_tokens: bool = False):
     """Vectorized exact-``str.split()`` batch tokenizer: all token
     hashes flattened across the batch plus per-doc token counts. Same
     shape as ``lm._batch_token_hashes`` but WITHOUT lowercasing/
     alnum-folding — gram identity here is the raw whitespace-split
     token, matching the SQL oracle's ``array_to_string(w[i:i+n])``
     grams. md5 hashing touches only the per-batch dictionary (unique
-    tokens); the hot path is Arrow split + numpy takes."""
+    tokens); the hot path is Arrow split + numpy takes. With
+    ``return_tokens`` the flat (empty-filtered) token StringArray is
+    returned too — for callers that rebuild text from kept tokens."""
     import pyarrow.compute as pc
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
@@ -1486,14 +1488,16 @@ def _ws_token_hashes(texts, cache: dict) -> tuple[np.ndarray, np.ndarray]:
         lens = lens - np.bincount(doc_idx[emp_np], minlength=len(lens))
         flat = flat.filter(pc.invert(empty))
     if len(flat) == 0:
-        return np.empty(0, np.uint64), lens
+        th = np.empty(0, np.uint64)
+        return (th, lens, flat) if return_tokens else (th, lens)
     de = flat.dictionary_encode()
     if len(cache) >= _TOKEN_CACHE_MAX:
         cache.clear()
     vocab_h = np.fromiter(
         (_token_h64(w, cache) for w in de.dictionary.to_pylist()),
         dtype=np.uint64, count=len(de.dictionary))
-    return vocab_h[de.indices.to_numpy(zero_copy_only=False)], lens
+    th = vocab_h[de.indices.to_numpy(zero_copy_only=False)]
+    return (th, lens, flat) if return_tokens else (th, lens)
 
 
 def _window_gram_hashes(th: np.ndarray, lens: np.ndarray, n: int
@@ -1607,6 +1611,110 @@ def gram_duplication_over(docs: "ray.data.Dataset", n: int = _ONION_N,
         return pa.table(out)
 
     return docs.map_batches(_count, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# Exact W-token-window substring dedup (Lee et al. 2021 "Deduplicating
+# Training Data Makes Language Models Better", ExactSubstr): any
+# length-W token window whose verbatim text occurs more than once in
+# the corpus — ALL occurrences counted, including repeats within one
+# document — is a duplicated span; every token covered by one is
+# removed and the text is rebuilt from the kept tokens. Complements
+# tile_dedup (tile-granularity approximation of the same idea) with
+# the published exact-window method.
+# --------------------------------------------------------------------------
+
+_WINDOW_W = 50      # Lee et al.'s 50-token match length
+
+
+def window_dedup(sf_dir: str, w: int = _WINDOW_W,
+                 driver_merge_rows: int = 5_000_000):
+    """Exact ``w``-token-window substring dedup. Returns one row per
+    doc: (doc_id, n_tokens, n_dup_windows, n_removed, text_kept) where
+    ``text_kept`` is the space-joined surviving tokens (both engines
+    rebuild from tokens, so whitespace is normalized identically).
+
+    Scale shape — the :func:`gram_duplication` twin at occurrence
+    (not distinct-doc) granularity: pass 1 ships 16-byte (window-hash,
+    per-block occurrence count) combiner rows through the size-gated
+    :func:`_hot_hash_set` reduce; the hot set (windows occurring more
+    than once — a vanishing fraction of distinct windows on a
+    deduplicated crawl) broadcasts once as a sorted int64 array; pass
+    2 is stateless and fully vectorized: one searchsorted for window
+    membership, a diff/cumsum sweep for covered token positions
+    (windows never span documents, so the flat sweep is exact), and
+    one Arrow ``binary_join`` rebuilds every kept text — no per-token
+    Python. Window text never leaves the task; hashes are 64-bit
+    Horner over md5 token hashes (collision odds ~n^2/2^65, the same
+    accepted risk as the 13-gram gate)."""
+    docs = _documents(sf_dir, ["doc_id", "text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        th, lens = _ws_token_hashes(batch.column("text"), _WS_TOK_CACHE)
+        gh, _ = _window_gram_hashes(th, lens, w)
+        hh, cc = np.unique(gh, return_counts=True)
+        return pa.table({
+            "h": pa.array(hh.view(np.int64), pa.int64()),
+            "c": pa.array(cc.astype(np.int64), pa.int64()),
+            "bucket": pa.array((hh & np.uint64(127)).astype(np.int64),
+                               pa.int64())})
+
+    parts = docs.map_batches(partial_counts, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    hot = _hot_hash_set(parts, 1, driver_merge_rows)
+    ref = ray.put(np.ascontiguousarray(hot))
+
+    def rebuild(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        import pyarrow.compute as pc
+        hot_arr = ray.get(_ref)
+        th, lens, flat = _ws_token_hashes(batch.column("text"),
+                                          _WS_TOK_CACHE,
+                                          return_tokens=True)
+        gh, doc_idx = _window_gram_hashes(th, lens, w)
+        ndocs = batch.num_rows
+        total = int(lens.sum())
+        # same window-start layout _window_gram_hashes walks
+        m = np.maximum(lens - (w - 1), 0)
+        bases = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        gstart = np.concatenate(([0], np.cumsum(m)))[:-1]
+        within = (np.arange(int(m.sum()), dtype=np.int64)
+                  - np.repeat(gstart, m))
+        start = bases[doc_idx] + within
+        if hot_arr.size and gh.size:
+            dup = _in_sorted(hot_arr, gh.view(np.int64))
+        else:
+            dup = np.zeros(len(gh), dtype=bool)
+        n_dup = np.bincount(doc_idx[dup], minlength=ndocs) \
+            .astype(np.int64)
+        # covered token positions: +1 at each dup window start, -1
+        # past its end, prefix-sum > 0 — dup windows sit entirely
+        # inside their doc, so boundaries never leak across docs
+        diff = np.zeros(total + 1, np.int64)
+        ds_ = start[dup]
+        np.add.at(diff, ds_, 1)
+        np.add.at(diff, ds_ + w, -1)
+        covered = np.cumsum(diff[:-1]) > 0
+        keep = ~covered
+        n_removed = (lens - _segment_sum_i64(
+            np.repeat(np.arange(ndocs), lens), keep.astype(np.int64),
+            ndocs)) if total else np.zeros(ndocs, np.int64)
+        new_lens = lens - n_removed
+        offsets = np.concatenate(([0], np.cumsum(new_lens)))
+        kept_flat = (flat.filter(pa.array(keep)) if total
+                     else flat)
+        la = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), kept_flat)
+        joined = pc.binary_join(la, " ")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "n_dup_windows": pa.array(n_dup, pa.int64()),
+            "n_removed": pa.array(n_removed, pa.int64()),
+            "text_kept": joined,
+        })
+
+    return docs.map_batches(rebuild, batch_format="pyarrow",
                             zero_copy_batch=True)
 
 

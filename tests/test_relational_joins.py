@@ -267,3 +267,14 @@ def test_rolling_user_value_vs_bruteforce(ray_session):
     assert np.allclose(got["rolling_avg"],
                        np.round(ev["exp_avg"].to_numpy(), 4),
                        atol=1e-9)
+
+
+def test_top_customers_partitioned_matches_broadcast(ray_session):
+    """The count-gated partitioned hash-join plan (bcast_max=0) must
+    reproduce the broadcast plan's table exactly."""
+    from risjbot_ray.pipelines.relational import top_customers_by_nation
+    sf = "/root/testdata/sf0.001"
+    fast = top_customers_by_nation(sf)
+    slow = top_customers_by_nation(sf, bcast_max=0)
+    assert fast.num_rows > 0
+    assert fast.equals(slow)

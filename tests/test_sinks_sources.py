@@ -603,3 +603,35 @@ def test_cdx_whole_file_gzip_fallback(tmp_path, monkeypatch):
                                       "trunc.warc.gz", errors))
     assert [e["url"] for e in entries] == ["http://a.example/x"]
     assert errors["bad_members"] == 1
+
+
+def test_join_comments_bucketed_matches_broadcast(ray_session,
+                                                  monkeypatch):
+    """The large-large bucketed hash-join plan must reproduce the
+    broadcast plan exactly (bodies ordered by comment_id either way),
+    including no-comment and null-articleid articles."""
+    import ray
+
+    from risjbot_ray.pipelines import comments as cm
+    arts = ray.data.from_arrow(pa.table({
+        "url": [f"u{i}" for i in range(8)],
+        "articleid": ["a1", "a2", None, "a3", "a1x", "a4", "a5", "a6"],
+    }))
+    rows = []
+    for i, aid in enumerate(["a1", "a1", "a3", "a3", "a3", "a5"]):
+        rows.append({"articleid": aid, "comment_id": 100 - i,
+                     "author": f"w{i}", "body": f"body-{aid}-{100 - i}"})
+    ctbl = pa.Table.from_pylist(rows, schema=cm.COMMENTS_SCHEMA)
+
+    fast = {r["url"]: r for r in
+            cm.join_comments(arts, ctbl).take_all()}
+    monkeypatch.setattr(cm, "_COMMENTS_BCAST_MAX", -1)
+    slow = {r["url"]: r for r in
+            cm.join_comments(arts, ctbl).take_all()}
+    assert set(fast) == set(slow)
+    for u in fast:
+        assert fast[u]["rawcomments"] == slow[u]["rawcomments"], u
+        assert fast[u]["n_comments"] == slow[u]["n_comments"], u
+    # order within an article is by comment_id ascending
+    assert fast["u0"]["rawcomments"] == ["body-a1-99", "body-a1-100"]
+    assert fast["u3"]["n_comments"] == 3
