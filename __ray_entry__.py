@@ -317,13 +317,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def media_features_check(sf_dir: str):
         """Driver-visible multimodal self-check (`crawl_vs_expected`
         style): run the actor-pool media pipeline (REAL pure-numpy
-        decode for BMP/PPM/WAV/y4m payloads, declared stub for
-        JPEG/MP4) AND recompute every expected row locally from the
-        same deterministic synth table, returning one row of mismatch
-        counters — all-zero means the Ray-side plumbing (schema, batch
-        sizing, actor state, flat_map explode) is byte-correct, and
-        ``n_decoded_real`` shows how many rows took the real-codec
-        path (4/5 of the corpus by construction)."""
+        decode for every payload — BMP/PPM/baseline-JPEG images,
+        WAV/Sun-AU audio, y4m/MJPEG video) AND recompute every
+        expected row locally from the same deterministic synth table,
+        returning one row of mismatch counters — all-zero means the
+        Ray-side plumbing (schema, batch sizing, actor state,
+        flat_map explode) is byte-correct, and ``n_decoded_real ==
+        n_media`` attests the whole corpus takes the real-codec path
+        (the declared stub fallback keeps its coverage via
+        corrupt-payload unit tests)."""
         import numpy as np
         import pyarrow as pa
         import ray

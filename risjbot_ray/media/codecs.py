@@ -33,6 +33,8 @@ _MAGIC = (
     (b"P6", "ppm"),
     (b"P5", "pgm"),
     (b"YUV4MPEG2 ", "y4m"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b".snd", "au"),
 )
 
 
@@ -193,6 +195,8 @@ def decode_image(payload: bytes) -> np.ndarray | None:
     if kind == "pgm":
         g = decode_pgm(payload)
         return np.repeat(g[:, :, None], 3, axis=2)
+    if kind == "jpeg":
+        return decode_jpeg(payload)
     return None
 
 
@@ -413,3 +417,501 @@ def thumbnail_mean(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     tot = (csum[r1][:, c1] - csum[r1][:, c0]
            - csum[r0][:, c1] + csum[r0][:, c0])
     return (tot / np.maximum(area, 1)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 / JFIF). Pure numpy + struct.
+#
+# Encoder: baseline sequential, 8-bit, 4:4:4 (no chroma subsampling),
+# Annex-K example quantization tables, and SIMPLE VALID Huffman tables
+# (fixed-length canonical codes, emitted in the DHT segments — any
+# conforming reader decodes them; compression is a little worse than
+# the Annex-K tables, which is irrelevant here). Decoder: general
+# baseline — parses DQT/DHT/SOF0/SOS, canonical-Huffman-decodes the
+# interleaved scan, dequantizes, vectorized IDCT across all blocks,
+# JFIF YCbCr -> RGB. Supports grayscale and any h=v=1 component
+# layout; progressive/subsampled streams raise ValueError (the media
+# stage's decoded=False contract catches it).
+# ---------------------------------------------------------------------------
+
+def _zigzag() -> np.ndarray:
+    """The 64-entry zigzag scan order, generated (not transcribed):
+    diagonals s=0..14, odd diagonals walk down-left, even up-right."""
+    order = []
+    for s in range(15):
+        ys = range(max(0, s - 7), min(s, 7) + 1)
+        for y in (ys if s % 2 else reversed(ys)):
+            order.append(y * 8 + (s - y))
+    return np.array(order, dtype=np.int64)
+
+
+_ZZ = _zigzag()
+_UNZZ = np.argsort(_ZZ)
+
+#: Annex K example quantization tables (row-major 8x8)
+_QY = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64)
+
+
+def _dct_matrix() -> np.ndarray:
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    c[0] *= np.sqrt(0.5)
+    return c * 0.5                       # orthonormal DCT-II
+
+
+_DCTM = _dct_matrix()
+
+# encoder Huffman tables: canonical fixed-length codes. DC: 12
+# categories, all 5 bits (Kraft 12/32). AC: EOB at 8 bits, the other
+# 255 (run,size) bytes at 9 bits (Kraft 2^-8 + 255*2^-9 < 1; the DHT
+# per-length count stays <= 255 as the segment format requires).
+_ENC_DC_BITS = [0] * 16
+_ENC_DC_BITS[4] = 12                     # 12 symbols of length 5
+_ENC_DC_VALS = list(range(12))
+_ENC_AC_BITS = [0] * 16
+_ENC_AC_BITS[7] = 1                      # EOB (0x00) at length 8
+_ENC_AC_BITS[8] = 255
+_ENC_AC_VALS = [0x00] + [v for v in range(1, 256)]
+
+
+def _canonical_codes(bits, vals):
+    """(symbol -> (code, length)) for a DHT-style (BITS, VALS) pair."""
+    out = {}
+    code = 0
+    k = 0
+    for li, n in enumerate(bits):
+        length = li + 1
+        for _ in range(n):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_ENC_DC = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+_ENC_AC = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:                # byte stuffing
+                self.buf.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _blocks_of(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float64 -> (nblocks, 8, 8) with edge-replication pad."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    if (ph, pw) != (h, w):
+        plane = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return (plane.reshape(ph // 8, 8, pw // 8, 8)
+            .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+
+
+def encode_jpeg(img: np.ndarray) -> bytes:
+    """Encode HxWx3 uint8 RGB as baseline JFIF (4:4:4)."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects HxWx3 uint8 RGB")
+    h, w = img.shape[:2]
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    planes = [0.299 * r + 0.587 * g + 0.114 * b,
+              -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+              0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+    qts = [_QY, _QC, _QC]
+    coeffs = []
+    for plane, q in zip(planes, qts):
+        blocks = _blocks_of(plane) - 128.0
+        f = np.einsum("ux,nxy,vy->nuv", _DCTM, blocks, _DCTM)
+        qz = np.round(f.reshape(-1, 64) / q.astype(np.float64))
+        coeffs.append(qz.astype(np.int64)[:, _ZZ])
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    nblocks = coeffs[0].shape[0]
+    for bi in range(nblocks):
+        for ci in range(3):
+            zz = coeffs[ci][bi]
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
+            cat = _category(diff)
+            code, length = _ENC_DC[cat]
+            bw.put(code, length)
+            if cat:
+                v = diff if diff > 0 else diff + (1 << cat) - 1
+                bw.put(v, cat)
+            run = 0
+            last_nz = np.flatnonzero(zz[1:])
+            last = int(last_nz[-1]) + 1 if len(last_nz) else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = _ENC_AC[0xF0]     # ZRL
+                    bw.put(code, length)
+                    run -= 16
+                cat = _category(v)
+                code, length = _ENC_AC[(run << 4) | cat]
+                bw.put(code, length)
+                vv = v if v > 0 else v + (1 << cat) - 1
+                bw.put(vv, cat)
+                run = 0
+            if last < 63:
+                code, length = _ENC_AC[0x00]         # EOB
+                bw.put(code, length)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dqt(tid: int, q: np.ndarray) -> bytes:
+        return seg(0xFFDB, bytes([tid]) + bytes(int(x) for x in q[_ZZ]))
+
+    def dht(cls: int, tid: int, bits, vals) -> bytes:
+        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits)
+                   + bytes(vals))
+
+    out = bytearray()
+    out += b"\xff\xd8"                                   # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += dqt(0, _QY) + dqt(1, _QC)
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += struct.pack(">BBB", cid, 0x11, tq)        # h=v=1
+    out += seg(0xFFC0, sof)
+    out += dht(0, 0, _ENC_DC_BITS, _ENC_DC_VALS)
+    out += dht(1, 0, _ENC_AC_BITS, _ENC_AC_VALS)
+    out += dht(0, 1, _ENC_DC_BITS, _ENC_DC_VALS)
+    out += dht(1, 1, _ENC_AC_BITS, _ENC_AC_VALS)
+    sos = struct.pack(">B", 3)
+    for cid, td_ta in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        sos += struct.pack(">BB", cid, td_ta)
+    sos += b"\x00\x3f\x00"
+    out += seg(0xFFDA, sos)
+    out += scan
+    out += b"\xff\xd9"                                   # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
+    RSTn markers are surfaced to the caller."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.d[self.pos]
+        if b == 0xFF:
+            nxt = self.d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:    # RSTn: skip, reset bit state
+                self.pos += 2
+                self.acc = 0
+                self.nbits = 0
+                b = self.d[self.pos]
+                if b == 0xFF and self.d[self.pos + 1] == 0x00:
+                    self.pos += 2
+                else:
+                    self.pos += 1
+                self.acc = b
+                self.nbits = 8
+                return
+            else:
+                raise ValueError("unexpected marker in scan")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode_tables(bits, vals):
+    """Canonical (mincode, maxcode, valptr) per length for decoding."""
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
+    code = 0
+    k = 0
+    for li in range(16):
+        length = li + 1
+        n = bits[li]
+        if n:
+            valptr[length] = k
+            mincode[length] = code
+            code += n
+            k += n
+            maxcode[length] = code - 1
+        code <<= 1
+    return mincode, maxcode, list(vals), valptr
+
+
+def _huff_read(br: _BitReader, tbl) -> int:
+    mincode, maxcode, vals, valptr = tbl
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        if maxcode[length] >= 0 and code <= maxcode[length]:
+            return vals[valptr[length] + code - mincode[length]]
+    raise ValueError("bad Huffman code")
+
+
+def _extend(v: int, cat: int) -> int:
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline JPEG (grayscale or h=v=1 color) to HxWx3
+    uint8 RGB. Raises ValueError on unsupported OR corrupt streams
+    (progressive, subsampled, arithmetic, truncated) — the media
+    stage treats that as its decoded=False path."""
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, struct.error, KeyError) as e:
+        raise ValueError(f"corrupt JPEG stream: {e}") from e
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
+    d = payload
+    if d[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], tuple] = {}
+    comps = []      # (cid, tq)
+    h = w = 0
+    scan_comps = []
+    while True:
+        if d[pos] != 0xFF:
+            raise ValueError("bad marker")
+        marker = d[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("EOI before scan")
+        ln = struct.unpack(">H", d[pos:pos + 2])[0]
+        body = d[pos + 2:pos + ln]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tid = body[i] >> 4, body[i] & 0xF
+                if pq:
+                    raise ValueError("16-bit quant unsupported")
+                qt[tid] = np.frombuffer(
+                    body[i + 1:i + 65], dtype=np.uint8
+                ).astype(np.int64)
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1:i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17:i + 17 + n])
+                huff[(cls, tid)] = _huff_decode_tables(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:
+            h, w = struct.unpack(">HH", body[1:5])
+            nf = body[5]
+            for c in range(nf):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                if hv != 0x11:
+                    raise ValueError("subsampled JPEG unsupported")
+                comps.append((cid, tq))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG unsupported")
+        elif marker == 0xDA:
+            ns = body[0]
+            for c in range(ns):
+                cid, tdta = body[1 + 2 * c:3 + 2 * c]
+                scan_comps.append((cid, tdta >> 4, tdta & 0xF))
+            pos = pos + ln
+            break
+        pos += ln
+    if not comps or not scan_comps or h == 0:
+        raise ValueError("incomplete JPEG headers")
+
+    br = _BitReader(d, pos)
+    nbx, nby = -(-w // 8), -(-h // 8)
+    nblocks = nbx * nby
+    tq_of = dict(comps)
+    ncomp = len(scan_comps)
+    coeffs = [np.zeros((nblocks, 64), dtype=np.int64)
+              for _ in range(ncomp)]
+    tables = []
+    for cid, td, ta in scan_comps:
+        tables.append((huff[(0, td)], huff[(1, ta)]))
+    pred = [0] * ncomp
+    for bi in range(nblocks):
+        for ci in range(ncomp):
+            dct_tbl, act_tbl = tables[ci]
+            zz = coeffs[ci][bi]
+            cat = _huff_read(br, dct_tbl)
+            diff = _extend(br.bits(cat), cat) if cat else 0
+            pred[ci] += diff
+            zz[0] = pred[ci]
+            k = 1
+            while k <= 63:
+                rs = _huff_read(br, act_tbl)
+                if rs == 0x00:           # EOB
+                    break
+                if rs == 0xF0:           # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                cat = rs & 0xF
+                if k > 63:
+                    raise ValueError("AC index overflow")
+                zz[k] = _extend(br.bits(cat), cat)
+                k += 1
+
+    planes = []
+    for ci, (cid, td, ta) in enumerate(scan_comps):
+        q = qt[tq_of[cid]]
+        f64 = np.zeros((nblocks, 64), dtype=np.float64)
+        f64[:, _ZZ] = coeffs[ci] * q[np.newaxis, :]   # q is zigzag-order
+        blocks = f64.reshape(-1, 8, 8)
+        sp = np.einsum("xu,nuv,yv->nxy", _DCTM.T.copy(), blocks,
+                       _DCTM.T.copy()) + 128.0
+        full = (sp.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3)
+                .reshape(nby * 8, nbx * 8))
+        planes.append(full[:h, :w])
+    if ncomp == 1:
+        g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Sun AU (.snd): 16-bit linear PCM big-endian — the second real audio
+# container (alongside RIFF WAV), fully specified by a 24-byte header.
+# ---------------------------------------------------------------------------
+
+def encode_au(samples: np.ndarray, sample_rate: int) -> bytes:
+    """float samples in [-1, 1] (shape (n,) or (n, ch)) -> Sun AU,
+    encoding 3 (16-bit linear PCM, big-endian)."""
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    pcm = np.clip(np.round(arr * 32767.0), -32768, 32767).astype(">i2")
+    data = np.ascontiguousarray(pcm).tobytes()
+    hdr = struct.pack(">4sIIIII", b".snd", 24, len(data), 3,
+                      sample_rate, ch)
+    return hdr + data
+
+
+def decode_au(payload: bytes) -> tuple[np.ndarray, int]:
+    """Sun AU -> (float64 samples in [-1, 1] shape (n,) or (n, ch),
+    sample_rate). Supports encoding 3 (16-bit linear PCM)."""
+    magic, off, size, enc, rate, ch = struct.unpack(
+        ">4sIIIII", payload[:24])
+    if magic != b".snd":
+        raise ValueError("not an AU file")
+    if enc != 3:
+        raise ValueError(f"AU encoding {enc} unsupported")
+    if ch < 1 or rate < 1:
+        raise ValueError("bad AU header")
+    data = payload[off:off + size] if size != 0xFFFFFFFF \
+        else payload[off:]
+    pcm = np.frombuffer(data[:len(data) - len(data) % (2 * ch)],
+                        dtype=">i2").astype(np.float64) / 32767.0
+    # always (n, ch) — the decode_wav contract audio_features expects
+    return pcm.reshape(-1, ch), int(rate)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG: a motion-JPEG stream is literally concatenated baseline JPEGs
+# (the multipart/x-mixed-replace payload shape without HTTP framing).
+# No container timing exists, so duration derives from a declared fps.
+# ---------------------------------------------------------------------------
+
+def mjpeg_frame_offsets(payload: bytes) -> list[int]:
+    """Byte offsets of each JPEG SOI in an MJPEG stream. Safe because
+    inside entropy-coded data 0xFF is always stuffed (0xFF00) or a
+    marker, so a raw SOI+marker prefix only occurs at frame starts."""
+    offs = []
+    i = 0
+    while True:
+        j = payload.find(b"\xff\xd8\xff", i)
+        if j < 0:
+            break
+        offs.append(j)
+        # skip past this frame's EOI to avoid false positives inside
+        # headers (APPn segments may contain arbitrary bytes)
+        e = payload.find(b"\xff\xd9", j + 2)
+        if e < 0:
+            break
+        i = e + 2
+    return offs
+
+
+def mjpeg_frame(payload: bytes, offsets: list[int], idx: int
+                ) -> np.ndarray:
+    """Decode frame ``idx`` of an MJPEG stream."""
+    start = offsets[idx]
+    end = payload.find(b"\xff\xd9", start) + 2
+    return decode_jpeg(payload[start:end])

@@ -4,8 +4,11 @@ decode / feature-extract / frame-sample as actor-pool stages.
 Decode is REAL for formats whose wire layout needs no external codec
 libraries — BMP, PPM/PGM, RIFF-PCM WAV, YUV4MPEG2 — via the pure-numpy
 kernels in ``risjbot_ray.media.codecs`` (round-trip exactness pinned by
-``tests/test_media_codecs.py``). Formats that genuinely need libjpeg /
-libav (JPEG, MP4, ...) fall back to a clearly-marked deterministic STUB
+``tests/test_media_codecs.py``) — including a pure-numpy baseline
+JPEG codec, Sun AU PCM, and MJPEG streams, so the whole synthetic
+corpus decodes for real. Payloads this module cannot decode (corrupt
+streams, true container formats like MP4) fall back to a
+clearly-marked deterministic STUB
 feature so the pipeline shape stays total; the ``decoded`` output column
 records which path a row took. Swapping the stub for PIL/libav is the
 only change needed on a cluster with the libs installed.
@@ -44,7 +47,8 @@ FEATURE_DIM = 32
 # synthetic corpus (real encoded payloads)
 # ---------------------------------------------------------------------------
 
-def _synth_image(rng: np.random.Generator) -> tuple[bytes, str, int, int]:
+def _synth_image(rng: np.random.Generator,
+                 jpeg: bool = False) -> tuple[bytes, str, int, int]:
     h = int(rng.integers(16, 64))
     w = int(rng.integers(16, 64))
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
@@ -65,12 +69,15 @@ def _synth_image(rng: np.random.Generator) -> tuple[bytes, str, int, int]:
     img += codecs.resize_nearest(coarse, h, w)[:, :, None]
     img += rng.integers(0, 32, size=(h, w, 3))
     img = np.clip(img, 0, 255).astype(np.uint8)
+    if jpeg:
+        return codecs.encode_jpeg(img), "image/jpeg", w, h
     if int(rng.integers(0, 2)):
         return codecs.encode_bmp(img), "image/bmp", w, h
     return codecs.encode_ppm(img), "image/x-portable-pixmap", w, h
 
 
-def _synth_audio(rng: np.random.Generator) -> tuple[bytes, str, int]:
+def _synth_audio(rng: np.random.Generator,
+                 au: bool = False) -> tuple[bytes, str, int]:
     sr = 8000
     dur_s = float(rng.uniform(0.05, 0.5))
     n = max(int(sr * dur_s), 16)
@@ -87,6 +94,9 @@ def _synth_audio(rng: np.random.Generator) -> tuple[bytes, str, int]:
         sig += 0.3 * env_t * np.sin(2 * np.pi * freq * t)
     sig = np.clip(sig + 0.05 * rng.standard_normal(n),
                   -1.0, 1.0).astype(np.float32)
+    if au:
+        return (codecs.encode_au(sig, sr), "audio/basic",
+                int(round(n * 1000 / sr)))
     return (codecs.encode_wav(sig, sr), "audio/wav",
             int(round(n * 1000 / sr)))
 
@@ -113,11 +123,40 @@ def _synth_video(rng: np.random.Generator) -> tuple[bytes, str, int, int, int]:
     return payload, "video/x-yuv4mpeg", w, h, n_frames * 40
 
 
+#: MJPEG carries no container timing; frame offsets and durations use
+#: this declared fps convention on both the synth and decode sides
+MJPEG_FPS = 25
+
+
+def _synth_video_mjpeg(rng: np.random.Generator
+                       ) -> tuple[bytes, str, int, int, int]:
+    """A REAL motion-JPEG clip: concatenated baseline JPEG frames
+    (same texture model as :func:`_synth_video`)."""
+    h = int(rng.integers(8, 16)) * 2
+    w = int(rng.integers(8, 16)) * 2
+    n_frames = int(rng.integers(2, 6))
+    yy = np.mgrid[0:h, 0:w][0]
+    parts = []
+    for i in range(n_frames):
+        luma = np.clip(
+            yy * 160 // max(h - 1, 1) + 50 + i * 12
+            + codecs.resize_nearest(
+                rng.integers(-100, 101, size=(8, 8)).astype(np.int64),
+                h, w)
+            + rng.integers(0, 16, size=(h, w)), 0, 255).astype(np.uint8)
+        parts.append(codecs.encode_jpeg(
+            np.repeat(luma[:, :, None], 3, axis=2)))
+    return (b"".join(parts), "video/x-motion-jpeg", w, h,
+            n_frames * 1000 // MJPEG_FPS)
+
+
 def synth_media_rows(ids, seed: int = 42) -> pa.Table:
     """Deterministic media rows for the given ids, with REAL encoded
-    payloads (BMP/PPM images, PCM WAV audio, y4m video). Every 5th row
-    carries an opaque payload under a codec-library mime (JPEG/MP4) to
-    exercise the declared stub fallback path.
+    payloads for EVERY row: BMP/PPM/JPEG images, PCM WAV / Sun AU
+    audio, y4m / motion-JPEG video. Every 5th row exercises the
+    codec-library formats (baseline JPEG, AU, MJPEG) through the
+    pure-numpy implementations; the declared stub fallback keeps its
+    coverage via corrupt-payload unit tests.
 
     Each row is seeded by (seed, media_id) so generation is
     embarrassingly parallel — `testsupport/mediagen.py` fans this out
@@ -130,17 +169,18 @@ def synth_media_rows(ids, seed: int = 42) -> pa.Table:
         rng = np.random.default_rng((seed, i))
         kind = kinds[i % 3]
         width = height = duration_ms = None
-        if i % 5 == 4:                      # undecodable: stub path
-            payload = rng.integers(
-                0, 256, size=int(rng.integers(256, 4096)),
-                dtype=np.uint8).tobytes()
-            mime = {"image": "image/jpeg", "audio": "audio/mpeg",
-                    "video": "video/mp4"}[kind]
-            if kind != "audio":
-                width = int(rng.integers(64, 1920))
-                height = int(rng.integers(64, 1080))
-            if kind != "image":
-                duration_ms = int(rng.integers(1000, 600000))
+        if i % 5 == 4:          # codec-library formats — now REAL too
+            # (baseline JPEG / Sun AU / MJPEG, all decoded by the
+            # pure-numpy codecs; the declared stub path keeps its own
+            # coverage via corrupt-payload unit tests)
+            if kind == "image":
+                payload, mime, width, height = _synth_image(rng,
+                                                            jpeg=True)
+            elif kind == "audio":
+                payload, mime, duration_ms = _synth_audio(rng, au=True)
+            else:
+                (payload, mime, width, height,
+                 duration_ms) = _synth_video_mjpeg(rng)
         elif kind == "image":
             payload, mime, width, height = _synth_image(rng)
         elif kind == "audio":
@@ -216,6 +256,14 @@ def frame_features(luma: np.ndarray) -> np.ndarray:
     return f
 
 
+def _rgb_luma(img: np.ndarray) -> np.ndarray:
+    """HxWx3 uint8 -> HxW uint8 BT.601 luma (the y4m frame analogue)."""
+    f = img.astype(np.float64)
+    return np.clip(np.round(0.299 * f[:, :, 0] + 0.587 * f[:, :, 1]
+                            + 0.114 * f[:, :, 2]), 0, 255) \
+        .astype(np.uint8)
+
+
 def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
     """STUB for codec-library formats (JPEG/MP4/...): a real deployment
     replaces this with PIL/libav. Deterministic blake2b expansion so
@@ -234,12 +282,26 @@ def decode_features(payload: bytes, kind: str) -> tuple[
     """
     codec = codecs.sniff(payload)
     try:
-        if codec in ("bmp", "ppm", "pgm"):
+        if codec == "jpeg" and kind == "video":
+            # motion-JPEG: concatenated baseline JPEGs; duration from
+            # the declared MJPEG_FPS convention (no container timing)
+            offs = codecs.mjpeg_frame_offsets(payload)
+            if not offs:
+                raise ValueError("MJPEG stream with no frames")
+            frame0 = codecs.mjpeg_frame(payload, offs, 0)
+            return (frame_features(_rgb_luma(frame0)), True,
+                    frame0.shape[1], frame0.shape[0],
+                    len(offs) * 1000 // MJPEG_FPS)
+        if codec in ("bmp", "ppm", "pgm", "jpeg"):
             img = codecs.decode_image(payload)
             return (image_features(img), True,
                     img.shape[1], img.shape[0], None)
         if codec == "wav":
             samples, sr = codecs.decode_wav(payload)
+            return (audio_features(samples, sr), True, None, None,
+                    int(round(len(samples) * 1000 / sr)))
+        if codec == "au":
+            samples, sr = codecs.decode_au(payload)
             return (audio_features(samples, sr), True, None, None,
                     int(round(len(samples) * 1000 / sr)))
         if codec == "y4m":
@@ -317,12 +379,20 @@ class MediaResize:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
         payloads = batch.column("payload").to_pylist()
+        # kind-gate when the column rides along: an MJPEG VIDEO stream
+        # sniffs as jpeg (it IS concatenated JPEGs), and resizing its
+        # first frame as if it were a still image would be wrong
+        kinds = (batch.column("kind").to_pylist()
+                 if "kind" in batch.column_names
+                 else ["image"] * len(ids))
         out_p, out_ok = [], []
-        for p in payloads:
-            try:
-                img = codecs.decode_image(p or b"")
-            except ValueError:          # sniffed-but-corrupt payload
-                img = None
+        for p, kind in zip(payloads, kinds):
+            img = None
+            if kind == "image":
+                try:
+                    img = codecs.decode_image(p or b"")
+                except ValueError:      # sniffed-but-corrupt payload
+                    img = None
             if img is None:
                 out_p.append(None)
                 out_ok.append(False)
@@ -346,7 +416,7 @@ def media_resize_ds(n: int = 300, seed: int = 42, out_h: int = 64,
                     out_w: int = 64, concurrency=None,
                     path: str | None = None, batch_size: int = 16):
     """Decode -> resize -> re-encode pipeline over a media corpus."""
-    ds = _media_source(n, seed, path, ["media_id", "payload"])
+    ds = _media_source(n, seed, path, ["media_id", "kind", "payload"])
     if concurrency is None:
         concurrency = media_pool_size()
     return ds.map_batches(MediaResize,
@@ -376,7 +446,33 @@ class FrameSampler:
                 continue
             payload = row["payload"] or b""
             sampled_real = False
-            if codecs.sniff(payload) == "y4m":
+            if codecs.sniff(payload) == "jpeg":
+                frames_mj: list[tuple[int, list]] = []
+                try:
+                    offs = codecs.mjpeg_frame_offsets(payload)
+                    if not offs:
+                        raise ValueError("MJPEG with no frames")
+                    dur = len(offs) * 1000 // MJPEG_FPS
+                    for j in range(self.max_frames):
+                        off = j * self.every_ms
+                        if off >= max(dur, 1) and j > 0:
+                            break
+                        idx = min(off * MJPEG_FPS // 1000,
+                                  len(offs) - 1)
+                        luma = _rgb_luma(codecs.mjpeg_frame(
+                            payload, offs, idx))
+                        frames_mj.append(
+                            (off, frame_features(luma).tolist()))
+                    sampled_real = True
+                except (ValueError, ZeroDivisionError, IndexError):
+                    pass
+                if sampled_real:
+                    for off, feat in frames_mj:
+                        out_id.append(row["media_id"])
+                        out_off.append(off)
+                        out_dec.append(True)
+                        out_feat.append(feat)
+            if not sampled_real and codecs.sniff(payload) == "y4m":
                 frames: list[tuple[int, list]] = []
                 try:
                     info = codecs.parse_y4m(payload)
