@@ -271,14 +271,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         out = "/tmp/bench_enrich_full"
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
+        # fixed pool + block override: an autoscaling pool ramps on
+        # the critical path (the decontaminate_fuzzy lesson) and one
+        # parquet file would otherwise underfeed the actors
         (ray.data.read_parquet(f"{docs_root}/documents.parquet",
-                               columns=["doc_id", "text"])
+                               columns=["doc_id", "text"],
+                               override_num_blocks=64)
          .map_batches(_as_body, batch_format="pyarrow",
                       zero_copy_batch=True)
          .map_batches(Enrich, batch_format="pyarrow",
                       fn_constructor_kwargs={"namedpeople": True,
                                              "readingage": True},
-                      concurrency=(1, 16))
+                      concurrency=16)
          .write_parquet(out))
         queries["enrich_full"] = round(time.time() - t0, 3)
         throughput["enrich_full_docs_per_sec"] = round(

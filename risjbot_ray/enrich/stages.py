@@ -120,25 +120,55 @@ class ReadingAge:
     def __init__(self) -> None:
         self.sent_re = _SENT_RE
         self.tok_re = _TOK_RE
+        # per-actor memos: natural-language token streams are zipfian,
+        # so per-TYPE work (punct strip, syllable count) is a tiny
+        # fraction of per-TOKEN work; caches are per-actor state built
+        # once and shared across every batch the actor scores. Results
+        # are byte-identical to the uncached path (pure functions).
+        self._strip_memo: dict[str, str] = {}
+        self._syll_memo: dict[str, tuple[int, int]] = {}
 
-    def strip_punct_toks(self, toks):
-        for tok in toks:
+    def _strip_one(self, tok: str) -> str:
+        ntok = self._strip_memo.get(tok)
+        if ntok is None:
             ntok = "".join(
                 ch for ch in tok
                 if unicodedata.category(ch) not in _PUNCT_CATS
                 and ch not in _PUNCT_ASCII)
+            if len(self._strip_memo) > 1_000_000:
+                self._strip_memo.clear()
+            self._strip_memo[tok] = ntok
+        return ntok
+
+    def strip_punct_toks(self, toks):
+        for tok in toks:
+            ntok = self._strip_one(tok)
             if ntok:
                 yield ntok
+
+    def _syllables_of(self, word: str) -> tuple[int, int]:
+        """(total syllables, syllable-word count) over the word's
+        hyphen splits — memoized per word type."""
+        r = self._syll_memo.get(word)
+        if r is None:
+            parts = [count_syllables(s) for s in word.split("-") if s]
+            r = (sum(parts), len(parts))
+            if len(self._syll_memo) > 1_000_000:
+                self._syll_memo.clear()
+            self._syll_memo[word] = r
+        return r
 
     def score(self, text: str) -> tuple[float, float] | None:
         nsent = len([s for s in self.sent_re.split(text) if s.strip()])
         toks = self.tok_re.findall(text)
         words = list(self.strip_punct_toks(toks))
         nwords = len(words)
-        sylls = [count_syllables(s)
-                 for w in words for s in w.split("-") if s]
-        nsylls = sum(sylls)
-        nsyllwords = len(sylls)
+        nsylls = 0
+        nsyllwords = 0
+        for w in words:
+            t, c = self._syllables_of(w)
+            nsylls += t
+            nsyllwords += c
         if nsyllwords == 0 or nsent == 0:
             return None
         flesch = (206.835 - 1.015 * (nwords / nsent)

@@ -353,11 +353,21 @@ def _hot_cosine_pairs_task(ids, unit_block_refs,
                      "b": pa.array(b, pa.int64())})
 
 
+#: driver-side cap on collected hot-marker rows (~24 B each, so the
+#: cap is ~120 MB of driver heap). Hot markers are one row per member
+#: of a bucket past _HOT_BUCKET_CAP — the EXCEPTION by design; a
+#: corpus blowing this cap is pathologically self-similar and needs
+#: sharding (split the input, dedup per shard, union survivors), so
+#: fail LOUDLY with that remediation instead of growing driver heap.
+_HOT_MEMBER_MAX = 5_000_000
+
+
 def _split_hot_markers(cands_all, marker_schema=None):
     """Split the capped pair stream into (pair Dataset, hot marker
     Table). Marker rows (hot != -1) are the EXCEPTION — only buckets
     past ``_HOT_BUCKET_CAP`` emit them, one row per member — so
-    collecting them driver-side is O(hot membership), ~24 B/row."""
+    collecting them driver-side is O(hot membership), ~24 B/row,
+    bounded by ``_HOT_MEMBER_MAX``."""
     import pyarrow.compute as pc
 
     def pairs_only(b: pa.Table) -> pa.Table:
@@ -381,6 +391,12 @@ def _split_hot_markers(cands_all, marker_schema=None):
         .to_arrow_refs()) if t.num_rows]
     hot_tbl = (pa.concat_tables(hot_parts) if hot_parts
                else hot_schema.empty_table())
+    if hot_tbl.num_rows > _HOT_MEMBER_MAX:
+        raise RuntimeError(
+            f"hot-bucket membership {hot_tbl.num_rows} rows exceeds "
+            f"the driver cap {_HOT_MEMBER_MAX}: the corpus is "
+            "pathologically self-similar — shard the input, dedup "
+            "per shard, and union survivors")
     return pairs, hot_tbl
 
 
