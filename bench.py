@@ -309,7 +309,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
         lm.perplexity_score(docs_root,
-                            concurrency=(1, 24)).write_parquet(out)
+                            concurrency=16).write_parquet(out)
         queries["perplexity"] = round(time.time() - t0, 3)
         throughput["perplexity_docs_per_sec"] = round(
             n_docs / queries["perplexity"], 1)
@@ -317,7 +317,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
         lm.dsir_score(docs_root, n_buckets=10_000,
-                      concurrency=(1, 24)).write_parquet(out)
+                      concurrency=16).write_parquet(out)
         queries["dsir_bucketed"] = round(time.time() - t0, 3)
         throughput["dsir_docs_per_sec"] = round(
             n_docs / queries["dsir_bucketed"], 1)
@@ -327,7 +327,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
         lm.ccnet_ppl_buckets(docs_root,
-                             concurrency=(1, 24)).write_parquet(out)
+                             concurrency=16).write_parquet(out)
         queries["ccnet_buckets"] = round(time.time() - t0, 3)
         throughput["ccnet_buckets_docs_per_sec"] = round(
             n_docs / queries["ccnet_buckets"], 1)

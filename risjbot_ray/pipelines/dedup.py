@@ -459,9 +459,10 @@ def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64,
                                columns=["doc_id", "text"])
     # materialized: consumed by the band shuffle AND both joins — without
     # this the MinHasher pool would re-run once per consumer
+    from risjbot_ray.pipelines.webtext import fixed_pool
     sigs = ds.map_batches(MinHasher, batch_format="pyarrow",
                           fn_constructor_kwargs={"num_perm": num_perm},
-                          concurrency=(1, 8)).materialize()
+                          concurrency=fixed_pool()).materialize()
     from risjbot_ray.pipelines.webtext import _coalesce_for_exchange
     exploded = _coalesce_for_exchange(sigs.map_batches(
         lambda b: _explode_bands_light(b, bands, rows_per_band),
@@ -782,8 +783,9 @@ class SimHasher:
 def simhash_signatures(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
+    from risjbot_ray.pipelines.webtext import fixed_pool
     return ds.map_batches(SimHasher, batch_format="pyarrow",
-                          concurrency=(1, 8))
+                          concurrency=fixed_pool())
 
 
 def simhash_near_pairs(sf_dir: str, max_hamming: int = 3):

@@ -102,6 +102,17 @@ def _counts_by(ds: "ray.data.Dataset", col: str) -> dict:
     return out
 
 
+def fixed_pool(cap: int = 16) -> int:
+    """Fixed actor-pool size for bounded batch stages. An autoscaling
+    ``(1, N)`` pool RAMPS on the critical path — bench-measured: the
+    perplexity scorer fell 9.4 s -> 3.9 s at 100k docs when switched
+    to a fixed pool (the same lesson decontaminate_fuzzy and
+    enrich_full learned) — so bounded jobs ask for every actor up
+    front and let idle ones cost only their spawn."""
+    return max(2, min(cap,
+                      int(ray.cluster_resources().get("CPU", 8)) // 2))
+
+
 def _segment_sum_i64(seg: np.ndarray, w: np.ndarray,
                      n: int) -> np.ndarray:
     """Exact int64 per-segment sums: sort by segment id and
@@ -264,7 +275,8 @@ def decontaminate(sf_dir: str):
     return (_documents(sf_dir, ["doc_id", "text"])
             .map_batches(_ContaminationProbe,
                          fn_constructor_args=(bench_ref,),
-                         batch_format="pyarrow", concurrency=(1, 8)))
+                         batch_format="pyarrow",
+                         concurrency=fixed_pool()))
 
 
 # --------------------------------------------------------------------------
@@ -2352,7 +2364,8 @@ def lang_balance_sample(sf_dir: str):
 
     return (_documents(sf_dir, ["doc_id", "lang"])
             .map_batches(_Sampler, fn_constructor_args=(rates_ref,),
-                         batch_format="pyarrow", concurrency=(1, 8)))
+                         batch_format="pyarrow",
+                         concurrency=fixed_pool()))
 
 
 # --------------------------------------------------------------------------

@@ -1710,3 +1710,50 @@ def test_curate_cascade_funnel_consistency(ray_session):
     uf = url_filter(SF).to_pandas()
     assert t.loc[0, "n_out"] == int(uf["keep"].sum())
     assert (t["n_out"] > 0).all()     # the funnel never annihilates
+
+
+def test_window_dedup_planted_spans(tmp_path):
+    """Plant a shared 60-token span in three docs and a doc-internal
+    repeat; exactly the covered tokens are removed, unique docs are
+    untouched, and the rebuilt text is the space-joined survivors."""
+    import pyarrow.parquet as pq
+
+    from risjbot_ray.pipelines.webtext import window_dedup
+    rng = np.random.default_rng(17)
+
+    def words(n, tag):
+        return [f"{tag}{i}x{rng.integers(1e6)}" for i in range(n)]
+
+    span = " ".join(words(60, "dup"))
+    docs = []
+    for i in range(8):                       # unique docs
+        docs.append((i, " ".join(words(120, f"u{i}_"))))
+    for i in (100, 101, 102):                # shared planted span
+        pre = " ".join(words(30, f"p{i}_"))
+        post = " ".join(words(30, f"q{i}_"))
+        docs.append((i, f"{pre} {span} {post}"))
+    # doc-internal repeat: same 55-token run twice in one doc
+    rep = " ".join(words(55, "rep"))
+    docs.append((200, f"{rep} {' '.join(words(40, 'mid'))} {rep}"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+    out = window_dedup(str(tmp_path)).to_pandas().set_index("doc_id")
+    for i in range(8):                       # unique docs: untouched
+        assert out.loc[i, "n_removed"] == 0
+        assert out.loc[i, "text_kept"] == docs[i][1]
+    for i in (100, 101, 102):
+        # the 60-token span is covered by its 11 windows; boundary
+        # tokens of pre/post can only be covered via windows crossing
+        # into unique text, which never duplicate -> exactly 60 gone
+        assert out.loc[i, "n_removed"] == 60, i
+        assert out.loc[i, "n_dup_windows"] == 11
+        kept = out.loc[i, "text_kept"].split(" ")
+        assert len(kept) == 60 and not any(k.startswith("dup")
+                                           for k in kept)
+    # doc-internal repeat: both 55-token copies are duplicated windows
+    assert out.loc[200, "n_removed"] == 110
+    assert all(not k.startswith("rep")
+               for k in out.loc[200, "text_kept"].split(" "))
