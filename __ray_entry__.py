@@ -506,8 +506,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         fps = {}
         for row in tbl.to_pylist():
-            if codecs.sniff(row["payload"]) == "wav":
+            sn = codecs.sniff(row["payload"])
+            if sn == "wav":
                 samples, sr = codecs.decode_wav(row["payload"])
+                fps[row["media_id"]] = audio_fingerprint64(samples, sr)
+            elif sn == "au":           # Sun AU joined the modality
+                samples, sr = codecs.decode_au(row["payload"])
                 fps[row["media_id"]] = audio_fingerprint64(samples, sr)
         ids = sorted(fps)
         arr = np.array([fps[i] for i in ids], dtype=np.uint64)

@@ -652,24 +652,26 @@ class _BitReader:
             nxt = self.d[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:    # RSTn: skip, reset bit state
-                self.pos += 2
-                self.acc = 0
-                self.nbits = 0
-                b = self.d[self.pos]
-                if b == 0xFF and self.d[self.pos + 1] == 0x00:
-                    self.pos += 2
-                else:
-                    self.pos += 1
-                self.acc = b
-                self.nbits = 8
-                return
             else:
+                # any marker here (incl. RSTn) means the entropy
+                # stream ended mid-symbol — callers consume restarts
+                # explicitly at interval boundaries via restart()
                 raise ValueError("unexpected marker in scan")
         else:
             self.pos += 1
         self.acc = (self.acc << 8) | b
         self.nbits += 8
+
+    def restart(self) -> None:
+        """Byte-align (discarding the interval's pad bits) and consume
+        the RSTn marker — T.81 restart semantics; the caller resets
+        its DC predictors."""
+        self.acc = 0
+        self.nbits = 0
+        if not (self.d[self.pos] == 0xFF
+                and 0xD0 <= self.d[self.pos + 1] <= 0xD7):
+            raise ValueError("expected restart marker")
+        self.pos += 2
 
     def bit(self) -> int:
         if self.nbits == 0:
@@ -718,6 +720,12 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
+#: decode-side cap on declared pixel count (64 MP ~ 1.5 GB of int64
+#: coefficients across 3 components) — hostile headers beyond it raise
+#: instead of allocating
+_JPEG_MAX_PIXELS = 64_000_000
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline JPEG (grayscale or h=v=1 color) to HxWx3
     uint8 RGB. Raises ValueError on unsupported OR corrupt streams
@@ -725,7 +733,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     stage treats that as its decoded=False path."""
     try:
         return _decode_jpeg(payload)
-    except (IndexError, struct.error, KeyError) as e:
+    except (IndexError, struct.error, KeyError, MemoryError) as e:
         raise ValueError(f"corrupt JPEG stream: {e}") from e
 
 
@@ -738,6 +746,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], tuple] = {}
     comps = []      # (cid, tq)
     h = w = 0
+    ri = 0          # restart interval in MCUs (DRI)
     scan_comps = []
     while True:
         if d[pos] != 0xFF:
@@ -767,9 +776,18 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[i + 17:i + 17 + n])
                 huff[(cls, tid)] = _huff_decode_tables(bits, vals)
                 i += 17 + n
+        elif marker == 0xDD:
+            ri = struct.unpack(">H", body[:2])[0]
         elif marker == 0xC0 or marker == 0xC1:
             h, w = struct.unpack(">HH", body[1:5])
             nf = body[5]
+            # sanity caps BEFORE any allocation keyed on header
+            # fields: a hostile/corrupt few-hundred-byte payload can
+            # otherwise declare 65535x65535x3 and OOM the actor while
+            # the stage contract promises decoded=False pass-through
+            if h * w > _JPEG_MAX_PIXELS or nf > 4:
+                raise ValueError(
+                    f"JPEG dimensions {w}x{h}x{nf} over sanity cap")
             for c in range(nf):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
                 if hv != 0x11:
@@ -801,6 +819,9 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         tables.append((huff[(0, td)], huff[(1, ta)]))
     pred = [0] * ncomp
     for bi in range(nblocks):
+        if ri and bi and bi % ri == 0:
+            br.restart()
+            pred = [0] * ncomp
         for ci in range(ncomp):
             dct_tbl, act_tbl = tables[ci]
             zz = coeffs[ci][bi]

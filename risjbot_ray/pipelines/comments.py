@@ -11,10 +11,12 @@ Two plans behind one count gate, the ``_collect_pairs`` pattern:
   the comments table is ``ray.put`` once and probed per batch; no
   shuffle.
 - BUCKETED (large-large): comments pre-aggregate per articleid inside
-  a ``groupby`` (bodies packed into one delimited string — Ray's hash
-  join rejects list payload columns), then ONE distributed left-outer
-  hash join on articleid, the same layout as the fetch join. Only the
-  per-article aggregate rides the join, never the raw comment rows.
+  a ``groupby`` (bodies packed into one JSON-array string — Ray's hash
+  join rejects list payload columns, and JSON round-trips ANY body
+  content including embedded separators and NULLs exactly), then ONE
+  distributed left-outer hash join on articleid, the same layout as
+  the fetch join. Only the per-article aggregate rides the join,
+  never the raw comment rows.
 
 Both paths order each article's bodies by (comment_id) so the output
 is plan-independent and SQL-checkable (string_agg ORDER BY
@@ -36,10 +38,6 @@ COMMENTS_SCHEMA = pa.schema([
 #: comments-table rows at or under which the broadcast plan runs; a
 #: body is ~100s of bytes, so the cap keeps the ray.put value ~O(100MB)
 _COMMENTS_BCAST_MAX = 200_000
-
-#: unit separator — packs bodies into one join-safe string column
-_PACK_SEP = "\x1f"
-
 
 def _attach_from_lookup(extracted_ds, lookup_ref):
     def attach(batch: pa.Table) -> pa.Table:
@@ -103,11 +101,18 @@ def join_comments(extracted_ds, comments, num_partitions: int | None = None,
         num_partitions = max(2, min(32, cpus // 2))
 
     def pack(df):
+        import json
+
         import pandas as pd
         df = df.sort_values(["articleid", "comment_id"],
                             kind="mergesort")
+        # JSON array, not a join on a separator char: bodies may
+        # contain ANY byte sequence (or be NULL) and both plans must
+        # emit identical lists — the broadcast plan preserves bodies
+        # verbatim, so the packed form must round-trip exactly too
         g = df.groupby("articleid", sort=False)["body"].agg(
-            lambda s: _PACK_SEP.join(x or "" for x in s))
+            lambda s: json.dumps([None if pd.isna(x) else x
+                                  for x in s]))
         nn = df.groupby("articleid", sort=False)["body"].size()
         return pd.DataFrame({"articleid": g.index,
                              "packed": g.to_numpy(),
@@ -132,9 +137,10 @@ def join_comments(extracted_ds, comments, num_partitions: int | None = None,
                           num_partitions=num_partitions)
 
     def unpack(batch: pa.Table) -> pa.Table:
+        import json
         packed = batch.column("packed").to_pylist()
         nc = batch.column("n_comments").to_pylist()
-        raw = [p.split(_PACK_SEP) if p is not None else None
+        raw = [json.loads(p) if p is not None else None
                for p in packed]
         n = [int(x) if x is not None else 0 for x in nc]
         batch = batch.drop_columns(["packed", "n_comments"])

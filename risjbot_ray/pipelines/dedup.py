@@ -282,6 +282,10 @@ def _hot_band_pairs_task(ids, sig_block_refs, num_perm: int,
     got_ids, got_sigs = [], []
     for ref in sig_block_refs:
         t = ray.get(ref)
+        # materialized datasets can carry zero-schema EMPTY blocks
+        # (empty upstream splits bypass the map UDF) — skip them
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            continue
         blk = np.asarray(t.column("doc_id").to_pylist(), np.int64)
         m = np.isin(blk, need)
         if m.any():
@@ -316,6 +320,9 @@ def _hot_cosine_pairs_task(ids, unit_block_refs,
     got_ids, got_units = [], []
     for ref in unit_block_refs:
         t = ray.get(ref)
+        # zero-schema empty blocks bypass the map UDF — skip them
+        if t.num_rows == 0 or "vec_id" not in t.column_names:
+            continue
         blk = np.asarray(t.column("vec_id").to_pylist(), np.int64)
         m = np.isin(blk, need)
         if m.any():
@@ -362,7 +369,7 @@ def _hot_cosine_pairs_task(ids, unit_block_refs,
 _HOT_MEMBER_MAX = 5_000_000
 
 
-def _split_hot_markers(cands_all, marker_schema=None):
+def _split_hot_markers(cands_all):
     """Split the capped pair stream into (pair Dataset, hot marker
     Table). Marker rows (hot != -1) are the EXCEPTION — only buckets
     past ``_HOT_BUCKET_CAP`` emit them, one row per member — so

@@ -640,30 +640,50 @@ def video_fingerprint64(payload: bytes) -> int | None:
     (sky-on-top composition) that would otherwise collapse a whole
     corpus onto one hash; even sampling makes the hash track the
     clip's temporal structure, which the frame-0-only 'visual'
-    modality cannot see. Frames are fetched by O(1) seek, so cost is
-    8 frames regardless of clip length. Returns None for non-y4m
-    payloads."""
-    if codecs.sniff(payload) != "y4m":
-        return None
-    info = codecs.parse_y4m(payload)
+    modality cannot see. Frames are fetched by O(1) seek (y4m) or by
+    frame offset (MJPEG), so cost is 8 frames regardless of clip
+    length. Returns None for non-video payloads."""
+    sniffed = codecs.sniff(payload)
     bits = np.empty(64, bool)
-    for k in range(8):
-        idx = (k * info.n_frames) // 8
-        luma = codecs.y4m_frame_luma(payload, info, idx)
-        cells = codecs.thumbnail_mean(luma, 2, 5)
-        bits[k * 8:(k + 1) * 8] = (cells[:, :-1] > cells[:, 1:]).ravel()
-    return int.from_bytes(np.packbits(bits).tobytes(), "big")
+    if sniffed == "y4m":
+        info = codecs.parse_y4m(payload)
+        for k in range(8):
+            idx = (k * info.n_frames) // 8
+            luma = codecs.y4m_frame_luma(payload, info, idx)
+            cells = codecs.thumbnail_mean(luma, 2, 5)
+            bits[k * 8:(k + 1) * 8] = (cells[:, :-1]
+                                       > cells[:, 1:]).ravel()
+        return int.from_bytes(np.packbits(bits).tobytes(), "big")
+    if sniffed == "jpeg":
+        offs = codecs.mjpeg_frame_offsets(payload)
+        if not offs:
+            return None
+        for k in range(8):
+            idx = (k * len(offs)) // 8
+            luma = _rgb_luma(codecs.mjpeg_frame(payload, offs, idx))
+            cells = codecs.thumbnail_mean(luma.astype(np.float64), 2, 5)
+            bits[k * 8:(k + 1) * 8] = (cells[:, :-1]
+                                       > cells[:, 1:]).ravel()
+        return int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return None
 
 
 def _payload_luma(payload: bytes) -> np.ndarray | None:
     """Luma plane a perceptual hash can be computed from: decoded
-    pixels for stills, frame 0 for y4m video, None for audio,
-    codec-library formats, and sniffed-but-corrupt payloads (those
+    pixels for stills (incl. baseline JPEG), frame 0 for y4m/MJPEG
+    video, None for audio and sniffed-but-corrupt payloads (those
     rows are excluded from hashing, per the stage contract)."""
     kind = codecs.sniff(payload)
     try:
         if kind in ("bmp", "ppm", "pgm"):
             img = codecs.decode_image(payload)
+            return (img.astype(np.float32)
+                    @ np.float32([0.299, 0.587, 0.114]))
+        if kind == "jpeg":
+            # a lone baseline JPEG decodes directly; an MJPEG stream's
+            # leading frame decodes the same way (trailing frames are
+            # simply not part of the first scan)
+            img = codecs.decode_jpeg(payload)
             return (img.astype(np.float32)
                     @ np.float32([0.299, 0.587, 0.114]))
         if kind == "y4m":
@@ -703,9 +723,13 @@ class MediaPHash:
                 return None if luma is None else ahash64(luma)
             if self.modality == "video":
                 return video_fingerprint64(payload)
-            if codecs.sniff(payload) != "wav":
+            sniffed = codecs.sniff(payload)
+            if sniffed == "wav":
+                samples, sr = codecs.decode_wav(payload)
+            elif sniffed == "au":
+                samples, sr = codecs.decode_au(payload)
+            else:
                 return None
-            samples, sr = codecs.decode_wav(payload)
             return audio_fingerprint64(samples, sr)
         except (ValueError, ZeroDivisionError):
             return None

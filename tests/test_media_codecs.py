@@ -349,9 +349,14 @@ def test_audio_fingerprint_invariances_and_planted_pairs():
     got = {(int(r.a), int(r.b)) for r in got_df.itertuples()}
     fps = {}
     for row in tbl.to_pylist():
-        if row["mime"] == "audio/wav":
+        sn = codecs.sniff(row["payload"] or b"")
+        if sn == "wav":
             samples, sr = decode_wav(row["payload"])
-            fps[row["media_id"]] = audio_fingerprint64(samples, sr)
+        elif sn == "au":
+            samples, sr = codecs.decode_au(row["payload"])
+        else:
+            continue
+        fps[row["media_id"]] = audio_fingerprint64(samples, sr)
     ids = sorted(fps)
     exp = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
            if bin(fps[a] ^ fps[b]).count("1") <= 3}
@@ -513,3 +518,90 @@ def test_mjpeg_frame_offsets_and_decode():
     assert f3.shape == (16, 24, 3)
     # frame identity survives: corner value ~ 40*3
     assert abs(int(f3[0, 0, 0]) - 120) < 12
+
+
+def test_jpeg_restart_interval_decode():
+    """A conforming baseline stream WITH restart markers (DRI=1, one
+    RSTn per MCU) must decode exactly like the plain stream: the
+    reader consumes restarts at interval boundaries and resets DC
+    predictors (a silently-drifting decode was a round-5 review
+    find). Hostile SOF dimensions raise before any allocation."""
+    import struct
+
+    from risjbot_ray.media.codecs import (_BitWriter, _DCTM, _ENC_AC,
+                                          _ENC_DC, _QC, _QY, _ZZ,
+                                          _blocks_of, _category)
+    img = np.zeros((8, 24, 3), dtype=np.uint8)
+    img[:, :8] = 130
+    img[:, 8:16] = 60
+    img[:, 16:] = 200
+    base = codecs.encode_jpeg(img)
+    dec = codecs.decode_jpeg(base)
+
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    planes = [0.299 * r + 0.587 * g + 0.114 * b,
+              -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+              0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+    coeffs = []
+    for plane, q in zip(planes, [_QY, _QC, _QC]):
+        blocks = _blocks_of(plane) - 128.0
+        f = np.einsum("ux,nxy,vy->nuv", _DCTM, blocks, _DCTM)
+        qz = np.round(f.reshape(-1, 64) / q.astype(np.float64))
+        coeffs.append(qz.astype(np.int64)[:, _ZZ])
+    nblocks = coeffs[0].shape[0]
+    parts = []
+    for bi in range(nblocks):
+        bw = _BitWriter()
+        pred = [0, 0, 0]                 # DRI=1: reset every MCU
+        for ci in range(3):
+            zz = coeffs[ci][bi]
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
+            cat = _category(diff)
+            code, length = _ENC_DC[cat]
+            bw.put(code, length)
+            if cat:
+                v = diff if diff > 0 else diff + (1 << cat) - 1
+                bw.put(v, cat)
+            last_nz = np.flatnonzero(zz[1:])
+            last = int(last_nz[-1]) + 1 if len(last_nz) else 0
+            run = 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = _ENC_AC[0xF0]
+                    bw.put(code, length)
+                    run -= 16
+                cat = _category(v)
+                code, length = _ENC_AC[(run << 4) | cat]
+                bw.put(code, length)
+                vv = v if v > 0 else v + (1 << cat) - 1
+                bw.put(vv, cat)
+                run = 0
+            if last < 63:
+                code, length = _ENC_AC[0x00]
+                bw.put(code, length)
+        parts.append(bw.flush())
+    scan = b""
+    for i, part in enumerate(parts):
+        scan += part
+        if i < nblocks - 1:
+            scan += bytes([0xFF, 0xD0 + (i % 8)])
+    sos_at = base.find(b"\xff\xda")
+    sos_len = struct.unpack(">H", base[sos_at + 2:sos_at + 4])[0]
+    dri = struct.pack(">HHH", 0xFFDD, 4, 1)
+    stream = (base[:sos_at] + dri + base[sos_at:sos_at + 2 + sos_len]
+              + scan + b"\xff\xd9")
+    dec2 = codecs.decode_jpeg(stream)
+    assert (dec2 == dec).all()
+
+    bad = bytearray(base)
+    sof = bad.find(b"\xff\xc0")
+    bad[sof + 5:sof + 9] = struct.pack(">HH", 65535, 65535)
+    with pytest.raises(ValueError, match="sanity cap"):
+        codecs.decode_jpeg(bytes(bad))

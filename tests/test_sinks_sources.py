@@ -635,3 +635,35 @@ def test_join_comments_bucketed_matches_broadcast(ray_session,
     # order within an article is by comment_id ascending
     assert fast["u0"]["rawcomments"] == ["body-a1-99", "body-a1-100"]
     assert fast["u3"]["n_comments"] == 3
+
+
+def test_join_comments_plans_agree_on_hostile_bodies(ray_session,
+                                                     monkeypatch):
+    """Bodies containing the old pack separator, JSON metacharacters,
+    or NULL must come back identically from both plans (a round-5
+    review find: a \\x1f-joined packing split such bodies apart)."""
+    import ray
+
+    from risjbot_ray.pipelines import comments as cm
+    arts = ray.data.from_arrow(pa.table({
+        "url": ["u0", "u1"],
+        "articleid": ["a1", "a2"],
+    }))
+    ctbl = pa.Table.from_pylist([
+        {"articleid": "a1", "comment_id": 1, "author": "x",
+         "body": "sep\x1finside"},
+        {"articleid": "a1", "comment_id": 2, "author": "y",
+         "body": '"quotes" and \\ backslash \n newline'},
+        {"articleid": "a2", "comment_id": 3, "author": "z",
+         "body": None},
+    ], schema=cm.COMMENTS_SCHEMA)
+    fast = {r["url"]: r for r in
+            cm.join_comments(arts, ctbl).take_all()}
+    monkeypatch.setattr(cm, "_COMMENTS_BCAST_MAX", -1)
+    slow = {r["url"]: r for r in
+            cm.join_comments(arts, ctbl).take_all()}
+    for u in fast:
+        assert fast[u]["rawcomments"] == slow[u]["rawcomments"], u
+        assert fast[u]["n_comments"] == slow[u]["n_comments"], u
+    assert fast["u0"]["rawcomments"] == [
+        "sep\x1finside", '"quotes" and \\ backslash \n newline']
