@@ -605,3 +605,33 @@ def test_jpeg_restart_interval_decode():
     bad[sof + 5:sof + 9] = struct.pack(">HH", 65535, 65535)
     with pytest.raises(ValueError, match="sanity cap"):
         codecs.decode_jpeg(bytes(bad))
+
+
+def test_jpeg_decoder_never_crashes_on_fuzz():
+    """The decoder's contract is ValueError-or-correct: random bytes,
+    truncations and bit flips of valid streams must never raise
+    anything else (the media stage maps ValueError to its
+    decoded=False path; any other exception kills the task)."""
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    good = codecs.encode_jpeg(img)
+    cases = []
+    for _ in range(40):                       # random noise with SOI
+        n = int(rng.integers(4, 2000))
+        cases.append(b"\xff\xd8\xff" + rng.integers(
+            0, 256, size=n, dtype=np.uint8).tobytes())
+    for _ in range(40):                       # truncations
+        cases.append(good[:int(rng.integers(2, len(good)))])
+    for _ in range(40):                       # single-byte corruption
+        b = bytearray(good)
+        b[int(rng.integers(2, len(b)))] = int(rng.integers(0, 256))
+        cases.append(bytes(b))
+    decoded = failed = 0
+    for payload in cases:
+        try:
+            out = codecs.decode_jpeg(payload)
+            assert out.dtype == np.uint8 and out.ndim == 3
+            decoded += 1
+        except ValueError:
+            failed += 1
+    assert decoded + failed == len(cases)
