@@ -77,15 +77,50 @@ def ham_pairs_recursive(ids: np.ndarray, sig: np.ndarray, max_h: int,
                                     free_mask & ~int(cmask), out)
 
 
+def _brute_rows(ids: np.ndarray, sig: np.ndarray, max_d: int,
+                out: list, block: int = 512) -> None:
+    """Exact row-mismatch pairs by BLOCKWISE all-pairs comparison —
+    O(n^2 P) byte ops in bounded-memory numpy tiles, with no
+    recursion-tree fan-out. The floor the pigeonhole falls back to
+    when splitting stops paying; deterministic cost ~n^2*P/10^9 s."""
+    n = len(ids)
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        for s2 in range(s, n, 4 * block):
+            e2 = min(s2 + 4 * block, n)
+            d = (sig[s:e, None, :] != sig[None, s2:e2, :]) \
+                .sum(axis=2)
+            ai, bj = np.nonzero(d <= max_d)
+            gi, gj = ai + s, bj + s2
+            m = gi < gj
+            if m.any():
+                a, b = ids[gi[m]], ids[gj[m]]
+                out.append((np.minimum(a, b), np.maximum(a, b),
+                            d[ai[m], bj[m]]))
+
+
 def row_pairs_recursive(ids: np.ndarray, sig: np.ndarray, max_d: int,
                         free_rows: list, out: list,
                         brute_max: int = BRUTE_MAX) -> None:
     """Exact pairs differing in <= ``max_d`` ROWS between (n, P) uint64
     signature matrices — the :func:`ham_pairs_recursive` pigeonhole
     generalized from bits to MinHash rows. A qualifying pair mismatches
-    at most ``max_d`` of the ``free_rows``, so among ``max_d + 1``
-    disjoint row-chunks at least one chunk matches WHOLE; group on each
-    chunk's values and recurse per sub-bucket with that chunk pinned.
+    at most ``max_d`` of the rows, so among ``max_d + 1`` disjoint
+    row-chunks at least one chunk matches WHOLE; group on each chunk's
+    values and recurse per sub-bucket with that chunk pinned.
+    (Exactness needs only that the chunks PARTITION the rows they do
+    cover: mismatches over any row subset <= total mismatches, so one
+    of max_d+1 chunks over that subset is still mismatch-free.)
+
+    Two defenses keep boilerplate skew from degenerating: chunk rows
+    are ordered by DISCRIMINATIVE POWER (distinct-count within the
+    subset, descending) before round-robin assignment — a shared
+    boilerplate block pins many MinHash rows to the corpus-wide
+    minimum, and constant rows split nothing — and a NO-PROGRESS
+    guard: when even the best chunk leaves the largest sub-bucket
+    near the parent's size, the subset switches to
+    :func:`_brute_rows`' blockwise floor instead of fanning out an
+    exponential recursion tree over near-indistinguishable rows.
 
     This is the hot-bucket guard for the text-LSH pair paths: a
     boilerplate-heavy corpus drops 10^4+ docs into ONE band bucket, and
@@ -93,30 +128,41 @@ def row_pairs_recursive(ids: np.ndarray, sig: np.ndarray, max_d: int,
     the downstream est>=threshold verify would mostly discard. The
     recursion emits only pairs that PASS the row-mismatch bound, so
     the final (verified) output is unchanged while the emitted volume
-    tracks true duplicates. Sets that stay large with too few free
-    rows to re-split ARE near-identical — their pairs are real output,
-    so the brute-force floor is the true cost (same argument as the
-    bit version). Emissions may repeat across chunks; callers dedupe.
-    ``out`` collects (a, b, d) triples with a < b."""
+    tracks true duplicates. Emissions may repeat across chunks;
+    callers dedupe. ``out`` collects (a, b, d) triples with a < b."""
     n = len(ids)
     if n < 2:
         return
     if n <= brute_max or len(free_rows) < 2 * (max_d + 1):
-        ai, aj = np.triu_indices(n, 1)
-        d = (sig[ai] != sig[aj]).sum(axis=1)
-        keep = d <= max_d
-        a, b = ids[ai[keep]], ids[aj[keep]]
-        out.append((np.minimum(a, b), np.maximum(a, b), d[keep]))
+        _brute_rows(ids, sig, max_d, out)
         return
     n_chunks = max_d + 1
+    # order rows most-discriminative first so round-robin chunks each
+    # get splitting power; constant rows land harmlessly at the tail
+    sub_all = sig[:, free_rows]
+    distinct = np.array([len(np.unique(sub_all[:, k]))
+                         for k in range(sub_all.shape[1])])
+    ordered = [free_rows[k] for k in np.argsort(-distinct,
+                                                kind="stable")]
+    plans = []
+    best_largest = n
     for c in range(n_chunks):
-        chunk = free_rows[c::n_chunks]
+        chunk = ordered[c::n_chunks]
         sub = sig[:, chunk]
         order = np.lexsort(sub.T[::-1])
         ss = sub[order]
         neq = (ss[1:] != ss[:-1]).any(axis=1)
         starts = np.flatnonzero(np.r_[True, neq])
         ends = np.r_[starts[1:], n]
+        largest = int((ends - starts).max())
+        best_largest = min(best_largest, largest)
+        plans.append((chunk, order, starts, ends))
+    if best_largest > 0.9 * n:
+        # splitting is not paying: the subset is near-uniform on every
+        # chunk — take the deterministic quadratic floor now
+        _brute_rows(ids, sig, max_d, out)
+        return
+    for chunk, order, starts, ends in plans:
         pinned = set(chunk)
         rest = [r for r in free_rows if r not in pinned]
         for s, e in zip(starts, ends):
