@@ -33,6 +33,26 @@ def popcount64(x: np.ndarray) -> np.ndarray:
             >> np.uint64(56)).astype(np.int64)
 
 
+def _brute_bits(ids: np.ndarray, sig: np.ndarray, max_h: int,
+                out: list, block: int = 1024) -> None:
+    """Exact Hamming<=max_h pairs by BLOCKWISE all-pairs popcount —
+    bounded-memory tiles, no triu_indices materialization (10^4 ids
+    would need ~800 MB of index arrays), no recursion fan-out."""
+    n = len(ids)
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        for s2 in range(s, n, 8 * block):
+            e2 = min(s2 + 8 * block, n)
+            ham = popcount64(sig[s:e, None] ^ sig[None, s2:e2])
+            ai, bj = np.nonzero(ham <= max_h)
+            gi, gj = ai + s, bj + s2
+            m = gi < gj
+            if m.any():
+                a, b = ids[gi[m]], ids[gj[m]]
+                out.append((np.minimum(a, b), np.maximum(a, b),
+                            ham[ai[m], bj[m]]))
+
+
 def ham_pairs_recursive(ids: np.ndarray, sig: np.ndarray, max_h: int,
                         free_mask: int, out: list) -> None:
     """Exact Hamming<=max_h pairs within a candidate set, by recursive
@@ -43,33 +63,49 @@ def ham_pairs_recursive(ids: np.ndarray, sig: np.ndarray, max_h: int,
     pinned; brute-force small leaves. Duplicated emissions (a pair can
     match several chunks) are deduped by the caller.
 
+    Same skew defenses as :func:`row_pairs_recursive`: chunk bits are
+    ordered most-BALANCED first (a bit constant across the subset
+    splits nothing — the signature shape structured corpora produce),
+    and when even the best chunk leaves the largest sub-bucket near
+    the parent's size, the subset takes :func:`_brute_bits`'
+    deterministic blockwise floor instead of fanning out.
+
     This is what keeps HOT LSH buckets from going quadratic: a
     structured corpus routinely puts 10-15% of all items in one band
     bucket, and an all-pairs sweep there is O(bucket^2) popcounts.
-    Sets that stay large with no free bits left ARE near-identical —
-    their pairs are real output, so the brute-force floor is the true
-    cost.
+    Sets that stay large with near-constant free bits ARE
+    near-identical — their pairs are real output, so the brute floor
+    is the true cost.
     """
     n = len(ids)
     if n < 2:
         return
     free_bits = [b for b in range(64) if (free_mask >> b) & 1]
     if n <= BRUTE_MAX or len(free_bits) < 2 * (max_h + 1):
-        ai, aj = np.triu_indices(n, 1)
-        ham = popcount64(sig[ai] ^ sig[aj])
-        keep = ham <= max_h
-        a, b = ids[ai[keep]], ids[aj[keep]]
-        out.append((np.minimum(a, b), np.maximum(a, b), ham[keep]))
+        _brute_bits(ids, sig, max_h, out)
         return
     n_chunks = max_h + 1
+    # most-balanced bits first: splitting power = min(#0s, #1s)
+    ones = np.array([int(((sig >> np.uint64(b)) & np.uint64(1)).sum())
+                     for b in free_bits])
+    power = np.minimum(ones, n - ones)
+    ordered = [free_bits[k] for k in np.argsort(-power, kind="stable")]
+    plans = []
+    best_largest = n
     for c in range(n_chunks):
-        chunk_bits = free_bits[c::n_chunks]
+        chunk_bits = ordered[c::n_chunks]
         cmask = np.uint64(sum(1 << b for b in chunk_bits))
         vals = sig & cmask
         order = np.argsort(vals, kind="stable")
         v_s = vals[order]
         starts = np.flatnonzero(np.r_[True, v_s[1:] != v_s[:-1]])
         ends = np.r_[starts[1:], n]
+        best_largest = min(best_largest, int((ends - starts).max()))
+        plans.append((cmask, order, starts, ends))
+    if best_largest > 0.9 * n:
+        _brute_bits(ids, sig, max_h, out)
+        return
+    for cmask, order, starts, ends in plans:
         for s, e in zip(starts, ends):
             if e - s > 1:
                 sub = order[s:e]

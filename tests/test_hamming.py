@@ -101,3 +101,32 @@ def test_simhash_near_pairs_parity_with_brute_force(ray_session):
     got_df = simhash_near_pairs(sf).to_pandas()
     got = {(int(r.a), int(r.b)) for r in got_df.itertuples()}
     assert got == exp
+
+
+def test_ham_pairs_skewed_hot_set_bounded_and_exact():
+    """A near-degenerate hot set (most free bits constant — the
+    structured-corpus shape) must resolve through the balanced-bit
+    ordering / blockwise brute floor with output equal to a direct
+    blockwise reference, without materializing O(n^2) index arrays."""
+    import numpy as np
+
+    from risjbot_ray.functions.hamming import (_brute_bits,
+                                               ham_pairs_recursive,
+                                               popcount64)
+    rng = np.random.default_rng(9)
+    n = 3000
+    base = np.uint64(0x5A5A5A5A5A5A5A5A)
+    # only 6 low bits vary; everything else constant across the set
+    sig = base ^ rng.integers(0, 64, size=n).astype(np.uint64)
+    ids = np.arange(n, dtype=np.int64)
+    out: list = []
+    ham_pairs_recursive(ids, sig, 2, (1 << 64) - 1, out)
+    got = set()
+    for a, b, _h in out:
+        got.update(zip(a.tolist(), b.tolist()))
+    ref_out: list = []
+    _brute_bits(ids, sig, 2, ref_out)
+    ref = set()
+    for a, b, _h in ref_out:
+        ref.update(zip(a.tolist(), b.tolist()))
+    assert got == ref and len(ref) > 0
