@@ -268,6 +268,8 @@ def band_run_pairs(ids: np.ndarray, keys: np.ndarray, sig: np.ndarray,
     a_all = np.concatenate([f[0] for f in found]).astype(np.int64)
     b_all = np.concatenate([f[1] for f in found]).astype(np.int64)
     h_all = np.concatenate([f[2] for f in found]).astype(np.int64)
+    if not len(a_all):   # every emission empty (all pairs filtered)
+        return empty
     # the recursion can emit a pair once per matching chunk; dedupe
     # locally so duplicates never ride the exchange (lexsort, not id
     # packing — ids are full int64)
