@@ -744,6 +744,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        pa.bool_()),
         })
 
+    def warc_write_roundtrip(sf_dir: str):
+        """Driver-visible WARC SINK self-check: write a deterministic
+        page corpus as CC-layout .warc.gz archives with
+        ``sinks.write_warc`` (one gzip member per record, warcinfo
+        lead, content-addressed resumable parts), read it back with
+        ``read_warc`` and index it with ``cdx_index``. One row of
+        mismatch counters — all-zero means the engine EMITS the same
+        interchange format it ingests, byte-exactly."""
+        import hashlib
+        import os
+        import shutil
+
+        import pyarrow as pa
+        import ray
+
+        from risjbot_ray.sinks import write_warc
+        from risjbot_ray.sources.warc import cdx_index, read_warc
+        from risjbot_ray.testsupport import pagegen as PG
+
+        n, seed = 400, 37
+        root = f"/tmp/warcwrite_n{n}_s{seed}"
+        shutil.rmtree(root, ignore_errors=True)   # exercise real writes
+        pages, _ = PG.gen_pages(n, seed=seed)
+        src = pa.table({"url": pages.column("url"),
+                        "warc_ts": pages.column("warc_ts"),
+                        "html": pages.column("html")})
+        manifest = write_warc(
+            ray.data.from_arrow(src).repartition(8), root,
+            records_per_archive=64)
+        paths = manifest.column("path").to_pylist()
+        got = {r["url"]: bytes(r["html"])
+               for r in read_warc(paths).take_all()}
+        exp = {u: bytes(h) for u, h in zip(
+            src.column("url").to_pylist(),
+            src.column("html").to_pylist())}
+        url_set_mismatch = int(set(got) != set(exp))
+        byte_mm = sum(1 for u in got if got[u] != exp.get(u))
+        idx = cdx_index(paths).to_pandas()
+        digest_mm = sum(
+            1 for u, d in zip(idx["url"], idx["digest"])
+            if hashlib.sha1(exp.get(u, b"")).hexdigest() != d)
+        # resumability: a second write over the same input must reuse
+        # every part (content-addressed names, no rewrites)
+        mtimes = {p: os.path.getmtime(p) for p in paths}
+        manifest2 = write_warc(
+            ray.data.from_arrow(src).repartition(8), root,
+            records_per_archive=64)
+        resumed_ok = (manifest2.column("path").to_pylist()
+                      == sorted(paths)
+                      and all(os.path.getmtime(p) == mtimes[p]
+                              for p in paths))
+        return pa.table({
+            "n_pages": pa.array([n], pa.int64()),
+            "n_archives": pa.array([len(paths)], pa.int64()),
+            "n_read_back": pa.array([len(got)], pa.int64()),
+            "n_index_rows": pa.array([len(idx)], pa.int64()),
+            "url_set_mismatch": pa.array([url_set_mismatch], pa.int64()),
+            "byte_mismatches": pa.array([byte_mm], pa.int64()),
+            "digest_mismatches": pa.array([digest_mm], pa.int64()),
+            "resume_reused_all_parts": pa.array([resumed_ok],
+                                                pa.bool_()),
+            "check_ok": pa.array(
+                [url_set_mismatch == 0 and byte_mm == 0
+                 and digest_mm == 0 and len(got) == n and resumed_ok],
+                pa.bool_()),
+        })
+
     def frontier_schedule(sf_dir: str):
         """Deterministic politeness schedule (T7 semantics,
         ``schedule_wave``: per-host top-budget by priority DESC,
@@ -1122,6 +1189,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             bpe_mod.train_bpe(sf, n_merges=128)),
         "doc_bpe_tokencount": lambda sf: bpe_mod.bpe_tokencount(
             sf, n_merges=128),
+        # WARC SINK round-trip (write_warc -> read_warc/cdx_index):
+        # driver-visible counters row, all-zero mismatches == the
+        # engine emits the same CC interchange layout it ingests
+        "warc_write_roundtrip": warc_write_roundtrip,
     }
     _R5_WINDOW = [
         # flagship parity + operators whose implementation changed in

@@ -183,6 +183,26 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             warc_bytes / 1e6 / warc_sec, 1)
         throughput["warc_pages_per_sec"] = round(bench_n / warc_sec, 1)
 
+        # ---- WARC sink: page table -> CC-layout .warc.gz archives
+        # (per-record gzip members written inside the map tasks,
+        # content-addressed resumable parts) — the inverse of
+        # warc_ingest, the 100-TB exit path for a snapshot store.
+        from risjbot_ray.sinks import write_warc
+        warc_out = f"{run_dir}/warc_write"
+        shutil.rmtree(warc_out, ignore_errors=True)
+        t0 = time.time()
+        manifest = write_warc(ray.data.read_parquet(
+            pages_path, columns=["url", "warc_ts", "html"]),
+            warc_out, records_per_archive=8192)
+        warc_w_sec = time.time() - t0
+        queries["warc_write"] = round(warc_w_sec, 3)
+        throughput["warc_write_gz_mb_per_sec"] = round(
+            sum(manifest.column("n_bytes").to_pylist())
+            / 1e6 / warc_w_sec, 1)
+        throughput["warc_write_pages_per_sec"] = round(
+            sum(manifest.column("n_records").to_pylist())
+            / warc_w_sec, 1)
+
         # ---- CDX index build + selective ranged fetch (~1/16 of the
         # corpus): the random-access path for re-extracting a slice of
         # a snapshot without scanning whole archives.
