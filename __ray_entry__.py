@@ -1035,6 +1035,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-host boilerplate removal (line recurrence counted within
         # each host only; host folded into the line hash — exact oracle)
         "doc_host_line_dedup": wt.host_line_dedup,
+        # paragraph-granularity dedup (Dolma §2.3 unit: recurring
+        # multi-line blocks removed whole; same hot-set kernel split
+        # on '\n\n') — exact oracle
+        "doc_paragraph_dedup": wt.paragraph_dedup,
         # URL-level curation gate (blocked-domain prefixes + weighted
         # soft-word score + path-depth rule over a derived URL view;
         # stateless streaming pass — exact oracle)
@@ -2964,6 +2968,66 @@ def oracle_sql() -> dict[str, str]:
                    AS n_dropped,
                COALESCE(string_agg(CASE WHEN keep THEN line END,
                                    chr(10) ORDER BY pos), '')
+                   AS text_clean
+        FROM k GROUP BY doc_id
+    """
+    # paragraph-granularity dedup over the derived paragraph view:
+    # 24-word paragraphs reflowed as two 12-word lines joined by one
+    # chr(10), paragraphs joined by chr(10)||chr(10); injected nav/
+    # footer paragraphs recur corpus-wide and are dropped whole
+    sql["doc_paragraph_dedup"] = r"""
+        WITH base AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_extract_all(text, '[^\t-\r\x1c-\x1f \x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+')
+                 END AS words
+          FROM (SELECT doc_id, COALESCE(text, '') AS text
+                  FROM documents) documents
+        ), pared AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0
+                 THEN ['Subscribe to our newsletter' || chr(10) ||
+                       'Get the morning headlines in your inbox.']
+                 ELSE CAST([] AS VARCHAR[]) END
+            || CASE WHEN len(words) = 0 THEN ['']
+                 ELSE list_transform(
+                        range(1, CAST(ceil(len(words) / 24.0) AS BIGINT)
+                                 + 1),
+                        i -> array_to_string(
+                               words[((i-1)*24 + 1)
+                                     : least((i-1)*24 + 12, len(words))],
+                               ' ')
+                             || CASE WHEN len(words) >= (i-1)*24 + 13
+                                  THEN chr(10) || array_to_string(
+                                         words[((i-1)*24 + 13)
+                                               : least(i*24, len(words))],
+                                         ' ')
+                                  ELSE '' END)
+               END
+            || CASE WHEN doc_id % 5 = 0
+                 THEN ['(c) Example Media Group.' || chr(10) ||
+                       'All rights reserved.']
+                 ELSE CAST([] AS VARCHAR[]) END AS ps
+          FROM base
+        ), e AS (
+          SELECT doc_id, unnest(ps) AS para,
+                 unnest(range(1, len(ps) + 1)) AS pos FROM pared
+        ), c AS (
+          SELECT para, COUNT(DISTINCT doc_id) AS nd FROM e
+          WHERE trim(para, ' ' || chr(9) || chr(13) || chr(10)) <> ''
+          GROUP BY para
+        ), k AS (
+          SELECT e.doc_id, e.pos, e.para,
+                 (trim(e.para, ' ' || chr(9) || chr(13) || chr(10)) = ''
+                  OR COALESCE(c.nd, 0) <= 1) AS keep
+          FROM e LEFT JOIN c USING (para)
+        )
+        SELECT doc_id, COUNT(*) AS n_paras,
+               CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_dropped,
+               COALESCE(string_agg(CASE WHEN keep THEN para END,
+                                   chr(10) || chr(10) ORDER BY pos), '')
                    AS text_clean
         FROM k GROUP BY doc_id
     """

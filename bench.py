@@ -257,6 +257,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                          ("quality_rank", webtext.quality_rank),
                          ("line_dedup", webtext.line_dedup),
                          ("host_line_dedup", webtext.host_line_dedup),
+                         ("paragraph_dedup", webtext.paragraph_dedup),
                          ("c4_clean", webtext.c4_clean),
                          ("url_filter", webtext.url_filter),
                          ("gram_dup", webtext.gram_duplication),

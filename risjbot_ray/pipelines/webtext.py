@@ -1089,20 +1089,24 @@ _HOT_LINES_MAX = 2_000_000   # broadcast-side cap (rows, 8 bytes each)
 _LINE_BLANK = " \t\r"
 
 
-def _split_lines(text_col: pa.ChunkedArray | pa.Array):
-    """Vectorized '\\n' split of a string column. Returns
-    ``(values, offsets, blank)``: the flat line array, per-doc int64
-    offsets into it, and a bool numpy mask of blank lines (only
-    spaces/tabs/CR — these never participate in dedup)."""
+def _split_lines(text_col: pa.ChunkedArray | pa.Array,
+                 pattern: str = "\n",
+                 blank_chars: str = _LINE_BLANK):
+    """Vectorized ``pattern`` split of a string column (default: the
+    '\\n' LINE split). Returns ``(values, offsets, blank)``: the flat
+    unit array, per-doc int64 offsets into it, and a bool numpy mask
+    of blank units (only ``blank_chars`` — these never participate in
+    dedup). Paragraph-granularity callers pass ``pattern='\\n\\n'``
+    with newlines added to the blank class."""
     import pyarrow.compute as pc
     col = (text_col.combine_chunks()
            if isinstance(text_col, pa.ChunkedArray) else text_col)
-    # null text == empty doc (one blank line), same as ''.split('\n')
-    lst = pc.split_pattern(pc.fill_null(col, ""), pattern="\n")
+    # null text == empty doc (one blank unit), same as ''.split(pat)
+    lst = pc.split_pattern(pc.fill_null(col, ""), pattern=pattern)
     values = lst.values
     offsets = np.asarray(lst.offsets, dtype=np.int64)
     blank = np.asarray(
-        pc.equal(pc.utf8_trim(values, _LINE_BLANK), ""))
+        pc.equal(pc.utf8_trim(values, blank_chars), ""))
     return values, offsets, blank
 
 
@@ -1303,7 +1307,10 @@ def _hot_hash_set(parts: "ray.data.Dataset", max_docs: int,
 def line_dedup_over(docs: "ray.data.Dataset", max_docs: int = 1,
                     driver_merge_rows: int = 5_000_000,
                     scope_col: str | None = None,
-                    passthrough: bool = False):
+                    passthrough: bool = False,
+                    sep: str = "\n",
+                    blank_chars: str = _LINE_BLANK,
+                    count_col: str = "n_lines"):
     """Core of :func:`line_dedup` over any (doc_id, text) Dataset whose
     text is already multi-line. With ``scope_col`` (e.g. the host), line
     occurrences are counted and dropped PER SCOPE VALUE — the CCNet
@@ -1323,7 +1330,8 @@ def line_dedup_over(docs: "ray.data.Dataset", max_docs: int = 1,
     import pyarrow.compute as pc
 
     def partial_counts(batch: pa.Table) -> pa.Table:
-        values, offsets, blank = _split_lines(batch.column("text"))
+        values, offsets, blank = _split_lines(
+            batch.column("text"), sep, blank_chars)
         doc_ix = np.repeat(
             np.arange(batch.num_rows, dtype=np.uint64),
             np.diff(offsets))
@@ -1368,7 +1376,8 @@ def line_dedup_over(docs: "ray.data.Dataset", max_docs: int = 1,
     # cheaper than paying actor-pool spawn latency for a stateless map
     def _rebuild(batch: pa.Table, *, _ref=ref) -> pa.Table:
         hot_arr = ray.get(_ref)
-        values, offsets, blank = _split_lines(batch.column("text"))
+        values, offsets, blank = _split_lines(
+            batch.column("text"), sep, blank_chars)
         n_lines = np.diff(offsets)
         doc_ix = np.repeat(
             np.arange(batch.num_rows, dtype=np.int64), n_lines)
@@ -1392,9 +1401,9 @@ def line_dedup_over(docs: "ray.data.Dataset", max_docs: int = 1,
             out = {"doc_id": batch.column("doc_id")}
             if scope_col is not None:
                 out[scope_col] = batch.column(scope_col)
-        out["n_lines"] = pa.array(n_lines, pa.int64())
+        out[count_col] = pa.array(n_lines, pa.int64())
         out["n_dropped"] = pa.array(n_lines - kept_counts, pa.int64())
-        out["text_clean"] = pc.binary_join(kept_lines, "\n")
+        out["text_clean"] = pc.binary_join(kept_lines, sep)
         return pa.table(out)
 
     return docs.map_batches(_rebuild, batch_format="pyarrow",
@@ -1454,6 +1463,75 @@ def host_line_dedup(sf_dir: str, max_docs: int = 1):
         .map_batches(hosted_lined_view_batch, batch_format="pyarrow",
                      zero_copy_batch=True)
     return line_dedup_over(docs, max_docs=max_docs, scope_col="source")
+
+
+# --------------------------------------------------------------------------
+# paragraph-level dedup (the Dolma/RefinedWeb deduplication granularity
+# BETWEEN line and document: recurring multi-line blocks — quote chains,
+# syndicated ledes, legal notices — are removed whole, where line dedup
+# would only nibble their most-repeated lines and doc dedup would not
+# fire at all; Soldaini et al. 2024 §2.3 run exactly this unit through
+# their Bloom-filter deduper)
+# --------------------------------------------------------------------------
+
+_PARA_WORDS = 24          # words per derived paragraph (two 12-word lines)
+_PARA_BLANK = _LINE_BLANK + "\n"
+_PARA_HEAD = ("Subscribe to our newsletter\n"
+              "Get the morning headlines in your inbox.")
+_PARA_TAIL = "(c) Example Media Group.\nAll rights reserved."
+
+
+def para_view_batch(batch: pa.Table) -> pa.Table:
+    """Derived multi-PARAGRAPH corpus: chunk each doc's words into
+    24-word paragraphs, each reflowed as two 12-word lines joined by a
+    single '\\n' ([''] for empty docs); paragraphs join with '\\n\\n'.
+    Prepend the 2-line nav paragraph when doc_id % 3 == 0 and append
+    the footer paragraph when doc_id % 5 == 0 — same deterministic
+    injector convention as :func:`lined_view_batch`, so the drop path
+    is exercised end to end and the oracle can rebuild the view in
+    SQL. Internal newlines are always single and flanked by words, so
+    '\\n\\n' occurs exactly at paragraph boundaries."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    out = []
+    for d, t in zip(ids, texts):
+        words = (t or "").split()
+        paras = []
+        for i in range(0, len(words), _PARA_WORDS):
+            chunk = words[i:i + _PARA_WORDS]
+            p = " ".join(chunk[:_LINE_WORDS])
+            if len(chunk) > _LINE_WORDS:
+                p += "\n" + " ".join(chunk[_LINE_WORDS:])
+            paras.append(p)
+        paras = paras or [""]
+        if d % 3 == 0:
+            paras.insert(0, _PARA_HEAD)
+        if d % 5 == 0:
+            paras.append(_PARA_TAIL)
+        out.append("\n\n".join(paras))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(out, pa.string())})
+
+
+def paragraph_dedup(sf_dir: str, max_docs: int = 1):
+    """Remove every non-blank PARAGRAPH that occurs in more than
+    ``max_docs`` distinct documents (exact content match, internal
+    newlines included), rebuilding each doc from its kept paragraphs
+    with '\\n\\n' — per doc: (doc_id, n_paras, n_dropped, text_clean).
+    Runs over the :func:`para_view_batch` derived corpus.
+
+    Scale shape: identical to :func:`line_dedup` — the unit split is
+    one Arrow ``split_pattern`` on '\\n\\n', the exchange carries
+    16-byte (paragraph-hash, partial-count) rows behind a per-block
+    combiner, the hot set broadcasts once as a sorted int64 array and
+    the rebuild is a stateless vectorized filter. Paragraph text never
+    rides the exchange."""
+    docs = _documents(sf_dir, ["doc_id", "text"]) \
+        .map_batches(para_view_batch, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    return line_dedup_over(docs, max_docs=max_docs, sep="\n\n",
+                           blank_chars=_PARA_BLANK,
+                           count_col="n_paras")
 
 
 # --------------------------------------------------------------------------

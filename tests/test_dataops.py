@@ -1757,3 +1757,51 @@ def test_window_dedup_planted_spans(tmp_path):
     assert out.loc[200, "n_removed"] == 110
     assert all(not k.startswith("rep")
                for k in out.loc[200, "text_kept"].split(" "))
+
+
+def test_paragraph_dedup_drops_whole_blocks(ray_session):
+    """Paragraph granularity: a recurring multi-line block is removed
+    WHOLE, while the same first line standing alone elsewhere is a
+    different unit and survives — the distinction line dedup cannot
+    express."""
+    import ray
+
+    from risjbot_ray.pipelines import webtext as wt
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [
+            "unique one\n\nSHARED A\nSHARED B\n\ntail one",
+            "other text\n\nSHARED A\nSHARED B",
+            "SHARED A\n\nsolo",
+        ]})
+    out = wt.line_dedup_over(
+        ray.data.from_arrow(docs), sep="\n\n",
+        blank_chars=wt._PARA_BLANK, count_col="n_paras")
+    rows = {r["doc_id"]: r for r in out.take_all()}
+    assert rows[1]["text_clean"] == "unique one\n\ntail one"
+    assert rows[1]["n_paras"] == 3 and rows[1]["n_dropped"] == 1
+    assert rows[2]["text_clean"] == "other text"
+    # 'SHARED A' alone is a different paragraph than the 2-line block
+    assert rows[3]["text_clean"] == "SHARED A\n\nsolo"
+    assert rows[3]["n_dropped"] == 0
+
+
+def test_paragraph_view_boundaries():
+    """The derived view writes single internal newlines flanked by
+    words, so '\n\n' occurs exactly at paragraph boundaries; empty
+    docs become one blank paragraph."""
+    from risjbot_ray.pipelines import webtext as wt
+
+    b = pa.table({"doc_id": pa.array([1, 3, 5], pa.int64()),
+                  "text": ["w" + " w" * 25, None, "a b"]})
+    out = wt.para_view_batch(b).column("text").to_pylist()
+    # 26 words -> 24-word para (two 12-word lines) + 2-word para
+    p = out[0].split("\n\n")
+    assert len(p) == 2 and p[0].count("\n") == 1
+    assert len(p[0].split()) == 24 and len(p[1].split()) == 2
+    assert "\n\n\n" not in out[0]
+    # doc 3: empty text -> [''] then the %3 head paragraph
+    assert out[1] == wt._PARA_HEAD + "\n\n"
+    # doc 5: %5 footer appended
+    assert out[2] == "a b\n\n" + wt._PARA_TAIL
