@@ -811,6 +811,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 pa.bool_()),
         })
 
+    def bloom_paragraph_check(sf_dir: str):
+        """Driver-visible self-check for the Dolma-BFF-style Bloom
+        paragraph dedup (approximate membership — not SQL-expressible
+        and first-wins is order-dependent, so the check verifies the
+        ORDER-INDEPENDENT invariants against an exact local recompute
+        of the derived paragraph view): (a) every distinct non-blank
+        paragraph survives AT MOST once corpus-wide, (b) every kept
+        paragraph is a real paragraph of the view, (c) the number of
+        distinct paragraphs that lost every copy (bloom false drops)
+        is within the analytic FP bound, (d) per-doc paragraph counts
+        are preserved. One counters row; check_ok rolls them up."""
+        import collections
+        import math
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from risjbot_ray.pipelines import webtext as wt
+
+        n_bits, k, n_shards = 1 << 22, 4, 8
+        # exact reference: the derived view, locally
+        docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        view = wt.para_view_batch(docs)
+        exact = collections.Counter()
+        n_paras_by_doc = {}
+        for did, t in zip(view.column("doc_id").to_pylist(),
+                          view.column("text").to_pylist()):
+            paras = (t or "").split("\n\n")
+            n_paras_by_doc[int(did)] = len(paras)
+            for p in paras:
+                if p.strip(" \t\r\n"):
+                    exact[p] += 1
+        D = len(exact)
+
+        got = wt.bloom_paragraph_dedup(
+            sf_dir, n_bits=n_bits, n_shards=n_shards).take_all()
+        kept = collections.Counter()
+        count_mismatch = 0
+        for r in got:
+            if n_paras_by_doc.get(int(r["doc_id"])) != r["n_paras"]:
+                count_mismatch += 1
+            for p in (r["text_clean"] or "").split("\n\n"):
+                if p.strip(" \t\r\n"):
+                    kept[p] += 1
+        multi_kept = sum(1 for c in kept.values() if c > 1)
+        unknown_kept = sum(1 for p in kept if p not in exact)
+        false_dropped = D - len(kept)
+        # analytic FP probability with all D keys inserted (upper
+        # bound on the filter load during the run)
+        p_fp = (1.0 - math.exp(-k * D / n_bits)) ** k
+        bound = max(10, int(5 * D * p_fp))
+        return pa.table({
+            "n_docs": pa.array([len(got)], pa.int64()),
+            "n_distinct_paras": pa.array([D], pa.int64()),
+            "n_kept_paras": pa.array([len(kept)], pa.int64()),
+            "n_false_dropped": pa.array([false_dropped], pa.int64()),
+            "false_drop_bound": pa.array([bound], pa.int64()),
+            "multi_kept": pa.array([multi_kept], pa.int64()),
+            "unknown_kept": pa.array([unknown_kept], pa.int64()),
+            "para_count_mismatches": pa.array([count_mismatch],
+                                              pa.int64()),
+            "check_ok": pa.array(
+                [multi_kept == 0 and unknown_kept == 0
+                 and count_mismatch == 0
+                 and 0 <= false_dropped <= bound
+                 and len(got) == docs.num_rows], pa.bool_()),
+        })
+
     def frontier_schedule(sf_dir: str):
         """Deterministic politeness schedule (T7 semantics,
         ``schedule_wave``: per-host top-budget by priority DESC,
@@ -1193,6 +1262,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             bpe_mod.train_bpe(sf, n_merges=128)),
         "doc_bpe_tokencount": lambda sf: bpe_mod.bpe_tokencount(
             sf, n_merges=128),
+        # Bloom-filter paragraph dedup (Dolma BFF): order-independent
+        # invariants vs an exact local recompute — at-most-one
+        # survivor per paragraph, false drops within the analytic FP
+        # bound, per-doc counts preserved
+        "bloom_paragraph_check": bloom_paragraph_check,
         # WARC SINK round-trip (write_warc -> read_warc/cdx_index):
         # driver-visible counters row, all-zero mismatches == the
         # engine emits the same CC interchange layout it ingests

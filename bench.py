@@ -258,6 +258,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                          ("line_dedup", webtext.line_dedup),
                          ("host_line_dedup", webtext.host_line_dedup),
                          ("paragraph_dedup", webtext.paragraph_dedup),
+                         # Bloom (Dolma-BFF) variant: ~10 bits per
+                         # distinct paragraph at this corpus size
+                         ("bloom_para_dedup",
+                          lambda sf: webtext.bloom_paragraph_dedup(
+                              sf, n_bits=1 << 25, n_shards=8)),
                          ("c4_clean", webtext.c4_clean),
                          ("url_filter", webtext.url_filter),
                          ("gram_dup", webtext.gram_duplication),

@@ -1535,6 +1535,145 @@ def paragraph_dedup(sf_dir: str, max_docs: int = 1):
 
 
 # --------------------------------------------------------------------------
+# Bloom-filter paragraph dedup (Dolma's BFF deduper, Soldaini et al.
+# 2024 §2.3 / Groeneveld 2023: one shared Bloom filter, first
+# occurrence of a paragraph survives, later occurrences drop). The
+# approximate membership SET is the 100-TB alternative to the exact
+# hot-count exchange: state is m/8 bytes TOTAL regardless of corpus
+# size (10 bits per distinct paragraph for ~1% FP), no count shuffle at
+# all — the trade is a bounded false-drop rate (a fresh paragraph that
+# bloom-collides loses ALL its occurrences) and first-wins instead of
+# drop-all semantics. Reuses the crawl frontier's numpy BloomFilter
+# (state/filters.py) sharded by hash across num_cpus=0 actors — the
+# same layout as the URL-seen shards, so the component scales exactly
+# like the frontier's 10^10-key posture.
+# --------------------------------------------------------------------------
+
+class _BloomDedupShardLogic:
+    """One bloom shard: vectorized test-and-set over packed 2x-uint64
+    key lanes. Within one call, duplicate keys are collapsed first so
+    exactly ONE occurrence reports novel; across calls the bit array
+    makes test-and-set atomic (the actor serializes callers)."""
+
+    def __init__(self, n_bits: int, k: int):
+        from risjbot_ray.state.filters import BloomFilter
+        self.f = BloomFilter(n_bits=n_bits, k=k)
+
+    def test_and_set(self, lanes: bytes) -> np.ndarray:
+        keys = np.frombuffer(lanes, dtype=np.uint8).reshape(-1, 16)
+        pairs = keys.view(np.uint64).reshape(-1, 2)
+        # collapse within-call duplicates: first index per distinct key
+        order = np.lexsort((pairs[:, 1], pairs[:, 0]))
+        sp = pairs[order]
+        new = np.empty(len(sp), dtype=bool)
+        if len(sp):
+            new[0] = True
+            new[1:] = (sp[1:, 0] != sp[:-1, 0]) | (sp[1:, 1] != sp[:-1, 1])
+        first = np.sort(order[new])
+        uk = np.ascontiguousarray(keys[first])
+        seen = self.f.contains(uk)
+        self.f.add(uk[~seen])
+        novel = np.zeros(len(keys), dtype=bool)
+        novel[first[~seen]] = True
+        return novel
+
+
+_BloomDedupShard = None     # ray.remote wrapper, created lazily
+
+
+def _bloom_shards(n_shards: int, n_bits: int, k: int) -> list:
+    global _BloomDedupShard
+    if _BloomDedupShard is None:
+        # num_cpus=0, like the URL-seen shards: membership actors must
+        # not starve the data plane (frontier/seen.py:404 convention)
+        _BloomDedupShard = ray.remote(num_cpus=0)(_BloomDedupShardLogic)
+    return [_BloomDedupShard.remote(n_bits, k) for _ in range(n_shards)]
+
+
+def bloom_dedup_over(docs: "ray.data.Dataset", sep: str = "\n\n",
+                     blank_chars: str = _PARA_BLANK,
+                     count_col: str = "n_paras",
+                     n_bits: int = 1 << 22, k: int = 4,
+                     n_shards: int = 8):
+    """First-occurrence-wins unit dedup against sharded Bloom filters
+    over any (doc_id, text) Dataset: each non-blank ``sep``-separated
+    unit is kept iff its hash was not already in the filter (test-and-
+    set, routed to ``hash % n_shards``). Output matches
+    :func:`line_dedup_over`'s shape: (doc_id, ``count_col``,
+    n_dropped, text_clean).
+
+    Semantics vs the exact kernel: exactly ONE occurrence of every
+    distinct unit survives (the first to reach its shard — which copy
+    is nondeterministic under parallel arrival), except units whose
+    k bloom probes all collide with previously-set bits, which lose
+    every occurrence; with m/n >= 10 bits per distinct unit the
+    false-drop probability is ~(1 - e^(-k n/m))^k < 1%. State is
+    m bits total, sharded — nothing is exchanged between tasks, no
+    count shuffle runs, and the driver holds only actor handles. At
+    10^12 distinct paragraphs (100-TB corpora) that is ~1.25 TB of
+    filter across 256 nodes' shards — the same layout and scaling
+    story as the frontier's URL-seen shards."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    handles = _bloom_shards(n_shards, n_bits, k)
+    nsh = np.uint64(n_shards)
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        values, offsets, blank = _split_lines(
+            batch.column("text"), sep, blank_chars)
+        n_units = np.diff(offsets)
+        doc_ix = np.repeat(
+            np.arange(batch.num_rows, dtype=np.int64), n_units)
+        keep = np.ones(len(values), dtype=bool)
+        nz = np.flatnonzero(~blank)
+        if nz.size:
+            s = pl.from_arrow(values.take(pa.array(nz)))
+            h1 = s.hash(seed=0).to_numpy().view(np.uint64)
+            h2 = s.hash(seed=1).to_numpy().view(np.uint64)
+            shard = (h1 % nsh).astype(np.int64)
+            lanes = np.empty((nz.size, 2), dtype=np.uint64)
+            lanes[:, 0] = h1
+            lanes[:, 1] = h2
+            futs, sels = [], []
+            for sh in range(n_shards):
+                sel = np.flatnonzero(shard == sh)
+                if sel.size:
+                    futs.append(handles[sh].test_and_set.remote(
+                        np.ascontiguousarray(lanes[sel]).tobytes()))
+                    sels.append(sel)
+            for sel, novel in zip(sels, ray.get(futs)):
+                keep[nz[sel]] = novel
+        kept_counts = np.bincount(
+            doc_ix[keep], minlength=batch.num_rows).astype(np.int64)
+        new_off = np.concatenate(
+            ([0], np.cumsum(kept_counts))).astype(np.int64)
+        kept = pa.LargeListArray.from_arrays(
+            pa.array(new_off, pa.int64()),
+            values.filter(pa.array(keep)))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            count_col: pa.array(n_units, pa.int64()),
+            "n_dropped": pa.array(n_units - kept_counts, pa.int64()),
+            "text_clean": pc.binary_join(kept, sep)})
+
+    return docs.map_batches(rebuild, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def bloom_paragraph_dedup(sf_dir: str, n_bits: int = 1 << 22,
+                          n_shards: int = 8):
+    """Dolma-BFF-style paragraph dedup over the
+    :func:`para_view_batch` derived corpus (first occurrence of each
+    paragraph survives; see :func:`bloom_dedup_over` for the
+    approximate-membership semantics and sizing)."""
+    docs = _documents(sf_dir, ["doc_id", "text"]) \
+        .map_batches(para_view_batch, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    return bloom_dedup_over(docs, n_bits=n_bits, n_shards=n_shards)
+
+
+# --------------------------------------------------------------------------
 # Onion-style duplicated n-gram gating (Pomikálek 2011 "Removing
 # boilerplate and duplicate content from web corpora", the ONION tool;
 # also the "duplicated 13-gram fraction" signal in Gopher/MassiveText,

@@ -1805,3 +1805,67 @@ def test_paragraph_view_boundaries():
     assert out[1] == wt._PARA_HEAD + "\n\n"
     # doc 5: %5 footer appended
     assert out[2] == "a b\n\n" + wt._PARA_TAIL
+
+
+def test_bloom_dedup_first_wins_and_in_call_collapse(ray_session):
+    """Sharded Bloom test-and-set: exactly ONE occurrence of each
+    distinct paragraph survives corpus-wide, including when both
+    occurrences arrive in the SAME actor call (the within-call
+    collapse path); unique paragraphs and blanks always survive."""
+    import collections
+
+    import ray
+
+    from risjbot_ray.pipelines import webtext as wt
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["only one\n\nDUP PARA\nsecond line",
+                 "DUP PARA\nsecond line\n\nother",
+                 "DUP PARA\nsecond line"]})
+    out = wt.bloom_dedup_over(
+        ray.data.from_arrow(docs), n_shards=1).take_all()
+    kept = collections.Counter()
+    for r in out:
+        for p in (r["text_clean"] or "").split("\n\n"):
+            if p.strip(" \t\r\n"):
+                kept[p] += 1
+    assert kept["DUP PARA\nsecond line"] == 1
+    assert kept["only one"] == 1 and kept["other"] == 1
+    assert sum(r["n_dropped"] for r in out) == 2
+    assert [r["n_paras"] for r in
+            sorted(out, key=lambda r: r["doc_id"])] == [2, 2, 1]
+
+
+def test_bloom_dedup_false_drop_accounting(ray_session):
+    """With a deliberately saturated filter (256 bits for hundreds of
+    distinct paragraphs) the approximate semantics MUST show up as
+    false drops — never as duplicate survivors or invented text. This
+    pins the failure mode the self-check's bound guards."""
+    import collections
+
+    import ray
+
+    from risjbot_ray.pipelines import webtext as wt
+
+    n = 400
+    docs = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": [f"unique paragraph number {i} with payload" for i in
+                 range(n)]})
+    # 8 blocks so later test-and-set calls probe an already-populated
+    # filter (a single block would collapse everything in one call
+    # against empty shards and never exercise saturation)
+    out = wt.bloom_dedup_over(
+        ray.data.from_arrow(docs).repartition(8),
+        n_bits=256, n_shards=2).take_all()
+    kept = collections.Counter()
+    for r in out:
+        for p in (r["text_clean"] or "").split("\n\n"):
+            if p.strip(" \t\r\n"):
+                kept[p] += 1
+    exact = {f"unique paragraph number {i} with payload"
+             for i in range(n)}
+    assert set(kept) <= exact                 # nothing invented
+    assert all(c == 1 for c in kept.values())  # at most one survivor
+    assert len(kept) < n                      # saturation really bit
