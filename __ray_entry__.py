@@ -880,6 +880,97 @@ def queries() -> dict[str, Callable[[str], Any]]:
                  and len(got) == docs.num_rows], pa.bool_()),
         })
 
+    def bloom_snapshot_check(sf_dir: str):
+        """Driver-visible self-check for the BFF PRIOR-SNAPSHOT mode:
+        build the sharded Bloom over snapshot A's paragraph view
+        (build_bloom_over), then READ-ONLY dedup a derived snapshot B
+        (doc_snapshot_diff's derivation rule: %11 removed, %7 edited
+        ' v2', %13 adds new docs) against it. Exact local reference
+        invariants: every paragraph B shares with A drops in ALL its
+        occurrences (bloom has no false negatives), fresh paragraphs
+        keep ALL their occurrences (read-only mode never dedups
+        within B) except an FP-bounded false-drop count."""
+        import collections
+        import math
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        from risjbot_ray.pipelines import webtext as wt
+
+        n_bits, k, n_shards = 1 << 22, 4, 8
+        docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+
+        def derive_b(tbl: pa.Table) -> pa.Table:
+            out_id, out_tx = [], []
+            for d, t in zip(tbl.column("doc_id").to_pylist(),
+                            tbl.column("text").to_pylist()):
+                if d % 11 == 0:
+                    continue
+                out_id.append(int(d))
+                out_tx.append((t or "") + " v2" if d % 7 == 0 else t)
+            for d in tbl.column("doc_id").to_pylist():
+                if d % 13 == 0:
+                    out_id.append(int(d) + 1_000_000)
+                    out_tx.append(f"new doc {d}")
+            return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                             "text": pa.array(out_tx, pa.string())})
+
+        b_docs = derive_b(docs)
+
+        def paras_of(view: pa.Table):
+            c = collections.Counter()
+            for t in view.column("text").to_pylist():
+                for p in (t or "").split("\n\n"):
+                    if p.strip(" \t\r\n"):
+                        c[p] += 1
+            return c
+
+        a_set = set(paras_of(wt.para_view_batch(docs)))
+        b_cnt = paras_of(wt.para_view_batch(b_docs))
+        shared = {p for p in b_cnt if p in a_set}
+        fresh = {p for p in b_cnt if p not in a_set}
+
+        priors = wt.build_bloom_over(
+            ray.data.from_arrow(docs).map_batches(
+                wt.para_view_batch, batch_format="pyarrow"),
+            n_bits=n_bits, k=k, n_shards=n_shards)
+        got = wt.bloom_dedup_over(
+            ray.data.from_arrow(b_docs).map_batches(
+                wt.para_view_batch, batch_format="pyarrow"),
+            n_bits=n_bits, k=k, n_shards=n_shards,
+            priors=priors, readonly=True).take_all()
+        kept = collections.Counter()
+        for r in got:
+            for p in (r["text_clean"] or "").split("\n\n"):
+                if p.strip(" \t\r\n"):
+                    kept[p] += 1
+
+        a_leaked = sum(1 for p in kept if p in a_set)
+        copy_mismatch = sum(1 for p in kept if kept[p] != b_cnt[p])
+        fresh_dropped = len(fresh) - sum(1 for p in fresh if p in kept)
+        p_fp = (1.0 - math.exp(-k * len(a_set) / n_bits)) ** k
+        bound = max(10, int(5 * len(fresh) * p_fp))
+        return pa.table({
+            "n_b_docs": pa.array([b_docs.num_rows], pa.int64()),
+            "n_a_paras": pa.array([len(a_set)], pa.int64()),
+            "n_b_paras": pa.array([len(b_cnt)], pa.int64()),
+            "n_shared": pa.array([len(shared)], pa.int64()),
+            "n_fresh": pa.array([len(fresh)], pa.int64()),
+            "a_paras_leaked": pa.array([a_leaked], pa.int64()),
+            "fresh_false_dropped": pa.array([fresh_dropped],
+                                            pa.int64()),
+            "false_drop_bound": pa.array([bound], pa.int64()),
+            "kept_copy_mismatches": pa.array([copy_mismatch],
+                                             pa.int64()),
+            "check_ok": pa.array(
+                [a_leaked == 0 and copy_mismatch == 0
+                 and 0 <= fresh_dropped <= bound
+                 and len(got) == b_docs.num_rows], pa.bool_()),
+        })
+
     def frontier_schedule(sf_dir: str):
         """Deterministic politeness schedule (T7 semantics,
         ``schedule_wave``: per-host top-budget by priority DESC,
@@ -1267,6 +1358,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # survivor per paragraph, false drops within the analytic FP
         # bound, per-doc counts preserved
         "bloom_paragraph_check": bloom_paragraph_check,
+        # BFF prior-snapshot mode: build the filter over snapshot A,
+        # read-only dedup a derived snapshot B against it (shared
+        # paragraphs all drop, fresh ones all survive modulo the FP
+        # bound)
+        "bloom_snapshot_check": bloom_snapshot_check,
         # WARC SINK round-trip (write_warc -> read_warc/cdx_index):
         # driver-visible counters row, all-zero mismatches == the
         # engine emits the same CC interchange layout it ingests

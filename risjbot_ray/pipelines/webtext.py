@@ -1553,14 +1553,43 @@ class _BloomDedupShardLogic:
     """One bloom shard: vectorized test-and-set over packed 2x-uint64
     key lanes. Within one call, duplicate keys are collapsed first so
     exactly ONE occurrence reports novel; across calls the bit array
-    makes test-and-set atomic (the actor serializes callers)."""
+    makes test-and-set atomic (the actor serializes callers). An
+    optional ``prior`` snapshot (``to_bytes`` of an earlier run's
+    shard) pre-populates the filter — the BFF dedup-against-previous-
+    corpus mode."""
 
-    def __init__(self, n_bits: int, k: int):
+    def __init__(self, n_bits: int, k: int, prior: bytes | None = None):
         from risjbot_ray.state.filters import BloomFilter
-        self.f = BloomFilter(n_bits=n_bits, k=k)
+        if prior is not None:
+            self.f = BloomFilter.from_bytes(prior, k=k)
+            assert self.f.n_bits == n_bits
+        else:
+            self.f = BloomFilter(n_bits=n_bits, k=k)
+
+    @staticmethod
+    def _keys(lanes: bytes) -> np.ndarray:
+        return np.frombuffer(lanes, dtype=np.uint8).reshape(-1, 16)
+
+    def probe(self, lanes: bytes) -> np.ndarray:
+        """Read-only membership: novel mask WITHOUT inserting — every
+        occurrence of a prior-corpus paragraph reports non-novel, and
+        duplicates within the new corpus are NOT collapsed (read-only
+        mode never dedups within the probed corpus)."""
+        return ~self.f.contains(self._keys(lanes))
+
+    def add_only(self, lanes: bytes) -> int:
+        """Filter build: insert all keys, return how many were new to
+        this shard's filter (approximate, for accounting only)."""
+        keys = self._keys(lanes)
+        seen = self.f.contains(keys)
+        self.f.add(keys[~seen])
+        return int((~seen).sum())
+
+    def to_bytes(self) -> bytes:
+        return self.f.to_bytes()
 
     def test_and_set(self, lanes: bytes) -> np.ndarray:
-        keys = np.frombuffer(lanes, dtype=np.uint8).reshape(-1, 16)
+        keys = self._keys(lanes)
         pairs = keys.view(np.uint64).reshape(-1, 2)
         # collapse within-call duplicates: first index per distinct key
         order = np.lexsort((pairs[:, 1], pairs[:, 0]))
@@ -1581,20 +1610,77 @@ class _BloomDedupShardLogic:
 _BloomDedupShard = None     # ray.remote wrapper, created lazily
 
 
-def _bloom_shards(n_shards: int, n_bits: int, k: int) -> list:
+def _bloom_shards(n_shards: int, n_bits: int, k: int,
+                  priors: list[bytes] | None = None) -> list:
     global _BloomDedupShard
     if _BloomDedupShard is None:
         # num_cpus=0, like the URL-seen shards: membership actors must
         # not starve the data plane (frontier/seen.py:404 convention)
         _BloomDedupShard = ray.remote(num_cpus=0)(_BloomDedupShardLogic)
+    if priors is not None:
+        assert len(priors) == n_shards, \
+            "prior snapshot shard count must match n_shards"
+        return [_BloomDedupShard.remote(n_bits, k, p) for p in priors]
     return [_BloomDedupShard.remote(n_bits, k) for _ in range(n_shards)]
+
+
+def _unit_lanes(values: pa.Array, nz: np.ndarray, n_shards: int):
+    """Two independent 64-bit hash lanes + shard route for the
+    non-blank unit strings at flat indices ``nz``."""
+    import polars as pl
+    s = pl.from_arrow(values.take(pa.array(nz)))
+    h1 = s.hash(seed=0).to_numpy().view(np.uint64)
+    h2 = s.hash(seed=1).to_numpy().view(np.uint64)
+    shard = (h1 % np.uint64(n_shards)).astype(np.int64)
+    lanes = np.empty((nz.size, 2), dtype=np.uint64)
+    lanes[:, 0] = h1
+    lanes[:, 1] = h2
+    return lanes, shard
+
+
+def build_bloom_over(docs: "ray.data.Dataset", sep: str = "\n\n",
+                     blank_chars: str = _PARA_BLANK,
+                     n_bits: int = 1 << 22, k: int = 4,
+                     n_shards: int = 8) -> list[bytes]:
+    """Build the sharded Bloom snapshot of a corpus's non-blank units
+    (the BFF pre-built-filter mode): one streaming pass feeds every
+    unit's hash lanes to its shard actor, then each shard serializes
+    its m/n_shards-bit array. The returned per-shard byte blobs are
+    the ``priors`` input of :func:`bloom_dedup_over` — persist them
+    next to the snapshot (m/8 bytes total) and a later run dedups
+    against this corpus without re-reading it."""
+    handles = _bloom_shards(n_shards, n_bits, k)
+
+    def feed(batch: pa.Table) -> pa.Table:
+        values, offsets, blank = _split_lines(
+            batch.column("text"), sep, blank_chars)
+        nz = np.flatnonzero(~blank)
+        futs = []
+        if nz.size:
+            lanes, shard = _unit_lanes(values, nz, n_shards)
+            for sh in range(n_shards):
+                sel = np.flatnonzero(shard == sh)
+                if sel.size:
+                    futs.append(handles[sh].add_only.remote(
+                        np.ascontiguousarray(lanes[sel]).tobytes()))
+        if futs:
+            ray.get(futs)     # barrier: inserts land before task ends
+        return pa.table({"n_units": pa.array([int(nz.size)],
+                                             pa.int64())})
+
+    # consume the pass (counts only reach the driver)
+    docs.map_batches(feed, batch_format="pyarrow",
+                     zero_copy_batch=True).count()
+    return ray.get([h.to_bytes.remote() for h in handles])
 
 
 def bloom_dedup_over(docs: "ray.data.Dataset", sep: str = "\n\n",
                      blank_chars: str = _PARA_BLANK,
                      count_col: str = "n_paras",
                      n_bits: int = 1 << 22, k: int = 4,
-                     n_shards: int = 8):
+                     n_shards: int = 8,
+                     priors: list[bytes] | None = None,
+                     readonly: bool = False):
     """First-occurrence-wins unit dedup against sharded Bloom filters
     over any (doc_id, text) Dataset: each non-blank ``sep``-separated
     unit is kept iff its hash was not already in the filter (test-and-
@@ -1612,12 +1698,17 @@ def bloom_dedup_over(docs: "ray.data.Dataset", sep: str = "\n\n",
     count shuffle runs, and the driver holds only actor handles. At
     10^12 distinct paragraphs (100-TB corpora) that is ~1.25 TB of
     filter across 256 nodes' shards — the same layout and scaling
-    story as the frontier's URL-seen shards."""
-    import polars as pl
+    story as the frontier's URL-seen shards.
+
+    With ``priors`` (per-shard blobs from :func:`build_bloom_over`)
+    the filter starts pre-populated with an earlier corpus — every
+    paragraph of that corpus drops in ALL its occurrences here. Add
+    ``readonly=True`` for BFF's pure decontamination mode: membership
+    is probed but never updated, so duplicates WITHIN this corpus all
+    survive and only prior-corpus paragraphs drop."""
     import pyarrow.compute as pc
 
-    handles = _bloom_shards(n_shards, n_bits, k)
-    nsh = np.uint64(n_shards)
+    handles = _bloom_shards(n_shards, n_bits, k, priors)
 
     def rebuild(batch: pa.Table) -> pa.Table:
         values, offsets, blank = _split_lines(
@@ -1628,18 +1719,14 @@ def bloom_dedup_over(docs: "ray.data.Dataset", sep: str = "\n\n",
         keep = np.ones(len(values), dtype=bool)
         nz = np.flatnonzero(~blank)
         if nz.size:
-            s = pl.from_arrow(values.take(pa.array(nz)))
-            h1 = s.hash(seed=0).to_numpy().view(np.uint64)
-            h2 = s.hash(seed=1).to_numpy().view(np.uint64)
-            shard = (h1 % nsh).astype(np.int64)
-            lanes = np.empty((nz.size, 2), dtype=np.uint64)
-            lanes[:, 0] = h1
-            lanes[:, 1] = h2
+            lanes, shard = _unit_lanes(values, nz, n_shards)
             futs, sels = [], []
             for sh in range(n_shards):
                 sel = np.flatnonzero(shard == sh)
                 if sel.size:
-                    futs.append(handles[sh].test_and_set.remote(
+                    h = handles[sh]
+                    m = h.probe if readonly else h.test_and_set
+                    futs.append(m.remote(
                         np.ascontiguousarray(lanes[sel]).tobytes()))
                     sels.append(sel)
             for sel, novel in zip(sels, ray.get(futs)):

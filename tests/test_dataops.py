@@ -1869,3 +1869,36 @@ def test_bloom_dedup_false_drop_accounting(ray_session):
     assert set(kept) <= exact                 # nothing invented
     assert all(c == 1 for c in kept.values())  # at most one survivor
     assert len(kept) < n                      # saturation really bit
+
+
+def test_bloom_prior_snapshot_readonly(ray_session):
+    """build_bloom_over(A) + readonly probe of B: paragraphs shared
+    with A drop in every occurrence, fresh paragraphs keep ALL their
+    copies (read-only mode must not dedup within B)."""
+    import ray
+
+    from risjbot_ray.pipelines import webtext as wt
+
+    a = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": ["OLD PARA\n\nboth have this",
+                           "another old"]})
+    b = pa.table({"doc_id": pa.array([10, 11, 12], pa.int64()),
+                  "text": ["OLD PARA\n\nfresh thing",
+                           "fresh thing\n\nboth have this",
+                           "fresh thing"]})
+    priors = wt.build_bloom_over(ray.data.from_arrow(a), n_shards=4)
+    out = {r["doc_id"]: r for r in wt.bloom_dedup_over(
+        ray.data.from_arrow(b), n_shards=4, priors=priors,
+        readonly=True).take_all()}
+    assert out[10]["text_clean"] == "fresh thing"
+    assert out[11]["text_clean"] == "fresh thing"
+    assert out[12]["text_clean"] == "fresh thing"   # all 3 copies kept
+    assert out[10]["n_dropped"] == 1 and out[11]["n_dropped"] == 1
+    assert out[12]["n_dropped"] == 0
+    # non-readonly with the same priors DOES dedup within B too:
+    # exactly one 'fresh thing' survives across the three docs
+    out2 = wt.bloom_dedup_over(
+        ray.data.from_arrow(b), n_shards=4, priors=priors).take_all()
+    kept = sum((r["text_clean"] or "").split("\n\n").count("fresh thing")
+               for r in out2)
+    assert kept == 1
