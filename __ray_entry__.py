@@ -1254,6 +1254,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CCNet-style perplexity (driver-green r03, swapped below the
         # boundary to make room for the cascade)
         "doc_perplexity": lambda sf: lm_mod.perplexity_score(sf),
+        # interpolated TRIGRAM LM (Jelinek-Mercer fixed weights over
+        # orders 1-3, add-one unigram floor) — exact DuckDB oracle
+        # with the same count joins one order deeper
+        "doc_trigram_perplexity":
+            lambda sf: lm_mod.trigram_perplexity_score(sf),
         # Gumbel-top-k importance resampling over the DSIR weights
         # (deterministic hash-based uniforms -> SQL-expressible)
         "doc_dsir_resample": lambda sf: lm_mod.dsir_resample(sf, k=100),
@@ -1571,6 +1576,64 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY b.doc_id)
             SELECT d.doc_id,
                    COALESCE(n.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(n.log_ppl, 0.0) AS log_ppl
+            FROM documents d LEFT JOIN doc_nll n ON d.doc_id = n.doc_id
+        """,
+        # interpolated trigram LM: p = 0.5*C3/C12 + 0.3*C23/C2 +
+        # 0.2*(C1+1)/(N+V), ML ratios 0 on unseen context; per-doc
+        # AVG of -ln p over trigram positions
+        "doc_trigram_perplexity": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+            ref_uni AS (
+              SELECT w, COUNT(*) AS c FROM (
+                SELECT unnest(t) AS w FROM toks WHERE doc_id % 10 = 0)
+              GROUP BY w),
+            vsize AS (SELECT COUNT(*) AS v FROM ref_uni),
+            refn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ref_uni),
+            ref_bi AS (
+              SELECT w1, w2, COUNT(*) AS c FROM (
+                SELECT unnest(t[1:len(t)-1]) AS w1,
+                       unnest(t[2:len(t)]) AS w2
+                FROM toks WHERE doc_id % 10 = 0 AND len(t) >= 2)
+              GROUP BY w1, w2),
+            ref_tri AS (
+              SELECT w1, w2, w3, COUNT(*) AS c FROM (
+                SELECT unnest(t[1:len(t)-2]) AS w1,
+                       unnest(t[2:len(t)-1]) AS w2,
+                       unnest(t[3:len(t)]) AS w3
+                FROM toks WHERE doc_id % 10 = 0 AND len(t) >= 3)
+              GROUP BY w1, w2, w3),
+            tri AS (
+              SELECT doc_id, unnest(t[1:len(t)-2]) AS w1,
+                     unnest(t[2:len(t)-1]) AS w2,
+                     unnest(t[3:len(t)]) AS w3
+              FROM toks WHERE len(t) >= 3),
+            doc_nll AS (
+              SELECT g.doc_id, COUNT(*) AS n_trigrams,
+                AVG(-ln(
+                  0.5 * CASE WHEN c12.c IS NULL THEN 0.0
+                        ELSE COALESCE(c3.c, 0) / CAST(c12.c AS DOUBLE)
+                        END
+                  + 0.3 * CASE WHEN cu2.c IS NULL THEN 0.0
+                        ELSE COALESCE(c23.c, 0) / CAST(cu2.c AS DOUBLE)
+                        END
+                  + 0.2 * ((COALESCE(cu3.c, 0) + 1)
+                           / CAST((SELECT n FROM refn)
+                                  + (SELECT v FROM vsize) AS DOUBLE))
+                )) AS log_ppl
+              FROM tri g
+              LEFT JOIN ref_tri c3
+                ON g.w1 = c3.w1 AND g.w2 = c3.w2 AND g.w3 = c3.w3
+              LEFT JOIN ref_bi c12 ON g.w1 = c12.w1 AND g.w2 = c12.w2
+              LEFT JOIN ref_bi c23 ON g.w2 = c23.w1 AND g.w3 = c23.w2
+              LEFT JOIN ref_uni cu2 ON g.w2 = cu2.w
+              LEFT JOIN ref_uni cu3 ON g.w3 = cu3.w
+              GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(n.n_trigrams, 0) AS n_trigrams,
                    COALESCE(n.log_ppl, 0.0) AS log_ppl
             FROM documents d LEFT JOIN doc_nll n ON d.doc_id = n.doc_id
         """,

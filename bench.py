@@ -339,6 +339,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         queries["perplexity"] = round(time.time() - t0, 3)
         throughput["perplexity_docs_per_sec"] = round(
             n_docs / queries["perplexity"], 1)
+        out = "/tmp/bench_trigram"
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.time()
+        lm.trigram_perplexity_score(
+            docs_root, concurrency=16).write_parquet(out)
+        queries["trigram_ppl"] = round(time.time() - t0, 3)
+        throughput["trigram_ppl_docs_per_sec"] = round(
+            n_docs / queries["trigram_ppl"], 1)
         out = "/tmp/bench_dsir"
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()

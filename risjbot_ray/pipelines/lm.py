@@ -333,6 +333,189 @@ def perplexity_score(sf_dir: str, ref_mod: int = 10,
 
 
 # --------------------------------------------------------------------------
+# interpolated TRIGRAM LM (Jelinek-Mercer fixed-weight interpolation,
+# Jelinek & Mercer 1980; the order KenLM-based CCNet filters actually
+# run at is 5 — this is the same recursive-mixture family at order 3,
+# the largest order whose exact count joins stay SQL-checkable):
+#
+#   p(w3 | w1 w2) = l3*C(w1w2w3)/C(w1w2) + l2*C(w2w3)/C(w2)
+#                   + l1*(C(w3)+1)/(N+V)
+#
+# ML ratios are 0 when their context count is 0; the add-one unigram
+# floor keeps p > 0 always. Same scale shape as the bigram LM: counts
+# tree-combine (no shuffle), packed model broadcast once, scoring is a
+# zero-exchange vectorized map.
+# --------------------------------------------------------------------------
+
+_JM_LAMBDAS = (0.2, 0.3, 0.5)      # (l1 uni, l2 bi, l3 tri)
+
+
+def _batch_trigram_hashes(th: np.ndarray, lens: np.ndarray):
+    """Per trigram position (w1 w2 w3) of a flattened token stream:
+    (trigram Horner hash, context-bigram hash C(w1w2), inner-bigram
+    hash C(w2w3), w2 hash, w3 hash, owning doc index). Positions that
+    straddle a document boundary are dropped."""
+    if len(th) < 3:
+        e = np.empty(0, np.uint64)
+        return e, e, e, e, e, np.empty(0, np.int64)
+    doc_idx = np.repeat(np.arange(len(lens)), lens)
+    valid = (doc_idx[:-2] == doc_idx[1:-1]) & (doc_idx[:-2] == doc_idx[2:])
+    w1, w2, w3 = th[:-2][valid], th[1:-1][valid], th[2:][valid]
+    h12 = w1 * _GRAM_MULT + w2
+    return (h12 * _GRAM_MULT + w3, h12, w2 * _GRAM_MULT + w3,
+            w2, w3, doc_idx[:-2][valid])
+
+
+def _gram3_count_batch(batch: pa.Table) -> pa.Table:
+    """Combiner: per-batch unigram / bigram / trigram counts as
+    (order, gram-hash, n) rows — the order-2 combiner extended one
+    level; the exchange stays bounded by the batch vocabulary."""
+    th, lens = _batch_token_hashes(batch.column("text"), _GRAM_CACHE)
+    uh, un = np.unique(th, return_counts=True)
+    gh, _, _ = _batch_bigram_hashes(th, lens)
+    bh, bn = np.unique(gh, return_counts=True)
+    t3, _, _, _, _, _ = _batch_trigram_hashes(th, lens)
+    th3, tn3 = np.unique(t3, return_counts=True)
+    return pa.table({
+        "ord": pa.array([1] * len(uh) + [2] * len(bh) + [3] * len(th3),
+                        pa.int8()),
+        "gh": pa.array(np.concatenate(
+            [uh.view(np.int64), bh.view(np.int64), th3.view(np.int64)]),
+            pa.int64()),
+        "n": pa.array(np.concatenate([un, bn, tn3]), pa.int64()),
+    })
+
+
+def _merge_gram3_counts(batch: pa.Table) -> pa.Table:
+    """Per-order merge of (ord, gh, n) partials for orders 1-3."""
+    ords = batch.column("ord").to_numpy(zero_copy_only=False)
+    out = []
+    for o in (1, 2, 3):
+        sub = batch.filter(pa.array(ords == o))
+        m = _merge_counts(sub, "gh", ("n",))
+        out.append(m.add_column(0, "ord", pa.array(
+            np.full(m.num_rows, o, np.int8), pa.int8())))
+    return pa.concat_tables(out)
+
+
+class TrigramLM:
+    """Packed interpolated trigram LM: sorted uint64 hash arrays +
+    counts per order, V = distinct reference unigrams, N = total
+    reference tokens."""
+
+    @classmethod
+    def from_hashed(cls, uni_h, uni_n, bi_h, bi_n, tri_h, tri_n,
+                    lambdas=_JM_LAMBDAS) -> "TrigramLM":
+        m = cls.__new__(cls)
+        m.v = len(uni_h)
+        m.n_tokens = int(uni_n.sum())
+        for name, h, n in (("uni", uni_h, uni_n), ("bi", bi_h, bi_n),
+                           ("tri", tri_h, tri_n)):
+            o = np.argsort(h, kind="stable")
+            setattr(m, f"{name}_h", h[o])
+            setattr(m, f"{name}_n", n[o])
+        m.lambdas = tuple(lambdas)
+        return m
+
+    def packed(self) -> tuple:
+        return (self.v, self.n_tokens, self.lambdas,
+                self.uni_h, self.uni_n, self.bi_h, self.bi_n,
+                self.tri_h, self.tri_n)
+
+
+def train_trigram_lm(sf_dir: str, ref_mod: int = 10,
+                     lambdas=_JM_LAMBDAS) -> TrigramLM:
+    """Count orders 1-3 over the reference slice (combiner +
+    tree-combine, no shuffle), pack on the driver (bounded by the
+    reference vocabulary — the CCNet posture: the reference corpus is
+    the small, curated side at any scale)."""
+
+    def _ref_slice(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % ref_mod == 0))
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_ref_slice, batch_format="pyarrow",
+                  zero_copy_batch=True)
+    partial = docs.map_batches(_gram3_count_batch,
+                               batch_format="pyarrow",
+                               zero_copy_batch=True)
+    t = _agg_count_partials(partial, _merge_gram3_counts)
+    if t is None:
+        raise ValueError(
+            f"train_trigram_lm: reference slice doc_id % {ref_mod} == 0 "
+            "contains no tokens — widen ref_mod or check the corpus")
+    ords = t.column("ord").to_numpy(zero_copy_only=False)
+    gh = t.column("gh").to_numpy(zero_copy_only=False).view(np.uint64)
+    n = t.column("n").to_numpy(zero_copy_only=False)
+    return TrigramLM.from_hashed(
+        gh[ords == 1], n[ords == 1], gh[ords == 2], n[ords == 2],
+        gh[ords == 3], n[ords == 3], lambdas=lambdas)
+
+
+class TrigramPerplexityScorer:
+    """Actor-pool stage: (doc_id, text) -> (doc_id, n_trigrams,
+    log_ppl) under the packed interpolated trigram LM (one plasma read
+    per actor). Whole-batch vectorized: one tokenize pass, one
+    trigram-hash pass, five searchsorted lookups over the batch's
+    entire trigram stream, per-doc means via bincount."""
+
+    def __init__(self, model_ref):
+        (self.v, self.n_tokens, self.lambdas,
+         self.uni_h, self.uni_n, self.bi_h, self.bi_n,
+         self.tri_h, self.tri_n) = ray.get(model_ref)
+        self.cache: dict[str, int] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        l1, l2, l3 = self.lambdas
+        th, lens = _batch_token_hashes(batch.column("text"), self.cache)
+        h3, h12, h23, u2, u3, doc_idx = _batch_trigram_hashes(th, lens)
+        ndocs = len(lens)
+        c3 = _lookup(self.tri_h, self.tri_n, h3)
+        c12 = _lookup(self.bi_h, self.bi_n, h12)
+        c23 = _lookup(self.bi_h, self.bi_n, h23)
+        cu2 = _lookup(self.uni_h, self.uni_n, u2)
+        cu3 = _lookup(self.uni_h, self.uni_n, u3)
+        # ML ratios, 0 where the context is unseen; the guarded
+        # denominator never changes a taken branch's value
+        tri = np.where(c12 > 0, c3 / np.maximum(c12, 1), 0.0)
+        bi = np.where(cu2 > 0, c23 / np.maximum(cu2, 1), 0.0)
+        uni = (cu3 + 1.0) / float(self.n_tokens + self.v)
+        nll = -np.log(l3 * tri + l2 * bi + l1 * uni)
+        n_tri = np.bincount(doc_idx, minlength=ndocs)
+        tot = np.bincount(doc_idx, weights=nll, minlength=ndocs)
+        log_ppl = np.divide(tot, n_tri,
+                            out=np.zeros(ndocs, np.float64),
+                            where=n_tri > 0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_trigrams": pa.array(n_tri.astype(np.int64), pa.int64()),
+            "log_ppl": pa.array(log_ppl, pa.float64()),
+        })
+
+
+def trigram_perplexity_score(sf_dir: str, ref_mod: int = 10,
+                             model: TrigramLM | None = None,
+                             concurrency=None) -> "ray.data.Dataset":
+    """Train the interpolated trigram LM on the reference slice
+    (unless ``model`` given), broadcast once, score every document —
+    fixed actor pool, zero-exchange scoring pass."""
+    if concurrency is None:
+        from risjbot_ray.pipelines.webtext import fixed_pool
+        concurrency = fixed_pool()
+    if model is None:
+        model = train_trigram_lm(sf_dir, ref_mod=ref_mod)
+    ref = ray.put(model.packed())
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return docs.map_batches(TrigramPerplexityScorer,
+                            fn_constructor_args=(ref,),
+                            batch_format="pyarrow",
+                            concurrency=concurrency)
+
+
+# --------------------------------------------------------------------------
 # DSIR importance weighting (Xie et al., "Data Selection for Language
 # Models via Importance Resampling", NeurIPS 2023 — public method)
 # --------------------------------------------------------------------------

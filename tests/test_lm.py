@@ -6,6 +6,7 @@ should."""
 import math
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from risjbot_ray.pipelines.lm import (BigramLM, PerplexityScorer, _words,
@@ -194,3 +195,94 @@ def test_bigramlm_dict_construction_emits_no_overflow_warnings():
         warnings.simplefilter("error")
         m = BigramLM(uni, bi)
     assert m.v == 3 and len(m.bi_h) == 2
+
+
+# --------------------------------------------------------------------------
+# interpolated trigram LM
+# --------------------------------------------------------------------------
+
+def _trigram_local_reference(texts: dict, lambdas=(0.2, 0.3, 0.5)):
+    """Independent pure-dict implementation of the interpolated
+    trigram LM (no shared kernels beyond the tokenizer contract)."""
+    import collections
+    import math
+    l1, l2, l3 = lambdas
+    uni = collections.Counter()
+    bi = collections.Counter()
+    tri = collections.Counter()
+    for d, t in texts.items():
+        if d % 10 != 0:
+            continue
+        ws = _words(t)
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+        tri.update(zip(ws, ws[1:], ws[2:]))
+    n, v = sum(uni.values()), len(uni)
+    out = {}
+    for d, t in texts.items():
+        ws = _words(t)
+        if len(ws) < 3:
+            out[d] = (0, 0.0)
+            continue
+        s = 0.0
+        m = 0
+        for w1, w2, w3 in zip(ws, ws[1:], ws[2:]):
+            a = tri[(w1, w2, w3)] / bi[(w1, w2)] \
+                if bi[(w1, w2)] else 0.0
+            b = bi[(w2, w3)] / uni[w2] if uni[w2] else 0.0
+            u = (uni[w3] + 1) / float(n + v)
+            s += -math.log(l3 * a + l2 * b + l1 * u)
+            m += 1
+        out[d] = (m, s / m)
+    return out
+
+
+def test_trigram_pipeline_matches_local_reference(ray_session):
+    from risjbot_ray.pipelines.lm import trigram_perplexity_score
+    tbl = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"])
+    texts = dict(zip(tbl.column("doc_id").to_pylist(),
+                     tbl.column("text").to_pylist()))
+    exp = _trigram_local_reference(texts)
+    got = trigram_perplexity_score(SF).to_pandas()
+    assert len(got) == len(exp)
+    for did, nt, lp in zip(got["doc_id"], got["n_trigrams"],
+                           got["log_ppl"]):
+        ent, elp = exp[int(did)]
+        assert ent == int(nt)
+        assert abs(elp - float(lp)) < 1e-9, did
+
+
+def test_trigram_prefers_fluent_over_shuffled():
+    """Train on fluent text: the shuffled-word doc loses the trigram
+    AND bigram interpolation terms, so it must score strictly
+    higher; short docs are defined as (0, 0.0)."""
+    from risjbot_ray.pipelines.lm import (TrigramLM,
+                                          TrigramPerplexityScorer,
+                                          _batch_bigram_hashes,
+                                          _batch_token_hashes,
+                                          _batch_trigram_hashes)
+    fluent = ("the cat sat on the mat and the dog sat on the rug "
+              "while the cat saw the dog and the dog saw the cat") * 3
+    rng = np.random.default_rng(5)
+    gib = " ".join(rng.permutation(_words(fluent)).tolist())
+    th, lens = _batch_token_hashes(
+        pa.array([fluent], pa.string()), {})
+    uh, un = np.unique(th, return_counts=True)
+    gh, _, _ = _batch_bigram_hashes(th, lens)
+    bh, bn = np.unique(gh, return_counts=True)
+    t3 = _batch_trigram_hashes(th, lens)[0]
+    th3, tn3 = np.unique(t3, return_counts=True)
+    lm = TrigramLM.from_hashed(uh, un, bh, bn, th3, tn3)
+    sc = TrigramPerplexityScorer.__new__(TrigramPerplexityScorer)
+    (sc.v, sc.n_tokens, sc.lambdas, sc.uni_h, sc.uni_n,
+     sc.bi_h, sc.bi_n, sc.tri_h, sc.tri_n) = lm.packed()
+    sc.cache = {}
+    out = sc(pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                       "text": [fluent, gib, "two words"]}))
+    lp = dict(zip(out.column("doc_id").to_pylist(),
+                  out.column("log_ppl").to_pylist()))
+    nt = dict(zip(out.column("doc_id").to_pylist(),
+                  out.column("n_trigrams").to_pylist()))
+    assert lp[1] < lp[2]
+    assert nt[3] == 0 and lp[3] == 0.0
