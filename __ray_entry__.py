@@ -314,6 +314,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "recall_ok": pa.array([rec >= 0.6], pa.bool_()),
         })
 
+    def ann_pq_recall(sf_dir: str):
+        """Driver-visible self-check for the product-quantization ANN
+        scale path (`ann_hamming_recall`-style): exact brute-force
+        top-k vs the PQ/ADC-preranked top-k, with a pass flag at the
+        operator's documented accuracy contract (recall@10 >= 0.6 at
+        m=8 x 16 centroids on the 64-d embeddings)."""
+        import pyarrow as pa
+
+        qids, k = [0, 1, 2], 10
+        exact = similarity.ann_topk(sf_dir, query_ids=qids, k=k)
+        pq_ = similarity.ann_pq_topk(sf_dir, query_ids=qids, k=k)
+        ed: dict[int, set] = {}
+        for r in exact.to_pylist():
+            ed.setdefault(r["query_id"], set()).add(r["vec_id"])
+        pd_: dict[int, set] = {}
+        for r in pq_.to_pylist():
+            pd_.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hits = sum(len(ed[q] & pd_.get(q, set())) for q in ed)
+        total = sum(len(s) for s in ed.values())
+        rec = hits / max(total, 1)
+        return pa.table({
+            "n_queries": pa.array([len(qids)], pa.int64()),
+            "k": pa.array([k], pa.int64()),
+            "exact_hits_found": pa.array([hits], pa.int64()),
+            "exact_hits_total": pa.array([total], pa.int64()),
+            "recall_at_k": pa.array([round(rec, 5)], pa.float64()),
+            "recall_ok": pa.array([rec >= 0.6], pa.bool_()),
+        })
+
     def media_features_check(sf_dir: str):
         """Driver-visible multimodal self-check (`crawl_vs_expected`
         style): run the actor-pool media pipeline (REAL pure-numpy
@@ -1117,6 +1146,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # + Hamming pre-rank + exact rerank): recall@10 vs the exact
         # path as a driver-readable pass flag
         "ann_hamming_recall": ann_hamming_recall,
+        # product-quantization ANN (codes = ONE int64/vector, ADC
+        # table-lookup ranking, exact rerank): recall@10 vs the exact
+        # path as a driver-readable pass flag
+        "ann_pq_recall": ann_pq_recall,
         # covariance-moment partials of the distributed PCA — the
         # SQL-expressible half (the eigenvector row embedding_pca sits
         # past the window; both are pytest-gated)

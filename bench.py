@@ -238,6 +238,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             sf_dir, query_ids=[0, 1, 2], k=10))
         timed("ann_hamming", lambda: similarity.ann_hamming_topk(
             sf_dir, query_ids=[0, 1, 2], k=10))
+        timed("ann_pq", lambda: similarity.ann_pq_topk(
+            sf_dir, query_ids=[0, 1, 2], k=10))
         timed("pricing_summary", lambda: relational.q1_pricing_summary(
             sf_dir))
         timed("events_hourly", lambda: relational.events_hourly(sf_dir))

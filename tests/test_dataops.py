@@ -1902,3 +1902,51 @@ def test_bloom_prior_snapshot_readonly(ray_session):
     kept = sum((r["text_clean"] or "").split("\n\n").count("fresh thing")
                for r in out2)
     assert kept == 1
+
+
+def test_ann_pq_recall_and_determinism():
+    from risjbot_ray.pipelines.similarity import ann_pq_topk, ann_topk
+    exact = set(ann_topk(SF, query_ids=[0], k=10)
+                .to_pandas()["vec_id"])
+    out = ann_pq_topk(SF, query_ids=[0], k=10)
+    approx = set(out.to_pandas()["vec_id"])
+    assert len(exact & approx) >= 6   # the documented >=0.6 contract
+    assert out.equals(ann_pq_topk(SF, query_ids=[0], k=10))
+    assert 0 not in approx            # query row excluded
+
+
+def test_ann_pq_matches_numpy_reference():
+    """Full-pipeline parity with a local numpy implementation of the
+    same fit/encode/ADC/rerank algorithm (same sample order, same
+    seed, same ties) — pins the per-batch partial-top-C merge."""
+    import pyarrow.parquet as pq
+
+    from risjbot_ray.pipelines.similarity import (_pq_encode, _pq_train,
+                                                  _unit, ann_pq_topk)
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    unit = _unit(np.stack([np.asarray(v, dtype=np.float64)
+                           for v in t.column("embedding").to_pylist()]))
+    m, ks, C, k, qid = 8, 16, 100, 10, 1
+    books = _pq_train(unit[:4096], m, ks, iters=5, seed=7)
+    codes = _pq_encode(unit, books).view(np.uint64)
+    cb = codes.view(np.uint8).reshape(-1, m)
+    dsub = unit.shape[1] // m
+    qi = int(np.where(ids == qid)[0][0])
+    dist = np.zeros(len(ids))
+    for j in range(m):
+        tbl = ((unit[qi, j * dsub:(j + 1) * dsub][None, :]
+                - books[j]) ** 2).sum(-1)
+        dist += tbl[cb[:, j]]
+    mask = ids != qid
+    order = np.lexsort((ids[mask], dist[mask]))[:C]
+    cand = ids[mask][order]
+    pos = {int(v): i for i, v in enumerate(ids)}
+    sims = np.array([float(unit[pos[int(v)]] @ unit[qi])
+                     for v in cand])
+    topo = np.lexsort((cand, -sims))[:k]
+    exp = [(int(cand[j]), round(float(sims[j]), 5)) for j in topo]
+    got = [(r["vec_id"], r["cosine"]) for r in
+           ann_pq_topk(SF, query_ids=[qid], k=k).to_pylist()]
+    assert got == exp
