@@ -1415,6 +1415,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curate_cascade", "ann_ivf_recall",
         # new round-5 operators
         "doc_window_dedup", "article_comments_join",
+        # late-round-5 operators (never driver-attested before —
+        # they take the slots of six r3 entries that are both
+        # r3-driver-green AND pytest-oracle-green at HEAD)
+        "doc_paragraph_dedup", "doc_trigram_perplexity",
+        "bloom_paragraph_check", "bloom_snapshot_check",
+        "warc_write_roundtrip", "ann_pq_recall",
         # the 42 r3-window entries rotated back in (driver-green in
         # r03, pytest-oracle-green since; due driver re-attestation)
         "doc_curation", "ann_topk", "doc_bm25_topk", "doc_perplexity",
@@ -1429,9 +1435,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint", "doc_pii_scrub", "doc_blocklist",
         "doc_repetition", "doc_chunks", "doc_pack_stream",
         "doc_domain_sample", "doc_shuffle_rank",
-        "doc_length_histogram", "corpus_top_bigrams", "corpus_top_pmi",
-        "source_unigram_kl", "doc_lang_balance", "corpus_split",
-        "doc_wordcount_quantiles", "doc_wordcount_quantiles_by_lang",
+        "corpus_top_bigrams", "doc_wordcount_quantiles",
+        # corpus_top_pmi / source_unigram_kl / doc_lang_balance /
+        # corpus_split / doc_wordcount_quantiles_by_lang /
+        # doc_length_histogram moved below the boundary to make room
+        # for the late-round-5 entries: all six are r3-driver-green
+        # and pytest-oracle-green at HEAD
     ]
     assert len(_R5_WINDOW) == 50 and len(set(_R5_WINDOW)) == 50
     return {**{k: q[k] for k in _R5_WINDOW},
