@@ -909,6 +909,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
                  and len(got) == docs.num_rows], pa.bool_()),
         })
 
+    def minhash_incr_check(sf_dir: str):
+        """Driver-visible self-check for the incremental MinHash
+        dedup (FineWeb per-dump rule over the persisted band ledger):
+        split documents into shard A (even doc_ids) then shard B,
+        ingest A-then-B through a FRESH ledger, and compare every
+        per-doc verdict against an independent local implementation of
+        the documented rule (same hash kernels, independent
+        candidate-cap / est-verify / union-find machinery). One
+        counters row; all-zero mismatches + nonzero cross/within drop
+        counts mean the ledger probe, the est verification against
+        stored signatures, and the within-shard exact clustering all
+        fired and agreed."""
+        import os
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from risjbot_ray.pipelines.dedup import minhash_dedup_incremental
+        from risjbot_ray.testsupport.incrref import incr_reference
+
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+        ids_np = t.column("doc_id").to_numpy()
+        root = "/tmp/minhash_incr_check"
+        shutil.rmtree(root, ignore_errors=True)
+        shards, dirs = [], []
+        for name, mask in (("A", ids_np % 2 == 0),
+                           ("B", ids_np % 2 == 1)):
+            sub = t.filter(pa.array(mask))
+            d = os.path.join(root, name)
+            os.makedirs(d)
+            pq.write_table(sub, os.path.join(d, "documents.parquet"))
+            dirs.append(d)
+            shards.append(dict(zip(sub.column("doc_id").to_pylist(),
+                                   sub.column("text").to_pylist())))
+        exp = incr_reference(shards)
+        led = os.path.join(root, "ledger")
+        mism = 0
+        counts = {"kept": 0, "prior_dup": 0, "shard_dup": 0}
+        n_docs = 0
+        for d, e in zip(dirs, exp):
+            got = minhash_dedup_incremental(d, led).to_pandas()
+            n_docs += len(got)
+            for did, reason in zip(got["doc_id"], got["reason"]):
+                counts[reason] += 1
+                if e.get(int(did)) != reason:
+                    mism += 1
+        return pa.table({
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_kept": pa.array([counts["kept"]], pa.int64()),
+            "n_prior_dup": pa.array([counts["prior_dup"]], pa.int64()),
+            "n_shard_dup": pa.array([counts["shard_dup"]], pa.int64()),
+            "verdict_mismatches": pa.array([mism], pa.int64()),
+            "check_ok": pa.array(
+                [mism == 0 and counts["prior_dup"] > 0
+                 and counts["shard_dup"] > 0
+                 and n_docs == t.num_rows], pa.bool_()),
+        })
+
     def bloom_snapshot_check(sf_dir: str):
         """Driver-visible self-check for the BFF PRIOR-SNAPSHOT mode:
         build the sharded Bloom over snapshot A's paragraph view
@@ -1396,6 +1456,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # survivor per paragraph, false drops within the analytic FP
         # bound, per-doc counts preserved
         "bloom_paragraph_check": bloom_paragraph_check,
+        # incremental MinHash dedup vs the persisted band ledger
+        # (FineWeb per-dump rule): A-then-B verdicts vs an independent
+        # local reference of the same documented rule
+        "minhash_incr_check": minhash_incr_check,
         # BFF prior-snapshot mode: build the filter over snapshot A,
         # read-only dedup a derived snapshot B against it (shared
         # paragraphs all drop, fresh ones all survive modulo the FP
@@ -1421,6 +1485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_paragraph_dedup", "doc_trigram_perplexity",
         "bloom_paragraph_check", "bloom_snapshot_check",
         "warc_write_roundtrip", "ann_pq_recall",
+        "minhash_incr_check",
         # the 42 r3-window entries rotated back in (driver-green in
         # r03, pytest-oracle-green since; due driver re-attestation)
         "doc_curation", "ann_topk", "doc_bm25_topk", "doc_perplexity",
@@ -1434,13 +1499,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_counts", "corpus_token_stats", "doc_langid",
         "doc_fingerprint", "doc_pii_scrub", "doc_blocklist",
         "doc_repetition", "doc_chunks", "doc_pack_stream",
-        "doc_domain_sample", "doc_shuffle_rank",
+        "doc_shuffle_rank",
         "corpus_top_bigrams", "doc_wordcount_quantiles",
         # corpus_top_pmi / source_unigram_kl / doc_lang_balance /
         # corpus_split / doc_wordcount_quantiles_by_lang /
-        # doc_length_histogram moved below the boundary to make room
-        # for the late-round-5 entries: all six are r3-driver-green
-        # and pytest-oracle-green at HEAD
+        # doc_length_histogram / doc_domain_sample moved below the
+        # boundary to make room for the late-round-5 entries: all
+        # seven are r3-driver-green and pytest-oracle-green at HEAD
     ]
     assert len(_R5_WINDOW) == 50 and len(set(_R5_WINDOW)) == 50
     return {**{k: q[k] for k in _R5_WINDOW},

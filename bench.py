@@ -330,6 +330,36 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             n_docs / queries["bpe_apply"], 1)
         throughput["bpe_n_merges"] = len(merges)
 
+        # incremental MinHash dedup: split the 100k corpus into two
+        # shards, ingest A then B through a fresh band ledger (the
+        # FineWeb per-dump workflow: B dedups against A's kept docs
+        # without re-reading A)
+        import pyarrow as _pa
+        import pyarrow.parquet as _pqm
+
+        from risjbot_ray.pipelines.dedup import minhash_dedup_incremental
+        incr_root = "/tmp/bench_minhash_incr"
+        shard_root = f"{docs_root}_shards"
+        if not os.path.exists(f"{shard_root}/.complete"):
+            t = _pqm.read_table(f"{docs_root}/documents.parquet",
+                                columns=["doc_id", "text"])
+            dids = t.column("doc_id").to_numpy()
+            for name, mask in (("A", dids % 2 == 0),
+                               ("B", dids % 2 == 1)):
+                os.makedirs(f"{shard_root}/{name}", exist_ok=True)
+                _pqm.write_table(
+                    t.filter(_pa.array(mask)),
+                    f"{shard_root}/{name}/documents.parquet")
+            with open(f"{shard_root}/.complete", "w") as f:
+                f.write("ok")
+        shutil.rmtree(incr_root, ignore_errors=True)
+        t0 = time.time()
+        minhash_dedup_incremental(f"{shard_root}/A", incr_root)
+        minhash_dedup_incremental(f"{shard_root}/B", incr_root)
+        queries["minhash_incr"] = round(time.time() - t0, 3)
+        throughput["minhash_incr_docs_per_sec"] = round(
+            n_docs / queries["minhash_incr"], 1)
+
         # LM curation signals: CCNet perplexity + bucketed DSIR (both
         # train a broadcast model then run a zero-exchange scoring map)
         from risjbot_ray.pipelines import lm

@@ -419,7 +419,15 @@ def _collect_pairs(pairs_ds, n: int | None = None) -> pa.Table | None:
         n = pairs_ds.count()
     if n > _BROADCAST_PAIRS_MAX:
         return None
-    parts = [t for t in ray.get(pairs_ds.to_arrow_refs()) if t.num_rows]
+    # to_arrow_refs can surface raw PANDAS blocks for empty
+    # map_groups outputs that skipped downstream pyarrow conversion —
+    # normalize per part instead of assuming Table
+    parts = []
+    for t in ray.get(pairs_ds.to_arrow_refs()):
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows:
+            parts.append(t.select(["a", "b"]).cast(_PAIR_SCHEMA))
     return (pa.concat_tables(parts) if parts
             else _PAIR_SCHEMA.empty_table())
 
@@ -451,7 +459,8 @@ def _broadcast_fetch(ds, id_col: str, need: np.ndarray,
 
 def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64,
                             bands: int = 16, threshold: float = 0.7,
-                            num_partitions: int | None = None):
+                            num_partitions: int | None = None,
+                            sigs=None):
     """Near-duplicate pairs (a < b) with estimated Jaccard >= threshold.
 
     Three stages, all narrow: (1) signatures once per doc (actor pool);
@@ -462,14 +471,20 @@ def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64,
     cutoff, and the per-pair estimate is one vectorized row-equality
     mean."""
     rows_per_band = num_perm // bands
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
-    # materialized: consumed by the band shuffle AND both joins — without
-    # this the MinHasher pool would re-run once per consumer
-    from risjbot_ray.pipelines.webtext import fixed_pool
-    sigs = ds.map_batches(MinHasher, batch_format="pyarrow",
-                          fn_constructor_kwargs={"num_perm": num_perm},
-                          concurrency=fixed_pool()).materialize()
+    if sigs is None:
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+        # materialized: consumed by the band shuffle AND both joins —
+        # without this the MinHasher pool would re-run per consumer
+        from risjbot_ray.pipelines.webtext import fixed_pool
+        sigs = ds.map_batches(
+            MinHasher, batch_format="pyarrow",
+            fn_constructor_kwargs={"num_perm": num_perm},
+            concurrency=fixed_pool()).materialize()
+    # else: caller passes its already-materialized (doc_id, sig)
+    # Dataset (must be the same num_perm/seed MinHasher output) —
+    # the incremental path computes signatures once for the ledger
+    # probe and reuses them here
     from risjbot_ray.pipelines.webtext import _coalesce_for_exchange
     exploded = _coalesce_for_exchange(sigs.map_batches(
         lambda b: _explode_bands_light(b, bands, rows_per_band),
@@ -1736,3 +1751,333 @@ def decontaminate_fuzzy(sf_dir: str, threshold: float = 0.5):
     pool = 1 if cpus < 4 else max(1, min(cpus // 2, cpus - 2, 16))
     return docs.map_batches(_Probe, fn_constructor_args=(ref,),
                             batch_format="pyarrow", concurrency=pool)
+
+
+# --------------------------------------------------------------------------
+# incremental MinHash dedup against a persisted band ledger — the
+# FineWeb per-dump rule (Penedo et al. 2024 §3.3: each new snapshot is
+# deduplicated against everything previously KEPT, then within itself;
+# their ablation found cross-dump dedup is the part that matters).
+# Complements the exact incremental tile ledger (webtext.py) and the
+# bloom prior-snapshot mode with the FUZZY cross-snapshot path: no
+# prior text is ever re-read — the ledger holds each kept doc's 20-byte
+# band rows (collision probes) and its 512-byte signature (est-Jaccard
+# verification), bucket-partitioned so probes and verifies read only
+# their own partitions (the tile ledger's side-lookup convention).
+# --------------------------------------------------------------------------
+
+_INCR_PRIOR_PER_BUCKET = 8    # prior candidates kept per (band, hash)
+_INCR_PRIOR_PER_DOC = 32      # prior candidates kept per new doc
+
+
+def _ledger_meta(ledger_dir: str, nbuckets: int, num_perm: int,
+                 bands: int) -> None:
+    import json
+    import os
+    os.makedirs(ledger_dir, exist_ok=True)
+    meta_path = os.path.join(ledger_dir, "ledger.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if (meta["nbuckets"] != nbuckets or meta["num_perm"] != num_perm
+                or meta["bands"] != bands):
+            raise ValueError(
+                f"minhash ledger at {ledger_dir} was built with "
+                f"{meta}; got nbuckets={nbuckets} "
+                f"num_perm={num_perm} bands={bands}")
+    else:
+        with open(meta_path, "w") as f:
+            json.dump({"nbuckets": nbuckets, "num_perm": num_perm,
+                       "bands": bands}, f)
+
+
+def _ledger_snapshot(root: str) -> dict[int, list[str]]:
+    """Driver-side snapshot of part=* -> committed delta files (paths
+    only); tasks read ONLY these, never deltas appended later (the
+    tile-ledger snapshot rule, webtext.py)."""
+    import glob as _glob
+    import os
+    snap: dict[int, list[str]] = {}
+    for pdir in _glob.glob(os.path.join(root, "part=*")):
+        try:
+            b = int(os.path.basename(pdir).split("=", 1)[1])
+        except ValueError:
+            continue
+        fl = sorted(_glob.glob(os.path.join(pdir, "*.parquet")))
+        if fl:
+            snap[b] = fl
+    return snap
+
+
+def minhash_dedup_incremental(shard_dir: str, ledger_dir: str,
+                              num_perm: int = 64, bands: int = 16,
+                              threshold: float = 0.7,
+                              nbuckets: int = 256):
+    """Dedup a NEW document shard (``{shard_dir}/documents.parquet``)
+    against the persisted MinHash ledger, then within itself, and fold
+    the kept docs back into the ledger. Returns one row per shard doc:
+    (doc_id, kept, reason in {'kept', 'prior_dup', 'shard_dup'}),
+    sorted by doc_id.
+
+    Rule (deterministic, mirrored exactly by the self-check reference):
+    1. CROSS: a shard doc drops ('prior_dup') iff its estimated
+       Jaccard (signature row-equality) vs some prior-kept doc reaches
+       ``threshold``, candidates found by band-hash collision against
+       the ledger — capped at the ``_INCR_PRIOR_PER_BUCKET`` smallest
+       prior doc_ids per colliding (band, hash) bucket and the
+       ``_INCR_PRIOR_PER_DOC`` smallest per shard doc (a true near-dup
+       collides in ~every band at the threshold, so the caps cost
+       recall only in adversarial bucket floods; they bound the
+       candidate volume to O(|shard| x 32) regardless of skew).
+    2. WITHIN: survivors cluster over EXACT shingle-Jaccard-verified
+       pairs (:func:`minhash_dedup` semantics); each cluster keeps its
+       min doc_id, the rest drop ('shard_dup').
+    3. FOLD: kept docs' band rows and signatures append to the ledger
+       as ``.pending`` deltas, committed (renamed) only after the
+       result materializes — a run that dies mid-way leaves the ledger
+       untouched (the tile ledger's crash rule).
+
+    Scale shape: the ledger is bucket-partitioned (band rows by
+    band_hash % nbuckets, signatures by doc_id % nbuckets) and NEVER
+    shuffled — probe tasks read only their own band partition,
+    verify batches read only the sig partitions their candidates live
+    in; the shard side moves as 20-byte band rows and the
+    candidate-bounded pair table. Cross-verification uses the
+    ESTIMATOR (the ledger stores 512-byte signatures, not text) while
+    within-shard verification is exact — strictly more precise than
+    the drop-on-collision practice the method is based on.
+    ``ledger_dir`` must live on shared storage (the crawl spill /
+    tile ledger contract)."""
+    import os
+    import uuid as _uuid
+
+    import pandas as pd
+
+    from risjbot_ray.pipelines.webtext import fixed_pool
+
+    _ledger_meta(ledger_dir, nbuckets, num_perm, bands)
+    band_root = os.path.join(ledger_dir, "band")
+    sig_root = os.path.join(ledger_dir, "sig")
+    band_snap = ray.put(_ledger_snapshot(band_root))
+    sig_snap_d = _ledger_snapshot(sig_root)
+    sig_snap = ray.put(sig_snap_d)
+    rows_per_band = num_perm // bands
+    run_tag = _uuid.uuid4().hex[:8]
+
+    docs = ray.data.read_parquet(f"{shard_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    sigs = docs.map_batches(MinHasher, batch_format="pyarrow",
+                            fn_constructor_kwargs={"num_perm": num_perm},
+                            concurrency=fixed_pool()).materialize()
+    from risjbot_ray.pipelines.webtext import _coalesce_for_exchange
+    exploded = _coalesce_for_exchange(sigs.map_batches(
+        lambda b: _explode_bands_light(b, bands, rows_per_band),
+        batch_format="pyarrow")).materialize()
+
+    def add_hb(b: pa.Table) -> pa.Table:
+        bh = b.column("band_hash").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "hb", pa.array((bh % nbuckets).astype(np.int64), pa.int64()))
+
+    # --- 1. CROSS: probe the band ledger, bucket-locally ---
+    def probe(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pyarrow.parquet as pq
+        hb = int(df["hb"].iloc[0])
+        files = ray.get(band_snap).get(hb, [])
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64")})
+        if not files:
+            return empty
+        led = pq.read_table(files).to_pandas()
+        m = df.merge(led, on=["band", "band_hash"],
+                     suffixes=("_new", "_prior"))
+        if not len(m):
+            return empty
+        # deterministic per-bucket cap: smallest prior ids only
+        m = (m.sort_values(["band", "band_hash", "doc_id_prior"])
+             .groupby(["band", "band_hash", "doc_id_new"],
+                      sort=False).head(_INCR_PRIOR_PER_BUCKET))
+        out = m[["doc_id_prior", "doc_id_new"]].drop_duplicates()
+        return out.rename(columns={"doc_id_prior": "a",
+                                   "doc_id_new": "b"})
+
+    cross = (exploded.map_batches(add_hb, batch_format="pyarrow")
+             .groupby("hb").map_groups(probe, batch_format="pandas"))
+
+    def cap_per_doc(df: "pd.DataFrame") -> "pd.DataFrame":
+        return (df.sort_values("a")
+                .head(_INCR_PRIOR_PER_DOC))
+
+    # schema-stabilize before the join: pandas map_groups stages emit
+    # schema-less EMPTY blocks that fail join field resolution
+    # (_norm_pairs does not reorder — these pairs are ASYMMETRIC,
+    # a = prior, b = new)
+    capped = (cross.groupby("b").map_groups(
+        cap_per_doc, batch_format="pandas")
+        .map_batches(_norm_pairs, batch_format="pyarrow")
+        .materialize())
+
+    dropped_prior: dict[int, int] = {}
+    n_capped = capped.count()
+    if n_capped:
+        # attach each pair's SHARD signature: broadcast-ids filter
+        # pass when the pair set is small (the design case — cross
+        # candidates are duplicate-bounded), distributed hash join
+        # past the cutoff (the big side stays partitioned)
+        pair_tbl = _collect_pairs(capped, n_capped)
+        if pair_tbl is not None:
+            bneed = np.unique(pair_tbl.column("b").to_numpy())
+            bref = ray.put(_broadcast_fetch(sigs, "doc_id", bneed,
+                                            "sig"))
+
+            def attach(batch: pa.Table, *, _bref=bref) -> pa.Table:
+                bs = ray.get(_bref)
+                return batch.append_column("sig", pa.array(
+                    [bs[int(x)] for x in
+                     batch.column("b").to_pylist()], pa.binary()))
+
+            j = capped.map_batches(attach, batch_format="pyarrow")
+        else:
+            j = capped.join(sigs, join_type="inner", on=("b",),
+                            right_on=("doc_id",),
+                            num_partitions=max(
+                                2, min(16, int(ray.cluster_resources()
+                                               .get("CPU", 8)) // 2)))
+
+        def verify(batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as pq
+            if batch.num_rows == 0:
+                return pa.table({"a": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64()),
+                                 "est": pa.array([], pa.float64())})
+            a = batch.column("a").to_numpy(zero_copy_only=False)
+            b = batch.column("b").to_numpy(zero_copy_only=False)
+            sb = np.stack([np.frombuffer(s, dtype=np.uint64) for s in
+                           batch.column("sig").to_pylist()])
+            snap = ray.get(sig_snap)
+            need_buckets = np.unique(a % nbuckets)
+            files = [f for nb in need_buckets
+                     for f in snap.get(int(nb), [])]
+            if not files:
+                return pa.table({"a": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64()),
+                                 "est": pa.array([], pa.float64())})
+            led = pq.read_table(files)
+            lid = led.column("doc_id").to_numpy(zero_copy_only=False)
+            o = np.argsort(lid, kind="stable")
+            lid = lid[o]
+            lsig = np.stack([np.frombuffer(s, dtype=np.uint64) for s in
+                             led.column("sig").to_pylist()])[o]
+            pos = np.searchsorted(lid, a)
+            pos = np.minimum(pos, max(len(lid) - 1, 0))
+            ok = lid[pos] == a
+            if not bool(np.all(ok)):
+                raise RuntimeError(
+                    "minhash ledger inconsistency: band rows reference "
+                    "doc_ids absent from the sig store — the ledger "
+                    "was partially committed or is not on shared "
+                    "storage visible to this worker")
+            est = (lsig[pos] == sb).mean(axis=1)
+            keep = est >= threshold
+            return pa.table({"a": pa.array(a[keep], pa.int64()),
+                             "b": pa.array(b[keep], pa.int64()),
+                             "est": pa.array(est[keep], pa.float64())})
+
+        hits = j.map_batches(verify, batch_format="pyarrow").take_all()
+        for r in hits:
+            prev = dropped_prior.get(int(r["b"]))
+            if prev is None or int(r["a"]) < prev:
+                dropped_prior[int(r["b"])] = int(r["a"])
+
+    # --- 2. WITHIN: exact-verified clusters among survivors ---
+    cands = minhash_candidate_pairs(shard_dir, num_perm, bands,
+                                    threshold=min(0.5, threshold),
+                                    sigs=sigs)
+    verified = ngram_jaccard_pairs(shard_dir, threshold=threshold,
+                                   candidates=cands)
+    vdf = verified.to_pandas() if verified.num_rows else None
+    shard_dup: dict[int, int] = {}
+    if vdf is not None and len(vdf):
+        surv = ~(vdf["a"].isin(dropped_prior)
+                 | vdf["b"].isin(dropped_prior))
+        edges = vdf[surv][["a", "b"]]
+        if len(edges):
+            labels = label_propagation_clusters(
+                ray.data.from_arrow(pa.Table.from_pandas(
+                    edges, preserve_index=False)))
+            for t in ray.get(labels.to_arrow_refs()):
+                for did, lab in zip(t.column(0).to_pylist(),
+                                    t.column(1).to_pylist()):
+                    if did != lab:
+                        shard_dup[int(did)] = int(lab)
+
+    all_ids = np.sort(np.concatenate(
+        [t.column("doc_id").to_numpy(zero_copy_only=False)
+         for t in ray.get(sigs.to_arrow_refs()) if t.num_rows]
+    )) if sigs.count() else np.empty(0, np.int64)
+    kept_mask = np.array([int(d) not in dropped_prior
+                          and int(d) not in shard_dup
+                          for d in all_ids], dtype=bool)
+    reasons = np.where(
+        [int(d) in dropped_prior for d in all_ids], "prior_dup",
+        np.where([int(d) in shard_dup for d in all_ids],
+                 "shard_dup", "kept"))
+    result = pa.table({
+        "doc_id": pa.array(all_ids, pa.int64()),
+        "kept": pa.array(kept_mask, pa.bool_()),
+        "reason": pa.array(reasons.tolist(), pa.string())})
+
+    # --- 3. FOLD kept docs into the ledger (pending -> commit) ---
+    kept_ref = ray.put(np.sort(all_ids[kept_mask]))
+    pending: list[str] = []
+
+    def write_band(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pyarrow.parquet as pq
+        kept_arr = ray.get(kept_ref)
+        sub = df[np.isin(df["doc_id"].to_numpy(), kept_arr)]
+        hb = int(df["hb"].iloc[0])
+        if len(sub):
+            d = os.path.join(band_root, f"part={hb}")
+            os.makedirs(d, exist_ok=True)
+            p = os.path.join(d, f"delta-{run_tag}.pending")
+            pq.write_table(pa.Table.from_pandas(
+                sub[["band", "band_hash", "doc_id"]],
+                preserve_index=False), p)
+            return pd.DataFrame({"path": [p]})
+        return pd.DataFrame({"path": pd.Series([], dtype="object")})
+
+    def write_sig(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        kept_arr = ray.get(kept_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        m = np.isin(ids, kept_arr)
+        paths = []
+        if m.any():
+            sub = batch.filter(pa.array(m))
+            sids = sub.column("doc_id").to_numpy(zero_copy_only=False)
+            for sbk in np.unique(sids % nbuckets):
+                mm = (sids % nbuckets) == sbk
+                d = os.path.join(sig_root, f"part={int(sbk)}")
+                os.makedirs(d, exist_ok=True)
+                p = os.path.join(
+                    d, f"delta-{run_tag}-{_uuid.uuid4().hex[:6]}"
+                       f".pending")
+                pq.write_table(sub.filter(pa.array(mm)), p)
+                paths.append(p)
+        return pa.table({"path": pa.array(paths, pa.string())})
+
+    pend_band = (exploded.map_batches(add_hb, batch_format="pyarrow")
+                 .groupby("hb").map_groups(write_band,
+                                           batch_format="pandas")
+                 .take_all())
+    pend_sig = sigs.map_batches(write_sig,
+                                batch_format="pyarrow").take_all()
+    pending = [r["path"] for r in pend_band] + \
+        [r["path"] for r in pend_sig]
+    # commit: result is fully computed above, so renames are the last
+    # effect; sig deltas commit BEFORE band deltas so a probe that
+    # sees a band row always finds its signature (the verify task's
+    # consistency check relies on this order)
+    for p in sorted(pending, key=lambda x: 0 if "/sig/" in x else 1):
+        os.replace(p, p[:-len(".pending")] + ".parquet")
+    return result

@@ -270,3 +270,77 @@ def test_embedding_hot_bucket_path_is_exact(ray_session, planted_dir,
     assert len(calls) > 0
     assert base.equals(hot)
     assert base.num_rows > 0
+
+
+# --------------------------------------------------------------------------
+# incremental MinHash dedup (persisted band ledger, FineWeb per-dump
+# rule): local reference parity + crash / contract behavior
+# --------------------------------------------------------------------------
+
+
+
+def test_minhash_incremental_matches_reference(ray_session, tmp_path):
+    """A-then-B through a fresh ledger == the local reference of the
+    documented rule, on the real corpus split into two shards (the
+    sf0.001 documents table carries genuine near-dups both within and
+    across the split)."""
+    import os
+
+    from risjbot_ray.pipelines.dedup import minhash_dedup_incremental
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_numpy()
+    shards = []
+    shard_dirs = []
+    for name, mask in (("A", ids % 2 == 0), ("B", ids % 2 == 1)):
+        sub = t.filter(pa.array(mask))
+        d = tmp_path / name
+        os.makedirs(d)
+        pq.write_table(sub, str(d / "documents.parquet"))
+        shard_dirs.append(str(d))
+        shards.append(dict(zip(sub.column("doc_id").to_pylist(),
+                               sub.column("text").to_pylist())))
+    from risjbot_ray.testsupport.incrref import incr_reference
+    exp = incr_reference(shards)
+    led = str(tmp_path / "ledger")
+    for sd, e in zip(shard_dirs, exp):
+        got = minhash_dedup_incremental(sd, led).to_pandas()
+        gd = dict(zip(got["doc_id"], got["reason"]))
+        assert gd == {int(k): v for k, v in e.items()}
+    # the run must have found real work in every category
+    flat = [v for e in exp for v in e.values()]
+    assert flat.count("prior_dup") > 0 and flat.count("shard_dup") > 0
+
+
+def test_minhash_incremental_ledger_contract(ray_session, tmp_path):
+    """Parameter-mismatched resumes are rejected; pending deltas from
+    this run are committed (no .pending left behind) and a second
+    ingest of an identical shard drops everything as prior_dup."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    from risjbot_ray.pipelines.dedup import minhash_dedup_incremental
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["a wholly unique first document about frogs " * 5,
+                 "an unrelated second document about trains " * 5]})
+    sd = tmp_path / "S"
+    os.makedirs(sd)
+    pq.write_table(docs, str(sd / "documents.parquet"))
+    led = str(tmp_path / "led")
+    r1 = minhash_dedup_incremental(str(sd), led).to_pandas()
+    assert list(r1["reason"]) == ["kept", "kept"]
+    assert not glob.glob(os.path.join(led, "**", "*.pending"),
+                         recursive=True)
+    # identical shard again: everything matches the ledger
+    sd2 = tmp_path / "S2"
+    os.makedirs(sd2)
+    pq.write_table(docs, str(sd2 / "documents.parquet"))
+    r2 = minhash_dedup_incremental(str(sd2), led).to_pandas()
+    assert list(r2["reason"]) == ["prior_dup", "prior_dup"]
+    with _pytest.raises(ValueError, match="built with"):
+        minhash_dedup_incremental(str(sd2), led, bands=8)
