@@ -93,6 +93,44 @@ def cmd_ingest_warc(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def cmd_write_warc(args: argparse.Namespace) -> int:
+    ray = _ray_init()
+    try:
+        import ray as _r
+
+        from .sinks import write_warc
+
+        manifest = write_warc(
+            _r.data.read_parquet(args.pages), args.out,
+            records_per_archive=args.records_per_archive)
+        print(json.dumps({
+            "out": args.out,
+            "n_archives": manifest.num_rows,
+            "n_records": sum(manifest.column("n_records").to_pylist()),
+            "n_bytes": sum(manifest.column("n_bytes").to_pylist())}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+def cmd_dedup_incr(args: argparse.Namespace) -> int:
+    ray = _ray_init()
+    try:
+        import pyarrow.parquet as pq
+
+        from .pipelines.dedup import minhash_dedup_incremental
+
+        res = minhash_dedup_incremental(
+            args.shard, args.ledger, threshold=args.threshold)
+        pq.write_table(res, args.out)
+        kept = sum(1 for k in res.column("kept").to_pylist() if k)
+        print(json.dumps({"out": args.out, "n_docs": res.num_rows,
+                          "n_kept": kept}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def cmd_ingest_wet(args: argparse.Namespace) -> int:
     ray = _ray_init()
     try:
@@ -321,6 +359,30 @@ def main(argv: list[str] | None = None) -> int:
                     help="hashed feature buckets (DSIR default 10k); "
                          "0 = exact bigram features")
     ds.set_defaults(fn=cmd_dsir)
+
+    ww = sub.add_parser(
+        "write-warc",
+        help="write a pages parquet (url, html[, warc_ts]) as "
+             "CC-layout .warc.gz archives (the inverse of ingest-warc; "
+             "content-addressed resumable parts)")
+    ww.add_argument("--pages", required=True)
+    ww.add_argument("--out", required=True)
+    ww.add_argument("--records-per-archive", type=int, default=8192)
+    ww.set_defaults(fn=cmd_write_warc)
+
+    di = sub.add_parser(
+        "dedup-incr",
+        help="incremental MinHash dedup of a new shard against a "
+             "persisted band ledger (FineWeb per-dump rule); folds "
+             "kept docs back into the ledger")
+    di.add_argument("--shard", required=True,
+                    help="dir containing the shard's documents.parquet")
+    di.add_argument("--ledger", required=True,
+                    help="shared-storage ledger dir (created if absent)")
+    di.add_argument("--out", required=True,
+                    help="verdict parquet (doc_id, kept, reason)")
+    di.add_argument("--threshold", type=float, default=0.7)
+    di.set_defaults(fn=cmd_dedup_incr)
 
     args = p.parse_args(argv)
     return args.fn(args)
