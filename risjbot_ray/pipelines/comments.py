@@ -45,7 +45,10 @@ def _attach_from_lookup(extracted_ds, lookup_ref):
         ids = (batch.column("articleid").to_pylist()
                if "articleid" in batch.column_names
                else [None] * batch.num_rows)
-        raw = [lk.get(a) if a else None for a in ids]
+        # '' is a real key (matched by the bucketed hash join too);
+        # only NULL articleids skip the lookup — Arrow joins never
+        # match null keys, and both plans must agree row for row
+        raw = [lk.get(a) if a is not None else None for a in ids]
         n = [len(r) if r else 0 for r in raw]
         for name in ("rawcomments", "n_comments"):
             if name in batch.column_names:

@@ -1905,7 +1905,11 @@ def minhash_dedup_incremental(shard_dir: str, ledger_dir: str,
              .groupby("hb").map_groups(probe, batch_format="pandas"))
 
     def cap_per_doc(df: "pd.DataFrame") -> "pd.DataFrame":
-        return (df.sort_values("a")
+        # DISTINCT priors before the cap: the same (prior, new) pair
+        # arrives once per hb bucket it collided in, and duplicate
+        # rows must not consume cap slots (the reference caps over
+        # the distinct prior set)
+        return (df.drop_duplicates(["a", "b"]).sort_values("a")
                 .head(_INCR_PRIOR_PER_DOC))
 
     # schema-stabilize before the join: pandas map_groups stages emit

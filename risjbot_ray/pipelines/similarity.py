@@ -457,8 +457,8 @@ def _exact_rerank_cosine(sf_dir: str, cand: dict[int, list[int]],
 # ---------------------------------------------------------------------------
 # product-quantization ANN (Jégou, Douze & Schmid, "Product
 # Quantization for Nearest Neighbor Search", TPAMI 2011): vectors
-# compress to m sub-codebook codes — ONE int64 per vector at the
-# default m=8, a 32x smaller scan than the 128-bit signature path's
+# compress to m sub-codebook codes — m BYTES per vector (8 at the
+# default), a 32x smaller scan than the 128-bit signature path's
 # 16 B and ~32x smaller than the raw float payload — and queries rank
 # the whole corpus by table-lookup ADC (asymmetric distance), then the
 # C winners exact-rerank from their true vectors. The memory-bound
@@ -499,10 +499,9 @@ def _pq_train(sample_unit: np.ndarray, m: int, ks: int,
 
 
 def _pq_encode(unit: np.ndarray, books: np.ndarray) -> np.ndarray:
-    """Unit vectors -> packed uint64 codes (one per vector): per
-    subspace argmin distance to its codebook, 8-bit codes packed
-    little-endian. Vectorized: one (N, ks) distance matrix per
-    subspace via the expanded ||x-c||^2 form."""
+    """Unit vectors -> (N, m) uint8 codes: per subspace argmin
+    distance to its codebook. Vectorized: one (N, ks) distance matrix
+    per subspace via the expanded ||x-c||^2 form."""
     m, ks, dsub = books.shape
     codes = np.empty((len(unit), m), dtype=np.uint8)
     for j in range(m):
@@ -511,7 +510,17 @@ def _pq_encode(unit: np.ndarray, books: np.ndarray) -> np.ndarray:
         # row, so argmin needs only the last two terms
         d2 = (books[j] ** 2).sum(-1)[None, :] - 2.0 * (sub @ books[j].T)
         codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
-    return codes.view(np.uint64).reshape(-1)
+    return codes
+
+
+def _codes_from_column(col, m: int) -> np.ndarray:
+    """Zero-copy (N, m) uint8 view of a fixed_size_binary(m) column."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+        else col
+    buf = arr.buffers()[1]
+    return np.frombuffer(buf, dtype=np.uint8,
+                         count=len(arr) * m,
+                         offset=arr.offset * m).reshape(-1, m)
 
 
 def ann_pq_topk(sf_dir: str, query_ids: list[int] | None = None,
@@ -549,10 +558,15 @@ def ann_pq_topk(sf_dir: str, query_ids: list[int] | None = None,
         unit = _unit(np.stack([np.asarray(v, dtype=np.float64)
                                for v in
                                batch.column("embedding").to_pylist()]))
+        codes = _pq_encode(unit, bk)
+        # fixed_size_binary(m): works for ANY m (not just the 8 that
+        # happens to pack into one int64), zero-copy back out
         return pa.table({
             "vec_id": batch.column("vec_id"),
-            "code": pa.array(_pq_encode(unit, bk).view(np.int64),
-                             pa.int64())})
+            "code": pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(m), len(codes),
+                [None, pa.py_buffer(np.ascontiguousarray(codes)
+                                    .tobytes())])})
 
     codes = ds.map_batches(encode, batch_format="pyarrow",
                            zero_copy_batch=True).materialize()
@@ -569,10 +583,9 @@ def ann_pq_topk(sf_dir: str, query_ids: list[int] | None = None,
 
     def partial_cand(batch: pa.Table) -> pa.Table:
         t = ray.get(adc_ref)
-        ids = batch.column("code").to_numpy(zero_copy_only=False)
         vid = batch.column("vec_id").to_numpy(
             zero_copy_only=False).astype(np.int64)
-        cb = ids.view(np.uint64).view(np.uint8).reshape(-1, m)
+        cb = _codes_from_column(batch.column("code"), m)
         out_q, out_id, out_d = [], [], []
         for qi in range(len(t)):
             dist = np.zeros(len(vid))

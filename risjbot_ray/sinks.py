@@ -70,12 +70,17 @@ _WARC_EPOCH = "2024-01-01T00:00:00Z"
 
 def _warc_date(ts) -> str:
     """ISO-8601 Z second-resolution WARC-Date from a pyarrow timestamp
-    scalar (or None)."""
+    scalar (or None). tz-aware values convert to UTC first — the Z
+    suffix must label the actual UTC instant, not a foreign wall
+    clock."""
+    from datetime import timezone
     if ts is None:
         return _WARC_EPOCH
     dt = ts.as_py() if hasattr(ts, "as_py") else ts
     if dt is None:
         return _WARC_EPOCH
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc)
     return dt.strftime("%Y-%m-%dT%H:%M:%SZ")
 
 
@@ -97,6 +102,10 @@ def _warc_response_member(url: str, html: bytes, date: str,
     rid = uuid.UUID(bytes=hashlib.md5(
         url.encode("utf-8", "surrogatepass") + date.encode()).digest())
     digest = hashlib.sha1(html).hexdigest()
+    # UTF-8 per the WARC spec (ISO 28500 §4: header values are UTF-8)
+    # — latin-1 would crash on any URI code point above U+00FF; the
+    # reader decodes UTF-8 first with a latin-1 fallback for archives
+    # from spec-violating writers
     head = (f"WARC/1.0\r\n"
             f"WARC-Type: response\r\n"
             f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
@@ -104,7 +113,7 @@ def _warc_response_member(url: str, html: bytes, date: str,
             f"WARC-Date: {date}\r\n"
             f"WARC-Payload-Digest: sha1:{digest}\r\n"
             f"Content-Type: application/http; msgtype=response\r\n"
-            f"Content-Length: {len(payload)}\r\n\r\n").encode("latin-1")
+            f"Content-Length: {len(payload)}\r\n\r\n").encode("utf-8")
     return head + payload + b"\r\n\r\n"
 
 
@@ -177,10 +186,27 @@ def write_warc(ds, out_dir: str,
                           "n_bytes": pa.array([], pa.int64())})
         if batch.num_rows == 0:
             return empty
+        # CONTENT-addressed name: urls + timestamps + payload digests
+        # — a URL-only key would collide for two snapshots of the
+        # same urls (warc_ts exists precisely for revisits) and would
+        # wrongly reuse a stale archive after page bytes changed.
+        # Batches with byte-identical content still collapse to one
+        # archive (a retried/duplicated batch IS the same archive).
+        names = set(batch.column_names)
         sig = hashlib.md5()
-        for u in batch.column("url").to_pylist():
+        tss = (batch.column("warc_ts").to_pylist()
+               if "warc_ts" in names else [None] * batch.num_rows)
+        sts = (batch.column("http_status").to_pylist()
+               if "http_status" in names else [200] * batch.num_rows)
+        cts = (batch.column("content_type").to_pylist()
+               if "content_type" in names else [None] * batch.num_rows)
+        for u, h, t, s, c in zip(batch.column("url").to_pylist(),
+                                 batch.column("html").to_pylist(),
+                                 tss, sts, cts):
             sig.update((u or "").encode("utf-8", "surrogatepass"))
             sig.update(b"\x00")
+            sig.update(f"{_warc_date(t)}|{s}|{c or ''}".encode())
+            sig.update(hashlib.md5(bytes(h or b"")).digest())
         sig.update(str(batch.num_rows).encode())
         name = f"part-{sig.hexdigest()[:16]}.warc.gz"
         path = os.path.join(out_dir, name)

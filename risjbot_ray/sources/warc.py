@@ -98,8 +98,16 @@ def iter_warc_records(stream: IO[bytes],
                 break
             k, sep, v = h.partition(b":")
             if sep:
-                headers[k.strip().lower().decode("latin-1")] = \
-                    v.strip().decode("latin-1")
+                vb = v.strip()
+                try:
+                    # UTF-8 per ISO 28500 §4 (what write_warc emits,
+                    # incl. non-ASCII WARC-Target-URI values) ...
+                    val = vb.decode("utf-8")
+                except UnicodeDecodeError:
+                    # ... latin-1 for spec-violating archives in the
+                    # wild — never fails, preserves the bytes
+                    val = vb.decode("latin-1")
+                headers[k.strip().lower().decode("latin-1")] = val
         if not terminated:                 # abandoned on over-long line
             err["bad_records"] += 1
             continue

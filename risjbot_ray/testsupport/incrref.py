@@ -42,7 +42,11 @@ def incr_reference(shards: list[dict], num_perm=64, bands=16,
                 if est >= threshold:
                     dropped_prior.add(d)
                     break
-        # within-shard: band collision + est >= 0.5 + exact >= t
+        # within-shard: band collision + est >= min(0.5, t)
+        # + exact >= t (the candidate gate never exceeds 0.5 so a
+        # permissive threshold stays permissive, and tracks t below
+        # 0.5 exactly like minhash_dedup_incremental's
+        # minhash_candidate_pairs(threshold=min(0.5, t)) call)
         ids = sorted(shard)
         edges = []
         for i, a in enumerate(ids):
@@ -55,7 +59,8 @@ def incr_reference(shards: list[dict], num_perm=64, bands=16,
                     for j in range(bands))
                 if not collide:
                     continue
-                if float((sigs[a] == sigs[b_]).mean()) < 0.5:
+                if float((sigs[a] == sigs[b_]).mean()) \
+                        < min(0.5, threshold):
                     continue
                 inter = len(np.intersect1d(sh[a], sh[b_]))
                 uni = len(np.union1d(sh[a], sh[b_]))

@@ -1913,6 +1913,10 @@ def test_ann_pq_recall_and_determinism():
     assert len(exact & approx) >= 6   # the documented >=0.6 contract
     assert out.equals(ann_pq_topk(SF, query_ids=[0], k=10))
     assert 0 not in approx            # query row excluded
+    # m is a real tunable, not only the int64-packing special case
+    out4 = ann_pq_topk(SF, query_ids=[0], k=10, m=4)
+    exact4 = set(out4.to_pandas()["vec_id"])
+    assert len(exact & exact4) >= 5   # coarser codes, still useful
 
 
 def test_ann_pq_matches_numpy_reference():
@@ -1930,8 +1934,7 @@ def test_ann_pq_matches_numpy_reference():
                            for v in t.column("embedding").to_pylist()]))
     m, ks, C, k, qid = 8, 16, 100, 10, 1
     books = _pq_train(unit[:4096], m, ks, iters=5, seed=7)
-    codes = _pq_encode(unit, books).view(np.uint64)
-    cb = codes.view(np.uint8).reshape(-1, m)
+    cb = _pq_encode(unit, books)
     dsub = unit.shape[1] // m
     qi = int(np.where(ids == qid)[0][0])
     dist = np.zeros(len(ids))

@@ -646,8 +646,8 @@ def test_join_comments_plans_agree_on_hostile_bodies(ray_session,
 
     from risjbot_ray.pipelines import comments as cm
     arts = ray.data.from_arrow(pa.table({
-        "url": ["u0", "u1"],
-        "articleid": ["a1", "a2"],
+        "url": ["u0", "u1", "u2"],
+        "articleid": ["a1", "a2", ""],
     }))
     ctbl = pa.Table.from_pylist([
         {"articleid": "a1", "comment_id": 1, "author": "x",
@@ -656,6 +656,9 @@ def test_join_comments_plans_agree_on_hostile_bodies(ray_session,
          "body": '"quotes" and \\ backslash \n newline'},
         {"articleid": "a2", "comment_id": 3, "author": "z",
          "body": None},
+        # '' is a REAL key: both plans must attach it identically
+        {"articleid": "", "comment_id": 4, "author": "e",
+         "body": "empty-id comment"},
     ], schema=cm.COMMENTS_SCHEMA)
     fast = {r["url"]: r for r in
             cm.join_comments(arts, ctbl).take_all()}
@@ -667,6 +670,7 @@ def test_join_comments_plans_agree_on_hostile_bodies(ray_session,
         assert fast[u]["n_comments"] == slow[u]["n_comments"], u
     assert fast["u0"]["rawcomments"] == [
         "sep\x1finside", '"quotes" and \\ backslash \n newline']
+    assert fast["u2"]["rawcomments"] == ["empty-id comment"]
 
 
 # --------------------------------------------------------------------------
@@ -775,3 +779,62 @@ def test_write_warc_resumable_and_bounded(ray_session, tmp_path):
            read_warc(paths2).take_all()}
     assert got["https://ex.example/a"] == b"<html>alpha</html>"
     assert len(got) == 5
+
+
+def test_write_warc_revisits_and_wide_unicode(ray_session, tmp_path):
+    """Review pins: (a) two snapshots of the SAME urls with different
+    timestamps/content must produce two distinct archives — a
+    URL-only name key silently dropped the second batch; (b) URIs
+    beyond latin-1 round-trip (spec: WARC headers are UTF-8)."""
+    import ray
+
+    from risjbot_ray.sinks import write_warc
+    from risjbot_ray.sources.warc import read_warc
+
+    t1 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    t2 = datetime(2024, 6, 1, tzinfo=timezone.utc)
+    snap = lambda ts, body: pa.table({
+        "url": ["https://ex.example/a", "https://ex.example/日本/ページ"],
+        "warc_ts": pa.array([ts, ts], pa.timestamp("us", tz="UTC")),
+        "html": pa.array([body, "körper — 本文".encode()], pa.binary()),
+    })
+    out = str(tmp_path / "w")
+    m1 = write_warc(ray.data.from_arrow(snap(t1, b"<v1>")), out)
+    m2 = write_warc(ray.data.from_arrow(snap(t2, b"<v2>")), out)
+    paths = sorted(set(m1.column("path").to_pylist())
+                   | set(m2.column("path").to_pylist()))
+    assert len(paths) == 2            # distinct content -> distinct parts
+    recs = read_warc(paths).take_all()
+    assert len(recs) == 4             # both snapshots preserved
+    by_key = {(r["url"], bytes(r["html"])) for r in recs}
+    assert ("https://ex.example/a", b"<v1>") in by_key
+    assert ("https://ex.example/a", b"<v2>") in by_key
+    assert ("https://ex.example/日本/ページ",
+            "körper — 本文".encode()) in by_key
+
+
+def test_write_warc_non_utc_timestamp(ray_session, tmp_path):
+    """tz-aware non-UTC timestamps must be converted to UTC before the
+    Z-suffixed WARC-Date (review pin: the +02:00 wall clock was being
+    labeled Z)."""
+    from datetime import timedelta
+
+    import ray
+
+    from risjbot_ray.sinks import write_warc
+    from risjbot_ray.sources.warc import read_warc
+
+    # epoch micros pin the INSTANT unambiguously: 10:00:05Z, whose
+    # +02:00 wall clock reads 12:00:05 — the bug wrote the wall clock
+    # with a Z suffix
+    micros = int(datetime(2024, 3, 1, 10, 0, 5,
+                          tzinfo=timezone.utc).timestamp()) * 1_000_000
+    pages = pa.table({
+        "url": ["https://ex.example/t"],
+        "warc_ts": pa.array([micros], pa.timestamp("us", tz="+02:00")),
+        "html": pa.array([b"x"], pa.binary())})
+    assert pages.column("warc_ts")[0].as_py().hour == 12  # +02 wall
+    m = write_warc(ray.data.from_arrow(pages), str(tmp_path / "w"))
+    rec = read_warc(m.column("path").to_pylist()).take_all()[0]
+    got = rec["warc_ts"].replace(tzinfo=timezone.utc)
+    assert got == datetime(2024, 3, 1, 10, 0, 5, tzinfo=timezone.utc)
