@@ -1440,6 +1440,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped DDSketch (one sketch per event type, same
         # within-alpha self-check per group)
         "events_value_quantiles_by_type": sk.value_quantile_sketch_by_group,
+        # grouped HLL: approximate COUNT(DISTINCT user) per event
+        # type — one self-checking row per type vs the exact grouped
+        # distinct (3-sigma flag), #groups x 4 KiB state
+        "events_user_distinct_hll": sk.user_distinct_hll_by_type,
         "simhash_signatures": dedup.simhash_signatures,
         # multimodal plumbing (synthetic media, rows-only)
         "media_features": lambda sf: media_features_ds(n=300, seed=42),

