@@ -113,3 +113,50 @@ def test_arbitrary_bytes_never_raise(raw, gz_prefix):
     # number over a corrupt stream — parses to SOME list without raising
     out = parse_warc_records(gz_prefix + raw)
     assert isinstance(out, list)
+
+
+# --------------------------------------------------------------------------
+# writer <-> reader round trip (the sink, sinks.warc_archive_bytes):
+# any page content must survive write -> parse byte-exactly
+# --------------------------------------------------------------------------
+
+# URLs spanning ASCII, latin-1, BMP and astral codepoints; no
+# whitespace/control chars (a URI cannot contain raw CR/LF — the header
+# framing forbids them, matching real crawlers' percent-encoding)
+_url_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs", "Cc", "Zs"),
+                           blacklist_characters="\r\n"),
+    min_size=1, max_size=40)
+
+
+@given(st.lists(st.tuples(_url_text, st.binary(max_size=200)),
+                min_size=1, max_size=6, unique_by=lambda t: t[0]),
+       st.integers(min_value=200, max_value=599))
+@settings(max_examples=300, deadline=None)
+def test_writer_reader_roundtrip_any_content(pages, status):
+    """warc_archive_bytes -> iter_warc_records reproduces every (url,
+    body, status) byte-exactly for arbitrary payloads (including
+    bodies containing WARC/ version lines and CRLF runs) and URIs
+    across the full unicode range (ISO 28500: UTF-8 headers)."""
+    import gzip
+
+    import pyarrow as pa
+
+    from risjbot_ray.sinks import warc_archive_bytes
+
+    urls = ["https://ex.example/" + u for u, _ in pages]
+    batch = pa.table({
+        "url": urls,
+        "html": pa.array([b for _, b in pages], pa.binary()),
+        "http_status": pa.array([status] * len(pages), pa.int32()),
+    })
+    raw = warc_archive_bytes(batch, "t.warc.gz")
+    # concatenated per-record gzip members -> one plain stream
+    plain = b""
+    bio = io.BytesIO(raw)
+    while bio.tell() < len(raw):
+        with gzip.GzipFile(fileobj=bio) as g:
+            plain += g.read()
+    recs = list(iter_warc_records(io.BytesIO(plain)))
+    assert [(r["url"], r["html"], r["http_status"]) for r in recs] == \
+        [(u, b, status) for u, (_, b) in zip(urls, pages)]
