@@ -1926,27 +1926,46 @@ def minhash_dedup_incremental(shard_dir: str, ledger_dir: str,
     if n_capped:
         # attach each pair's SHARD signature: broadcast-ids filter
         # pass when the pair set is small (the design case — cross
-        # candidates are duplicate-bounded), distributed hash join
-        # past the cutoff (the big side stays partitioned)
+        # candidates are duplicate-bounded); past the cutoff, the
+        # SAME plan runs per ~200k-pair chunk — the driver holds one
+        # chunk's int64 ids at a time and each chunk's sig fetch is
+        # plasma-bounded. Chunking re-reads the shard sigs once per
+        # chunk (pairs/cutoff passes), the deliberate trade against a
+        # hash join whose sparse partitions crash Arrow on empty
+        # blocks (the _norm_pairs note) and whose driver-side
+        # alternative would hold every pair's 512-B signature at once.
         pair_tbl = _collect_pairs(capped, n_capped)
         if pair_tbl is not None:
-            bneed = np.unique(pair_tbl.column("b").to_numpy())
+            chunks = [pair_tbl]
+        else:
+            chunks = []
+            for t in ray.get(capped.to_arrow_refs()):
+                if not isinstance(t, pa.Table):
+                    import pandas as _pd
+                    t = pa.Table.from_pandas(t, preserve_index=False)
+                for s in range(0, t.num_rows, _BROADCAST_PAIRS_MAX):
+                    c = t.slice(s, _BROADCAST_PAIRS_MAX)
+                    if c.num_rows:
+                        chunks.append(c.select(["a", "b"])
+                                      .cast(_PAIR_SCHEMA))
+
+        def attach(batch: pa.Table, *, _bref) -> pa.Table:
+            bs = ray.get(_bref)
+            return batch.append_column("sig", pa.array(
+                [bs[int(x)] for x in
+                 batch.column("b").to_pylist()], pa.binary()))
+
+        j_parts = []
+        for c in chunks:
+            bneed = np.unique(c.column("b").to_numpy())
             bref = ray.put(_broadcast_fetch(sigs, "doc_id", bneed,
                                             "sig"))
-
-            def attach(batch: pa.Table, *, _bref=bref) -> pa.Table:
-                bs = ray.get(_bref)
-                return batch.append_column("sig", pa.array(
-                    [bs[int(x)] for x in
-                     batch.column("b").to_pylist()], pa.binary()))
-
-            j = capped.map_batches(attach, batch_format="pyarrow")
-        else:
-            j = capped.join(sigs, join_type="inner", on=("b",),
-                            right_on=("doc_id",),
-                            num_partitions=max(
-                                2, min(16, int(ray.cluster_resources()
-                                               .get("CPU", 8)) // 2)))
+            j_parts.append(ray.data.from_arrow(c).map_batches(
+                attach, batch_format="pyarrow",
+                fn_kwargs={"_bref": bref}))
+        j = j_parts[0]
+        for extra in j_parts[1:]:
+            j = j.union(extra)
 
         def verify(batch: pa.Table) -> pa.Table:
             import pyarrow.parquet as pq
