@@ -1953,3 +1953,38 @@ def test_ann_pq_matches_numpy_reference():
     got = [(r["vec_id"], r["cosine"]) for r in
            ann_pq_topk(SF, query_ids=[qid], k=k).to_pylist()]
     assert got == exp
+
+
+def test_unit_dedup_kernel_identity_property(ray_session):
+    """Property gate for the generalized unit-dedup kernel all three
+    granularities share: with max_docs high enough that nothing is
+    hot, the rebuild must reproduce every text EXACTLY for arbitrary
+    content, at both '\n' and '\n\n' separators."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import ray
+
+    from risjbot_ray.pipelines import webtext as wt
+
+    texts_strategy = st.lists(
+        st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+                max_size=80),
+        min_size=1, max_size=6)
+
+    @given(texts_strategy)
+    @settings(max_examples=25, deadline=None)
+    def check(texts):
+        docs = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string())})
+        for sep, blank in (("\n", wt._LINE_BLANK),
+                           ("\n\n", wt._PARA_BLANK)):
+            out = {r["doc_id"]: r for r in wt.line_dedup_over(
+                ray.data.from_arrow(docs), max_docs=10**9,
+                sep=sep, blank_chars=blank).take_all()}
+            for i, t in enumerate(texts):
+                assert out[i]["n_dropped"] == 0
+                assert out[i]["text_clean"] == t, (sep, repr(t))
+
+    check()
