@@ -969,6 +969,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
                  and n_docs == t.num_rows], pa.bool_()),
         })
 
+    def dump_loop_check(sf_dir: str):
+        """Driver-visible end-to-end check of the composed
+        snapshot-to-corpus DUMP LOOP (pipelines/dumps.py): two
+        synthetic .warc.gz dumps with an overlapping middle third ->
+        read_warc -> extract -> incremental cross-dump MinHash dedup
+        -> curated parquet. One counters row: every overlapping
+        byte-identical article must drop as prior_dup in dump 2, no
+        overlap URL may survive into dump 2's curated output, and the
+        curated row counts must equal the kept verdicts."""
+        import glob
+        import os
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from risjbot_ray.pipelines.dumps import process_dump
+        from risjbot_ray.testsupport.pagegen import gen_pages
+        from risjbot_ray.testsupport.warcgen import gen_warc_archives
+
+        root = "/tmp/dump_loop_check"
+        shutil.rmtree(root, ignore_errors=True)
+        pages, exp = gen_pages(120, seed=19)
+        ed = exp.to_pandas()
+        live = set(ed[~ed["dropped"]]["url"])
+        arts = pages.filter(pa.array(
+            [u in live for u in pages.column("url").to_pylist()]))
+        n = arts.num_rows
+        d1 = arts.slice(0, (2 * n) // 3)
+        d2 = arts.slice(n // 3)
+        overlap = set(d1.column("url").to_pylist()) \
+            & set(d2.column("url").to_pylist())
+        warcs = []
+        for tag, tbl in (("d1", d1), ("d2", d2)):
+            pdir = os.path.join(root, f"pages_{tag}")
+            os.makedirs(pdir)
+            pq.write_table(tbl, os.path.join(pdir, "part-0.parquet"))
+            warcs.append(gen_warc_archives(
+                pdir, os.path.join(root, tag), n_archives=2))
+        led = os.path.join(root, "ledger")
+        out = os.path.join(root, "corpus")
+        m1 = process_dump(warcs[0], led, out, "d1")
+        m2 = process_dump(warcs[1], led, out, "d2")
+        k2 = pq.read_table(glob.glob(
+            os.path.join(out, "dump=d2", "*.parquet")))
+        k1 = pq.read_table(glob.glob(
+            os.path.join(out, "dump=d1", "*.parquet")))
+        leaked = len(set(k2.column("url").to_pylist()) & overlap)
+        return pa.table({
+            "n_overlap": pa.array([len(overlap)], pa.int64()),
+            "d1_pages": pa.array([m1["n_pages"]], pa.int64()),
+            "d1_kept": pa.array([m1["n_kept"]], pa.int64()),
+            "d2_prior_dup": pa.array([m2["n_prior_dup"]], pa.int64()),
+            "d2_kept": pa.array([m2["n_kept"]], pa.int64()),
+            "overlap_leaked": pa.array([leaked], pa.int64()),
+            "out_rows_match": pa.array(
+                [k1.num_rows == m1["n_kept"]
+                 and k2.num_rows == m2["n_kept"]], pa.bool_()),
+            "check_ok": pa.array(
+                [m1["n_prior_dup"] == 0 and leaked == 0
+                 and m2["n_prior_dup"] >= len(overlap)
+                 and k1.num_rows == m1["n_kept"]
+                 and k2.num_rows == m2["n_kept"]], pa.bool_()),
+        })
+
     def bloom_snapshot_check(sf_dir: str):
         """Driver-visible self-check for the BFF PRIOR-SNAPSHOT mode:
         build the sharded Bloom over snapshot A's paragraph view
@@ -1464,6 +1529,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (FineWeb per-dump rule): A-then-B verdicts vs an independent
         # local reference of the same documented rule
         "minhash_incr_check": minhash_incr_check,
+        # the composed snapshot-to-corpus dump loop (WARC -> extract
+        # -> cross-dump incremental dedup -> curated parquet)
+        "dump_loop_check": dump_loop_check,
         # BFF prior-snapshot mode: build the filter over snapshot A,
         # read-only dedup a derived snapshot B against it (shared
         # paragraphs all drop, fresh ones all survive modulo the FP

@@ -183,6 +183,21 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             warc_bytes / 1e6 / warc_sec, 1)
         throughput["warc_pages_per_sec"] = round(bench_n / warc_sec, 1)
 
+        # ---- the composed dump loop: .warc.gz -> extract -> cross-
+        # dump incremental dedup -> curated parquet, end to end over
+        # the same 16 archives warc_ingest reads (fresh ledger)
+        from risjbot_ray.pipelines.dumps import process_dump
+        dump_led = "/tmp/bench_dump_ledger"
+        dump_out = "/tmp/bench_dump_out"
+        shutil.rmtree(dump_led, ignore_errors=True)
+        shutil.rmtree(dump_out, ignore_errors=True)
+        t0 = time.time()
+        dm = process_dump(warc_files, dump_led, dump_out, "bench")
+        queries["dump_loop"] = round(time.time() - t0, 3)
+        throughput["dump_loop_pages_per_sec"] = round(
+            dm["n_pages"] / queries["dump_loop"], 1)
+        throughput["dump_loop_kept_docs"] = dm["n_kept"]
+
         # ---- WARC sink: page table -> CC-layout .warc.gz archives
         # (per-record gzip members written inside the map tasks,
         # content-addressed resumable parts) — the inverse of

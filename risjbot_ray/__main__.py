@@ -113,6 +113,19 @@ def cmd_write_warc(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def cmd_process_dump(args: argparse.Namespace) -> int:
+    ray = _ray_init()
+    try:
+        from .pipelines.dumps import process_dump
+
+        m = process_dump(args.warc, args.ledger, args.out, args.tag,
+                         threshold=args.threshold)
+        print(json.dumps(m))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def cmd_dedup_incr(args: argparse.Namespace) -> int:
     ray = _ray_init()
     try:
@@ -369,6 +382,19 @@ def main(argv: list[str] | None = None) -> int:
     ww.add_argument("--out", required=True)
     ww.add_argument("--records-per-archive", type=int, default=8192)
     ww.set_defaults(fn=cmd_write_warc)
+
+    pd_ = sub.add_parser(
+        "process-dump",
+        help="one full snapshot-to-corpus dump: .warc.gz -> extract "
+             "-> incremental cross-dump dedup vs the ledger -> "
+             "curated parquet under out/dump=<tag>/")
+    pd_.add_argument("--warc", nargs="+", required=True)
+    pd_.add_argument("--ledger", required=True)
+    pd_.add_argument("--out", required=True)
+    pd_.add_argument("--tag", required=True,
+                     help="dump id (the output partition name)")
+    pd_.add_argument("--threshold", type=float, default=0.7)
+    pd_.set_defaults(fn=cmd_process_dump)
 
     di = sub.add_parser(
         "dedup-incr",
