@@ -1557,7 +1557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_paragraph_dedup", "doc_trigram_perplexity",
         "bloom_paragraph_check", "bloom_snapshot_check",
         "warc_write_roundtrip", "ann_pq_recall",
-        "minhash_incr_check",
+        "minhash_incr_check", "dump_loop_check",
         # the 42 r3-window entries rotated back in (driver-green in
         # r03, pytest-oracle-green since; due driver re-attestation)
         "doc_curation", "ann_topk", "doc_bm25_topk", "doc_perplexity",
@@ -1571,13 +1571,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_counts", "corpus_token_stats", "doc_langid",
         "doc_fingerprint", "doc_pii_scrub", "doc_blocklist",
         "doc_repetition", "doc_chunks", "doc_pack_stream",
-        "doc_shuffle_rank",
-        "corpus_top_bigrams", "doc_wordcount_quantiles",
+        "doc_shuffle_rank", "doc_wordcount_quantiles",
         # corpus_top_pmi / source_unigram_kl / doc_lang_balance /
         # corpus_split / doc_wordcount_quantiles_by_lang /
-        # doc_length_histogram / doc_domain_sample moved below the
-        # boundary to make room for the late-round-5 entries: all
-        # seven are r3-driver-green and pytest-oracle-green at HEAD
+        # doc_length_histogram / doc_domain_sample /
+        # corpus_top_bigrams moved below the boundary to make room
+        # for the late-round-5 entries: all eight are r3-driver-green
+        # and pytest-oracle-green at HEAD
     ]
     assert len(_R5_WINDOW) == 50 and len(set(_R5_WINDOW)) == 50
     return {**{k: q[k] for k in _R5_WINDOW},
