@@ -2069,38 +2069,56 @@ def minhash_dedup_incremental(shard_dir: str, ledger_dir: str,
             return pd.DataFrame({"path": [p]})
         return pd.DataFrame({"path": pd.Series([], dtype="object")})
 
-    def write_sig(batch: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
+    def kept_with_sb(batch: pa.Table) -> pa.Table:
         kept_arr = ray.get(kept_ref)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         m = np.isin(ids, kept_arr)
-        paths = []
-        if m.any():
-            sub = batch.filter(pa.array(m))
-            sids = sub.column("doc_id").to_numpy(zero_copy_only=False)
-            for sbk in np.unique(sids % nbuckets):
-                mm = (sids % nbuckets) == sbk
-                d = os.path.join(sig_root, f"part={int(sbk)}")
-                os.makedirs(d, exist_ok=True)
-                p = os.path.join(
-                    d, f"delta-{run_tag}-{_uuid.uuid4().hex[:6]}"
-                       f".pending")
-                pq.write_table(sub.filter(pa.array(mm)), p)
-                paths.append(p)
-        return pa.table({"path": pa.array(paths, pa.string())})
+        sub = batch.filter(pa.array(m))
+        sids = sub.column("doc_id").to_numpy(zero_copy_only=False)
+        return sub.append_column(
+            "sb", pa.array((sids % nbuckets).astype(np.int64),
+                           pa.int64()))
+
+    def write_sig_group(df: "pd.DataFrame") -> "pd.DataFrame":
+        # ONE file per bucket per run (the write_band shape): a
+        # per-(batch, bucket) layout wrote ~50k tiny deltas per
+        # 100k-doc ingest, and its short uuid suffix made birthday
+        # collisions — one batch silently overwriting another's
+        # pending sig rows — EXPECTED at that file count
+        import pyarrow.parquet as pq
+        if not len(df):
+            return pd.DataFrame({"path": pd.Series([], dtype="object")})
+        sbk = int(df["sb"].iloc[0])
+        d = os.path.join(sig_root, f"part={sbk}")
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, f"delta-{run_tag}.pending")
+        pq.write_table(pa.Table.from_pandas(
+            df[["doc_id", "sig"]], preserve_index=False), p)
+        return pd.DataFrame({"path": [p]})
 
     pend_band = (exploded.map_batches(add_hb, batch_format="pyarrow")
                  .groupby("hb").map_groups(write_band,
                                            batch_format="pandas")
                  .take_all())
-    pend_sig = sigs.map_batches(write_sig,
-                                batch_format="pyarrow").take_all()
+    pend_sig = (sigs.map_batches(kept_with_sb, batch_format="pyarrow")
+                .groupby("sb")
+                .map_groups(write_sig_group, batch_format="pandas")
+                .take_all())
     pending = [r["path"] for r in pend_band] + \
         [r["path"] for r in pend_sig]
     # commit: result is fully computed above, so renames are the last
     # effect; sig deltas commit BEFORE band deltas so a probe that
     # sees a band row always finds its signature (the verify task's
-    # consistency check relies on this order)
-    for p in sorted(pending, key=lambda x: 0 if "/sig/" in x else 1):
-        os.replace(p, p[:-len(".pending")] + ".parquet")
+    # consistency check relies on this order). A retried write task
+    # can report the same path twice — dedupe, and tolerate a pending
+    # file that is already committed; a path that is NEITHER pending
+    # NOR committed is real data loss and must raise
+    for p in sorted(set(pending),
+                    key=lambda x: 0 if "/sig/" in x else 1):
+        dst = p[:-len(".pending")] + ".parquet"
+        try:
+            os.replace(p, dst)
+        except FileNotFoundError:
+            if not os.path.exists(dst):
+                raise
     return result
